@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over all benchmarked queries; per-query
+seconds are in ``queries``. Each query is forced with a count() so the full
+plan executes (no collect of big results to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as E
+    from catalog_pii_scanner_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + codegen path on the tiny sf so per-query numbers
+    # measure the operator, not first-call compilation
+    try:
+        E.entry(spark).count()
+    except Exception:
+        pass
+
+    per_query: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            per_query[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # a failing query must not kill the bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            per_query[name] = -1.0
+    total = round(sum(v for v in per_query.values() if v >= 0), 3)
+    print(json.dumps({
+        "metric": "pii_scan_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Rule-based PII candidate extraction (reference operators X1–X10).
+
+Reference behavior surveyed from src/catalog_pii_scanner/rules.py:106-166
+(one regex family per PII type, Luhn/Verhoeff checksum validation for
+CREDIT_CARD/AADHAAR, a +0.1 confidence boost for DATE near a dob/birth
+keyword, per-family rule confidences). Patterns below are written fresh
+against the *intersection* of Java regex (Spark) and RE2 (DuckDB) syntax —
+no lookaround, no backreferences — so the engine and its correctness oracle
+run the identical pattern.
+
+Scale design: extraction is a SINGLE projection over the input — each rule
+contributes an ``ARRAY<STRUCT>`` via ``regexp_extract_all``; the arrays are
+concatenated and exploded ONCE. The whole stage is JVM-side (whole-stage
+codegen, no Python workers), reads the input exactly once, and preserves the
+input partitioning (no shuffle). Checksum validation is a post-explode
+filter, also pure column math.
+
+A position-aware pandas-UDF variant (`extract_candidates_pdf`) exists for
+the redaction/ensemble pipeline, which needs char offsets (Span.start/end).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.checksums import luhn_sql, verhoeff12_sql
+
+__all__ = ["Rule", "RULES", "DOB_BOOST", "W_RULE", "W_VALIDATION",
+           "extract_candidates", "candidate_score"]
+
+
+@dataclass(frozen=True)
+class Rule:
+    pii_type: str
+    pattern: str
+    confidence: float
+    validator: str | None = None  # 'luhn' | 'verhoeff12'
+
+
+#: Dob-context boost for DATE (reference rules.py:154-161). The reference
+#: checks +/-8 chars around the span; the SQL-expressible engine variant
+#: boosts when the containing value mentions dob/birth (equivalent for the
+#: short sampled values this operator scans; the pandas-UDF path is exact).
+DOB_BOOST = 0.1
+
+#: Ensemble fusion weights, rules-only path (reference ensemble.py:65-67
+#: dataclass defaults: w_rule=0.6, validation term 0.2).
+W_RULE = 0.6
+W_VALIDATION = 0.2
+
+RULES: tuple[Rule, ...] = (
+    Rule("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", 0.95),
+    # leading \b sits inside the digit alternative only: '(' after a space
+    # has no word boundary before it, so a blanket \b(...)\b never matches
+    # the '(NNN) NNN-NNNN' form.
+    Rule("PHONE_NUMBER",
+         r"(?:\+?1[-. ])?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
+         0.85),
+    Rule("CREDIT_CARD", r"\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,7}", 0.90,
+         validator="luhn"),
+    Rule("SSN", r"\d{3}-\d{2}-\d{4}", 0.90),
+    Rule("IP_ADDRESS",
+         r"(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+         r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)", 0.90),
+    Rule("MAC_ADDRESS", r"[0-9A-Fa-f]{2}(?:[:-][0-9A-Fa-f]{2}){5}", 0.90),
+    Rule("AADHAAR", r"[2-9]\d{3}[ -]?\d{4}[ -]?\d{4}", 0.90,
+         validator="verhoeff12"),
+    Rule("PAN", r"[A-Za-z]{5}\d{4}[A-Za-z]", 0.90),
+    Rule("DATE", r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4}", 0.70),
+    Rule("PERSON", r"[A-Z][a-z]+ [A-Z][a-z]+", 0.40),
+)
+
+# Word-ish boundary guard: candidates must not sit inside a longer
+# digit/word run. We wrap patterns needing it with \b explicitly here so
+# the raw pattern strings above stay readable.
+_BOUNDED = {
+    "CREDIT_CARD", "SSN", "IP_ADDRESS", "MAC_ADDRESS", "AADHAAR", "PAN",
+    "DATE", "PERSON",
+}
+
+
+def bounded_pattern(rule: Rule) -> str:
+    if rule.pii_type in _BOUNDED:
+        return r"\b(?:" + rule.pattern + r")\b"
+    return rule.pattern
+
+
+def _rule_matches_col(rule: Rule, value: Column) -> Column:
+    """ARRAY<STRUCT<pii_type, match_text, rule_confidence, validator>> of all
+    matches of one rule in ``value``. Runs entirely in the JVM."""
+    conf: Column = F.lit(float(rule.confidence))
+    if rule.pii_type == "DATE":
+        conf = conf + F.when(
+            F.lower(value).rlike("dob|birth"), F.lit(DOB_BOOST)
+        ).otherwise(F.lit(0.0))
+    return F.transform(
+        F.regexp_extract_all(value, F.lit(bounded_pattern(rule)), F.lit(0)),
+        lambda m: F.struct(
+            F.lit(rule.pii_type).alias("pii_type"),
+            m.alias("match_text"),
+            conf.alias("rule_confidence"),
+            F.lit(rule.validator or "").alias("validator"),
+        ),
+    )
+
+
+def extract_candidates(
+    df: DataFrame,
+    value_col: str = "value",
+    keep_cols: tuple[str, ...] = ("column_ref",),
+    rules: tuple[Rule, ...] = RULES,
+) -> DataFrame:
+    """values DataFrame -> candidate rows.
+
+    Output: ``keep_cols... , value, pii_type, match_text, rule_confidence,
+    validated BOOLEAN`` — one row per (value, rule match), checksum-invalid
+    candidates dropped (reference invariant: Luhn/Verhoeff-invalid spans are
+    never labeled).
+
+    One input scan, one explode, zero shuffles.
+    """
+    value = F.col(value_col)
+    all_matches = F.concat(*[_rule_matches_col(r, value) for r in rules])
+    exploded = (
+        df.select(*keep_cols, value_col,
+                  F.explode(all_matches).alias("cand"))
+        .select(*keep_cols, value_col,
+                F.col("cand.pii_type").alias("pii_type"),
+                F.col("cand.match_text").alias("match_text"),
+                F.col("cand.rule_confidence").alias("rule_confidence"),
+                F.col("cand.validator").alias("validator"))
+    )
+    luhn_ok = F.expr(luhn_sql("match_text", "spark"))
+    verhoeff_ok = F.expr(verhoeff12_sql("match_text", "spark"))
+    validated = (
+        F.when(F.col("validator") == "luhn", luhn_ok)
+        .when(F.col("validator") == "verhoeff12", verhoeff_ok)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return (
+        exploded.withColumn("checksum_ok", validated)
+        .where(F.col("checksum_ok").isNull() | F.col("checksum_ok"))
+        .select(*keep_cols, value_col, "pii_type", "match_text",
+                "rule_confidence",
+                F.coalesce(F.col("checksum_ok"), F.lit(False)).alias("validated"))
+    )
+
+
+def candidate_score(conf_col: str = "rule_confidence",
+                    validated_col: str = "validated") -> Column:
+    """Rules-only ensemble score (reference F1/F2/F3/F4 closed form).
+
+    Full ensemble fusion per candidate: raw[t] = w_rule*conf (for the rule's
+    own type; other 10 types stay 0) + 0.2*validated, then identity-Platt
+    calibration sigmoid(raw), then normalization across the 11-type prob
+    vector. With rules-only signals the other types all calibrate to
+    sigmoid(0)=0.5, so the label's normalized probability collapses to
+    ``sigmoid(raw) / (sigmoid(raw) + 5.0)`` — computed exactly, JVM-side.
+    """
+    raw = (F.lit(W_RULE) * F.col(conf_col)
+           + F.lit(W_VALIDATION) * F.col(validated_col).cast("double"))
+    calibrated = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+    return calibrated / (calibrated + F.lit(5.0))
+
+
+def candidate_score_sql(dialect: str, conf_col: str = "rule_confidence",
+                        validated_col: str = "validated") -> str:
+    """The exact SQL rendering of :func:`candidate_score` (both dialects)."""
+    raw = (f"({W_RULE} * {conf_col} + {W_VALIDATION} * "
+           f"(CASE WHEN {validated_col} THEN 1.0 ELSE 0.0 END))")
+    cal = f"(1.0 / (1.0 + exp(-{raw})))"
+    return f"({cal} / ({cal} + 5.0))"

@@ -1,0 +1,100 @@
+"""DuckDB oracle SQL builders.
+
+Every query exposed in ``__spark_entry__.queries()`` has its oracle built
+here. Builders share rule specs, checksum SQL, fusion math, and melt
+formatting with the Spark operators (same modules), so the oracle and the
+engine cannot drift apart silently.
+
+Dialect notes encoded here:
+- DuckDB ``regexp_replace`` needs the 'g' flag (handled in checksums.py).
+- Confidence literals are cast to DOUBLE so DuckDB does not switch to exact
+  DECIMAL arithmetic where Spark uses doubles.
+- ``unnest`` expands array-valued select items laterally == Spark explode.
+"""
+
+from __future__ import annotations
+
+from .operators.rules import (DOB_BOOST, RULES, Rule, bounded_pattern,
+                              candidate_score_sql)
+from .functions.checksums import luhn_sql, verhoeff12_sql
+from .sources.demo_catalog import demo_pii_sql, DEMO_TEXT_COLUMNS
+from .sources.melt import melt_oracle_sql
+
+
+def _cand_union_sql(vals_rel: str, rules: tuple[Rule, ...] = RULES) -> str:
+    """Candidate extraction over a (column_ref, value) relation."""
+    parts = []
+    for r in rules:
+        pat = bounded_pattern(r).replace("'", "''")
+        conf = f"CAST({r.confidence} AS DOUBLE)"
+        if r.pii_type == "DATE":
+            conf = (f"({conf} + CASE WHEN regexp_matches(lower(value), "
+                    f"'dob|birth') THEN CAST({DOB_BOOST} AS DOUBLE) "
+                    f"ELSE CAST(0.0 AS DOUBLE) END)")
+        parts.append(
+            f"SELECT column_ref, value, "
+            f"unnest(regexp_extract_all(value, '{pat}')) AS match_text, "
+            f"'{r.pii_type}' AS pii_type, {conf} AS rule_confidence, "
+            f"'{r.validator or ''}' AS validator FROM {vals_rel}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def scored_candidates_cte(melted_sql: str) -> str:
+    """CTE chain: melted -> distinct vals -> candidates -> checksum filter
+    -> rules-only ensemble score. Ends defining relations ``vals`` and
+    ``scored``."""
+    return f"""
+vals AS (
+  SELECT DISTINCT column_ref, value FROM {melted_sql} m
+  WHERE value IS NOT NULL
+),
+cand0 AS ({_cand_union_sql('vals')}),
+cand AS (
+  SELECT *,
+    CASE WHEN validator = 'luhn' THEN {luhn_sql('match_text', 'duckdb')}
+         WHEN validator = 'verhoeff12' THEN {verhoeff12_sql('match_text', 'duckdb')}
+         ELSE NULL END AS checksum_ok
+  FROM cand0
+),
+scored AS (
+  SELECT column_ref, value, pii_type, match_text, rule_confidence,
+         COALESCE(checksum_ok, FALSE) AS validated,
+         {candidate_score_sql('duckdb')} AS prob
+  FROM cand
+  WHERE checksum_ok IS NULL OR checksum_ok
+)"""
+
+
+def scan_findings_oracle(melted_sql: str) -> str:
+    """Full findings rollup oracle over a melted relation SQL."""
+    return f"""
+WITH {scored_candidates_cte(melted_sql)},
+totals AS (
+  SELECT column_ref, COUNT(*) AS n_values FROM vals GROUP BY column_ref
+)
+SELECT s.column_ref AS column_ref, s.pii_type AS pii_type,
+       COUNT(*) AS n_candidates,
+       COUNT(DISTINCT s.value) AS n_values_hit,
+       round(MAX(s.prob), 6) AS confidence,
+       round(COUNT(DISTINCT s.value) / t.n_values, 6) AS hit_rate
+FROM scored s JOIN totals t ON s.column_ref = t.column_ref
+GROUP BY s.column_ref, s.pii_type, t.n_values
+"""
+
+
+def demo_melted_sql() -> str:
+    """Melt of the synthesized demo CRM relation (DuckDB)."""
+    demo = demo_pii_sql("duckdb", "customer")
+    selects = [
+        f"SELECT 'spark://demo_crm/{c}' AS column_ref, {c} AS value "
+        f"FROM demo"
+        for c in DEMO_TEXT_COLUMNS
+    ]
+    return "(WITH demo AS ({demo}) {body})".replace(
+        "{demo}", demo).replace("{body}", " UNION ALL ".join(selects))
+
+
+def tables_melted_sql(tables: tuple[str, ...]) -> str:
+    parts = [melt_oracle_sql(t)[1:-1] for t in tables]  # strip outer parens
+    return "(" + " UNION ALL ".join(parts) + ")"

@@ -1,0 +1,103 @@
+"""Wide table -> long (column_ref, value STRING) melt — the scan boundary.
+
+The reference's samplers stringify every sampled scalar (reference:
+src/catalog_pii_scanner/sampler.py:104-117); here the cast happens at the
+scan boundary with an explicit, dialect-stable formatting spec so the Spark
+engine and the DuckDB oracle produce byte-identical strings:
+
+- int/bigint  -> plain decimal string
+- double      -> via DECIMAL(18,2) (engines' raw double->string formats differ)
+- timestamp   -> 'yyyy-MM-dd HH:mm:ss'
+- varchar     -> as-is
+
+Melt is a single ``stack()`` projection: no shuffle, input read once, and
+Parquet column pruning still applies to any column subset selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Column -> type map of the driver's testdata tables (TESTDATA.md; stable
+#: across scale factors). 'embeddings' is excluded from melt (vector table).
+TESTDATA_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"),
+               ("n_regionkey", "int")],
+    "customer": [("c_custkey", "bigint"), ("c_name", "string"),
+                 ("c_nationkey", "int"), ("c_acctbal", "double"),
+                 ("c_mktsegment", "string")],
+    "supplier": [("s_suppkey", "bigint"), ("s_name", "string"),
+                 ("s_nationkey", "int"), ("s_acctbal", "double")],
+    "part": [("p_partkey", "bigint"), ("p_name", "string"),
+             ("p_brand", "string"), ("p_type", "string"),
+             ("p_size", "int"), ("p_retailprice", "double")],
+    "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+               ("o_orderstatus", "string"), ("o_totalprice", "double"),
+               ("o_orderdate", "timestamp"), ("o_orderpriority", "string")],
+    "lineitem": [("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+                 ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+                 ("l_quantity", "double"), ("l_extendedprice", "double"),
+                 ("l_discount", "double"), ("l_tax", "double"),
+                 ("l_returnflag", "string"), ("l_linestatus", "string"),
+                 ("l_shipdate", "timestamp")],
+    "events": [("event_id", "bigint"), ("ts", "timestamp"),
+               ("user_id", "bigint"), ("event_type", "string"),
+               ("value", "double"), ("props", "string")],
+    "documents": [("doc_id", "bigint"), ("text", "string"),
+                  ("lang", "string"), ("source", "string"),
+                  ("n_chars", "bigint")],
+}
+
+
+def stringify_sql(col: str, dtype: str, dialect: str) -> str:
+    """Dialect-stable value->string cast expression."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    if dtype in ("int", "bigint"):
+        return f"CAST({col} AS {s})"
+    if dtype == "double":
+        return f"CAST(CAST({col} AS DECIMAL(18,2)) AS {s})"
+    if dtype == "timestamp":
+        if dialect == "spark":
+            return f"date_format({col}, 'yyyy-MM-dd HH:mm:ss')"
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+    return col
+
+
+def column_ref(table: str, column: str) -> str:
+    return f"spark://{table}/{column}"
+
+
+def melt_table(spark: SparkSession, sf_dir: str, table: str,
+               columns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Read one parquet table and melt to (column_ref, value)."""
+    cols = columns or TESTDATA_SCHEMAS[table]
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    n = len(cols)
+    pairs = ", ".join(
+        f"'{column_ref(table, c)}', {stringify_sql(c, t, 'spark')}"
+        for c, t in cols
+    )
+    return df.selectExpr(f"stack({n}, {pairs}) AS (column_ref, value)")
+
+
+def melt_df(df: DataFrame, table_label: str,
+            columns: tuple[str, ...]) -> DataFrame:
+    """Melt already-string columns of an arbitrary DataFrame."""
+    pairs = ", ".join(
+        f"'{column_ref(table_label, c)}', {c}" for c in columns
+    )
+    return df.selectExpr(
+        f"stack({len(columns)}, {pairs}) AS (column_ref, value)")
+
+
+def melt_oracle_sql(table: str,
+                    columns: list[tuple[str, str]] | None = None) -> str:
+    """DuckDB rendering of :func:`melt_table` over the pre-registered view."""
+    cols = columns or TESTDATA_SCHEMAS[table]
+    selects = [
+        f"SELECT '{column_ref(table, c)}' AS column_ref, "
+        f"{stringify_sql(c, t, 'duckdb')} AS value FROM {table}"
+        for c, t in cols
+    ]
+    return "(" + " UNION ALL ".join(selects) + ")"

@@ -1,0 +1,82 @@
+"""Rule extraction golden tests, ported from the reference's test strategy
+(reference: tests/test_rules.py, tests/test_rules_advanced.py — exact labels
+per crafted input, false-positive rejection).
+
+All cases are scanned in ONE Spark job (the extraction expression tree has a
+constant per-plan planning cost, so per-case jobs would dominate runtime).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catalog_pii_scanner_spark.operators.findings import scan_values
+
+CASES = {
+    "email": ("Reach me at jane.doe+spam@mail.example.org today",
+              {"EMAIL": ["jane.doe+spam@mail.example.org"]}),
+    "phone_paren": ("Call (555) 867-5309 now",
+                    {"PHONE_NUMBER": ["(555) 867-5309"]}),
+    "phone_dash": ("Call 555-867-5309 now",
+                   {"PHONE_NUMBER": ["555-867-5309"]}),
+    "cc_valid": ("card 4111 1111 1111 1111 ok",
+                 {"CREDIT_CARD": ["4111 1111 1111 1111"]}),
+    "cc_luhn_invalid": ("card 4111 1111 1111 1112 bad", {}),
+    "ssn": ("ssn 123-45-6789.", {"SSN": ["123-45-6789"]}),
+    "ip": ("host 10.0.255.254 up", {"IP_ADDRESS": ["10.0.255.254"]}),
+    "mac": ("mac aa:bb:cc:dd:ee:ff seen",
+            {"MAC_ADDRESS": ["aa:bb:cc:dd:ee:ff"]}),
+    "aadhaar_valid": ("aadhaar 2345 6789 0124 ok",
+                      {"AADHAAR": ["2345 6789 0124"]}),
+    "aadhaar_invalid": ("aadhaar 1234 5678 9012 bad", {}),
+    "pan": ("pan ABCDE1234F filed", {"PAN": ["ABCDE1234F"]}),
+    "pan_invalid": ("pan ABCDE12345 nope", {}),
+    "person": ("met John Smith yesterday", {"PERSON": ["John Smith"]}),
+    "date": ("born 1990-03-14 in spring", {"DATE": ["1990-03-14"]}),
+    "negative": ("empty text has nothing", {}),
+    "multi": ("Contact John Smith at john@x.io or (555) 123-4567, "
+              "SSN 078-05-1120, from 192.168.1.1", None),  # set-checked below
+    "dob_boost": ("DOB: 1990-03-14", None),
+    "date_noboost": ("shipped 1990-03-14", None),
+}
+
+
+@pytest.fixture(scope="module")
+def scanned(spark):
+    df = spark.createDataFrame(
+        [(k, text) for k, (text, _) in CASES.items()],
+        "column_ref string, value string")
+    rows = scan_values(df).collect()
+    out: dict[str, dict] = {k: {} for k in CASES}
+    conf: dict[str, dict] = {k: {} for k in CASES}
+    probs = []
+    for r in rows:
+        out[r.column_ref].setdefault(r.pii_type, []).append(r.match_text)
+        conf[r.column_ref][r.pii_type] = r.rule_confidence
+        probs.append(r.prob)
+    return out, conf, probs
+
+
+@pytest.mark.parametrize("key", [k for k, (_, exp) in CASES.items()
+                                 if exp is not None])
+def test_rule_families(scanned, key):
+    got, _, _ = scanned
+    assert got[key] == CASES[key][1]
+
+
+def test_multi_entity_sentence(scanned):
+    got, _, _ = scanned
+    assert set(got["multi"]) == {
+        "PERSON", "EMAIL", "PHONE_NUMBER", "SSN", "IP_ADDRESS"}
+
+
+def test_dob_confidence_boost(scanned):
+    _, conf, _ = scanned
+    assert conf["dob_boost"]["DATE"] == pytest.approx(0.8)
+    assert conf["date_noboost"]["DATE"] == pytest.approx(0.7)
+
+
+def test_scores_within_unit_interval(scanned):
+    _, _, probs = scanned
+    assert probs and all(0.0 < p < 1.0 for p in probs)
