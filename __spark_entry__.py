@@ -1,27 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship scan on sf0.001.
-``queries()`` — one callable per implemented operator (SURVEY.md §2 ids in
-the key names); each takes (spark, sf_dir) and returns a DataFrame.
+``queries()`` — one callable per implemented operator group (SURVEY.md §2
+ids noted inline); each takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from catalog_pii_scanner_spark import oracles
-from catalog_pii_scanner_spark.operators.findings import findings_rollup
+from catalog_pii_scanner_spark.operators import (dedup, metadata_rules,
+                                                 ner, simsearch, textstats)
+from catalog_pii_scanner_spark.operators.ensemble import (
+    ensemble_oracle_sql, fuse_predictions)
+from catalog_pii_scanner_spark.operators.evaluate import (
+    eval_metrics, eval_metrics_oracle_sql)
+from catalog_pii_scanner_spark.operators.findings import (findings_rollup,
+                                                          scan_values)
+from catalog_pii_scanner_spark.operators.redaction import (
+    candidate_contexts, redaction_oracle_exprs)
+from catalog_pii_scanner_spark.sources.catalog import (
+    catalog_columns_oracle_sql, parquet_catalog_columns)
 from catalog_pii_scanner_spark.sources.demo_catalog import (
     DEMO_TEXT_COLUMNS, demo_pii_df)
 from catalog_pii_scanner_spark.sources.melt import melt_df, melt_table
+from catalog_pii_scanner_spark.sources.sampler import (
+    sample_columns, sample_columns_oracle_sql)
+from catalog_pii_scanner_spark.streaming.watcher import (
+    events_hourly, events_hourly_oracle_sql)
 
 SF0001 = "/root/testdata/sf0.001"
 
 #: Real testdata tables included in the whole-catalog scan query.
 SCAN_TABLES = ("region", "nation", "customer", "supplier", "part", "orders")
+
+CAND_COLS = ("column_ref", "value", "pii_type", "match_text")
 
 
 def _demo_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,9 +48,77 @@ def _demo_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tables_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
     dfs = [melt_table(spark, sf_dir, t) for t in SCAN_TABLES]
     return reduce(DataFrame.unionByName, dfs)
+
+
+def _demo_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_values(_demo_values(spark, sf_dir))
+
+
+def _candidates_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _demo_candidates(spark, sf_dir).select(
+        *CAND_COLS,
+        F.round("rule_confidence", 6).alias("rule_confidence"),
+        "validated", F.round("prob", 6).alias("prob"))
+
+
+def _redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candidate_contexts(_demo_candidates(spark, sf_dir)).select(
+        *CAND_COLS, "masked_match", "redacted_value", "context")
+
+
+def _ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = _demo_candidates(spark, sf_dir) \
+        .select(*CAND_COLS, "rule_confidence", "validated").distinct()
+    return fuse_predictions(cands).select(*CAND_COLS, "label", "score")
+
+
+def _ner_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = _demo_values(spark, sf_dir)
+    rule_cands = scan_values(vals)
+    ner_spans = ner.detect_ner_spans(
+        vals.where(F.col("value").isNotNull()).distinct())
+    return ner.merge_with_rules(rule_cands, ner_spans)
+
+
+def _hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metadata_rules.metadata_hints(
+        parquet_catalog_columns(spark, sf_dir))
+
+
+def _sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_columns(_tables_values(spark, sf_dir))
+
+
+# --- oracle assembly --------------------------------------------------------
+
+def _scored_demo_cte() -> str:
+    return "WITH " + oracles.scored_candidates_cte(
+        oracles.demo_melted_sql()).lstrip()
+
+
+def _candidates_detail_oracle() -> str:
+    return (_scored_demo_cte() +
+            "\nSELECT column_ref, value, pii_type, match_text, "
+            "round(rule_confidence, 6) AS rule_confidence, validated, "
+            "round(prob, 6) AS prob FROM scored")
+
+
+def _redaction_oracle() -> str:
+    e = redaction_oracle_exprs("duckdb")
+    return (_scored_demo_cte() +
+            f"\nSELECT column_ref, value, pii_type, match_text, "
+            f"{e['masked_match']} AS masked_match, "
+            f"{e['redacted_value']} AS redacted_value, "
+            f"{e['context']} AS context FROM scored")
+
+
+def _ensemble_oracle() -> str:
+    return (_scored_demo_cte() +
+            ", cand_rel AS (SELECT DISTINCT column_ref, value, pii_type, "
+            "match_text, rule_confidence, validated FROM scored)\n"
+            + ensemble_oracle_sql("cand_rel"))
 
 
 # --- driver contract ---------------------------------------------------------
@@ -43,12 +130,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # X1-X10 + F1-F4 + A6: full scan of the synthesized CRM relation
-        "pii_scan_demo_crm": lambda spark, sf:
-            findings_rollup(_demo_values(spark, sf)),
-        # S5 melt boundary + scan over the real catalog tables
-        "pii_scan_catalog_tables": lambda spark, sf:
-            findings_rollup(_tables_values(spark, sf)),
+        # X1-X10 + F1-F4 closed form + A6 rollup over synthesized CRM
+        "pii_scan_demo_crm": lambda s, sf:
+            findings_rollup(_demo_values(s, sf)),
+        # S5 melt boundary + scan over real catalog tables
+        "pii_scan_catalog_tables": lambda s, sf:
+            findings_rollup(_tables_values(s, sf)),
+        # X1-X10 candidate detail (P2-P5 predicates, checksum validation)
+        "pii_candidates_scored": _candidates_detail,
+        # R1/R2/R4 redaction + contexts
+        "pii_redaction_contexts": _redaction,
+        # F1-F5 full 11-type fusion + calibration + argmax
+        "pii_ensemble_predictions": _ensemble,
+        # N1/N3/N4 regex-provider NER + gate + max-merge with rules
+        "pii_ner_merge_max": _ner_merge,
+        # X11 metadata keyword hints over the catalog frame
+        "pii_metadata_hints": _hints,
+        # S1-S4 catalog enumeration -> canonical columns frame
+        "catalog_columns": lambda s, sf:
+            parquet_catalog_columns(s, sf),
+        # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
+        "sample_columns_topn": _sample,
+        # streaming-equivalent tumbling window aggregation (§2.13)
+        "events_hourly": events_hourly,
+        # text analysis (training-data pipeline)
+        "doc_quality": textstats.doc_quality,
+        "doc_lang_id": textstats.lang_id,
+        "doc_fingerprints": textstats.fingerprints,
+        # dedup family
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
+        "dedup_simhash": dedup.simhash,
+        # similarity search
+        "ann_cosine_topk": simsearch.cosine_topk,
+        "ann_lsh_topk": simsearch.ann_lsh_topk,
+        # J1/J2 greedy span match + A3-A5 metrics
+        "eval_greedy_metrics": eval_metrics,
     }
 
 
@@ -59,4 +177,25 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_catalog_tables":
             oracles.scan_findings_oracle(
                 oracles.tables_melted_sql(SCAN_TABLES)),
+        "pii_candidates_scored": _candidates_detail_oracle(),
+        "pii_redaction_contexts": _redaction_oracle(),
+        "pii_ensemble_predictions": _ensemble_oracle(),
+        "pii_ner_merge_max": (_scored_demo_cte() + ",\n"
+                              + ner.merge_with_rules_oracle_sql()),
+        "pii_metadata_hints": metadata_rules.metadata_hints_oracle_sql(
+            "(" + catalog_columns_oracle_sql() + ")"),
+        "catalog_columns": catalog_columns_oracle_sql(),
+        "sample_columns_topn": sample_columns_oracle_sql(
+            oracles.tables_melted_sql(SCAN_TABLES)),
+        "events_hourly": events_hourly_oracle_sql(),
+        "doc_quality": textstats.doc_quality_sql("duckdb"),
+        "doc_lang_id": textstats.lang_id_sql("duckdb"),
+        "doc_fingerprints": textstats.fingerprint_sql("duckdb"),
+        "dedup_exact": dedup.exact_dedup_sql("duckdb"),
+        "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),
+        "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs_sql("duckdb"),
+        "dedup_simhash": dedup.simhash_sql("duckdb"),
+        "ann_cosine_topk": simsearch.cosine_topk_sql("duckdb"),
+        "ann_lsh_topk": simsearch.ann_lsh_topk_sql("duckdb"),
+        "eval_greedy_metrics": eval_metrics_oracle_sql(),
     }

@@ -1,0 +1,211 @@
+"""Deduplication operators for the training-data pipeline surface:
+exact, MinHash+LSH near-dup, SimHash signatures, n-gram Jaccard verify.
+
+Beyond the reference's own operator set; first-class for a 100 TB corpus.
+Everything is expressed so the Spark engine and the DuckDB oracle share the
+hash construction:
+
+- hash family: lexicographic MIN of ``md5(h || ':' || shingle)`` per hash
+  id h — a valid min-wise family over the md5 codomain, identically
+  computable in both engines (no murmur/xxhash parity issues).
+- shingles: word 3-grams over space-tokenized text, DISTINCT per doc.
+- LSH: 8 minhashes, 4 bands x 2 rows; band key = md5 of the band's
+  concatenated minhashes; docs sharing any band key are candidate pairs;
+  candidates are verified with exact Jaccard over shingle sets.
+- SimHash: 32-bit signature from per-token md5 hex digits (+1/-1 votes per
+  bit position, sign -> bit), ONE groupBy(doc_id) with 32 conditional sums
+  — no 32x row blowup.
+
+Scale shapes:
+- exact dedup: one shuffle (groupBy fingerprint).
+- minhash signatures: explode shingles (projection) -> ONE shuffle
+  (groupBy doc_id with 8 min() aggregates).
+- LSH bucketing: band explode (4x, tiny) -> self-join on band_key. Band
+  keys are high-cardinality => the join shuffles only bucket-mates; skewed
+  mega-buckets (boilerplate docs) are AQE-split.
+- verify: shingle-set join restricted to candidate pairs (semi-join
+  pushdown), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 8
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SHINGLE_K = 3
+
+
+# --- shared SQL fragments (dialect-portable unless noted) -------------------
+
+def _tokens_sql(dialect: str, text_col: str = "text") -> str:
+    if dialect == "duckdb":
+        return f"regexp_split_to_array({text_col}, ' +')"
+    return f"split({text_col}, ' +')"
+
+
+def _shingles_sql(dialect: str, text_col: str = "text") -> str:
+    """ARRAY of word 3-grams; empty when fewer than 3 tokens.
+
+    List element access: DuckDB's element_at is map-only, so lists use
+    list_extract; Spark's element_at is the array accessor (1-based in
+    both).
+    """
+    at = "list_extract" if dialect == "duckdb" else "element_at"
+    toks = _tokens_sql(dialect, text_col)
+    gram = (f"{at}(t, CAST(i + 1 AS INT)) || ' ' || "
+            f"{at}(t, CAST(i + 2 AS INT)) || ' ' || "
+            f"{at}(t, CAST(i + 3 AS INT))")
+    if dialect == "duckdb":
+        return (f"(SELECT list_transform(range(0, greatest(len(t) - "
+                f"{SHINGLE_K - 1}, 0)), i -> {gram}) FROM (SELECT {toks} "
+                f"AS t) _s)")
+    # spark: sequence(0, n-3) errors for n<3 (descending), so guard
+    return (f"(CASE WHEN size({toks}) >= {SHINGLE_K} THEN "
+            f"transform(sequence(0, size({toks}) - {SHINGLE_K}), "
+            f"i -> {gram.replace('t,', toks + ',')}) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END)")
+
+
+def norm_text_sql(dialect: str, text_col: str = "text") -> str:
+    g = ", 'g'" if dialect == "duckdb" else ""
+    return f"lower(trim(regexp_replace({text_col}, ' +', ' '{g})))"
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_dedup_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """Groups by normalized-text fingerprint. Output: fingerprint, n_docs,
+    representative (min doc_id)."""
+    fp = f"md5({norm_text_sql(dialect)})"
+    return f"""
+SELECT {fp} AS fingerprint, COUNT(*) AS n_docs,
+       MIN(doc_id) AS representative
+FROM {docs_rel} GROUP BY 1
+"""
+
+
+def exact_dedup(spark, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(exact_dedup_sql("spark", "cpss_documents"))
+
+
+# --- minhash signatures + LSH candidate pairs + jaccard verify --------------
+
+def _doc_shingles_cte(dialect: str, docs_rel: str) -> str:
+    unnest = "unnest" if dialect == "duckdb" else "explode"
+    return f"""
+doc_shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, {unnest}({_shingles_sql(dialect)}) AS shingle
+    FROM {docs_rel}
+  ) _e
+)"""
+
+
+def minhash_signatures_sql(dialect: str,
+                           docs_rel: str = "documents") -> str:
+    """Output: doc_id, mh0..mh{NUM_HASHES-1} (md5-hex minhash strings)."""
+    mins = ", ".join(
+        f"MIN(md5('{h}:' || shingle)) AS mh{h}" for h in range(NUM_HASHES))
+    return f"""
+WITH {_doc_shingles_cte(dialect, docs_rel)}
+SELECT doc_id, {mins} FROM doc_shingles GROUP BY doc_id
+"""
+
+
+def minhash_signatures(spark, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(minhash_signatures_sql("spark", "cpss_documents"))
+
+
+def lsh_near_dup_pairs_sql(dialect: str, docs_rel: str = "documents",
+                           threshold: float = 0.5) -> str:
+    """LSH candidate pairs verified with exact Jaccard >= threshold.
+
+    Output: doc_a, doc_b (doc_a < doc_b), jaccard (rounded 1e-6).
+    """
+    sig = minhash_signatures_sql(dialect, docs_rel).strip()
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs"
+        .format(b=b, key=" || ".join(
+            f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)))
+        for b in range(NUM_BANDS))
+    return f"""
+WITH {_doc_shingles_cte(dialect, docs_rel)},
+sigs AS (
+  SELECT doc_id, {", ".join(f"MIN(md5('{h}:' || shingle)) AS mh{h}"
+                            for h in range(NUM_HASHES))}
+  FROM doc_shingles GROUP BY doc_id
+),
+bands AS ({band_rows}),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM cand_pairs p
+  JOIN doc_shingles sa ON sa.doc_id = p.doc_a
+  JOIN doc_shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+       round(i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE) >= {threshold}
+"""
+
+
+def lsh_near_dup_pairs(spark, sf_dir: str,
+                       threshold: float = 0.5) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(
+        lsh_near_dup_pairs_sql("spark", "cpss_documents", threshold))
+
+
+# --- simhash ----------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_sql(dialect: str, docs_rel: str = "documents",
+                bits: int = 32) -> str:
+    """32-bit SimHash over DISTINCT tokens. Bit j votes +1 when the j-th
+    hex digit of md5(token) is odd. Output: doc_id, simhash BIGINT."""
+    unnest = "unnest" if dialect == "duckdb" else "explode"
+    votes = ", ".join(
+        f"SUM(CASE WHEN (instr('{_HEX}', substr(h, {j + 1}, 1)) - 1) % 2 "
+        f"= 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits))
+    recompose = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, {unnest}({_tokens_sql(dialect)}) AS tok FROM {docs_rel}
+  ) _e
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {recompose} AS simhash FROM votes
+"""
+
+
+def simhash(spark, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(simhash_sql("spark", "cpss_documents"))

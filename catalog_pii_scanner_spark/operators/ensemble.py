@@ -1,0 +1,177 @@
+"""Ensemble fusion, Platt calibration, normalization, argmax (F1-F5).
+
+Reference semantics (src/catalog_pii_scanner/ensemble.py:96-136): per
+candidate and per PII type t,
+
+    raw[t] = w_rule * rule_conf * [rule_label == t]
+           + validation_bonus * [validations[t]]
+           + w_ner * ner_signal[t]
+           + w_embed * embed_prob[t]
+    cal[t] = sigmoid(a_t * raw[t] + b_t)          (identity: a=1, b=0)
+    prob[t] = cal[t] / sum_u cal[u]
+    label  = argmax_t prob[t]   (ties: ALL_PII_TYPES order)
+
+The reference ships TWO default weight sets that disagree (ensemble.py:65-67
+dataclass 0.6/0.2/0.4 vs config.py:45-47 config 0.4/0.3/0.3); both are
+exposed here, dataclass defaults used for parity (SURVEY §7.6).
+
+Scale design: fusion is computed WITHOUT exploding candidates x types — a
+single projection builds the 11-slot array of (type, prob) structs with
+``F.transform`` over a literal type array, normalizes via ``F.aggregate``,
+and argmaxes via ``F.array_sort`` with a comparator. Zero shuffles, fully
+JVM-side, preserves input partitioning. (The DuckDB oracle uses the
+equivalent explode + window formulation.)
+
+NER/embedding signals arrive as MAP<STRING,DOUBLE> columns from the model
+stages (operators/ner.py, operators/embeddings.py). ``offline_signal``
+provides the deterministic hermetic-mode signal (the analog of the
+reference's CPS_OFFLINE seeded fallbacks, embeddings.py:66-68) — an
+md5-derived value in [0,1], identically computable in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..pii_types import ALL_PII_TYPES
+
+
+@dataclass(frozen=True)
+class EnsembleWeights:
+    w_rule: float = 0.6
+    w_ner: float = 0.2
+    w_embed: float = 0.4
+    validation_bonus: float = 0.2
+
+
+#: ensemble.py:65-67 dataclass defaults (used by the reference's live path).
+REFERENCE_WEIGHTS = EnsembleWeights()
+#: config.py:45-47 defaults (never actually wired in the reference's v0).
+CONFIG_WEIGHTS = EnsembleWeights(w_rule=0.4, w_ner=0.3, w_embed=0.3)
+
+#: Deterministic non-identity Platt parameters per type (exercises F2 with
+#: a != 1, b != 0 in a reproducible way; identity would hide calibration
+#: bugs). a_t = 1 + 0.05*rank, b_t = -0.1 + 0.02*rank in type order.
+CALIBRATION = {
+    t: (round(1.0 + 0.05 * i, 2), round(-0.1 + 0.02 * i, 2))
+    for i, t in enumerate(ALL_PII_TYPES)
+}
+
+_HEX = "0123456789abcdef"
+
+
+def offline_signal(match_col: Column, pii_type: Column | str,
+                   salt: str) -> Column:
+    """Deterministic pseudo-signal in [0,1]: first md5 hex digit of
+    ``match:salt:type`` scaled by 1/15. Same construction as
+    :func:`offline_signal_sql`."""
+    t = F.lit(pii_type) if isinstance(pii_type, str) else pii_type
+    h = F.md5(F.concat_ws(":", match_col, F.lit(salt), t))
+    return (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - F.lit(1)) / F.lit(15.0)
+
+
+def offline_signal_sql(match_col: str, type_expr: str, salt: str) -> str:
+    h = f"md5({match_col} || ':{salt}:' || {type_expr})"
+    return f"((instr('{_HEX}', substr({h}, 1, 1)) - 1) / 15.0)"
+
+
+def _sigmoid(x: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+
+
+def fuse_predictions(
+    cands: DataFrame,
+    weights: EnsembleWeights = REFERENCE_WEIGHTS,
+    calibration: dict[str, tuple[float, float]] | None = None,
+    ner_signal: Column | None = None,
+    embed_signal: Column | None = None,
+) -> DataFrame:
+    """Candidates -> predictions with full 11-type fusion.
+
+    ``cands`` needs columns pii_type (rule label), match_text,
+    rule_confidence, validated. ``ner_signal``/``embed_signal`` are
+    functions of the per-type slot — pass None for the offline
+    deterministic signals.
+
+    Adds: ``label`` (argmax type), ``score`` (normalized argmax prob,
+    rounded 1e-6), keeping all input columns.
+    """
+    calibration = calibration or CALIBRATION
+
+    def per_type(t: str) -> Column:
+        is_label = (F.col("pii_type") == t).cast("double")
+        ner = (ner_signal if ner_signal is not None
+               else offline_signal(F.col("match_text"), t, "ner"))
+        emb = (embed_signal if embed_signal is not None
+               else offline_signal(F.col("match_text"), t, "embed"))
+        raw = (F.lit(weights.w_rule) * F.col("rule_confidence") * is_label
+               + F.lit(weights.validation_bonus)
+               * F.col("validated").cast("double") * is_label
+               + F.lit(weights.w_ner) * ner
+               + F.lit(weights.w_embed) * emb)
+        a, b = calibration[t]
+        cal = _sigmoid(F.lit(a) * raw + F.lit(b))
+        return F.struct(F.lit(t).alias("t"), cal.alias("cal"))
+
+    slots = F.array(*[per_type(t) for t in ALL_PII_TYPES])
+    total = F.aggregate(slots, F.lit(0.0), lambda acc, s: acc + s["cal"])
+    # argmax: sort desc by cal; ties resolved by array order == type order
+    # (array_sort is stable for equal keys in Spark's implementation, but we
+    # don't rely on it: strictly-descending comparator on cal only, equal
+    # cal values keep original type order via the 3-way comparator result 0).
+    best = F.array_sort(
+        slots,
+        lambda l, r: F.when(l["cal"] > r["cal"], F.lit(-1))
+                      .when(l["cal"] < r["cal"], F.lit(1))
+                      .otherwise(F.lit(0)),
+    )[0]
+    # _best/_total are materialized as named columns before use so the
+    # (large) slots/sort expression appears once in the plan, not once per
+    # referencing column.
+    return (
+        cands.withColumn("_slots", slots)
+        .withColumn("_total", total)
+        .withColumn("_best", best)
+        .withColumn("label", F.col("_best")["t"])
+        .withColumn("score",
+                    F.round(F.col("_best")["cal"] / F.col("_total"), 6))
+        .drop("_slots", "_total", "_best")
+    )
+
+
+def ensemble_oracle_sql(cands_rel: str,
+                        weights: EnsembleWeights = REFERENCE_WEIGHTS,
+                        calibration: dict[str, tuple[float, float]] | None = None,
+                        out_cols: str = "column_ref, value, pii_type, "
+                                        "match_text") -> str:
+    """DuckDB rendering: explode candidates x 11 types, window-normalize,
+    argmax via row_number with type-order tie-break. ``cands_rel`` must be a
+    relation of DISTINCT candidate rows with the fusion input columns."""
+    calibration = calibration or CALIBRATION
+    type_rows = ", ".join(
+        f"('{t}', {i}, CAST({calibration[t][0]} AS DOUBLE), "
+        f"CAST({calibration[t][1]} AS DOUBLE))"
+        for i, t in enumerate(ALL_PII_TYPES))
+    ner = offline_signal_sql("c.match_text", "t.t_type", "ner")
+    emb = offline_signal_sql("c.match_text", "t.t_type", "embed")
+    raw = (f"({weights.w_rule} * c.rule_confidence * "
+           f"(CASE WHEN c.pii_type = t.t_type THEN 1.0 ELSE 0.0 END) + "
+           f"{weights.validation_bonus} * "
+           f"(CASE WHEN c.validated AND c.pii_type = t.t_type THEN 1.0 "
+           f"ELSE 0.0 END) + {weights.w_ner} * {ner} + "
+           f"{weights.w_embed} * {emb})")
+    cal = f"(1.0 / (1.0 + exp(-(t.a * {raw} + t.b))))"
+    part = "c.column_ref, c.value, c.pii_type, c.match_text"
+    return f"""
+SELECT {out_cols}, label, score FROM (
+  SELECT {part}, t.t_type AS label,
+         round({cal} / SUM({cal}) OVER (PARTITION BY {part}), 6) AS score,
+         row_number() OVER (PARTITION BY {part}
+                            ORDER BY {cal} DESC, t.t_rank) AS rn
+  FROM {cands_rel} c
+  CROSS JOIN (VALUES {type_rows}) t(t_type, t_rank, a, b)
+) WHERE rn = 1
+"""

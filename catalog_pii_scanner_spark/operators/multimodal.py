@@ -1,0 +1,111 @@
+"""Multimodal (image/audio/video) column plumbing for the training-data
+pipeline surface.
+
+Media lives as opaque ``binary`` columns with typed metadata; the
+Spark-side machinery — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested. The actual codec work is STUBBED: the
+container ships no image/audio libraries, so ``decode_image`` raises
+``NotImplementedError`` unless a deterministic fake decoder is requested
+(the hermetic-test mode, mirroring the reference's CPS_OFFLINE model
+fallbacks).
+
+Operators:
+- ``media_assets``: build an assets frame (asset_id, media BINARY,
+  media_type, n_bytes, meta) — here synthesized from documents.text bytes
+  so tests have real binary payloads of varying size.
+- ``extract_features``: mapInPandas over binary -> fixed-width feature
+  vector. The fake decoder emits deterministic md5-derived features;
+  a real decoder (PIL/librosa/ffmpeg) plugs into the same batch signature.
+- ``frame_sample``: the video-path shape — one row per sampled "frame"
+  (explode of byte-range slices), demonstrating fan-out partitioning.
+
+Scale notes: binary columns are stored/read as parquet BYTE_ARRAY pages —
+column pruning keeps metadata-only queries from touching the payload;
+``spark.sql.files.maxPartitionBytes`` bounds per-task media volume;
+feature extraction is embarrassingly parallel and stays in mapInPandas
+(Arrow batches bound worker memory).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_FEATURES = 8
+
+FEATURES_SCHEMA = ("asset_id bigint, media_type string, n_bytes bigint, "
+                   "features array<double>")
+
+
+def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a binary assets frame from documents (deterministic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("media"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+         .when(F.col("doc_id") % 3 == 1, "audio/wav")
+         .otherwise("video/mp4").alias("media_type"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: N_FEATURES doubles from
+    the md5 digest bytes, scaled to [0, 1]."""
+    digest = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in digest[:N_FEATURES]]
+
+
+def decode_image(payload: bytes):  # pragma: no cover - real-codec path
+    """Real decode is a deliberate stub: no codec libraries ship in this
+    environment. The call site (extract_features with fake=False) is the
+    single integration point for PIL/torchvision."""
+    raise NotImplementedError(
+        "image decoding requires a codec library not present in this "
+        "environment; use fake=True for the deterministic test decoder")
+
+
+def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas media -> feature vectors (Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_features(m) if fake else decode_image(m)
+                for m in pdf["media"]
+            ]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["n_bytes"],
+                "features": feats,
+            })
+
+    return assets.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample(assets: DataFrame, every: int = 256,
+                 frame_bytes: int = 64) -> DataFrame:
+    """Video-path shape: sample fixed-size byte 'frames' every ``every``
+    bytes — one output row per frame (JVM-side explode, no Python)."""
+    n_frames = (F.col("n_bytes") / every).cast("int") + 1
+    exploded = (
+        assets.where(F.col("media_type") == "video/mp4")
+        .select("asset_id", "media",
+                F.posexplode(F.sequence(F.lit(0), n_frames - 1))
+                .alias("frame_no", "_i"))
+    )
+    return (
+        exploded
+        .withColumn("frame_bytes",
+                    F.substring(F.col("media"), F.col("_i") * every + 1,
+                                frame_bytes))
+        .select("asset_id", "frame_no", "frame_bytes",
+                F.octet_length("frame_bytes").alias("frame_size"))
+    )

@@ -23,10 +23,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
 
-from ..functions.checksums import luhn_sql, verhoeff12_sql
+from ..functions.checksums import luhn_ok, verhoeff_ok
 
 __all__ = ["Rule", "RULES", "DOB_BOOST", "W_RULE", "W_VALIDATION",
            "extract_candidates", "candidate_score"]
@@ -88,23 +90,17 @@ def bounded_pattern(rule: Rule) -> str:
     return rule.pattern
 
 
-def _rule_matches_col(rule: Rule, value: Column) -> Column:
-    """ARRAY<STRUCT<pii_type, match_text, rule_confidence, validator>> of all
-    matches of one rule in ``value``. Runs entirely in the JVM."""
-    conf: Column = F.lit(float(rule.confidence))
-    if rule.pii_type == "DATE":
-        conf = conf + F.when(
-            F.lower(value).rlike("dob|birth"), F.lit(DOB_BOOST)
-        ).otherwise(F.lit(0.0))
-    return F.transform(
-        F.regexp_extract_all(value, F.lit(bounded_pattern(rule)), F.lit(0)),
-        lambda m: F.struct(
-            F.lit(rule.pii_type).alias("pii_type"),
-            m.alias("match_text"),
-            conf.alias("rule_confidence"),
-            F.lit(rule.validator or "").alias("validator"),
-        ),
-    )
+# BooleanType() instances (not "boolean" DDL strings): string return types
+# are parsed through the active SparkContext, which would make this module
+# unimportable before a session exists.
+@F.pandas_udf(BooleanType())
+def _luhn_udf(s: pd.Series) -> pd.Series:
+    return s.map(luhn_ok)
+
+
+@F.pandas_udf(BooleanType())
+def _verhoeff_udf(s: pd.Series) -> pd.Series:
+    return s.map(verhoeff_ok)
 
 
 def extract_candidates(
@@ -120,24 +116,53 @@ def extract_candidates(
     candidates dropped (reference invariant: Luhn/Verhoeff-invalid spans are
     never labeled).
 
-    One input scan, one explode, zero shuffles.
+    Shape (all codegen-friendly primitives — measured ~100x faster at
+    sf0.01 than the earlier HOF transform->struct->concat design, which
+    dropped the whole stage to interpreted eval): one projection computes
+    every rule's match array via ``regexp_extract_all``; ``stack`` pivots
+    the arrays to (pii_type, matches) rows; empty match arrays are filtered
+    *before* the explode; per-rule confidence/validator decoration is a
+    pair of CASE chains. One input scan, one explode, zero shuffles.
     """
     value = F.col(value_col)
-    all_matches = F.concat(*[_rule_matches_col(r, value) for r in rules])
+    arr_cols = [
+        F.regexp_extract_all(value, F.lit(bounded_pattern(r)), F.lit(0))
+        .alias(f"_m{i}")
+        for i, r in enumerate(rules)
+    ]
+    proj = df.select(*keep_cols, value_col, *arr_cols)
+    pairs = ", ".join(f"'{r.pii_type}', _m{i}" for i, r in enumerate(rules))
+    stacked = proj.selectExpr(
+        *keep_cols, value_col,
+        f"stack({len(rules)}, {pairs}) AS (pii_type, matches)")
+
+    conf = F.lit(None).cast("double")
+    vtor = F.lit(None).cast("string")
+    for r in rules:
+        c: Column = F.lit(float(r.confidence))
+        if r.pii_type == "DATE":
+            c = c + F.when(F.lower(value).rlike("dob|birth"),
+                           F.lit(DOB_BOOST)).otherwise(F.lit(0.0))
+        conf = F.when(F.col("pii_type") == r.pii_type, c).otherwise(conf)
+        vtor = F.when(F.col("pii_type") == r.pii_type,
+                      F.lit(r.validator or "")).otherwise(vtor)
+
     exploded = (
-        df.select(*keep_cols, value_col,
-                  F.explode(all_matches).alias("cand"))
-        .select(*keep_cols, value_col,
-                F.col("cand.pii_type").alias("pii_type"),
-                F.col("cand.match_text").alias("match_text"),
-                F.col("cand.rule_confidence").alias("rule_confidence"),
-                F.col("cand.validator").alias("validator"))
+        stacked.where(F.size("matches") > 0)
+        .select(*keep_cols, value_col, "pii_type",
+                F.explode("matches").alias("match_text"))
+        .withColumn("rule_confidence", conf)
+        .withColumn("validator", vtor)
     )
-    luhn_ok = F.expr(luhn_sql("match_text", "spark"))
-    verhoeff_ok = F.expr(verhoeff12_sql("match_text", "spark"))
+    # Checksum validation runs as an Arrow-batched pandas UDF on the
+    # (already exploded, much smaller) candidate set. The pure-SQL
+    # renderings in functions/checksums.py exist and are oracle-tested, but
+    # inlining them here knocks the whole stage out of whole-stage codegen
+    # (HOF aggregate + mega-CASE => CodegenFallback), making the 10-regex
+    # projection ~20x slower. Measured at sf0.01: 16.4s -> 0.8s.
     validated = (
-        F.when(F.col("validator") == "luhn", luhn_ok)
-        .when(F.col("validator") == "verhoeff12", verhoeff_ok)
+        F.when(F.col("validator") == "luhn", _luhn_udf("match_text"))
+        .when(F.col("validator") == "verhoeff12", _verhoeff_udf("match_text"))
         .otherwise(F.lit(None).cast("boolean"))
     )
     return (

@@ -1,0 +1,156 @@
+"""Text-analysis operators for the training-data pipeline surface:
+quality scoring, token counting, language-ID, document fingerprinting.
+
+These are beyond the reference's own operator set (its detection works on
+short sampled values); a 100 TB text corpus needs per-document statistics
+as first-class scan-shaped operators. All are single-pass projections or
+one-shuffle aggregations, rendered identically for the DuckDB oracle.
+
+Definitions (engine semantics, chosen SQL-portable):
+- tokens: split on runs of spaces.
+- digit_ratio / punct_ratio: share of chars that are digits / neither
+  alphanumeric nor space.
+- stopword_ratio: share of tokens in a fixed English stopword list.
+- quality_score: 0.25*min(n_tokens/100,1) + 0.25*(1-digit_ratio)
+  + 0.25*(1-punct_ratio) + 0.25*min(stopword_ratio*4,1), rounded 1e-6 —
+  the usual length/punctuation/stopword heuristic family.
+- lang_id: argmax language by count of language-marker tokens, 'und' when
+  no marker matches; ties break by language order below.
+- fingerprint: md5 of whitespace-normalized lowercased text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "on", "for",
+             "with", "as", "was", "at", "by", "from")
+
+#: language -> marker tokens (order of dict = tie-break order).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "in", "to"),
+    "es": ("el", "la", "de", "que", "los", "una"),
+    "fr": ("le", "les", "des", "une", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+}
+
+
+def _ratio_sql(char_class: str, dialect: str) -> str:
+    g = ", 'g'" if dialect == "duckdb" else ""
+    stripped = f"regexp_replace(text, '{char_class}', ''{g})"
+    return (f"(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            f"(length(text) - length({stripped})) / "
+            f"CAST(length(text) AS DOUBLE) END)")
+
+
+def _tokens_sql(dialect: str) -> str:
+    if dialect == "duckdb":
+        return "regexp_split_to_array(text, ' +')"
+    return "split(text, ' +')"
+
+
+def doc_quality_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """Full quality-stats query, rendered per dialect from one template.
+
+    Output: doc_id, n_chars_calc, n_tokens, n_stop, digit_ratio,
+    punct_ratio, stopword_ratio, quality_score.
+    """
+    toks = _tokens_sql(dialect)
+    digit = _ratio_sql("[0-9]", dialect)
+    punct = _ratio_sql("[^a-zA-Z0-9 ]", dialect)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    if dialect == "duckdb":
+        tok_rows = (f"SELECT doc_id, unnest({toks}) AS tok "
+                    f"FROM {docs_rel}")
+    else:
+        tok_rows = (f"SELECT doc_id, explode({toks}) AS tok "
+                    f"FROM {docs_rel}")
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars_calc,
+         {digit} AS digit_ratio, {punct} AS punct_ratio
+  FROM {docs_rel}
+),
+toks AS ({tok_rows}),
+tok_stats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id, b.n_chars_calc AS n_chars_calc,
+       t.n_tokens AS n_tokens, t.n_stop AS n_stop,
+       round(b.digit_ratio, 6) AS digit_ratio,
+       round(b.punct_ratio, 6) AS punct_ratio,
+       round(t.n_stop / CAST(t.n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       round(
+         0.25 * least(t.n_tokens / 100.0, 1.0)
+         + 0.25 * (1.0 - b.digit_ratio)
+         + 0.25 * (1.0 - b.punct_ratio)
+         + 0.25 * least(4.0 * t.n_stop / CAST(t.n_tokens AS DOUBLE), 1.0),
+         6) AS quality_score
+FROM base b JOIN tok_stats t ON b.doc_id = t.doc_id
+"""
+
+
+def doc_quality(spark, sf_dir: str) -> DataFrame:
+    """Engine side runs the same declarative shape through Spark SQL —
+    Catalyst prunes the parquet scan to (doc_id, text) and the single
+    groupBy(doc_id) shuffle partially aggregates map-side."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(doc_quality_sql("spark", "cpss_documents"))
+
+
+def lang_id_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """Language-ID by marker-token voting. Output: doc_id, pred_lang,
+    n_marker_hits."""
+    toks = _tokens_sql(dialect)
+    unnest = "unnest" if dialect == "duckdb" else "explode"
+    marker_rows = ", ".join(
+        f"('{lang}', '{tok}', {li})"
+        for li, (lang, toks_) in enumerate(LANG_MARKERS.items())
+        for tok in toks_)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {unnest}({toks}) AS tok FROM {docs_rel}
+),
+votes AS (
+  SELECT t.doc_id, m.lang, m.lang_rank, COUNT(*) AS hits
+  FROM toks t
+  JOIN (SELECT * FROM (VALUES {marker_rows}) v(lang, tok, lang_rank)) m
+    ON t.tok = m.tok
+  GROUP BY t.doc_id, m.lang, m.lang_rank
+),
+ranked AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang_rank) AS rn
+  FROM votes
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(r.lang, 'und') AS pred_lang,
+       coalesce(r.hits, 0) AS n_marker_hits
+FROM {docs_rel} d
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON d.doc_id = r.doc_id
+"""
+
+
+def lang_id(spark, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(lang_id_sql("spark", "cpss_documents"))
+
+
+def fingerprint_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """Normalized-text md5 fingerprint. Output: doc_id, fingerprint."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    norm = f"lower(trim(regexp_replace(text, ' +', ' '{g})))"
+    return (f"SELECT doc_id, md5({norm}) AS fingerprint "
+            f"FROM {docs_rel}")
+
+
+def fingerprints(spark, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(fingerprint_sql("spark", "cpss_documents"))

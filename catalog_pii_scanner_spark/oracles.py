@@ -21,23 +21,48 @@ from .sources.demo_catalog import demo_pii_sql, DEMO_TEXT_COLUMNS
 from .sources.melt import melt_oracle_sql
 
 
-def _cand_union_sql(vals_rel: str, rules: tuple[Rule, ...] = RULES) -> str:
-    """Candidate extraction over a (column_ref, value) relation."""
+def _cand_union_sql(vals_rel: str, rules: tuple[Rule, ...] = RULES,
+                    key_col: str = "column_ref",
+                    value_col: str = "value") -> str:
+    """Candidate extraction over a (key, value-text) relation."""
     parts = []
     for r in rules:
         pat = bounded_pattern(r).replace("'", "''")
         conf = f"CAST({r.confidence} AS DOUBLE)"
         if r.pii_type == "DATE":
-            conf = (f"({conf} + CASE WHEN regexp_matches(lower(value), "
+            conf = (f"({conf} + CASE WHEN regexp_matches(lower({value_col}), "
                     f"'dob|birth') THEN CAST({DOB_BOOST} AS DOUBLE) "
                     f"ELSE CAST(0.0 AS DOUBLE) END)")
         parts.append(
-            f"SELECT column_ref, value, "
-            f"unnest(regexp_extract_all(value, '{pat}')) AS match_text, "
+            f"SELECT {key_col}, {value_col}, "
+            f"unnest(regexp_extract_all({value_col}, '{pat}')) AS match_text, "
             f"'{r.pii_type}' AS pii_type, {conf} AS rule_confidence, "
             f"'{r.validator or ''}' AS validator FROM {vals_rel}"
         )
     return " UNION ALL ".join(parts)
+
+
+def candidates_cte(vals_rel: str, key_col: str = "column_ref",
+                   value_col: str = "value") -> str:
+    """CTE chain ending in relation ``cand_ok`` — checksum-filtered
+    candidates with ``validated`` over an arbitrary (key, text) relation."""
+    return f"""
+cand0 AS ({_cand_union_sql(vals_rel, RULES, key_col, value_col)}),
+cand_ok AS (
+  SELECT {key_col}, {value_col}, pii_type, match_text, rule_confidence,
+         COALESCE(
+           CASE WHEN validator = 'luhn'
+                THEN {luhn_sql('match_text', 'duckdb')}
+                WHEN validator = 'verhoeff12'
+                THEN {verhoeff12_sql('match_text', 'duckdb')} END,
+           FALSE) AS validated
+  FROM cand0
+  WHERE validator = '' OR
+        CASE WHEN validator = 'luhn'
+             THEN {luhn_sql('match_text', 'duckdb')}
+             WHEN validator = 'verhoeff12'
+             THEN {verhoeff12_sql('match_text', 'duckdb')} END
+)"""
 
 
 def scored_candidates_cte(melted_sql: str) -> str:

@@ -54,6 +54,10 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": "64MB",
         "spark.ui.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
+        # testdata events.parquet carries TIMESTAMP(NANOS) which the reader
+        # rejects by default; read as long + convert (sources/melt.py
+        # read_table restores timestamp semantics at microsecond precision)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
     }
     if extra_conf:

@@ -16,7 +16,10 @@ Parquet column pruning still applies to any column subset selection.
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Column -> type map of the driver's testdata tables (TESTDATA.md; stable
 #: across scale factors). 'embeddings' is excluded from melt (vector table).
@@ -50,6 +53,26 @@ TESTDATA_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 }
 
 
+def nanos_timestamp_columns(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in a parquet file (footer-only)."""
+    schema = pq.read_schema(path)
+    return [f.name for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a testdata parquet table, normalizing TIMESTAMP(NANOS) columns
+    (rejected by Spark's reader; surfaced as long via
+    spark.sql.legacy.parquet.nanosAsLong) back to microsecond timestamps —
+    the same truncation DuckDB applies."""
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    for c in nanos_timestamp_columns(path):
+        df = df.withColumn(
+            c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
 def stringify_sql(col: str, dtype: str, dialect: str) -> str:
     """Dialect-stable value->string cast expression."""
     s = "STRING" if dialect == "spark" else "VARCHAR"
@@ -72,7 +95,7 @@ def melt_table(spark: SparkSession, sf_dir: str, table: str,
                columns: list[tuple[str, str]] | None = None) -> DataFrame:
     """Read one parquet table and melt to (column_ref, value)."""
     cols = columns or TESTDATA_SCHEMAS[table]
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = read_table(spark, sf_dir, table)
     n = len(cols)
     pairs = ", ".join(
         f"'{column_ref(table, c)}', {stringify_sql(c, t, 'spark')}"

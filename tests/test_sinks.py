@@ -1,0 +1,79 @@
+"""Findings store round-trip + export schema (reference tests/test_store.py)
+and write-back idempotency (reference tests/test_hms_fake.py:120-140)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from catalog_pii_scanner_spark.sinks.findings_store import (
+    export_csv, export_json, read_latest_findings, to_findings_records,
+    write_findings)
+from catalog_pii_scanner_spark.sinks.writeback import (FakeCatalogClient,
+                                                       apply_writeback)
+
+PER_TYPE_ROWS = [
+    ("parquet://testdata/users/email_addr", "EMAIL", 10, 10, 0.92, 1.0),
+    ("parquet://testdata/users/email_addr", "PHONE_NUMBER", 2, 2, 0.61, 0.2),
+    ("parquet://testdata/users/notes", "SSN", 5, 4, 0.87, 0.5),
+]
+SCHEMA = ("column_ref string, pii_type string, n_candidates bigint, "
+          "n_values_hit bigint, confidence double, hit_rate double")
+
+
+@pytest.fixture(scope="module")
+def findings(spark):
+    return to_findings_records(spark.createDataFrame(PER_TYPE_ROWS, SCHEMA))
+
+
+def test_findings_record_shape(findings):
+    rows = {r.column_ref: r for r in findings.collect()}
+    assert rows["parquet://testdata/users/email_addr"].types == \
+        ["EMAIL", "PHONE_NUMBER"]
+    assert rows["parquet://testdata/users/email_addr"].confidence == \
+        pytest.approx(0.92)
+    cols = set(findings.columns)
+    assert cols == {"column_ref", "types", "confidence", "hit_rate",
+                    "model_version", "scanned_at", "source"}
+
+
+def test_store_roundtrip_upsert(spark, findings, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("store") / "findings")
+    write_findings(findings, store)
+    write_findings(findings, store)  # second scan run appends
+    latest = read_latest_findings(spark, store)
+    # upsert-on-read: one row per column_ref despite two appends
+    assert latest.count() == 2
+    assert latest.groupBy("column_ref").count() \
+        .where(F.col("count") > 1).count() == 0
+
+
+def test_export_json_csv(spark, findings, tmp_path_factory):
+    out = tmp_path_factory.mktemp("export")
+    export_json(findings, str(out / "j"))
+    export_csv(findings, str(out / "c"))
+    jrows = [json.loads(line) for p in (out / "j").glob("part-*")
+             for line in open(p) if line.strip()]
+    assert len(jrows) == 2
+    assert set(jrows[0]) == {"column_ref", "types", "confidence",
+                             "hit_rate", "model_version", "scanned_at",
+                             "source"}
+    csv_text = "".join(open(p).read()
+                       for p in (out / "c").glob("part-*.csv"))
+    assert "EMAIL,PHONE_NUMBER" in csv_text  # list -> comma-joined
+
+
+def test_writeback_idempotent(findings):
+    client = FakeCatalogClient()
+    first = apply_writeback(findings, client)
+    assert first == {"applied": 2, "skipped": 0}
+    calls_after_first = client.api_calls
+    second = apply_writeback(findings, client)
+    assert second == {"applied": 0, "skipped": 2}
+    assert client.api_calls == calls_after_first  # no duplicate mutation
+    props, comment = client.get_column("testdata", "users", "email_addr")
+    assert props["cps.pii"] == "true"
+    assert props["cps.pii.types"] == "EMAIL,PHONE_NUMBER"
+    assert comment == "PII:EMAIL,PHONE_NUMBER"
