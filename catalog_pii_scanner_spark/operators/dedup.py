@@ -29,7 +29,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NUM_HASHES = 8
@@ -117,10 +117,39 @@ SELECT doc_id, {mins} FROM doc_shingles GROUP BY doc_id
 """
 
 
+def doc_shingles_df(spark, sf_dir: str) -> DataFrame:
+    """DISTINCT (doc_id, shingle) via posexplode + window leads — pure
+    codegen-friendly primitives (the SQL-template formulation uses an HOF
+    transform that drops Spark to interpreted eval, and a CTE that Spark
+    re-inlines per use; as DataFrame steps the relation is built once and
+    persisted by callers that reuse it)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " +")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks
+        .withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id",
+                F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"))
+        .distinct()
+    )
+
+
+def _signatures_from_shingles(shingles: DataFrame) -> DataFrame:
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle"))))
+        .alias(f"mh{h}")
+        for h in range(NUM_HASHES)
+    ]
+    return shingles.groupBy("doc_id").agg(*mins)
+
+
 def minhash_signatures(spark, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("cpss_documents")
-    return spark.sql(minhash_signatures_sql("spark", "cpss_documents"))
+    return _signatures_from_shingles(doc_shingles_df(spark, sf_dir))
 
 
 def lsh_near_dup_pairs_sql(dialect: str, docs_rel: str = "documents",
@@ -169,10 +198,54 @@ WHERE i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE) >= {threshold}
 
 def lsh_near_dup_pairs(spark, sf_dir: str,
                        threshold: float = 0.5) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("cpss_documents")
-    return spark.sql(
-        lsh_near_dup_pairs_sql("spark", "cpss_documents", threshold))
+    """DataFrame-step implementation (persisted shingle relation; the
+    candidate-pair side of the verify join is broadcast — pairs are rare
+    by construction). Semantics identical to lsh_near_dup_pairs_sql."""
+    shingles = doc_shingles_df(spark, sf_dir).persist()
+    sigs = _signatures_from_shingles(shingles)
+
+    band_frames = []
+    for b in range(NUM_BANDS):
+        key = F.md5(F.concat(*[
+            F.col(f"mh{b * ROWS_PER_BAND + r}")
+            for r in range(ROWS_PER_BAND)]))
+        band_frames.append(
+            sigs.select("doc_id", F.lit(b).alias("band"),
+                        key.alias("band_key")))
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+
+    a, b_ = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"),
+                         F.col("shingle"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"),
+                         F.col("shingle"))
+    inter = (
+        F.broadcast(pairs).join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb")
+                               - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(za), "doc_a").join(F.broadcast(zb), "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 # --- simhash ----------------------------------------------------------------

@@ -175,10 +175,12 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pend", F.col("pstart") + F.length("match_text"))
         .select("text_id", "pii_type", "match_text", "pstart", "pend")
     )
-    # preds/gold each feed the match AND a count aggregation; persist so
-    # the extraction subtree runs once, not once per consumer branch.
-    preds = preds.persist()
-    gold = gold.persist()
+    # preds/gold each feed the match AND a count aggregation. A plain
+    # persist still re-plans (and re-compiles) the full extraction lineage
+    # for every downstream job; localCheckpoint truncates the lineage so
+    # the 3 consumer jobs plan against a materialized relation.
+    preds = preds.localCheckpoint(eager=True)
+    gold = gold.localCheckpoint(eager=True)
     tp_pairs = greedy_match(preds, gold)
     tp = tp_pairs.groupBy("pii_type").agg(F.count("*").alias("tp"))
     n_pred = preds.groupBy("pii_type").agg(F.count("*").alias("n_pred"))
