@@ -37,8 +37,12 @@ from catalog_pii_scanner_spark.streaming.watcher import (
 
 SF0001 = "/root/testdata/sf0.001"
 
-#: Real testdata tables included in the whole-catalog scan query.
-SCAN_TABLES = ("region", "nation", "customer", "supplier", "part", "orders")
+#: Real testdata tables included in the whole-catalog scan query — the
+#: full catalog including the big fact table (lineitem) and the text-heavy
+#: tables (events.props JSON, documents.text), so the headline scan
+#: benchmarks a realistic whole-catalog pass.
+SCAN_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents")
 
 CAND_COLS = ("column_ref", "value", "pii_type", "match_text")
 

@@ -1,0 +1,175 @@
+"""Command-line surface mirroring the reference's CLI verbs
+(reference: src/catalog_pii_scanner/cli.py — scan, scan_text, gen-synth,
+train-embed, calibrate, eval, export), argparse-based (no typer in this
+environment), each verb a thin wrapper over the engine operators.
+
+    python -m catalog_pii_scanner_spark.cli scan --sf-dir ... [--apply]
+    python -m catalog_pii_scanner_spark.cli scan-text "call 555-867-5309"
+    python -m catalog_pii_scanner_spark.cli gen-synth --n 500 --out d/
+    python -m catalog_pii_scanner_spark.cli train-embed --data d/ --out m.npz
+    python -m catalog_pii_scanner_spark.cli calibrate --data d/ --out c.json
+    python -m catalog_pii_scanner_spark.cli eval --data d/
+    python -m catalog_pii_scanner_spark.cli export --store s/ --fmt csv --out e/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from .session import get_spark
+    return get_spark(f"cpss-{app}")
+
+
+def cmd_scan(args) -> int:
+    from .operators.findings import findings_rollup
+    from .sinks.findings_store import to_findings_records, write_findings
+    from .sinks.writeback import FakeCatalogClient, apply_writeback
+    from .sources.melt import TESTDATA_SCHEMAS, melt_table
+    from functools import reduce
+    from pyspark.sql import DataFrame
+
+    spark = _spark("scan")
+    tables = tuple(args.tables.split(",")) if args.tables \
+        else tuple(TESTDATA_SCHEMAS)
+    vals = reduce(DataFrame.unionByName,
+                  [melt_table(spark, args.sf_dir, t) for t in tables])
+    per_type = findings_rollup(vals)
+    findings = to_findings_records(per_type)
+    out = [r.asDict() for r in findings.collect()]
+    print(json.dumps(out, default=str, indent=2))
+    if args.store:
+        write_findings(findings, args.store)
+    if args.apply:
+        client = FakeCatalogClient()
+        stats = apply_writeback(findings, client)
+        print(json.dumps({"writeback": stats}), file=sys.stderr)
+    return 0
+
+
+def cmd_scan_text(args) -> int:
+    from .operators.findings import scan_values
+    spark = _spark("scan-text")
+    df = spark.createDataFrame([("cli", args.text)],
+                               "column_ref string, value string")
+    rows = scan_values(df).collect()
+    print(json.dumps([
+        {"type": r.pii_type, "text": r.match_text,
+         "confidence": round(r.rule_confidence, 4),
+         "validated": r.validated, "prob": round(r.prob, 6)}
+        for r in rows], indent=2))
+    return 0
+
+
+def cmd_gen_synth(args) -> int:
+    from .sources.datasets import generate_synthetic, save_jsonl
+    spark = _spark("gen-synth")
+    save_jsonl(generate_synthetic(spark, args.n, args.seed), args.out)
+    print(f"wrote {args.n} examples to {args.out}")
+    return 0
+
+
+def cmd_train_embed(args) -> int:
+    from .operators.training import train_embed
+    from .sources.datasets import load_jsonl
+    spark = _spark("train-embed")
+    model = train_embed(spark, load_jsonl(spark, args.data))
+    model.save(args.out)
+    print(f"trained heads: {sorted(model.heads)} -> {args.out}")
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    from .operators.training import fit_calibrator
+    from .sources.datasets import load_jsonl
+    spark = _spark("calibrate")
+    cal = fit_calibrator(load_jsonl(spark, args.data))
+    with open(args.out, "w") as f:
+        json.dump({t: list(p) for t, p in cal.params.items()}, f)
+    print(f"calibrated types: {sorted(cal.params)} -> {args.out}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .operators.evaluate import eval_metrics
+    spark = _spark("eval")
+    rows = eval_metrics(spark, args.sf_dir).collect()
+    for r in sorted(rows, key=lambda r: (r.level, r.pii_type)):
+        if r.level == "type":
+            print(f"{r.pii_type:14s} P={r.precision:.4f} "
+                  f"R={r.recall:.4f} F1={r.f1:.4f}")
+    micro = next(r for r in rows if r.level == "micro")
+    macro = next(r for r in rows if r.level == "macro")
+    print(f"Micro: P={micro.precision:.4f} R={micro.recall:.4f} "
+          f"F1={micro.f1:.4f}")
+    print(f"Macro: P={macro.precision:.4f} R={macro.recall:.4f} "
+          f"F1={macro.f1:.4f}")
+    return 0
+
+
+def cmd_export(args) -> int:
+    from .sinks.findings_store import (export_csv, export_json,
+                                       read_latest_findings)
+    spark = _spark("export")
+    latest = read_latest_findings(spark, args.store)
+    if args.fmt == "json":
+        export_json(latest, args.out)
+    else:
+        export_csv(latest, args.out)
+    print(f"exported {latest.count()} findings to {args.out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cpss-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("scan", help="scan catalog tables -> findings")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--tables", default="")
+    s.add_argument("--store", default="")
+    s.add_argument("--apply", action="store_true")
+    s.set_defaults(fn=cmd_scan)
+
+    s = sub.add_parser("scan-text", help="detect PII in one text")
+    s.add_argument("text")
+    s.set_defaults(fn=cmd_scan_text)
+
+    s = sub.add_parser("gen-synth", help="generate labeled JSONL")
+    s.add_argument("--n", type=int, default=500)
+    s.add_argument("--seed", type=int, default=1234)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_gen_synth)
+
+    s = sub.add_parser("train-embed")
+    s.add_argument("--data", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_train_embed)
+
+    s = sub.add_parser("calibrate")
+    s.add_argument("--data", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_calibrate)
+
+    s = sub.add_parser("eval")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("export")
+    s.add_argument("--store", required=True)
+    s.add_argument("--fmt", choices=("json", "csv"), default="json")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_export)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -61,13 +61,18 @@ def synth_example(row: int, seed: int = 1234) -> tuple[str, list]:
     ip = ".".join(str(1 + (r[9] >> (8 * i)) % 254) for i in range(4))
     date = f"19{90 + r[8] % 10}-{1 + r[9] % 12:02d}-{1 + r[5] % 28:02d}"
 
+    # Two templates carry unlabeled pattern-matching bait ("Support Team"
+    # hits the weak PERSON rule; "234-56-7890" hits the SSN shape) so a
+    # rules pass over the corpus yields false positives too — calibration
+    # (F6) needs both classes, and the eval pipeline needs a non-trivial
+    # precision story (the reference corpus is all-positive).
     templates = [
         ("Contact {name} via email {email} or phone {phone}.",
          [("name", "PERSON"), ("email", "EMAIL"),
           ("phone", "PHONE_NUMBER")]),
-        ("Visa card {cc} expires on {date}.",
+        ("Visa card {cc} expires on {date}. Ref 234-56-7890.",
          [("cc", "CREDIT_CARD"), ("date", "DATE")]),
-        ("SSN for {name} is {ssn}.",
+        ("SSN for {name} is {ssn}. Regards Support Team.",
          [("name", "PERSON"), ("ssn", "SSN")]),
         ("Server IP {ip} logged a request from {name} on {date}.",
          [("ip", "IP_ADDRESS"), ("name", "PERSON"), ("date", "DATE")]),

@@ -1,0 +1,73 @@
+"""Training/eval loop end-to-end (reference tests/test_cli_mvp.py:
+gen-synth -> train-embed -> calibrate -> eval runs deterministically
+offline), plus F6 semantics: degenerate classes fall back to identity,
+calibration separates true from false candidates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catalog_pii_scanner_spark.operators.training import (
+    Calibrator, calibration_pairs, fit_calibrator, gold_contexts,
+    labeled_candidates, train_embed)
+from catalog_pii_scanner_spark.sources.datasets import generate_synthetic
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    return generate_synthetic(spark, 120).localCheckpoint(eager=True)
+
+
+def test_gold_contexts_are_redacted(labeled):
+    rows = gold_contexts(labeled).collect()
+    assert rows
+    # the own span is masked: its raw text never survives in its context
+    # (sibling entities in the window legitimately stay raw — the
+    # reference masks only the training span, cli.py:316-325)
+    for r in rows:
+        assert r.gold_text not in r.context
+
+
+def test_calibration_pairs_have_both_classes(labeled):
+    rows = calibration_pairs(labeled).collect()
+    labels = {r.is_type for r in rows}
+    assert labels == {0.0, 1.0}
+
+
+def test_fit_calibrator_improves_separation(labeled):
+    cal = fit_calibrator(labeled)
+    assert cal.params, "at least one non-degenerate type fitted"
+    pairs = calibration_pairs(labeled)
+    scored = cal.apply(pairs, score_col="raw_score")
+    rows = scored.collect()
+    pos = [r.calibrated for r in rows if r.is_type == 1.0
+           and r.pii_type in cal.params]
+    neg = [r.calibrated for r in rows if r.is_type == 0.0
+           and r.pii_type in cal.params]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_degenerate_type_falls_back_identity(labeled):
+    cal = fit_calibrator(labeled)
+    # a type never predicted on this corpus keeps identity params
+    assert cal.get("MAC_ADDRESS") == (1.0, 0.0)
+
+
+def test_full_training_pipeline_deterministic(spark, labeled):
+    model1 = train_embed(spark, labeled)
+    model2 = train_embed(spark, labeled)
+    texts = ["Contact context 000-00-0000"]
+    assert model1.predict_proba(texts) == model2.predict_proba(texts)
+    cal1, cal2 = fit_calibrator(labeled), fit_calibrator(labeled)
+    assert cal1.params.keys() == cal2.params.keys()
+    for t in cal1.params:
+        assert cal1.params[t] == pytest.approx(cal2.params[t])
+
+
+def test_candidates_carry_positions(labeled):
+    rows = labeled_candidates(labeled).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r.text[r.pstart - 1:r.pend - 1] == r.match_text
