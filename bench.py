@@ -43,6 +43,9 @@ def main() -> None:
         except Exception as exc:  # a failing query must not kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             per_query[name] = -1.0
+        # drop relations persisted inside operators so suite-long cache
+        # growth doesn't GC-throttle later queries
+        spark.catalog.clearCache()
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
     print(json.dumps({
         "metric": "pii_scan_suite_wall_clock",

@@ -58,7 +58,10 @@ def get_spark(
         # rejects by default; read as long + convert (sources/melt.py
         # read_table restores timestamp semantics at microsecond precision)
         "spark.sql.legacy.parquet.nanosAsLong": "true",
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        # single-JVM local mode: driver heap IS the executor heap; size it
+        # so suite-long persisted relations + 32 concurrent task buffers
+        # don't trigger GC storms (machine has 128 GiB)
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
     }
     if extra_conf:
         conf.update(extra_conf)

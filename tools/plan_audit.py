@@ -1,0 +1,62 @@
+"""Dump physical-plan evidence for the scale-critical queries.
+
+Checks, per query: parquet PushedFilters / ReadSchema (column pruning),
+broadcast joins where intended, number of exchanges (shuffles). Output is
+a markdown report (PLANS.md) the next round can diff against.
+
+    python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as E
+    from catalog_pii_scanner_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    qs = E.queries()
+    audit = [
+        ("pii_scan_catalog_tables", "whole-catalog scan"),
+        ("pii_ensemble_predictions", "fusion without explode"),
+        ("dedup_lsh_near_pairs", "LSH join path"),
+        ("ann_cosine_topk", "brute-force ANN"),
+        ("eval_greedy_metrics", "range join + windows"),
+        ("events_hourly", "windowed aggregation"),
+    ]
+    lines = ["# PLANS — physical plan audit (auto-generated)", "",
+             f"sf_dir: {sf_dir}", ""]
+    for name, why in audit:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange")
+        n_reused = plan.count("ReusedExchange")
+        n_bhj = plan.count("BroadcastHashJoin")
+        n_smj = plan.count("SortMergeJoin")
+        pushed = sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]",
+                                       plan)))[:3]
+        schemas = sorted(set(re.findall(r"ReadSchema: [^\n]*", plan)))[:4]
+        lines += [f"## {name} — {why}", "",
+                  f"- exchanges: {n_exchange} (reused {n_reused}), "
+                  f"broadcast joins: {n_bhj}, sort-merge joins: {n_smj}"]
+        for p in pushed:
+            lines.append(f"- {p}")
+        for s in schemas:
+            lines.append(f"- {s[:160]}")
+        lines.append("")
+    out = "\n".join(lines)
+    with open("PLANS.md", "w") as f:
+        f.write(out)
+    print(out)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
