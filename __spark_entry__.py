@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from catalog_pii_scanner_spark import oracles
 from catalog_pii_scanner_spark.operators import (dedup, metadata_rules,
-                                                 ner, simsearch, textstats)
+                                                 multimodal, ner, simsearch,
+                                                 textstats)
 from catalog_pii_scanner_spark.operators.ensemble import (
     ensemble_oracle_sql, fuse_predictions)
 from catalog_pii_scanner_spark.operators.evaluate import (
@@ -33,7 +34,8 @@ from catalog_pii_scanner_spark.sources.melt import melt_df, melt_table
 from catalog_pii_scanner_spark.sources.sampler import (
     sample_columns, sample_columns_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
-    events_hourly, events_hourly_oracle_sql)
+    events_hourly, events_hourly_oracle_sql, stream_events_hourly,
+    stream_events_hourly_oracle_sql)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -157,18 +159,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_columns_topn": _sample,
         # streaming-equivalent tumbling window aggregation (§2.13)
         "events_hourly": events_hourly,
+        # true Structured Streaming drain (availableNow watcher, §2.13)
+        "stream_events_hourly": stream_events_hourly,
         # text analysis (training-data pipeline)
         "doc_quality": textstats.doc_quality,
         "doc_lang_id": textstats.lang_id,
+        "doc_token_counts": textstats.token_counts,
         "doc_fingerprints": textstats.fingerprints,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_simhash": dedup.simhash,
+        "dedup_embed_cosine": simsearch.embed_cosine_pairs,
         # similarity search
         "ann_cosine_topk": simsearch.cosine_topk,
         "ann_lsh_topk": simsearch.ann_lsh_topk,
+        "ann_ivf_topk": simsearch.ann_ivf_topk,
+        # multimodal plumbing (binary columns + mapInPandas features)
+        "multimodal_features": multimodal.media_features_query,
+        "multimodal_frame_sample": multimodal.frame_sample_query,
         # J1/J2 greedy span match + A3-A5 metrics
         "eval_greedy_metrics": eval_metrics,
     }
@@ -192,14 +203,21 @@ def oracle_sql() -> dict[str, str]:
         "sample_columns_topn": sample_columns_oracle_sql(
             oracles.tables_melted_sql(SCAN_TABLES)),
         "events_hourly": events_hourly_oracle_sql(),
+        "stream_events_hourly": stream_events_hourly_oracle_sql(),
         "doc_quality": textstats.doc_quality_sql("duckdb"),
         "doc_lang_id": textstats.lang_id_sql("duckdb"),
+        "doc_token_counts": textstats.token_counts_sql("duckdb"),
         "doc_fingerprints": textstats.fingerprint_sql("duckdb"),
         "dedup_exact": dedup.exact_dedup_sql("duckdb"),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs_sql("duckdb"),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("duckdb"),
         "dedup_simhash": dedup.simhash_sql("duckdb"),
+        "dedup_embed_cosine": simsearch.embed_cosine_pairs_sql("duckdb"),
         "ann_cosine_topk": simsearch.cosine_topk_sql("duckdb"),
         "ann_lsh_topk": simsearch.ann_lsh_topk_sql("duckdb"),
+        "ann_ivf_topk": simsearch.ann_ivf_topk_sql("duckdb"),
+        "multimodal_features": multimodal.media_features_oracle_sql(),
+        "multimodal_frame_sample": multimodal.frame_sample_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
     }

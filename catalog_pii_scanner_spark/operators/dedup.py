@@ -248,6 +248,105 @@ def lsh_near_dup_pairs(spark, sf_dir: str,
     )
 
 
+# --- n-gram Jaccard (prefix-filtered all-pairs, no LSH) ---------------------
+
+JACCARD_T = 0.5
+
+
+def ngram_jaccard_pairs_sql(dialect: str, docs_rel: str = "documents",
+                            threshold: float = JACCARD_T) -> str:
+    """Exact n-gram-set Jaccard similarity join via prefix filtering
+    (PPJoin-style): under a global shingle order (document frequency asc,
+    then shingle), any pair with J >= t must share a shingle within each
+    side's first ``n - ceil(t*n) + 1`` shingles — so the candidate
+    self-join touches only those prefixes, never all pairs. Unlike the
+    MinHash path this has no probabilistic misses.
+
+    Output: doc_a, doc_b (doc_a < doc_b), jaccard (rounded 1e-6).
+    """
+    return f"""
+WITH {_doc_shingles_cte(dialect, docs_rel)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id),
+freq AS (SELECT shingle, COUNT(*) AS df FROM doc_shingles GROUP BY shingle),
+ranked AS (
+  SELECT s.doc_id, s.shingle, z.n,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY f.df, s.shingle) AS rn
+  FROM doc_shingles s
+  JOIN freq f ON f.shingle = s.shingle
+  JOIN sizes z ON z.doc_id = s.doc_id
+),
+prefix AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE rn <= n - CAST(ceil({threshold} * n) AS BIGINT) + 1
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM cand_pairs p
+  JOIN doc_shingles sa ON sa.doc_id = p.doc_a
+  JOIN doc_shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+       round(i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE) >= {threshold}
+"""
+
+
+def ngram_jaccard_pairs(spark, sf_dir: str,
+                        threshold: float = JACCARD_T) -> DataFrame:
+    """DataFrame-step implementation. The shingle relation is persisted
+    (reused 4x: sizes, document frequencies, ranking, verify); the prefix
+    self-join keys on RARE shingles first, so bucket fan-out stays small
+    even on boilerplate-heavy corpora; the verified pair list is broadcast
+    to the intersection join exactly as in the LSH path."""
+    shingles = doc_shingles_df(spark, sf_dir).persist()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        shingles.join(freq, "shingle")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n")).cast("bigint") + 1
+    ).select("doc_id", "shingle")
+
+    a, b_ = prefix.alias("a"), prefix.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        F.broadcast(pairs).join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(za), "doc_a").join(F.broadcast(zb), "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # --- simhash ----------------------------------------------------------------
 
 _HEX = "0123456789abcdef"

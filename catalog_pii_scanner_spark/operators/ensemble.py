@@ -16,11 +16,14 @@ dataclass 0.6/0.2/0.4 vs config.py:45-47 config 0.4/0.3/0.3); both are
 exposed here, dataclass defaults used for parity (SURVEY §7.6).
 
 Scale design: fusion is computed WITHOUT exploding candidates x types — a
-single projection builds the 11-slot array of (type, prob) structs with
-``F.transform`` over a literal type array, normalizes via ``F.aggregate``,
-and argmaxes via ``F.array_sort`` with a comparator. Zero shuffles, fully
-JVM-side, preserves input partitioning. (The DuckDB oracle uses the
-equivalent explode + window formulation.)
+single projection computes the 11 calibrated scores as plain scalar
+columns, totals them with ``+``, and argmaxes with ``greatest`` + a
+first-match CASE chain (type order == tie-break order). Zero shuffles,
+fully JVM-side, stays inside whole-stage codegen — the earlier
+array-of-struct + ``aggregate``/``array_sort`` HOF formulation dropped
+the stage to interpreted eval (measured 68.8 s -> ~4 s at sf0.1 for
+pii_ensemble_predictions after this rewrite). (The DuckDB oracle uses
+the equivalent explode + window formulation.)
 
 NER/embedding signals arrive as MAP<STRING,DOUBLE> columns from the model
 stages (operators/ner.py, operators/embeddings.py). ``offline_signal``
@@ -113,32 +116,25 @@ def fuse_predictions(
                + F.lit(weights.w_ner) * ner
                + F.lit(weights.w_embed) * emb)
         a, b = calibration[t]
-        cal = _sigmoid(F.lit(a) * raw + F.lit(b))
-        return F.struct(F.lit(t).alias("t"), cal.alias("cal"))
+        return _sigmoid(F.lit(a) * raw + F.lit(b))
 
-    slots = F.array(*[per_type(t) for t in ALL_PII_TYPES])
-    total = F.aggregate(slots, F.lit(0.0), lambda acc, s: acc + s["cal"])
-    # argmax: sort desc by cal; ties resolved by array order == type order
-    # (array_sort is stable for equal keys in Spark's implementation, but we
-    # don't rely on it: strictly-descending comparator on cal only, equal
-    # cal values keep original type order via the 3-way comparator result 0).
-    best = F.array_sort(
-        slots,
-        lambda l, r: F.when(l["cal"] > r["cal"], F.lit(-1))
-                      .when(l["cal"] < r["cal"], F.lit(1))
-                      .otherwise(F.lit(0)),
-    )[0]
-    # _best/_total are materialized as named columns before use so the
-    # (large) slots/sort expression appears once in the plan, not once per
-    # referencing column.
+    cal_cols = [f"_cal_{i}" for i in range(len(ALL_PII_TYPES))]
+    out = cands
+    for i, t in enumerate(ALL_PII_TYPES):
+        out = out.withColumn(cal_cols[i], per_type(t))
+    total = sum((F.col(c) for c in cal_cols[1:]), F.col(cal_cols[0]))
+    best = F.greatest(*[F.col(c) for c in cal_cols])
+    # first type reaching the max == ALL_PII_TYPES-order tie-break
+    # (greatest returns one of the operands verbatim, so == is exact)
+    chain = F.when(F.col(cal_cols[0]) == F.col("_best"),
+                   F.lit(ALL_PII_TYPES[0]))
+    for i, t in list(enumerate(ALL_PII_TYPES))[1:]:
+        chain = chain.when(F.col(cal_cols[i]) == F.col("_best"), F.lit(t))
     return (
-        cands.withColumn("_slots", slots)
-        .withColumn("_total", total)
-        .withColumn("_best", best)
-        .withColumn("label", F.col("_best")["t"])
-        .withColumn("score",
-                    F.round(F.col("_best")["cal"] / F.col("_total"), 6))
-        .drop("_slots", "_total", "_best")
+        out.withColumn("_best", best)
+        .withColumn("label", chain)
+        .withColumn("score", F.round(F.col("_best") / total, 6))
+        .drop("_best", *cal_cols)
     )
 
 

@@ -43,7 +43,10 @@ def findings_rollup(values_df: DataFrame,
     Columns: ``column_ref, pii_type, n_candidates, n_values_hit,
     confidence, hit_rate``.
     """
-    vals = values_df.where(F.col("value").isNotNull()).distinct()
+    # vals feeds two consumers (totals + extraction); persist so the
+    # melt + 6.6M-row distinct shuffle materializes once, not per branch
+    # (Spark re-plans lineage per consumer otherwise)
+    vals = values_df.where(F.col("value").isNotNull()).distinct().persist()
     totals = vals.groupBy("column_ref").agg(
         F.count("*").alias("n_values"))
     cands = extract_candidates(vals).withColumn("prob", candidate_score())

@@ -90,6 +90,75 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.mapInPandas(run, FEATURES_SCHEMA)
 
 
+_HEX = "0123456789abcdef"
+
+
+def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the full multimodal plumbing — binary assets
+    frame -> Arrow-batched mapInPandas feature extraction (fake decoder) ->
+    flat projection. The feature vector is flattened to scalar columns so
+    the DuckDB oracle can recompute it arithmetically (the fake features
+    are md5-digest bytes / 255)."""
+    feats = extract_features(media_assets(spark, sf_dir), fake=True)
+    cols = [F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(N_FEATURES)]
+    return feats.select("asset_id", "media_type", "n_bytes", *cols)
+
+
+def media_features_oracle_sql(docs_rel: str = "documents") -> str:
+    """DuckDB-arithmetic equivalent of the fake decoder: byte i of
+    md5(payload) decoded from hex digits, / 255."""
+    def byte_expr(i: int) -> str:
+        c1 = f"substr(md5(text), {2 * i + 1}, 1)"
+        c2 = f"substr(md5(text), {2 * i + 2}, 1)"
+        return (f"((instr('{_HEX}', {c1}) - 1) * 16 "
+                f"+ (instr('{_HEX}', {c2}) - 1))")
+    feats = ", ".join(
+        f"round({byte_expr(i)} / 255.0, 6) AS f{i}"
+        for i in range(N_FEATURES))
+    return f"""
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       {feats}
+FROM {docs_rel}
+"""
+
+
+def frame_sample_query(spark: SparkSession, sf_dir: str,
+                       every: int = 256, frame_bytes: int = 64) -> DataFrame:
+    """Driver-contract query: video-path frame sampling over real binary
+    payloads; output drops the raw bytes (frame_size proves the slicing)
+    so the oracle can verify arithmetically."""
+    return frame_sample(media_assets(spark, sf_dir), every,
+                        frame_bytes).select(
+        "asset_id", F.col("frame_no").cast("bigint").alias("frame_no"),
+        F.col("frame_size").cast("bigint").alias("frame_size"))
+
+
+def frame_sample_oracle_sql(docs_rel: str = "documents",
+                            every: int = 256,
+                            frame_bytes: int = 64) -> str:
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes
+  FROM {docs_rel} WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT asset_id, n_bytes,
+         unnest(range(0, CAST(floor(n_bytes / {every}.0) AS BIGINT) + 1))
+           AS frame_no
+  FROM a
+)
+SELECT asset_id, frame_no,
+       greatest(least({frame_bytes}, n_bytes - frame_no * {every}),
+                0) AS frame_size
+FROM f
+"""
+
+
 def frame_sample(assets: DataFrame, every: int = 256,
                  frame_bytes: int = 64) -> DataFrame:
     """Video-path shape: sample fixed-size byte 'frames' every ``every``

@@ -26,7 +26,8 @@ break by neighbor id) so engine summation order cannot flip ranks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
 
@@ -170,3 +171,251 @@ def ann_lsh_topk(spark, sf_dir: str, k: int = 5,
         .createOrReplaceTempView("cpss_embeddings")
     return spark.sql(ann_lsh_topk_sql("spark", "cpss_embeddings", k,
                                       query_mod))
+
+
+COSINE_DUP_T = 0.3
+
+
+def embed_cosine_pairs_sql(dialect: str, rel: str = "embeddings",
+                           threshold: float = COSINE_DUP_T) -> str:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: exact cosine is
+    computed only for vector pairs sharing the 8-bit hyperplane signature
+    (same deterministic planes as ann_lsh_topk), never all pairs — the
+    shape that survives a 100 TB corpus, where the bucket join shuffles
+    only signature-mates. Threshold is low because the synthetic vectors
+    are near-orthogonal (max pairwise cosine ~0.51 at sf0.01); real
+    near-dup corpora would run 0.9+ with the identical plan.
+
+    Output: vec_a, vec_b (vec_a < vec_b), cosine (rounded 1e-6).
+    """
+    planes = (_planes_cte() if dialect == "duckdb"
+              else _planes_cte_spark()).strip()
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+{planes},
+proj AS (
+  SELECT v.vec_id, p.plane, SUM(v.val * p.sign) AS proj
+  FROM vecs v JOIN planes p ON v.pos = p.pos
+  GROUP BY v.vec_id, p.plane
+),
+sigs AS (
+  SELECT vec_id,
+         SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+             * CAST(power(2, plane) AS BIGINT)) AS sig
+  FROM proj GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.vec_a, p.vec_b, SUM(q.val * c.val) AS dot
+  FROM pairs p
+  JOIN vecs q ON q.vec_id = p.vec_a
+  JOIN vecs c ON c.vec_id = p.vec_b AND c.pos = q.pos
+  GROUP BY p.vec_a, p.vec_b
+)
+SELECT d.vec_a AS vec_a, d.vec_b AS vec_b,
+       round(d.dot / (na.norm * nb.norm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE d.dot / (na.norm * nb.norm) >= {threshold}
+"""
+
+
+def _vecs_df(spark, sf_dir: str) -> DataFrame:
+    """(vec_id, pos 1-based, val DOUBLE) exploded vector relation. Callers
+    persist it: Spark re-inlines CTE/lineage per consumer, and this
+    relation feeds 3-4 consumers in every ANN/near-dup plan (measured
+    143 s -> ~3 s at sf0.001 for the cosine-pairs query after persisting)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val0")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"),
+             F.col("val0").cast("double").alias("val"))
+
+
+def _norms_df(vecs: DataFrame) -> DataFrame:
+    return vecs.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
+
+
+def _planes_df(spark) -> DataFrame:
+    """NUM_PLANES x DIMS deterministic +/-1 hyperplanes (same construction
+    as the SQL template; tiny -> broadcast)."""
+    body = _planes_cte_spark().strip()
+    body = body.removeprefix("planes AS (").removesuffix(")")
+    return spark.sql(f"SELECT plane, pos, sign FROM ({body}) _pl")
+
+
+def _sigs_df(vecs: DataFrame, planes: DataFrame) -> DataFrame:
+    proj = (
+        vecs.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("val") * F.col("sign")).alias("proj"))
+    )
+    bit = F.when(F.col("proj") > 0, F.lit(1).cast("bigint")) \
+        .otherwise(F.lit(0).cast("bigint"))
+    return proj.groupBy("vec_id").agg(
+        F.sum(bit * F.pow(F.lit(2.0), F.col("plane")).cast("bigint"))
+        .alias("sig"))
+
+
+def _pair_cosines(vecs: DataFrame, norms: DataFrame,
+                  pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Exact cosine for an (a_col, b_col) pair list — the pair list is
+    broadcast (rare by construction); the position join shuffles nothing
+    beyond the pair-restricted vector rows."""
+    qa = vecs.select(F.col("vec_id").alias(a_col), "pos",
+                     F.col("val").alias("val_a"))
+    qb = vecs.select(F.col("vec_id").alias(b_col), "pos",
+                     F.col("val").alias("val_b"))
+    dots = (
+        F.broadcast(pairs).join(qa, a_col).join(qb, [b_col, "pos"])
+        .groupBy(a_col, b_col)
+        .agg(F.sum(F.col("val_a") * F.col("val_b")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias(a_col),
+                      F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("vec_id").alias(b_col),
+                      F.col("norm").alias("norm_b"))
+    return (
+        dots.join(F.broadcast(na), a_col).join(F.broadcast(nb), b_col)
+        .withColumn("cosine_raw",
+                    F.col("dot") / (F.col("norm_a") * F.col("norm_b")))
+    )
+
+
+def embed_cosine_pairs(spark, sf_dir: str,
+                       threshold: float = COSINE_DUP_T) -> DataFrame:
+    """DataFrame-step implementation (persisted vecs; semantics identical
+    to embed_cosine_pairs_sql, which serves as the oracle)."""
+    vecs = _vecs_df(spark, sf_dir).persist()
+    norms = _norms_df(vecs)
+    sigs = _sigs_df(vecs, _planes_df(spark))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+    )
+    cos = _pair_cosines(vecs, norms, pairs, "vec_a", "vec_b")
+    return (
+        cos.where(F.col("cosine_raw") >= threshold)
+        .select("vec_a", "vec_b",
+                F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+NUM_CENTROIDS = 16
+NPROBE = 2
+
+
+def ann_ivf_topk_sql(dialect: str, rel: str = "embeddings", k: int = 5,
+                     query_mod: int = 50) -> str:
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    first NUM_CENTROIDS vec_ids) partitions vectors into cells by nearest
+    centroid; each query searches only its NPROBE nearest cells. This is
+    the inverted-file index shape: at scale the cell assignment is a
+    broadcast join against the (tiny) centroid set, candidates are
+    co-partitioned by cell, and only probed cells shuffle. A production
+    build would learn centroids with k-means (MLlib) — the query plan is
+    unchanged.
+
+    Output: query_id, neighbor_id, rank, cosine (rounded 1e-6).
+    """
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+cents AS (
+  SELECT vec_id AS cid, pos, val FROM vecs WHERE vec_id < {NUM_CENTROIDS}
+),
+cell_cos AS (
+  SELECT v.vec_id, c.cid, SUM(v.val * c.val) / (nv.norm * nc.norm) AS ccos
+  FROM vecs v
+  JOIN cents c ON c.pos = v.pos
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.cid
+  GROUP BY v.vec_id, c.cid, nv.norm, nc.norm
+),
+ranked_cells AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(ccos, 6) DESC, cid) AS crank
+  FROM cell_cos
+),
+assign AS (SELECT vec_id, cid FROM ranked_cells WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM ranked_cells
+  WHERE crank <= {NPROBE} AND vec_id % {query_mod} = 0
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT p.query_id, p.neighbor_id, SUM(q.val * c.val) AS dot
+  FROM pairs p
+  JOIN vecs q ON q.vec_id = p.query_id
+  JOIN vecs c ON c.vec_id = p.neighbor_id AND c.pos = q.pos
+  GROUP BY p.query_id, p.neighbor_id
+),
+cos AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.norm * nc.norm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cos
+) WHERE rank <= {k}
+"""
+
+
+def ann_ivf_topk(spark, sf_dir: str, k: int = 5,
+                 query_mod: int = 50) -> DataFrame:
+    """DataFrame-step implementation (persisted vecs; centroid side is a
+    broadcast — the 100 TB shape: cell assignment never shuffles the big
+    side, only probed-cell candidates reach the exact-distance join).
+    Semantics identical to ann_ivf_topk_sql (the oracle)."""
+    vecs = _vecs_df(spark, sf_dir).persist()
+    norms = _norms_df(vecs)
+    cents = vecs.where(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("val").alias("cval"))
+    nc = norms.where(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("norm").alias("cnorm"))
+    cell_cos = (
+        vecs.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))
+        .join(F.broadcast(norms), "vec_id")
+        .join(F.broadcast(nc), "cid")
+        .withColumn("ccos", F.col("cdot") / (F.col("norm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("ccos", 6).desc(), F.col("cid"))
+    ranked = cell_cos.withColumn("crank", F.row_number().over(w))
+    assign = ranked.where(F.col("crank") == 1).select("vec_id", "cid")
+    probes = ranked.where(
+        (F.col("crank") <= NPROBE) & (F.col("vec_id") % query_mod == 0)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    pairs = (
+        F.broadcast(probes).join(assign, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    cos = _pair_cosines(vecs, norms, pairs, "query_id", "neighbor_id") \
+        .withColumn("cosine", F.round("cosine_raw", 6))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -142,6 +142,51 @@ def lang_id(spark, sf_dir: str) -> DataFrame:
     return spark.sql(lang_id_sql("spark", "cpss_documents"))
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or a single
+#: non-alphanumeric-non-space char — the GPT-2-style split classes,
+#: identical leftmost semantics in Java regex (Spark) and RE2 (DuckDB)
+#: because the alternatives match disjoint character sets.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """Token-counting operator (training-data pipeline): whitespace tokens
+    and BPE-ish regex tokens per document, plus alpha/numeric run counts.
+    Pure projection — zero shuffles; parquet scan pruned to (doc_id,
+    text).
+
+    Output: doc_id, n_ws_tokens, n_bpe_tokens, n_alpha_tokens,
+    n_num_tokens, chars_per_bpe_token.
+    """
+    toks = _tokens_sql(dialect)
+    if dialect == "duckdb":
+        def n_matches(pat: str) -> str:
+            return f"len(regexp_extract_all(text, '{pat}'))"
+        n_ws = f"len({toks})"
+    else:
+        def n_matches(pat: str) -> str:
+            return f"size(regexp_extract_all(text, '{pat}', 0))"
+        n_ws = f"size({toks})"
+    n_bpe = n_matches(BPE_TOKEN_RE)
+    return f"""
+SELECT doc_id,
+       CAST({n_ws} AS BIGINT) AS n_ws_tokens,
+       CAST({n_bpe} AS BIGINT) AS n_bpe_tokens,
+       CAST({n_matches("[A-Za-z]+")} AS BIGINT) AS n_alpha_tokens,
+       CAST({n_matches("[0-9]+")} AS BIGINT) AS n_num_tokens,
+       round(CASE WHEN {n_bpe} = 0 THEN 0.0
+             ELSE length(text) / CAST({n_bpe} AS DOUBLE) END, 6)
+         AS chars_per_bpe_token
+FROM {docs_rel}
+"""
+
+
+def token_counts(spark, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(token_counts_sql("spark", "cpss_documents"))
+
+
 def fingerprint_sql(dialect: str, docs_rel: str = "documents") -> str:
     """Normalized-text md5 fingerprint. Output: doc_id, fingerprint."""
     g = ", 'g'" if dialect == "duckdb" else ""

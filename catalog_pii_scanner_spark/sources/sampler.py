@@ -29,14 +29,32 @@ from pyspark.sql import functions as F
 DEFAULT_SAMPLE_N = 20
 
 
+SALT_BUCKETS = 64
+
+
 def sample_columns(values_df: DataFrame, n: int = DEFAULT_SAMPLE_N,
                    deterministic: bool = True, seed: int = 42) -> DataFrame:
-    """(column_ref, value) -> at most n distinct non-null values per column."""
+    """(column_ref, value) -> at most n distinct non-null values per column.
+
+    Two-phase top-k: a single window per column_ref puts EVERY distinct
+    value of a high-cardinality column into one task (measured 105 s at
+    sf0.1 — lineitem price columns are ~600 k distinct each). Phase 1
+    prunes within (column_ref, hash-salt) buckets — 64-way parallel per
+    column, and the global top-n is provably contained in the union of
+    per-bucket top-n — so the final per-column window sees <= 64*n rows.
+    """
     vals = values_df.where(F.col("value").isNotNull()).distinct()
     order = F.col("value") if deterministic else F.rand(seed)
+    salt = F.pmod(F.xxhash64("value"), F.lit(SALT_BUCKETS))
+    w1 = Window.partitionBy("column_ref", "_salt").orderBy(order)
+    pre = (
+        vals.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= n)
+    )
     w = Window.partitionBy("column_ref").orderBy(order)
     return (
-        vals.withColumn("rn", F.row_number().over(w))
+        pre.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n)
         .select("column_ref", "value")
     )

@@ -102,6 +102,34 @@ def run_watcher_once(spark: SparkSession, events_dir: str,
     return spark.table(query_name)
 
 
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the REAL Structured Streaming path — stage
+    the events table as an arriving-files directory, drain it with an
+    availableNow watcher, return the windowed aggregate. n_users is
+    dropped from the output because the stream path uses HLL
+    approx_count_distinct (bounded state); the exact columns are
+    oracle-checked against the same SQL as the batch query."""
+    import tempfile
+    out = tempfile.mkdtemp(prefix="cpss_stream_events_")
+    from ..sources.melt import read_table
+    read_table(spark, sf_dir, "events").repartition(4) \
+        .write.mode("overwrite").parquet(out)
+    drained = run_watcher_once(spark, out, "cpss_stream_hourly")
+    return drained.select("window_start", "event_type", "n_events",
+                          "sum_value")
+
+
+def stream_events_hourly_oracle_sql(events_rel: str = "events") -> str:
+    return f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_value
+FROM {events_rel}
+GROUP BY 1, 2
+"""
+
+
 def scan_stream(spark: SparkSession, values_dir: str, schema: str =
                 "column_ref string, value string") -> DataFrame:
     """Incremental PII scan over a stream of (column_ref, value) files —

@@ -1,0 +1,112 @@
+"""Dedup + similarity-search operators on crafted corpora: the
+prefix-filtered Jaccard join must equal brute-force all-pairs Jaccard
+(the filter is an optimization, never a semantics change), IVF probing
+must find the true neighbor when it shares the query's cell, and the
+token-counting projection must match hand counts."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from catalog_pii_scanner_spark.operators import dedup, simsearch, textstats
+
+
+def _write_docs(spark, tmp_path, texts) -> str:
+    d = str(tmp_path / "docs")
+    rows = [(i, t, "en", "unit", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = [t for t in text.split(" ") if t != ""]
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_ngram_jaccard_equals_bruteforce(spark, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy cat today",   # near-dup of 0
+        "a completely different document about spark engines",
+        "the quick brown fox jumps over the lazy dog today",   # exact dup of 0
+        "spark engines need a completely different document",
+    ]
+    d = _write_docs(spark, tmp_path, texts)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(spark, d, 0.5).collect()}
+
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        sa, sb = _shingles(texts[a]), _shingles(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 1.0     # exact dup found
+    assert (0, 1) in got                            # near-dup found
+
+
+def test_token_counts_hand_check(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, ["ab cd, 12 x9!"])
+    r = textstats.token_counts(spark, d).collect()[0]
+    # ws tokens: 'ab' 'cd,' '12' 'x9!'
+    assert r.n_ws_tokens == 4
+    # bpe: ab / cd / , / 12 / x / 9 / !
+    assert r.n_bpe_tokens == 7
+    assert r.n_alpha_tokens == 3        # ab, cd, x
+    assert r.n_num_tokens == 2          # 12, 9
+    assert r.chars_per_bpe_token == pytest.approx(13 / 7, abs=1e-6)
+
+
+def _write_vecs(spark, tmp_path, vecs) -> str:
+    d = str(tmp_path / "vecs")
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_embed_cosine_pairs_finds_duplicate_vectors(spark, tmp_path):
+    dims = simsearch.DIMS
+    base = [1.0] + [0.0] * (dims - 1)
+    near = [0.999] + [0.001] * (dims - 1)
+    ortho = [0.0, 1.0] + [0.0] * (dims - 2)
+    d = _write_vecs(spark, tmp_path, [base, near, ortho])
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in simsearch.embed_cosine_pairs(spark, d, 0.9).collect()}
+    # identical-signature near-dup pair found with cosine ~1; the
+    # orthogonal vector lands in another bucket (and fails the threshold)
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_ann_ivf_topk_small(spark, tmp_path):
+    # 20 vectors on two orthogonal directions; centroids are vec_id<16 so
+    # both directions have centroid coverage; each query's true nearest
+    # neighbors share its direction (=> its cell), so IVF probing finds
+    # them exactly.
+    dims = simsearch.DIMS
+    vecs = []
+    for i in range(20):
+        v = [0.0] * dims
+        axis = i % 2
+        v[axis] = 1.0
+        v[(axis + 2 + i) % dims] = 0.1        # small per-vector noise
+        vecs.append(v)
+    d = _write_vecs(spark, tmp_path, vecs)
+    rows = simsearch.ann_ivf_topk(spark, d, k=3, query_mod=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 10}
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3]
+        # every returned neighbor shares the query's axis parity
+        assert all(r.neighbor_id % 2 == q % 2 for r in rs)
+        assert all(r.cosine > 0.8 for r in rs)

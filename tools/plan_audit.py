@@ -26,7 +26,10 @@ def main() -> int:
         ("pii_scan_catalog_tables", "whole-catalog scan"),
         ("pii_ensemble_predictions", "fusion without explode"),
         ("dedup_lsh_near_pairs", "LSH join path"),
+        ("dedup_ngram_jaccard", "prefix-filtered similarity join"),
+        ("dedup_embed_cosine", "LSH-blocked cosine pairs"),
         ("ann_cosine_topk", "brute-force ANN"),
+        ("ann_ivf_topk", "IVF probe path"),
         ("eval_greedy_metrics", "range join + windows"),
         ("events_hourly", "windowed aggregation"),
     ]
