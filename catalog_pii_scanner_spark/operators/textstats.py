@@ -78,8 +78,10 @@ tok_stats AS (
          SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop
   FROM toks GROUP BY doc_id
 )
-SELECT b.doc_id AS doc_id, b.n_chars_calc AS n_chars_calc,
-       t.n_tokens AS n_tokens, t.n_stop AS n_stop,
+SELECT b.doc_id AS doc_id,
+       CAST(b.n_chars_calc AS BIGINT) AS n_chars_calc,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_stop AS BIGINT) AS n_stop,
        round(b.digit_ratio, 6) AS digit_ratio,
        round(b.punct_ratio, 6) AS punct_ratio,
        round(t.n_stop / CAST(t.n_tokens AS DOUBLE), 6) AS stopword_ratio,

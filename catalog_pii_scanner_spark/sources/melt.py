@@ -66,6 +66,9 @@ def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.sql.legacy.parquet.nanosAsLong) back to microsecond timestamps —
     the same truncation DuckDB applies."""
     path = f"{sf_dir}/{table}.parquet"
+    # Runtime-settable; must hold for ANY caller-provided session (the
+    # correctness harness builds a plain one), not just session.py's.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_timestamp_columns(path):
         df = df.withColumn(
