@@ -48,9 +48,13 @@ P_STR = "".join(str(x) for row in VERHOEFF_P for x in row)
 # --- Python ------------------------------------------------------------------
 
 def luhn_ok(value: str) -> bool:
-    """True iff the digits of ``value`` pass the Luhn mod-10 check."""
+    """True iff ``value`` holds 13-19 digits passing the Luhn mod-10 check.
+
+    The length gate mirrors the reference's card-length bound (reference
+    rules.py:35-47) so the validator is safe standalone, independent of the
+    calling pattern's constraints."""
     digits = [int(ch) for ch in value if ch.isdigit()]
-    if len(digits) < 2:
+    if not 13 <= len(digits) <= 19:
         return False
     total = 0
     for i, d in enumerate(reversed(digits)):
@@ -63,9 +67,12 @@ def luhn_ok(value: str) -> bool:
 
 
 def verhoeff_ok(value: str) -> bool:
-    """True iff the digits of ``value`` pass the Verhoeff check."""
+    """True iff ``value`` is a well-formed Aadhaar: exactly 12 digits,
+    leading digit 2-9, passing the Verhoeff check (reference
+    rules.py:51-86's gates, kept inside the validator so standalone reuse
+    cannot validate arbitrary digit strings)."""
     digits = [int(ch) for ch in value if ch.isdigit()]
-    if not digits:
+    if len(digits) != 12 or digits[0] < 2:
         return False
     c = 0
     for i, d in enumerate(reversed(digits)):
@@ -113,7 +120,7 @@ def luhn_sql(col: str, dialect: str) -> str:
         )
     else:  # pragma: no cover
         raise ValueError(dialect)
-    return f"(length({d}) >= 2 AND {body} % 10 = 0)"
+    return f"(length({d}) BETWEEN 13 AND 19 AND {body} % 10 = 0)"
 
 
 def verhoeff12_sql(col: str, dialect: str = "spark") -> str:
@@ -137,4 +144,5 @@ def verhoeff12_sql(col: str, dialect: str = "spark") -> str:
             f"CAST(substr('{P_STR}', {(i % 8) * 10} + {digit(i)} + 1, 1) AS INT)"
         )
         c = f"CAST(substr('{D_STR}', ({c}) * 10 + {p_lookup} + 1, 1) AS INT)"
-    return f"(length({d}) = 12 AND ({c}) = 0)"
+    return (f"(length({d}) = 12 AND "
+            f"CAST(substr({d}, 1, 1) AS INT) >= 2 AND ({c}) = 0)")

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..pii_types import type_rank_sql
+from ..pii_types import ALL_PII_TYPES
 from ..sources.demo_catalog import FIRST_NAMES, LAST_NAMES, _case_pool
 from .rules import extract_candidates
 
@@ -201,7 +201,11 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references counts three times (type/micro/macro), and leaving it
     # lazy re-plans + re-executes the whole extraction subtree per branch
     # (measured 276s -> seconds at sf0.001).
-    local = counts.collect()
+    local = [tuple(r) for r in counts.collect()]
+    # Reference macro semantics (reference eval.py:69-77): average over ALL
+    # 11 PII types, zero-filling types absent from preds and gold.
+    present = {r[0] for r in local}
+    local += [(t, 0, 0, 0) for t in ALL_PII_TYPES if t not in present]
     counts_df = spark.createDataFrame(
         local, "pii_type string, tp bigint, fp bigint, fn bigint")
     return _metrics_from_counts(counts_df)
@@ -211,7 +215,7 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def eval_metrics_oracle_sql(customer_rel: str = "customer") -> str:
     from ..oracles import candidates_cte
-    rank = type_rank_sql("pii_type")
+    all_types = ", ".join(f"('{t}')" for t in ALL_PII_TYPES)
     return f"""
 WITH {eval_entities_sql('duckdb', customer_rel)},
 {candidates_cte('texts', key_col='text_id', value_col='text').lstrip()},
@@ -235,15 +239,19 @@ matched AS (
                                ORDER BY pstart) = 1
 ),
 counts AS (
-  SELECT COALESCE(np.pii_type, ng.gt) AS pii_type,
+  -- all 11 types zero-filled: macro averages over the full vocabulary
+  -- (reference eval.py:69-77), not just types present in preds/gold.
+  SELECT at.pii_type AS pii_type,
          COALESCE(tp, 0) AS tp,
          COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
          COALESCE(n_gold, 0) - COALESCE(tp, 0) AS fn
-  FROM (SELECT pii_type, COUNT(*) AS n_pred FROM preds GROUP BY 1) np
-  FULL JOIN (SELECT pii_type AS gt, COUNT(*) AS n_gold
-             FROM gold GROUP BY 1) ng ON np.pii_type = ng.gt
-  FULL JOIN (SELECT pii_type AS mt, COUNT(*) AS tp
-             FROM matched GROUP BY 1) m ON COALESCE(np.pii_type, ng.gt) = m.mt
+  FROM (SELECT * FROM (VALUES {all_types}) v(pii_type)) at
+  LEFT JOIN (SELECT pii_type, COUNT(*) AS n_pred
+             FROM preds GROUP BY 1) np ON at.pii_type = np.pii_type
+  LEFT JOIN (SELECT pii_type AS gt, COUNT(*) AS n_gold
+             FROM gold GROUP BY 1) ng ON at.pii_type = ng.gt
+  LEFT JOIN (SELECT pii_type AS mt, COUNT(*) AS tp
+             FROM matched GROUP BY 1) m ON at.pii_type = m.mt
 ),
 counts2 AS (
   SELECT pii_type, tp, fp, fn,

@@ -58,10 +58,15 @@ RULES: tuple[Rule, ...] = (
     # leading \b sits inside the digit alternative only: '(' after a space
     # has no word boundary before it, so a blanket \b(...)\b never matches
     # the '(NNN) NNN-NNNN' form.
+    # Separators optional so unformatted 10-digit phones ('5551234567')
+    # match, as the reference's PHONE_US_RE does. The \b guards keep the
+    # pattern out of longer digit runs (12-digit Aadhaar, 13+-digit PANs).
     Rule("PHONE_NUMBER",
-         r"(?:\+?1[-. ])?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
+         r"(?:\+?1[-. ])?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ]?)\d{3}[-. ]?\d{4}\b",
          0.85),
-    Rule("CREDIT_CARD", r"\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,7}", 0.90,
+    # Grouping-agnostic 13-19 digit run (reference CC_RE): matches 4-4-4-N,
+    # Amex 4-6-5, and unseparated runs alike; Luhn is the precision gate.
+    Rule("CREDIT_CARD", r"\d(?:[ -]?\d){12,18}", 0.90,
          validator="luhn"),
     Rule("SSN", r"\d{3}-\d{2}-\d{4}", 0.90),
     Rule("IP_ADDRESS",
@@ -71,7 +76,11 @@ RULES: tuple[Rule, ...] = (
     Rule("AADHAAR", r"[2-9]\d{3}[ -]?\d{4}[ -]?\d{4}", 0.90,
          validator="verhoeff12"),
     Rule("PAN", r"[A-Za-z]{5}\d{4}[A-Za-z]", 0.90),
-    Rule("DATE", r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4}", 0.70),
+    # ISO, slashed, and dd-mm-yyyy hyphenated (reference DATE_RE). The \b
+    # wrap keeps the dd-mm-yyyy alternative out of SSN interiors
+    # ('123-45-6789' offers '23-45-6789' only at a non-boundary).
+    Rule("DATE",
+         r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4}|\d{2}-\d{2}-\d{4}", 0.70),
     Rule("PERSON", r"[A-Z][a-z]+ [A-Z][a-z]+", 0.40),
 )
 

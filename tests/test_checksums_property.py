@@ -19,7 +19,9 @@ def _duck(expr: str) -> bool:
     return bool(_con.execute("SELECT " + expr).fetchone()[0])
 
 
-digits = st.text(alphabet="0123456789", min_size=2, max_size=19)
+# 12-18 digits so the appended check digit lands in the validator's
+# 13-19 card-length gate.
+digits = st.text(alphabet="0123456789", min_size=12, max_size=18)
 sep_digits = st.text(alphabet="0123456789 -", min_size=2, max_size=24)
 
 

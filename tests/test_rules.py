@@ -20,9 +20,13 @@ CASES = {
                     {"PHONE_NUMBER": ["(555) 867-5309"]}),
     "phone_dash": ("Call 555-867-5309 now",
                    {"PHONE_NUMBER": ["555-867-5309"]}),
+    "phone_plain": ("Call 5551234567 now",
+                    {"PHONE_NUMBER": ["5551234567"]}),
     "cc_valid": ("card 4111 1111 1111 1111 ok",
                  {"CREDIT_CARD": ["4111 1111 1111 1111"]}),
     "cc_luhn_invalid": ("card 4111 1111 1111 1112 bad", {}),
+    "cc_amex": ("amex 3714 496353 98431 ok",
+                {"CREDIT_CARD": ["3714 496353 98431"]}),
     "ssn": ("ssn 123-45-6789.", {"SSN": ["123-45-6789"]}),
     "ip": ("host 10.0.255.254 up", {"IP_ADDRESS": ["10.0.255.254"]}),
     "mac": ("mac aa:bb:cc:dd:ee:ff seen",
@@ -34,6 +38,8 @@ CASES = {
     "pan_invalid": ("pan ABCDE12345 nope", {}),
     "person": ("met John Smith yesterday", {"PERSON": ["John Smith"]}),
     "date": ("born 1990-03-14 in spring", {"DATE": ["1990-03-14"]}),
+    "date_hyphen_dmy": ("shipped 12-04-1990 express",
+                        {"DATE": ["12-04-1990"]}),
     "negative": ("empty text has nothing", {}),
     "multi": ("Contact John Smith at john@x.io or (555) 123-4567, "
               "SSN 078-05-1120, from 192.168.1.1", None),  # set-checked below
