@@ -191,7 +191,7 @@ def oracle_sql() -> dict[str, str]:
             oracles.scan_findings_oracle(oracles.demo_melted_sql()),
         "pii_scan_catalog_tables":
             oracles.scan_findings_oracle(
-                oracles.tables_melted_sql(SCAN_TABLES)),
+                oracles.tables_melted_sql(SCAN_TABLES), class_col="vclass"),
         "pii_candidates_scored": _candidates_detail_oracle(),
         "pii_redaction_contexts": _redaction_oracle(),
         "pii_ensemble_predictions": _ensemble_oracle(),

@@ -32,7 +32,8 @@ def scan_values(values_df: DataFrame,
     scoring.
     """
     vals = values_df.where(F.col("value").isNotNull()).distinct()
-    cands = extract_candidates(vals)
+    class_col = "vclass" if "vclass" in values_df.columns else None
+    cands = extract_candidates(vals, rules=rules, class_col=class_col)
     return cands.withColumn("prob", candidate_score())
 
 
@@ -47,9 +48,11 @@ def findings_rollup(values_df: DataFrame,
     # melt + 6.6M-row distinct shuffle materializes once, not per branch
     # (Spark re-plans lineage per consumer otherwise)
     vals = values_df.where(F.col("value").isNotNull()).distinct().persist()
+    class_col = "vclass" if "vclass" in values_df.columns else None
     totals = vals.groupBy("column_ref").agg(
         F.count("*").alias("n_values"))
-    cands = extract_candidates(vals).withColumn("prob", candidate_score())
+    cands = extract_candidates(vals, rules=rules, class_col=class_col) \
+        .withColumn("prob", candidate_score())
     per_type = cands.groupBy("column_ref", "pii_type").agg(
         F.count("*").alias("n_candidates"),
         F.countDistinct("value").alias("n_values_hit"),

@@ -34,12 +34,23 @@ __all__ = ["Rule", "RULES", "DOB_BOOST", "W_RULE", "W_VALIDATION",
            "extract_candidates", "candidate_score"]
 
 
+#: Value classes at the melt boundary: 'num' = stringified int/bigint/
+#: double, 'ts' = 'yyyy-MM-dd HH:mm:ss'-formatted timestamps, 'text' =
+#: native strings. Used to skip regex families that provably cannot match
+#: a class (e.g. EMAIL needs letters+@; a stringified bigint has neither).
+VALUE_CLASSES: tuple[str, ...] = ("text", "num", "ts")
+
+
 @dataclass(frozen=True)
 class Rule:
     pii_type: str
     pattern: str
     confidence: float
     validator: str | None = None  # 'luhn' | 'verhoeff12'
+    #: melt value classes this pattern can possibly match; classes outside
+    #: the tuple skip the regex entirely (pure pruning — a class is
+    #: excluded only when NO string of that class can match the pattern).
+    classes: tuple[str, ...] = VALUE_CLASSES
 
 
 #: Dob-context boost for DATE (reference rules.py:154-161). The reference
@@ -53,8 +64,16 @@ DOB_BOOST = 0.1
 W_RULE = 0.6
 W_VALIDATION = 0.2
 
+#: Class-pruning rationale (why each excluded class provably cannot match):
+#: letters/'@' never appear in stringified numerics or timestamps (EMAIL,
+#: PAN, PERSON, MAC's required ':'/'-' *chain* of 6 hex pairs); SSN/IP need
+#: interior '-'/'.' patterns numerics lack (a negative sign is leading, a
+#: DECIMAL(18,2) has one dot vs IP's three); the timestamp rendering
+#: 'yyyy-MM-dd HH:mm:ss' has max digit-run 4 (phone needs a contiguous
+#: \d{3}\d{3} tail) and only 10 digits before a ':' (credit card needs 13).
 RULES: tuple[Rule, ...] = (
-    Rule("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", 0.95),
+    Rule("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", 0.95,
+         classes=("text",)),
     # leading \b sits inside the digit alternative only: '(' after a space
     # has no word boundary before it, so a blanket \b(...)\b never matches
     # the '(NNN) NNN-NNNN' form.
@@ -63,25 +82,27 @@ RULES: tuple[Rule, ...] = (
     # pattern out of longer digit runs (12-digit Aadhaar, 13+-digit PANs).
     Rule("PHONE_NUMBER",
          r"(?:\+?1[-. ])?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ]?)\d{3}[-. ]?\d{4}\b",
-         0.85),
+         0.85, classes=("text", "num")),
     # Grouping-agnostic 13-19 digit run (reference CC_RE): matches 4-4-4-N,
     # Amex 4-6-5, and unseparated runs alike; Luhn is the precision gate.
     Rule("CREDIT_CARD", r"\d(?:[ -]?\d){12,18}", 0.90,
-         validator="luhn"),
-    Rule("SSN", r"\d{3}-\d{2}-\d{4}", 0.90),
+         validator="luhn", classes=("text", "num")),
+    Rule("SSN", r"\d{3}-\d{2}-\d{4}", 0.90, classes=("text",)),
     Rule("IP_ADDRESS",
          r"(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
-         r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)", 0.90),
-    Rule("MAC_ADDRESS", r"[0-9A-Fa-f]{2}(?:[:-][0-9A-Fa-f]{2}){5}", 0.90),
+         r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)", 0.90, classes=("text",)),
+    Rule("MAC_ADDRESS", r"[0-9A-Fa-f]{2}(?:[:-][0-9A-Fa-f]{2}){5}", 0.90,
+         classes=("text",)),
     Rule("AADHAAR", r"[2-9]\d{3}[ -]?\d{4}[ -]?\d{4}", 0.90,
-         validator="verhoeff12"),
-    Rule("PAN", r"[A-Za-z]{5}\d{4}[A-Za-z]", 0.90),
+         validator="verhoeff12", classes=("text", "num")),
+    Rule("PAN", r"[A-Za-z]{5}\d{4}[A-Za-z]", 0.90, classes=("text",)),
     # ISO, slashed, and dd-mm-yyyy hyphenated (reference DATE_RE). The \b
     # wrap keeps the dd-mm-yyyy alternative out of SSN interiors
     # ('123-45-6789' offers '23-45-6789' only at a non-boundary).
     Rule("DATE",
-         r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4}|\d{2}-\d{2}-\d{4}", 0.70),
-    Rule("PERSON", r"[A-Z][a-z]+ [A-Z][a-z]+", 0.40),
+         r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4}|\d{2}-\d{2}-\d{4}", 0.70,
+         classes=("text", "ts")),
+    Rule("PERSON", r"[A-Z][a-z]+ [A-Z][a-z]+", 0.40, classes=("text",)),
 )
 
 # Word-ish boundary guard: candidates must not sit inside a longer
@@ -117,6 +138,7 @@ def extract_candidates(
     value_col: str = "value",
     keep_cols: tuple[str, ...] = ("column_ref",),
     rules: tuple[Rule, ...] = RULES,
+    class_col: str | None = None,
 ) -> DataFrame:
     """values DataFrame -> candidate rows.
 
@@ -132,13 +154,24 @@ def extract_candidates(
     the arrays to (pii_type, matches) rows; empty match arrays are filtered
     *before* the explode; per-rule confidence/validator decoration is a
     pair of CASE chains. One input scan, one explode, zero shuffles.
+
+    When ``class_col`` names a value-class column (see ``VALUE_CLASSES``,
+    produced by the melt), each rule's regex runs ONLY on rows whose class
+    the rule can possibly match — codegen's CASE short-circuits the regex
+    for the rest. On the whole-catalog scan most melted values come from
+    numeric columns, so 7 of 10 families skip them entirely.
     """
     value = F.col(value_col)
-    arr_cols = [
-        F.regexp_extract_all(value, F.lit(bounded_pattern(r)), F.lit(0))
-        .alias(f"_m{i}")
-        for i, r in enumerate(rules)
-    ]
+
+    def rule_arr(r: Rule) -> Column:
+        arr = F.regexp_extract_all(value, F.lit(bounded_pattern(r)),
+                                   F.lit(0))
+        if class_col is not None and set(r.classes) != set(VALUE_CLASSES):
+            # no otherwise => NULL, filtered by the size(matches) > 0 gate
+            return F.when(F.col(class_col).isin(*r.classes), arr)
+        return arr
+
+    arr_cols = [rule_arr(r).alias(f"_m{i}") for i, r in enumerate(rules)]
     proj = df.select(*keep_cols, value_col, *arr_cols)
     pairs = ", ".join(f"'{r.pii_type}', _m{i}" for i, r in enumerate(rules))
     stacked = proj.selectExpr(

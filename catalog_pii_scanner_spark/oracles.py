@@ -14,8 +14,8 @@ Dialect notes encoded here:
 
 from __future__ import annotations
 
-from .operators.rules import (DOB_BOOST, RULES, Rule, bounded_pattern,
-                              candidate_score_sql)
+from .operators.rules import (DOB_BOOST, RULES, VALUE_CLASSES, Rule,
+                              bounded_pattern, candidate_score_sql)
 from .functions.checksums import luhn_sql, verhoeff12_sql
 from .sources.demo_catalog import demo_pii_sql, DEMO_TEXT_COLUMNS
 from .sources.melt import melt_oracle_sql
@@ -23,8 +23,11 @@ from .sources.melt import melt_oracle_sql
 
 def _cand_union_sql(vals_rel: str, rules: tuple[Rule, ...] = RULES,
                     key_col: str = "column_ref",
-                    value_col: str = "value") -> str:
-    """Candidate extraction over a (key, value-text) relation."""
+                    value_col: str = "value",
+                    class_col: str | None = None) -> str:
+    """Candidate extraction over a (key, value-text) relation. With
+    ``class_col``, each rule scans only the value classes it can match —
+    the same pruning the engine applies (rules.Rule.classes)."""
     parts = []
     for r in rules:
         pat = bounded_pattern(r).replace("'", "''")
@@ -33,11 +36,15 @@ def _cand_union_sql(vals_rel: str, rules: tuple[Rule, ...] = RULES,
             conf = (f"({conf} + CASE WHEN regexp_matches(lower({value_col}), "
                     f"'dob|birth') THEN CAST({DOB_BOOST} AS DOUBLE) "
                     f"ELSE CAST(0.0 AS DOUBLE) END)")
+        where = ""
+        if class_col is not None and set(r.classes) != set(VALUE_CLASSES):
+            allowed = ", ".join(f"'{c}'" for c in r.classes)
+            where = f" WHERE {class_col} IN ({allowed})"
         parts.append(
             f"SELECT {key_col}, {value_col}, "
             f"unnest(regexp_extract_all({value_col}, '{pat}')) AS match_text, "
             f"'{r.pii_type}' AS pii_type, {conf} AS rule_confidence, "
-            f"'{r.validator or ''}' AS validator FROM {vals_rel}"
+            f"'{r.validator or ''}' AS validator FROM {vals_rel}{where}"
         )
     return " UNION ALL ".join(parts)
 
@@ -65,16 +72,18 @@ cand_ok AS (
 )"""
 
 
-def scored_candidates_cte(melted_sql: str) -> str:
+def scored_candidates_cte(melted_sql: str,
+                          class_col: str | None = None) -> str:
     """CTE chain: melted -> distinct vals -> candidates -> checksum filter
     -> rules-only ensemble score. Ends defining relations ``vals`` and
     ``scored``."""
+    vcols = "column_ref, value" + (f", {class_col}" if class_col else "")
     return f"""
 vals AS (
-  SELECT DISTINCT column_ref, value FROM {melted_sql} m
+  SELECT DISTINCT {vcols} FROM {melted_sql} m
   WHERE value IS NOT NULL
 ),
-cand0 AS ({_cand_union_sql('vals')}),
+cand0 AS ({_cand_union_sql('vals', class_col=class_col)}),
 cand AS (
   SELECT *,
     CASE WHEN validator = 'luhn' THEN {luhn_sql('match_text', 'duckdb')}
@@ -91,10 +100,11 @@ scored AS (
 )"""
 
 
-def scan_findings_oracle(melted_sql: str) -> str:
+def scan_findings_oracle(melted_sql: str,
+                         class_col: str | None = None) -> str:
     """Full findings rollup oracle over a melted relation SQL."""
     return f"""
-WITH {scored_candidates_cte(melted_sql)},
+WITH {scored_candidates_cte(melted_sql, class_col)},
 totals AS (
   SELECT column_ref, COUNT(*) AS n_values FROM vals GROUP BY column_ref
 )

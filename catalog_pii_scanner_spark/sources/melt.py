@@ -94,17 +94,26 @@ def column_ref(table: str, column: str) -> str:
     return f"spark://{table}/{column}"
 
 
+#: dtype -> value class at the melt boundary (see rules.VALUE_CLASSES):
+#: the class label rides along the melted rows so extraction can skip
+#: regex families that provably cannot match the column's rendering.
+DTYPE_CLASS = {"int": "num", "bigint": "num", "double": "num",
+               "timestamp": "ts", "string": "text"}
+
+
 def melt_table(spark: SparkSession, sf_dir: str, table: str,
                columns: list[tuple[str, str]] | None = None) -> DataFrame:
-    """Read one parquet table and melt to (column_ref, value)."""
+    """Read one parquet table and melt to (column_ref, value, vclass)."""
     cols = columns or TESTDATA_SCHEMAS[table]
     df = read_table(spark, sf_dir, table)
     n = len(cols)
     pairs = ", ".join(
-        f"'{column_ref(table, c)}', {stringify_sql(c, t, 'spark')}"
+        f"'{column_ref(table, c)}', {stringify_sql(c, t, 'spark')}, "
+        f"'{DTYPE_CLASS[t]}'"
         for c, t in cols
     )
-    return df.selectExpr(f"stack({n}, {pairs}) AS (column_ref, value)")
+    return df.selectExpr(
+        f"stack({n}, {pairs}) AS (column_ref, value, vclass)")
 
 
 def melt_df(df: DataFrame, table_label: str,
@@ -123,7 +132,8 @@ def melt_oracle_sql(table: str,
     cols = columns or TESTDATA_SCHEMAS[table]
     selects = [
         f"SELECT '{column_ref(table, c)}' AS column_ref, "
-        f"{stringify_sql(c, t, 'duckdb')} AS value FROM {table}"
+        f"{stringify_sql(c, t, 'duckdb')} AS value, "
+        f"'{DTYPE_CLASS[t]}' AS vclass FROM {table}"
         for c, t in cols
     ]
     return "(" + " UNION ALL ".join(selects) + ")"
