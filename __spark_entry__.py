@@ -26,6 +26,7 @@ from catalog_pii_scanner_spark.operators.findings import (findings_rollup,
                                                           scan_values)
 from catalog_pii_scanner_spark.operators.redaction import (
     candidate_contexts, redaction_oracle_exprs)
+from catalog_pii_scanner_spark.operators.rules import rules_for_types
 from catalog_pii_scanner_spark.sources.catalog import (
     catalog_columns_oracle_sql, parquet_catalog_columns)
 from catalog_pii_scanner_spark.sources.demo_catalog import (
@@ -80,6 +81,28 @@ def _ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuse_predictions(cands).select(*CAND_COLS, "label", "score")
 
 
+#: P6 gate value for the oracle-checked query: the normalized 11-way
+#: score tops out well under the config default 0.55 with offline
+#: signals, so the demo gate sits where it meaningfully splits rows.
+GATE_THRESHOLD = 0.12
+
+#: P5 subset for the oracle-checked enabled-types scan.
+ENABLED_SUBSET = ("EMAIL", "PHONE_NUMBER", "CREDIT_CARD")
+
+
+def _ensemble_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = _demo_candidates(spark, sf_dir) \
+        .select(*CAND_COLS, "rule_confidence", "validated").distinct()
+    return fuse_predictions(cands, decision_threshold=GATE_THRESHOLD) \
+        .select(*CAND_COLS, "label", "score")
+
+
+def _scan_enabled_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from catalog_pii_scanner_spark.operators.rules import rules_for_types
+    return findings_rollup(_demo_values(spark, sf_dir),
+                           rules=rules_for_types(ENABLED_SUBSET))
+
+
 def _ner_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = _demo_values(spark, sf_dir)
     rule_cands = scan_values(vals)
@@ -120,11 +143,12 @@ def _redaction_oracle() -> str:
             f"{e['context']} AS context FROM scored")
 
 
-def _ensemble_oracle() -> str:
+def _ensemble_oracle(decision_threshold: float | None = None) -> str:
     return (_scored_demo_cte() +
             ", cand_rel AS (SELECT DISTINCT column_ref, value, pii_type, "
             "match_text, rule_confidence, validated FROM scored)\n"
-            + ensemble_oracle_sql("cand_rel"))
+            + ensemble_oracle_sql("cand_rel",
+                                  decision_threshold=decision_threshold))
 
 
 # --- driver contract ---------------------------------------------------------
@@ -148,6 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_contexts": _redaction,
         # F1-F5 full 11-type fusion + calibration + argmax
         "pii_ensemble_predictions": _ensemble,
+        # P6 decision-threshold consumer gate on the fused predictions
+        "pii_ensemble_gated": _ensemble_gated,
+        # P5 enabled_types config gating the rule families
+        "pii_scan_enabled_types": _scan_enabled_types,
         # N1/N3/N4 regex-provider NER + gate + max-merge with rules
         "pii_ner_merge_max": _ner_merge,
         # X11 metadata keyword hints over the catalog frame
@@ -195,6 +223,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_candidates_scored": _candidates_detail_oracle(),
         "pii_redaction_contexts": _redaction_oracle(),
         "pii_ensemble_predictions": _ensemble_oracle(),
+        "pii_ensemble_gated": _ensemble_oracle(GATE_THRESHOLD),
+        "pii_scan_enabled_types": oracles.scan_findings_oracle(
+            oracles.demo_melted_sql(),
+            rules=rules_for_types(ENABLED_SUBSET)),
         "pii_ner_merge_max": (_scored_demo_cte() + ",\n"
                               + ner.merge_with_rules_oracle_sql()),
         "pii_metadata_hints": metadata_rules.metadata_hints_oracle_sql(

@@ -25,19 +25,31 @@ def _spark(app: str):
 
 
 def cmd_scan(args) -> int:
+    from .config import load_config
     from .operators.findings import findings_rollup
+    from .operators.rules import rules_for_types
     from .sinks.findings_store import to_findings_records, write_findings
     from .sinks.writeback import FakeCatalogClient, apply_writeback
     from .sources.melt import TESTDATA_SCHEMAS, melt_table
+    from .sources.targets import match_names, parse_target
     from functools import reduce
     from pyspark.sql import DataFrame
 
     spark = _spark("scan")
+    cfg = load_config(args.config or None)
     tables = tuple(args.tables.split(",")) if args.tables \
         else tuple(TESTDATA_SCHEMAS)
+    if args.target:
+        # reference P1: glob URI gates enumeration before any scan job
+        _scheme, _db_pat, tbl_pat = parse_target(args.target)
+        tables = match_names(tables, tbl_pat)
+    if not tables:
+        print("[]")
+        return 0
     vals = reduce(DataFrame.unionByName,
                   [melt_table(spark, args.sf_dir, t) for t in tables])
-    per_type = findings_rollup(vals)
+    per_type = findings_rollup(
+        vals, rules=rules_for_types(cfg.rules.enabled_types))
     findings = to_findings_records(per_type)
     out = [r.asDict() for r in findings.collect()]
     print(json.dumps(out, default=str, indent=2))
@@ -51,11 +63,27 @@ def cmd_scan(args) -> int:
 
 
 def cmd_scan_text(args) -> int:
+    from .config import load_config
+    from .operators.ensemble import fuse_predictions
     from .operators.findings import scan_values
+    from .operators.rules import rules_for_types
     spark = _spark("scan-text")
+    cfg = load_config(args.config or None)
     df = spark.createDataFrame([("cli", args.text)],
                                "column_ref string, value string")
-    rows = scan_values(df).collect()
+    cands = scan_values(df, rules=rules_for_types(cfg.rules.enabled_types))
+    if args.ensemble:
+        # P6 consumer: the decision threshold gates ensemble predictions
+        preds = fuse_predictions(
+            cands.select("column_ref", "value", "pii_type", "match_text",
+                         "rule_confidence", "validated").distinct(),
+            decision_threshold=cfg.ai.ensemble.decision_threshold)
+        print(json.dumps([
+            {"type": r.label, "text": r.match_text,
+             "score": round(r.score, 6)}
+            for r in preds.collect()], indent=2))
+        return 0
+    rows = cands.collect()
     print(json.dumps([
         {"type": r.pii_type, "text": r.match_text,
          "confidence": round(r.rule_confidence, 4),
@@ -130,12 +158,18 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("scan", help="scan catalog tables -> findings")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--tables", default="")
+    s.add_argument("--target", default="",
+                   help="glob URI, e.g. spark://testdata/cust*")
+    s.add_argument("--config", default="")
     s.add_argument("--store", default="")
     s.add_argument("--apply", action="store_true")
     s.set_defaults(fn=cmd_scan)
 
     s = sub.add_parser("scan-text", help="detect PII in one text")
     s.add_argument("text")
+    s.add_argument("--config", default="")
+    s.add_argument("--ensemble", action="store_true",
+                   help="full 11-type fusion gated by decision_threshold")
     s.set_defaults(fn=cmd_scan_text)
 
     s = sub.add_parser("gen-synth", help="generate labeled JSONL")

@@ -59,6 +59,13 @@ class EnsembleConfig:
 class RulesConfig:
     enabled_types: tuple[str, ...] = ()  # empty = all
 
+    def __post_init__(self) -> None:
+        from .pii_types import ALL_PII_TYPES
+        unknown = set(self.enabled_types) - set(ALL_PII_TYPES)
+        if unknown:
+            raise ConfigError(
+                f"unknown rules.enabled_types: {sorted(unknown)}")
+
 
 @dataclass(frozen=True)
 class AiConfig:

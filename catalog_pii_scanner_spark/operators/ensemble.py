@@ -91,6 +91,7 @@ def fuse_predictions(
     calibration: dict[str, tuple[float, float]] | None = None,
     ner_signal: Column | None = None,
     embed_signal: Column | None = None,
+    decision_threshold: float | None = None,
 ) -> DataFrame:
     """Candidates -> predictions with full 11-type fusion.
 
@@ -100,7 +101,13 @@ def fuse_predictions(
     deterministic signals.
 
     Adds: ``label`` (argmax type), ``score`` (normalized argmax prob,
-    rounded 1e-6), keeping all input columns.
+    rounded 1e-6), keeping all input columns. ``decision_threshold`` is
+    the P6 consumer gate (reference config.py:64 — declared there, applied
+    by consumers): predictions scoring below it are dropped. None skips
+    the gate (the reference's v0 consumers never wire it either). Note the
+    score is a normalized 11-way probability, so useful thresholds sit
+    well below the config default 0.55 unless a fitted calibrator
+    sharpens the distribution.
     """
     calibration = calibration or CALIBRATION
 
@@ -130,19 +137,24 @@ def fuse_predictions(
                    F.lit(ALL_PII_TYPES[0]))
     for i, t in list(enumerate(ALL_PII_TYPES))[1:]:
         chain = chain.when(F.col(cal_cols[i]) == F.col("_best"), F.lit(t))
-    return (
+    out = (
         out.withColumn("_best", best)
         .withColumn("label", chain)
         .withColumn("score", F.round(F.col("_best") / total, 6))
         .drop("_best", *cal_cols)
     )
+    if decision_threshold is not None:
+        # gate on the rounded score so the oracle's WHERE matches exactly
+        out = out.where(F.col("score") >= F.lit(decision_threshold))
+    return out
 
 
 def ensemble_oracle_sql(cands_rel: str,
                         weights: EnsembleWeights = REFERENCE_WEIGHTS,
                         calibration: dict[str, tuple[float, float]] | None = None,
                         out_cols: str = "column_ref, value, pii_type, "
-                                        "match_text") -> str:
+                                        "match_text",
+                        decision_threshold: float | None = None) -> str:
     """DuckDB rendering: explode candidates x 11 types, window-normalize,
     argmax via row_number with type-order tie-break. ``cands_rel`` must be a
     relation of DISTINCT candidate rows with the fusion input columns."""
@@ -161,6 +173,8 @@ def ensemble_oracle_sql(cands_rel: str,
            f"{weights.w_embed} * {emb})")
     cal = f"(1.0 / (1.0 + exp(-(t.a * {raw} + t.b))))"
     part = "c.column_ref, c.value, c.pii_type, c.match_text"
+    gate = ("" if decision_threshold is None
+            else f" AND score >= {decision_threshold}")
     return f"""
 SELECT {out_cols}, label, score FROM (
   SELECT {part}, t.t_type AS label,
@@ -169,5 +183,5 @@ SELECT {out_cols}, label, score FROM (
                             ORDER BY {cal} DESC, t.t_rank) AS rn
   FROM {cands_rel} c
   CROSS JOIN (VALUES {type_rows}) t(t_type, t_rank, a, b)
-) WHERE rn = 1
+) WHERE rn = 1{gate}
 """

@@ -31,7 +31,7 @@ from pyspark.sql.types import BooleanType
 from ..functions.checksums import luhn_ok, verhoeff_ok
 
 __all__ = ["Rule", "RULES", "DOB_BOOST", "W_RULE", "W_VALIDATION",
-           "extract_candidates", "candidate_score"]
+           "extract_candidates", "candidate_score", "rules_for_types"]
 
 
 #: Value classes at the melt boundary: 'num' = stringified int/bigint/
@@ -118,6 +118,17 @@ def bounded_pattern(rule: Rule) -> str:
     if rule.pii_type in _BOUNDED:
         return r"\b(?:" + rule.pattern + r")\b"
     return rule.pattern
+
+
+def rules_for_types(enabled_types, rules: tuple[Rule, ...] = RULES
+                    ) -> tuple[Rule, ...]:
+    """P5: gate rule families by ``RulesConfig.enabled_types`` (reference
+    rules.py:93-103 — ``None``/empty enables every family; otherwise only
+    the listed types' regexes run)."""
+    if not enabled_types:
+        return rules
+    enabled = set(enabled_types)
+    return tuple(r for r in rules if r.pii_type in enabled)
 
 
 # BooleanType() instances (not "boolean" DDL strings): string return types

@@ -73,7 +73,8 @@ cand_ok AS (
 
 
 def scored_candidates_cte(melted_sql: str,
-                          class_col: str | None = None) -> str:
+                          class_col: str | None = None,
+                          rules: tuple[Rule, ...] = RULES) -> str:
     """CTE chain: melted -> distinct vals -> candidates -> checksum filter
     -> rules-only ensemble score. Ends defining relations ``vals`` and
     ``scored``."""
@@ -83,7 +84,7 @@ vals AS (
   SELECT DISTINCT {vcols} FROM {melted_sql} m
   WHERE value IS NOT NULL
 ),
-cand0 AS ({_cand_union_sql('vals', class_col=class_col)}),
+cand0 AS ({_cand_union_sql('vals', rules, class_col=class_col)}),
 cand AS (
   SELECT *,
     CASE WHEN validator = 'luhn' THEN {luhn_sql('match_text', 'duckdb')}
@@ -101,10 +102,11 @@ scored AS (
 
 
 def scan_findings_oracle(melted_sql: str,
-                         class_col: str | None = None) -> str:
+                         class_col: str | None = None,
+                         rules: tuple[Rule, ...] = RULES) -> str:
     """Full findings rollup oracle over a melted relation SQL."""
     return f"""
-WITH {scored_candidates_cte(melted_sql, class_col)},
+WITH {scored_candidates_cte(melted_sql, class_col, rules)},
 totals AS (
   SELECT column_ref, COUNT(*) AS n_values FROM vals GROUP BY column_ref
 )
