@@ -32,10 +32,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.cache import checkpoint_release
+
 NUM_HASHES = 8
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 SHINGLE_K = 3
+
+#: LSH band-bucket cap: buckets holding more docs than this are excluded
+#: from the pairwise candidate join (a B-doc bucket contributes B^2/2
+#: pairs — boilerplate-heavy corpora produce quadratic blowups that no
+#: join strategy survives). Oversized buckets are near-certain exact-dup /
+#: boilerplate clusters, which the exact-dedup operator handles at O(B).
+#: Applied identically in the engine and the DuckDB oracle.
+MAX_BAND_BUCKET = 200
 
 
 # --- shared SQL fragments (dialect-portable unless noted) -------------------
@@ -153,12 +163,14 @@ def minhash_signatures(spark, sf_dir: str) -> DataFrame:
 
 
 def lsh_near_dup_pairs_sql(dialect: str, docs_rel: str = "documents",
-                           threshold: float = 0.5) -> str:
+                           threshold: float = 0.5,
+                           max_bucket: int = MAX_BAND_BUCKET) -> str:
     """LSH candidate pairs verified with exact Jaccard >= threshold.
+    Band buckets larger than ``max_bucket`` are excluded (see
+    MAX_BAND_BUCKET — quadratic-blowup guard, mirrored in the engine).
 
     Output: doc_a, doc_b (doc_a < doc_b), jaccard (rounded 1e-6).
     """
-    sig = minhash_signatures_sql(dialect, docs_rel).strip()
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs"
         .format(b=b, key=" || ".join(
@@ -172,9 +184,17 @@ sigs AS (
   FROM doc_shingles GROUP BY doc_id
 ),
 bands AS ({band_rows}),
+bands_ok AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING COUNT(*) <= {max_bucket}
+),
+bands_capped AS (
+  SELECT b.* FROM bands b
+  JOIN bands_ok o ON o.band = b.band AND o.band_key = b.band_key
+),
 cand_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands_capped a JOIN bands_capped b
     ON a.band = b.band AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 ),
@@ -196,11 +216,19 @@ WHERE i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE) >= {threshold}
 """
 
 
-def lsh_near_dup_pairs(spark, sf_dir: str,
-                       threshold: float = 0.5) -> DataFrame:
-    """DataFrame-step implementation (persisted shingle relation; the
-    candidate-pair side of the verify join is broadcast — pairs are rare
-    by construction). Semantics identical to lsh_near_dup_pairs_sql."""
+def lsh_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.5,
+                       max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+    """DataFrame-step implementation; semantics identical to
+    lsh_near_dup_pairs_sql (the oracle), including the band-bucket cap.
+
+    Scale shape: no forced broadcasts — AQE picks broadcast when the
+    runtime pair/size relations are small and degrades to shuffle joins
+    when a boilerplate-heavy corpus makes them large (a forced
+    ``broadcast(pairs)`` OOMs the driver exactly then). The bucket-size
+    filter keys on the same (band, band_key) as the self-join, so it adds
+    no extra shuffle exchange beyond its aggregation. The persisted
+    shingle relation is released before returning (result is an eager
+    localCheckpoint)."""
     shingles = doc_shingles_df(spark, sf_dir).persist()
     sigs = _signatures_from_shingles(shingles)
 
@@ -215,6 +243,14 @@ def lsh_near_dup_pairs(spark, sf_dir: str,
     bands = band_frames[0]
     for bf in band_frames[1:]:
         bands = bands.unionByName(bf)
+
+    bands_ok = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") <= max_bucket)
+        .select("band", "band_key")
+    )
+    bands = bands.join(bands_ok, ["band", "band_key"])
 
     a, b_ = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -232,7 +268,7 @@ def lsh_near_dup_pairs(spark, sf_dir: str,
     sb = shingles.select(F.col("doc_id").alias("doc_b"),
                          F.col("shingle"))
     inter = (
-        F.broadcast(pairs).join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"),
@@ -241,11 +277,12 @@ def lsh_near_dup_pairs(spark, sf_dir: str,
                       F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb")
                                - F.col("n_common"))
-    return (
-        inter.join(F.broadcast(za), "doc_a").join(F.broadcast(zb), "doc_b")
+    out = (
+        inter.join(za, "doc_a").join(zb, "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    return checkpoint_release(out, shingles)
 
 
 # --- n-gram Jaccard (prefix-filtered all-pairs, no LSH) ---------------------
@@ -305,17 +342,18 @@ WHERE i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE) >= {threshold}
 def ngram_jaccard_pairs(spark, sf_dir: str,
                         threshold: float = JACCARD_T) -> DataFrame:
     """DataFrame-step implementation. The shingle relation is persisted
-    (reused 4x: sizes, document frequencies, ranking, verify); the prefix
-    self-join keys on RARE shingles first, so bucket fan-out stays small
-    even on boilerplate-heavy corpora; the verified pair list is broadcast
-    to the intersection join exactly as in the LSH path."""
+    while the result materializes (eager localCheckpoint), then released;
+    the prefix self-join keys on RARE shingles first, so bucket fan-out
+    stays small even on boilerplate-heavy corpora. No forced broadcasts —
+    AQE promotes the pair/size relations to broadcast when their runtime
+    size allows and falls back to shuffle joins when it doesn't."""
     shingles = doc_shingles_df(spark, sf_dir).persist()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
         shingles.join(freq, "shingle")
-        .join(F.broadcast(sizes), "doc_id")
+        .join(sizes, "doc_id")
         .withColumn("rn", F.row_number().over(w))
     )
     prefix = ranked.where(
@@ -334,17 +372,18 @@ def ngram_jaccard_pairs(spark, sf_dir: str,
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        F.broadcast(pairs).join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        inter.join(F.broadcast(za), "doc_a").join(F.broadcast(zb), "doc_b")
+    out = (
+        inter.join(za, "doc_a").join(zb, "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    return checkpoint_release(out, shingles)
 
 
 # --- simhash ----------------------------------------------------------------

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.cache import checkpoint_release
+
 from .rules import RULES, Rule, candidate_score, extract_candidates
 
 
@@ -46,7 +48,10 @@ def findings_rollup(values_df: DataFrame,
     """
     # vals feeds two consumers (totals + extraction); persist so the
     # melt + 6.6M-row distinct shuffle materializes once, not per branch
-    # (Spark re-plans lineage per consumer otherwise)
+    # (Spark re-plans lineage per consumer otherwise). Released before
+    # returning: the (tiny, per-column x type) result is materialized via
+    # eager localCheckpoint, so a long-lived session never accumulates the
+    # big cached vals relations across queries.
     vals = values_df.where(F.col("value").isNotNull()).distinct().persist()
     class_col = "vclass" if "vclass" in values_df.columns else None
     totals = vals.groupBy("column_ref").agg(
@@ -58,7 +63,7 @@ def findings_rollup(values_df: DataFrame,
         F.countDistinct("value").alias("n_values_hit"),
         F.round(F.max("prob"), 6).alias("confidence"),
     )
-    return (
+    out = (
         per_type.join(F.broadcast(totals), "column_ref")
         .select(
             "column_ref", "pii_type", "n_candidates", "n_values_hit",
@@ -67,3 +72,4 @@ def findings_rollup(values_df: DataFrame,
             .alias("hit_rate"),
         )
     )
+    return checkpoint_release(out, vals)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.cache import checkpoint_release
+
 _HEX = "0123456789abcdef"
 
 DIMS = 64
@@ -175,9 +177,14 @@ def ann_lsh_topk(spark, sf_dir: str, k: int = 5,
 
 COSINE_DUP_T = 0.3
 
+#: Signature-bucket cap for the near-dup pair join — same quadratic-blowup
+#: guard as dedup.MAX_BAND_BUCKET, applied identically in both dialects.
+MAX_SIG_BUCKET = 200
+
 
 def embed_cosine_pairs_sql(dialect: str, rel: str = "embeddings",
-                           threshold: float = COSINE_DUP_T) -> str:
+                           threshold: float = COSINE_DUP_T,
+                           max_bucket: int = MAX_SIG_BUCKET) -> str:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: exact cosine is
     computed only for vector pairs sharing the 8-bit hyperplane signature
     (same deterministic planes as ann_lsh_topk), never all pairs — the
@@ -204,9 +211,16 @@ sigs AS (
              * CAST(power(2, plane) AS BIGINT)) AS sig
   FROM proj GROUP BY vec_id
 ),
+sigs_ok AS (
+  SELECT sig FROM sigs GROUP BY sig HAVING COUNT(*) <= {max_bucket}
+),
+sigs_capped AS (
+  SELECT s.* FROM sigs s JOIN sigs_ok o ON o.sig = s.sig
+),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  FROM sigs_capped a JOIN sigs_capped b
+    ON a.sig = b.sig AND a.vec_id < b.vec_id
 ),
 dots AS (
   SELECT p.vec_a, p.vec_b, SUM(q.val * c.val) AS dot
@@ -264,15 +278,17 @@ def _sigs_df(vecs: DataFrame, planes: DataFrame) -> DataFrame:
 
 def _pair_cosines(vecs: DataFrame, norms: DataFrame,
                   pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
-    """Exact cosine for an (a_col, b_col) pair list — the pair list is
-    broadcast (rare by construction); the position join shuffles nothing
-    beyond the pair-restricted vector rows."""
+    """Exact cosine for an (a_col, b_col) pair list. No forced broadcasts:
+    the pair list is small only when the corpus has few near-dups — on a
+    boilerplate-heavy corpus it grows quadratically with bucket size, and
+    a forced broadcast would OOM the driver instead of degrading. AQE
+    promotes whichever side is actually small at runtime."""
     qa = vecs.select(F.col("vec_id").alias(a_col), "pos",
                      F.col("val").alias("val_a"))
     qb = vecs.select(F.col("vec_id").alias(b_col), "pos",
                      F.col("val").alias("val_b"))
     dots = (
-        F.broadcast(pairs).join(qa, a_col).join(qb, [b_col, "pos"])
+        pairs.join(qa, a_col).join(qb, [b_col, "pos"])
         .groupBy(a_col, b_col)
         .agg(F.sum(F.col("val_a") * F.col("val_b")).alias("dot"))
     )
@@ -281,19 +297,27 @@ def _pair_cosines(vecs: DataFrame, norms: DataFrame,
     nb = norms.select(F.col("vec_id").alias(b_col),
                       F.col("norm").alias("norm_b"))
     return (
-        dots.join(F.broadcast(na), a_col).join(F.broadcast(nb), b_col)
+        dots.join(na, a_col).join(nb, b_col)
         .withColumn("cosine_raw",
                     F.col("dot") / (F.col("norm_a") * F.col("norm_b")))
     )
 
 
 def embed_cosine_pairs(spark, sf_dir: str,
-                       threshold: float = COSINE_DUP_T) -> DataFrame:
-    """DataFrame-step implementation (persisted vecs; semantics identical
-    to embed_cosine_pairs_sql, which serves as the oracle)."""
+                       threshold: float = COSINE_DUP_T,
+                       max_bucket: int = MAX_SIG_BUCKET) -> DataFrame:
+    """DataFrame-step implementation; semantics identical to
+    embed_cosine_pairs_sql (the oracle), including the signature-bucket
+    cap. The persisted vector relation is released before returning
+    (result is an eager localCheckpoint)."""
     vecs = _vecs_df(spark, sf_dir).persist()
     norms = _norms_df(vecs)
     sigs = _sigs_df(vecs, _planes_df(spark))
+    sigs_ok = (
+        sigs.groupBy("sig").agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") <= max_bucket).select("sig")
+    )
+    sigs = sigs.join(sigs_ok, "sig")
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (
         a.join(b, (F.col("a.sig") == F.col("b.sig"))
@@ -302,11 +326,12 @@ def embed_cosine_pairs(spark, sf_dir: str,
                 F.col("b.vec_id").alias("vec_b"))
     )
     cos = _pair_cosines(vecs, norms, pairs, "vec_a", "vec_b")
-    return (
+    out = (
         cos.where(F.col("cosine_raw") >= threshold)
         .select("vec_a", "vec_b",
                 F.round("cosine_raw", 6).alias("cosine"))
     )
+    return checkpoint_release(out, vecs)
 
 
 NUM_CENTROIDS = 16
@@ -380,10 +405,13 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 def ann_ivf_topk(spark, sf_dir: str, k: int = 5,
                  query_mod: int = 50) -> DataFrame:
-    """DataFrame-step implementation (persisted vecs; centroid side is a
-    broadcast — the 100 TB shape: cell assignment never shuffles the big
-    side, only probed-cell candidates reach the exact-distance join).
-    Semantics identical to ann_ivf_topk_sql (the oracle)."""
+    """DataFrame-step implementation. Broadcast hints only on the provably
+    tiny centroid-side relations (NUM_CENTROIDS rows); the per-vector
+    norms/probes relations scale with the corpus, so their join strategy
+    is left to AQE. Cell assignment never shuffles the big side; only
+    probed-cell candidates reach the exact-distance join. The persisted
+    vector relation is released before returning (result is an eager
+    localCheckpoint). Semantics identical to ann_ivf_topk_sql."""
     vecs = _vecs_df(spark, sf_dir).persist()
     norms = _norms_df(vecs)
     cents = vecs.where(F.col("vec_id") < NUM_CENTROIDS).select(
@@ -394,7 +422,7 @@ def ann_ivf_topk(spark, sf_dir: str, k: int = 5,
         vecs.join(F.broadcast(cents), "pos")
         .groupBy("vec_id", "cid")
         .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))
-        .join(F.broadcast(norms), "vec_id")
+        .join(norms, "vec_id")
         .join(F.broadcast(nc), "cid")
         .withColumn("ccos", F.col("cdot") / (F.col("norm") * F.col("cnorm")))
     )
@@ -406,7 +434,7 @@ def ann_ivf_topk(spark, sf_dir: str, k: int = 5,
         (F.col("crank") <= NPROBE) & (F.col("vec_id") % query_mod == 0)
     ).select(F.col("vec_id").alias("query_id"), "cid")
     pairs = (
-        F.broadcast(probes).join(assign, "cid")
+        probes.join(assign, "cid")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
@@ -414,8 +442,9 @@ def ann_ivf_topk(spark, sf_dir: str, k: int = 5,
         .withColumn("cosine", F.round("cosine_raw", 6))
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
+    out = (
         cos.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+    return checkpoint_release(out, vecs)

@@ -1,0 +1,102 @@
+"""Scale guards: LSH bucket caps complete on boilerplate-heavy corpora
+without forced broadcasts, and persisted intermediates are released after
+each query (no cached-relation accumulation across a long session)."""
+
+from __future__ import annotations
+
+import gc
+import time
+
+import duckdb
+import pytest
+
+from catalog_pii_scanner_spark.operators import dedup
+
+BOILERPLATE = ("terms and conditions apply to all users of this service "
+               "as described in the governing policy document")
+# J=0.92 over 3-gram shingles; shares 2 of 4 deterministic md5 bands
+_NEAR_BASE = ("the quick brown fox jumps over the lazy dog while the calm "
+              "river flows gently past the old stone bridge near the quiet "
+              "village green")
+NEAR_A = _NEAR_BASE + " today"
+NEAR_B = _NEAR_BASE + " tonight"
+
+
+@pytest.fixture(scope="module")
+def boiler_dir(spark, tmp_path_factory):
+    """300 identical boilerplate docs (over MAX_BAND_BUCKET=200, all in
+    one band bucket), one near-dup pair, filler docs."""
+    rows = [(i, BOILERPLATE) for i in range(300)]
+    rows += [(1000, NEAR_A), (1001, NEAR_B)]
+    rows += [(2000 + i,
+              f"completely unrelated filler document number {i} with "
+              f"unique words alpha{i} beta{i} gamma{i}")
+             for i in range(20)]
+    out = str(tmp_path_factory.mktemp("boiler"))
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_bucket_cap_drops_boilerplate_keeps_neardups(spark, boiler_dir):
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.lsh_near_dup_pairs(spark, boiler_dir).collect()}
+    # the 300-doc boilerplate bucket (44850 identical pairs) is excluded
+    assert (0, 1) not in got
+    assert all(a >= 1000 for a, _ in got)
+    # the genuine near-dup pair survives
+    assert (1000, 1001) in got
+    assert got[(1000, 1001)] >= 0.5
+
+
+def test_bucket_cap_engine_matches_oracle(spark, boiler_dir):
+    sdf = dedup.lsh_near_dup_pairs(spark, boiler_dir)
+    srows = {tuple(r) for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{boiler_dir}/documents.parquet/*.parquet'")
+    orows = {tuple(r) for r in con.execute(
+        dedup.lsh_near_dup_pairs_sql("duckdb")).fetchall()}
+    assert srows == orows
+
+
+def test_boilerplate_within_cap_still_pairs(spark, tmp_path):
+    """Sanity: identical docs in a bucket UNDER the cap still pair up."""
+    rows = [(i, BOILERPLATE) for i in range(5)]
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = dedup.lsh_near_dup_pairs(spark, str(tmp_path)).collect()
+    assert len(got) == 10  # C(5,2), jaccard 1.0
+    assert all(r.jaccard == 1.0 for r in got)
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_no_cached_relation_accumulation(spark):
+    """Intermediates (shingles/vecs/vals) are unpersisted before each
+    query returns; result checkpoints free on driver GC. Repeated queries
+    must not accumulate persisted RDDs."""
+    from catalog_pii_scanner_spark.operators.findings import findings_rollup
+    from catalog_pii_scanner_spark.sources.melt import melt_table
+
+    sf = "/root/testdata/sf0.001"
+    baseline = _n_persistent(spark)
+    for _ in range(3):
+        df = dedup.lsh_near_dup_pairs(spark, sf)
+        df.count()
+        del df
+        df = findings_rollup(melt_table(spark, sf, "customer"))
+        df.count()
+        del df
+    # ask the driver JVM to GC so ContextCleaner reaps checkpoint blocks
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()
+        spark._jvm.System.gc()
+        if _n_persistent(spark) <= baseline:
+            break
+        time.sleep(1.0)
+    assert _n_persistent(spark) <= baseline
