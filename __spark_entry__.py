@@ -32,6 +32,8 @@ from catalog_pii_scanner_spark.sources.catalog import (
 from catalog_pii_scanner_spark.sources.demo_catalog import (
     DEMO_TEXT_COLUMNS, demo_pii_df)
 from catalog_pii_scanner_spark.sources.melt import melt_df, melt_table
+from catalog_pii_scanner_spark.sources.unity import (
+    stub_information_schema, unity_catalog_columns, unity_columns_oracle_sql)
 from catalog_pii_scanner_spark.sources.sampler import (
     sample_columns, sample_columns_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
@@ -88,6 +90,9 @@ GATE_THRESHOLD = 0.12
 
 #: P5 subset for the oracle-checked enabled-types scan.
 ENABLED_SUBSET = ("EMAIL", "PHONE_NUMBER", "CREDIT_CARD")
+
+#: glob gates for the oracle-checked Unity enumeration (S2/P1).
+UNITY_PATTERNS = ("c*", "orders", "line?tem")
 
 
 def _ensemble_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S1-S4 catalog enumeration -> canonical columns frame
         "catalog_columns": lambda s, sf:
             parquet_catalog_columns(s, sf),
+        # S2 Unity information_schema scan with glob-pattern pushdown
+        "unity_columns": lambda s, sf:
+            unity_catalog_columns(stub_information_schema(s),
+                                  table_patterns=UNITY_PATTERNS),
         # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
         "sample_columns_topn": _sample,
         # streaming-equivalent tumbling window aggregation (§2.13)
@@ -232,6 +241,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_metadata_hints": metadata_rules.metadata_hints_oracle_sql(
             "(" + catalog_columns_oracle_sql() + ")"),
         "catalog_columns": catalog_columns_oracle_sql(),
+        "unity_columns": unity_columns_oracle_sql(
+            table_patterns=UNITY_PATTERNS),
         "sample_columns_topn": sample_columns_oracle_sql(
             oracles.tables_melted_sql(SCAN_TABLES)),
         "events_hourly": events_hourly_oracle_sql(),
