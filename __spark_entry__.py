@@ -116,6 +116,20 @@ def _ner_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ner.merge_with_rules(rule_cands, ner_spans)
 
 
+def _ner_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = _redaction(spark, sf_dir) \
+        .select("column_ref", "match_text", "context").distinct()
+    return ner.ner_context_signals(ctx)
+
+
+def _ner_signals_oracle() -> str:
+    e = redaction_oracle_exprs("duckdb")
+    return (_scored_demo_cte() +
+            f", ctx AS (SELECT DISTINCT column_ref, match_text, "
+            f"{e['context']} AS context FROM scored),\n"
+            + ner.ner_context_signals_oracle_sql("ctx").lstrip())
+
+
 def _hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata_rules.metadata_hints(
         parquet_catalog_columns(spark, sf_dir))
@@ -183,6 +197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_enabled_types": _scan_enabled_types,
         # N1/N3/N4 regex-provider NER + gate + max-merge with rules
         "pii_ner_merge_max": _ner_merge,
+        # N5/A2 entity-label histogram over redacted contexts
+        "pii_ner_context_signals": _ner_signals,
         # X11 metadata keyword hints over the catalog frame
         "pii_metadata_hints": _hints,
         # S1-S4 catalog enumeration -> canonical columns frame
@@ -238,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
             rules=rules_for_types(ENABLED_SUBSET)),
         "pii_ner_merge_max": (_scored_demo_cte() + ",\n"
                               + ner.merge_with_rules_oracle_sql()),
+        "pii_ner_context_signals": _ner_signals_oracle(),
         "pii_metadata_hints": metadata_rules.metadata_hints_oracle_sql(
             "(" + catalog_columns_oracle_sql() + ")"),
         "catalog_columns": catalog_columns_oracle_sql(),

@@ -46,6 +46,91 @@ def _spacy_provider_available() -> bool:
         return False
 
 
+# --- heavy-provider path (mapInPandas, executor-global singleton) ------------
+
+#: Per-Python-worker provider cache: the module globals of a UDF module
+#: live for the worker's lifetime, so a model loads ONCE per worker, not
+#: per batch — the standard heavy-model pattern (reference ner.py's
+#: lru-cached _load_spacy, ner.py:19-32, translated to executors).
+_PROVIDER_SINGLETONS: dict[str, object] = {}
+
+
+class FakeHeavyProvider:
+    """Deterministic stand-in for a heavy model provider (spaCy/Presidio
+    contract, reference ner.py:120-167 + tests/test_ner.py's FakeProvider):
+    constructed once per worker (load_count proves it), batch-oriented
+    detect over texts. Emits the same three families at the reference's
+    fallback scores, so its output is comparable 1:1 with the JVM regex
+    provider — that equality IS the pluggability test."""
+
+    load_count = 0
+
+    def __init__(self) -> None:
+        import re
+        type(self).load_count += 1
+        from .rules import bounded_pattern
+        self._patterns = [(r.pii_type, re.compile(bounded_pattern(r)),
+                           NER_SCORES[r.pii_type]) for r in _NER_RULES]
+
+    def detect_batch(self, texts):
+        out = []
+        for text in texts:
+            spans = []
+            if text is not None:
+                for t, pat, score in self._patterns:
+                    spans += [(t, m, score) for m in pat.findall(text)]
+            out.append(spans)
+        return out
+
+
+def _get_provider(name: str):
+    """Lazy once-per-worker provider construction."""
+    if name not in _PROVIDER_SINGLETONS:
+        if name == "fake_heavy":
+            _PROVIDER_SINGLETONS[name] = FakeHeavyProvider()
+        elif name in ("spacy", "presidio"):  # pragma: no cover - no models
+            raise ImportError(
+                f"NER provider '{name}' needs its model package, which is "
+                f"not installed; use provider='regex' or 'fake_heavy'")
+        else:
+            raise ValueError(f"unknown NER provider {name!r}")
+    return _PROVIDER_SINGLETONS[name]
+
+
+def detect_ner_spans_model(values_df: DataFrame, value_col: str = "value",
+                           keep_cols: tuple[str, ...] = ("column_ref",),
+                           provider: str = "fake_heavy",
+                           confidence_min: float = NER_CONFIDENCE_MIN
+                           ) -> DataFrame:
+    """Heavy-provider N1+N3: Arrow-batched ``mapInPandas`` with the
+    executor-global singleton. Partition-preserving (no shuffle); batch
+    size governed by spark.sql.execution.arrow.maxRecordsPerBatch."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType)
+
+    in_cols = [*keep_cols, value_col]
+    schema = StructType(
+        [values_df.schema[c] for c in in_cols]
+        + [StructField("pii_type", StringType()),
+           StructField("match_text", StringType()),
+           StructField("ner_score", DoubleType())])
+    out_cols = in_cols + ["pii_type", "match_text", "ner_score"]
+
+    def gen(batches):
+        prov = _get_provider(provider)
+        for pdf in batches:
+            rows = []
+            texts = pdf[value_col].tolist()
+            for i, spans in enumerate(prov.detect_batch(texts)):
+                keep = tuple(pdf.iloc[i][c] for c in in_cols)
+                rows += [keep + span for span in spans
+                         if span[2] >= confidence_min]
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return values_df.select(*in_cols).mapInPandas(gen, schema)
+
+
 def detect_ner_spans(values_df: DataFrame, value_col: str = "value",
                      keep_cols: tuple[str, ...] = ("column_ref",),
                      provider: str = "regex",
@@ -53,15 +138,12 @@ def detect_ner_spans(values_df: DataFrame, value_col: str = "value",
     """N1+N3: provider dispatch + confidence gate.
 
     Output: keep_cols..., value, pii_type, match_text, ner_score.
+    ``regex`` runs JVM-side (codegen, oracle-checkable); every other
+    provider routes through the mapInPandas heavy-model stage.
     """
     if provider != "regex":
-        if not _spacy_provider_available():
-            raise ImportError(
-                f"NER provider '{provider}' needs its model package, which "
-                f"is not installed; use provider='regex'")
-        raise NotImplementedError(
-            "model providers plug in as a mapInPandas stage with an "
-            "executor-global lazy singleton; not wired in this build")
+        return detect_ner_spans_model(values_df, value_col, keep_cols,
+                                      provider, confidence_min)
     spans = extract_candidates(values_df, value_col, keep_cols,
                                rules=_NER_RULES)
     score = F.lit(None).cast("double")
@@ -117,6 +199,40 @@ FROM merged_in GROUP BY column_ref, value, pii_type
 """
 
 
+def ner_context_signals_oracle_sql(ctx_rel: str = "ctx",
+                                   keep: tuple[str, ...] = ("column_ref",
+                                                            "match_text")
+                                   ) -> str:
+    """DuckDB rendering of N5 over a (keep..., context) relation: per-rule
+    match extraction (same bounded patterns at the provider scores, all
+    above the 0.60 gate), histogram per keep key, normalized shares."""
+    from .rules import bounded_pattern
+    keep_sql = ", ".join(keep)
+    parts = []
+    for r in _NER_RULES:
+        pat = bounded_pattern(r).replace("'", "''")
+        parts.append(
+            f"SELECT {keep_sql}, '{r.pii_type}' AS ent_type, "
+            f"unnest(regexp_extract_all(context, '{pat}')) AS m "
+            f"FROM {ctx_rel}")
+    spans = " UNION ALL ".join(parts)
+    return f"""
+spans AS ({spans}),
+counts AS (
+  SELECT {keep_sql}, ent_type, COUNT(*) AS n
+  FROM spans GROUP BY {keep_sql}, ent_type
+),
+totals AS (
+  SELECT {keep_sql}, SUM(n) AS total FROM counts GROUP BY {keep_sql}
+)
+SELECT c.column_ref AS column_ref, c.match_text AS match_text,
+       c.ent_type AS pii_type,
+       round(c.n / CAST(t.total AS DOUBLE), 6) AS signal
+FROM counts c
+JOIN totals t ON {" AND ".join(f"c.{k} = t.{k}" for k in keep)}
+"""
+
+
 def ner_context_signals(contexts: DataFrame,
                         context_col: str = "context",
                         keep_cols: tuple[str, ...] = ("column_ref",
@@ -125,14 +241,27 @@ def ner_context_signals(contexts: DataFrame,
     """N5: entity-label histogram over redacted contexts -> normalized
     soft signals per context. With the regex provider the entities are the
     provider's three families detected in the (redacted) context; counts
-    normalize to shares."""
-    spans = detect_ner_spans(contexts, context_col, keep_cols,
+    normalize to shares.
+
+    Keep columns that collide with the detector's output vocabulary
+    (pii_type/match_text/ner_score — e.g. the candidate's own match_text
+    as the context key) are renamed through the detection and restored."""
+    reserved = {"pii_type", "match_text", "ner_score"}
+    alias = {k: (f"_k_{k}" if k in reserved else k) for k in keep_cols}
+    ctx = contexts
+    for k, a in alias.items():
+        if a != k:
+            ctx = ctx.withColumnRenamed(k, a)
+    safe_keep = tuple(alias[k] for k in keep_cols)
+    spans = detect_ner_spans(ctx, context_col, safe_keep,
                              provider=provider)
-    counts = spans.groupBy(*keep_cols, "pii_type").agg(
+    counts = spans.groupBy(*safe_keep, "pii_type").agg(
         F.count("*").alias("n"))
-    total = counts.groupBy(*keep_cols).agg(F.sum("n").alias("total"))
-    return (
-        counts.join(total, list(keep_cols))
-        .select(*keep_cols, "pii_type",
-                F.round(F.col("n") / F.col("total"), 6).alias("signal"))
-    )
+    total = counts.groupBy(*safe_keep).agg(F.sum("n").alias("total"))
+    out = counts.join(total, list(safe_keep))
+    for k, a in alias.items():
+        if a != k:
+            out = out.withColumnRenamed(a, k)
+    return out.select(*keep_cols, "pii_type",
+                      F.round(F.col("n") / F.col("total"), 6)
+                      .alias("signal"))
