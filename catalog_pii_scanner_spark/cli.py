@@ -19,6 +19,11 @@ import json
 import sys
 
 
+#: Target-URI schemes this CLI can enumerate (the reference validates its
+#: scheme against glue/unity/hms connectors the same way).
+KNOWN_SCHEMES = frozenset({"spark"})
+
+
 def _spark(app: str):
     from .session import get_spark
     return get_spark(f"cpss-{app}")
@@ -31,23 +36,34 @@ def cmd_scan(args) -> int:
     from .sinks.findings_store import to_findings_records, write_findings
     from .sinks.writeback import FakeCatalogClient, apply_writeback
     from .sources.melt import TESTDATA_SCHEMAS, melt_table
-    from .sources.targets import match_names, parse_target
+    from .sources.targets import glob_to_rlike, match_names, parse_target
     from functools import reduce
-    from pyspark.sql import DataFrame
+    from pyspark.sql import DataFrame, functions as F
 
     spark = _spark("scan")
     cfg = load_config(args.config or None)
     tables = tuple(args.tables.split(",")) if args.tables \
         else tuple(TESTDATA_SCHEMAS)
+    col_pat = "*"
     if args.target:
-        # reference P1: glob URI gates enumeration before any scan job
-        _scheme, _db_pat, tbl_pat = parse_target(args.target)
+        # reference P1: glob URI gates enumeration before any scan job.
+        # Component semantics follow the column_ref shape
+        # spark://table/column: the first pattern prunes tables
+        # driver-side, the second filters columns in-plan.
+        scheme, tbl_pat, col_pat = parse_target(args.target)
+        if scheme not in KNOWN_SCHEMES:
+            raise SystemExit(
+                f"unknown target scheme {scheme!r}; known: "
+                f"{', '.join(sorted(KNOWN_SCHEMES))}")
         tables = match_names(tables, tbl_pat)
     if not tables:
         print("[]")
         return 0
     vals = reduce(DataFrame.unionByName,
                   [melt_table(spark, args.sf_dir, t) for t in tables])
+    if col_pat != "*":
+        vals = vals.where(F.col("column_ref").rlike(
+            glob_to_rlike(f"spark://*/{col_pat}")))
     per_type = findings_rollup(
         vals, rules=rules_for_types(cfg.rules.enabled_types))
     findings = to_findings_records(per_type)
@@ -159,7 +175,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--tables", default="")
     s.add_argument("--target", default="",
-                   help="glob URI, e.g. spark://testdata/cust*")
+                   help="glob URI spark://table_pat/column_pat, "
+                        "e.g. spark://cust*/c_name")
     s.add_argument("--config", default="")
     s.add_argument("--store", default="")
     s.add_argument("--apply", action="store_true")

@@ -216,10 +216,38 @@ WHERE i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE) >= {threshold}
 """
 
 
+def lsh_excluded_buckets(spark, sf_dir: str,
+                         max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+    """Observability for the band-bucket cap: the (band, band_key) buckets
+    the candidate join EXCLUDES, with their doc counts. Callers tuning
+    thresholds should inspect this — see the recall caveat on
+    :func:`lsh_near_dup_pairs`. Output: band, band_key, n_docs."""
+    sigs = _signatures_from_shingles(doc_shingles_df(spark, sf_dir))
+    frames = []
+    for b in range(NUM_BANDS):
+        key = F.md5(F.concat(*[
+            F.col(f"mh{b * ROWS_PER_BAND + r}")
+            for r in range(ROWS_PER_BAND)]))
+        frames.append(sigs.select(F.lit(b).alias("band"),
+                                  key.alias("band_key")))
+    bands = frames[0]
+    for bf in frames[1:]:
+        bands = bands.unionByName(bf)
+    return (bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") > max_bucket))
+
+
 def lsh_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.5,
                        max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
     """DataFrame-step implementation; semantics identical to
     lsh_near_dup_pairs_sql (the oracle), including the band-bucket cap.
+
+    RECALL CAVEAT: the cap drops ALL candidate pairs from oversized
+    buckets — including genuine near-dup (non-identical) pairs whose only
+    shared band bucket is oversized. Exact-dedup recovers only the exact
+    duplicates among them. Inspect :func:`lsh_excluded_buckets` for the
+    excluded (band, band_key, n_docs) set when tuning ``max_bucket``.
 
     Scale shape: no forced broadcasts — AQE picks broadcast when the
     runtime pair/size relations are small and degrades to shuffle joins

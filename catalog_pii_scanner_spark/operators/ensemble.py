@@ -103,11 +103,11 @@ def fuse_predictions(
     Adds: ``label`` (argmax type), ``score`` (normalized argmax prob,
     rounded 1e-6), keeping all input columns. ``decision_threshold`` is
     the P6 consumer gate (reference config.py:64 — declared there, applied
-    by consumers): predictions scoring below it are dropped. None skips
-    the gate (the reference's v0 consumers never wire it either). Note the
-    score is a normalized 11-way probability, so useful thresholds sit
-    well below the config default 0.55 unless a fitted calibrator
-    sharpens the distribution.
+    by consumers): it gates on the CALIBRATED argmax probability (the
+    sigmoid-scale value, before 11-way normalization), matching the
+    reference's scale where 0.55 is an attainable default. Gating on the
+    normalized share would cap achievable scores near 1/n_types and make
+    the config default drop everything. None skips the gate.
     """
     calibration = calibration or CALIBRATION
 
@@ -141,12 +141,13 @@ def fuse_predictions(
         out.withColumn("_best", best)
         .withColumn("label", chain)
         .withColumn("score", F.round(F.col("_best") / total, 6))
-        .drop("_best", *cal_cols)
     )
     if decision_threshold is not None:
-        # gate on the rounded score so the oracle's WHERE matches exactly
-        out = out.where(F.col("score") >= F.lit(decision_threshold))
-    return out
+        # gate on the ROUNDED calibrated argmax prob so the oracle's
+        # WHERE matches exactly
+        out = out.where(
+            F.round(F.col("_best"), 6) >= F.lit(decision_threshold))
+    return out.drop("_best", *cal_cols)
 
 
 def ensemble_oracle_sql(cands_rel: str,
@@ -174,10 +175,10 @@ def ensemble_oracle_sql(cands_rel: str,
     cal = f"(1.0 / (1.0 + exp(-(t.a * {raw} + t.b))))"
     part = "c.column_ref, c.value, c.pii_type, c.match_text"
     gate = ("" if decision_threshold is None
-            else f" AND score >= {decision_threshold}")
+            else f" AND cal_best >= {decision_threshold}")
     return f"""
 SELECT {out_cols}, label, score FROM (
-  SELECT {part}, t.t_type AS label,
+  SELECT {part}, t.t_type AS label, round({cal}, 6) AS cal_best,
          round({cal} / SUM({cal}) OVER (PARTITION BY {part}), 6) AS score,
          row_number() OVER (PARTITION BY {part}
                             ORDER BY {cal} DESC, t.t_rank) AS rn

@@ -78,7 +78,12 @@ class FakeHeavyProvider:
             spans = []
             if text is not None:
                 for t, pat, score in self._patterns:
-                    spans += [(t, m, score) for m in pat.findall(text)]
+                    # finditer + group(0): always the FULL match, even if a
+                    # pattern carries capturing groups (findall would return
+                    # the captures instead and silently diverge from the JVM
+                    # regexp_extract_all(..., 0) path).
+                    spans += [(t, m.group(0), score)
+                              for m in pat.finditer(text)]
             out.append(spans)
         return out
 
@@ -216,6 +221,7 @@ def ner_context_signals_oracle_sql(ctx_rel: str = "ctx",
             f"unnest(regexp_extract_all(context, '{pat}')) AS m "
             f"FROM {ctx_rel}")
     spans = " UNION ALL ".join(parts)
+    out_keep = ", ".join(f"c.{k} AS {k}" for k in keep)
     return f"""
 spans AS ({spans}),
 counts AS (
@@ -225,8 +231,7 @@ counts AS (
 totals AS (
   SELECT {keep_sql}, SUM(n) AS total FROM counts GROUP BY {keep_sql}
 )
-SELECT c.column_ref AS column_ref, c.match_text AS match_text,
-       c.ent_type AS pii_type,
+SELECT {out_keep}, c.ent_type AS pii_type,
        round(c.n / CAST(t.total AS DOUBLE), 6) AS signal
 FROM counts c
 JOIN totals t ON {" AND ".join(f"c.{k} = t.{k}" for k in keep)}

@@ -74,25 +74,53 @@ GROUP BY 1, 2
 """
 
 
-def watch_events(spark: SparkSession, events_dir: str,
-                 watermark: str = "2 hours"):
-    """Streaming watcher over an events file source. Returns the streaming
-    DataFrame (caller picks the sink/trigger)."""
+#: Stream-source schema when the parquet carries TIMESTAMP(NANOS): Spark's
+#: reader surfaces nanos as LONG under nanosAsLong; the stream projects it
+#: back to a microsecond timestamp (same truncation as sources/melt.py).
+EVENTS_SCHEMA_NANOS = EVENTS_SCHEMA.replace("ts timestamp", "ts bigint")
+
+
+def _single_file_glob(path: str) -> str:
+    """A glob matching exactly ``path``. The file stream source refuses a
+    plain file path (it forces basePath to the path, which must be a
+    directory) but accepts a glob — wrapping the first character of the
+    final component in a character class makes any file path streamable
+    without staging a copy."""
+    head, _, tail = path.rpartition("/")
+    return f"{head}/[{tail[0]}]{tail[1:]}" if tail else path
+
+
+def watch_events(spark: SparkSession, events_path: str,
+                 watermark: str = "2 hours", nanos: bool = False):
+    """Streaming watcher over an events file source (directory, glob, or —
+    via the single-file glob rewrite — one parquet file). Returns the
+    streaming DataFrame (caller picks the sink/trigger). ``nanos=True``
+    reads TIMESTAMP(NANOS) sources in place (requires
+    spark.sql.legacy.parquet.nanosAsLong)."""
+    import os
+    if os.path.isfile(events_path):
+        events_path = _single_file_glob(events_path)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream
+        .schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
-        .parquet(events_dir)
-        .withWatermark("ts", watermark)
+        .parquet(events_path)
     )
-    return _hourly_agg(stream, streaming=True)
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000)
+                                     .cast("long")))
+    return _hourly_agg(stream.withWatermark("ts", watermark),
+                       streaming=True)
 
 
-def run_watcher_once(spark: SparkSession, events_dir: str,
-                     query_name: str = "cpss_watch") -> DataFrame:
+def run_watcher_once(spark: SparkSession, events_path: str,
+                     query_name: str = "cpss_watch",
+                     nanos: bool = False) -> DataFrame:
     """Poll-mode drain: process all currently-available files into an
     in-memory sink and return the result as a batch DataFrame."""
     q = (
-        watch_events(spark, events_dir)
+        watch_events(spark, events_path, nanos=nanos)
         .writeStream.format("memory").queryName(query_name)
         .outputMode("complete")
         .trigger(availableNow=True)
@@ -103,18 +131,19 @@ def run_watcher_once(spark: SparkSession, events_dir: str,
 
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract query: the REAL Structured Streaming path — stage
-    the events table as an arriving-files directory, drain it with an
-    availableNow watcher, return the windowed aggregate. n_users is
-    dropped from the output because the stream path uses HLL
+    """Driver-contract query: the REAL Structured Streaming path — drain
+    the events table IN PLACE with an availableNow watcher (no staging
+    rewrite; the source file streams directly via the single-file glob).
+    n_users is dropped from the output because the stream path uses HLL
     approx_count_distinct (bounded state); the exact columns are
     oracle-checked against the same SQL as the batch query."""
-    import tempfile
-    out = tempfile.mkdtemp(prefix="cpss_stream_events_")
-    from ..sources.melt import read_table
-    read_table(spark, sf_dir, "events").repartition(4) \
-        .write.mode("overwrite").parquet(out)
-    drained = run_watcher_once(spark, out, "cpss_stream_hourly")
+    from ..sources.melt import nanos_timestamp_columns
+    path = f"{sf_dir}/events.parquet"
+    nanos = "ts" in nanos_timestamp_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    drained = run_watcher_once(spark, path, "cpss_stream_hourly",
+                               nanos=nanos)
     return drained.select("window_start", "event_type", "n_events",
                           "sum_value")
 

@@ -29,6 +29,26 @@ def test_watcher_drain_equals_batch(spark, sf_dir, tmp_path_factory):
     assert all(r.n_users >= 1 for r in streamed.collect())
 
 
+def test_stream_events_hourly_drains_in_place(spark, sf_dir, monkeypatch):
+    """The product query streams the source file directly — no staging
+    rewrite may run inside it (r2 verdict: the temp-dir copy doubled the
+    query's I/O). Any tempfile/write use inside the query is a failure."""
+    import tempfile
+
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        events_hourly, stream_events_hourly)
+
+    def _no_staging(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("stream_events_hourly staged a copy")
+
+    monkeypatch.setattr(tempfile, "mkdtemp", _no_staging)
+    streamed = stream_events_hourly(spark, sf_dir)
+    batch = events_hourly(spark, sf_dir)
+    exact = ("window_start", "event_type", "n_events", "sum_value")
+    assert {tuple(r) for r in streamed.select(*exact).collect()} == \
+        {tuple(r) for r in batch.select(*exact).collect()}
+
+
 def test_incremental_scan_stream(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("values_stream")
     src = str(d / "in")
