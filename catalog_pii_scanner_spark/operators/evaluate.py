@@ -8,11 +8,11 @@ precision/recall/F1 with 0-guards, plus micro (global counts) and macro
 (unweighted mean over types) rollups.
 
 Spark shape: the match is a range join (p.start < g.end AND g.start <
-p.end AND p.type = g.type) followed by two row_number windows (first gold
-per pred in gold order, then first pred per gold in pred order) — exactly
-greedy when no two golds overlap the same pred, which the deterministic
-eval corpus guarantees (and the reference's synthetic corpus also
-satisfies). Metrics are GROUPING-SETS-shaped aggregations.
+p.end AND p.type = g.type) followed by an iterative commit loop that
+reproduces sequential greedy EXACTLY — including the contended case
+where a pred's first-choice gold was claimed and the reference moves on
+to the next free overlapping gold (see greedy_match). Metrics are
+GROUPING-SETS-shaped aggregations.
 
 The eval corpus is synthesized from ``customer`` like the demo CRM —
 every text carries PERSON/EMAIL/PHONE/SSN/DATE golds plus an ADDRESS gold
@@ -104,10 +104,21 @@ def eval_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- match + metrics (engine) -----------------------------------------------
 
 def greedy_match(preds: DataFrame, gold: DataFrame) -> DataFrame:
-    """Range-join + double row_number dedup == reference greedy 1:1 match
-    (for corpora whose golds don't overlap). ``preds`` needs text_id,
-    pii_type, pstart, pend; ``gold`` needs text_id, pii_type, gstart,
-    gend. Returns matched (tp) pairs."""
+    """Exact sequential greedy 1:1 match (reference eval.py:20-50): preds
+    in pstart order each claim the first still-unused overlapping gold of
+    equal type. ``preds`` needs text_id, pii_type, pstart, pend; ``gold``
+    needs text_id, pii_type, gstart, gend. Returns matched (tp) pairs.
+
+    Distributed shape: one range join builds the overlap graph, then an
+    iterative commit loop. Per round, a pair (p, g) commits iff g is p's
+    first REMAINING gold (rn_p) AND p is the minimum remaining pred
+    overlapping g (rn_g over all remaining overlaps, not just proposers)
+    — a commit under that rule is exactly what sequential play would do,
+    and the globally-minimum unmatched pred always commits, so rounds <=
+    max chain length (1 for corpora without overlap contention; the loop
+    exits after one extra empty check). Matched preds and golds leave the
+    graph via anti-joins; each round's residual graph is localCheckpointed
+    so re-planning doesn't compound."""
     j = preds.join(
         gold,
         (preds.text_id == gold.text_id)
@@ -119,13 +130,30 @@ def greedy_match(preds: DataFrame, gold: DataFrame) -> DataFrame:
         .orderBy("gstart")
     w_gold = Window.partitionBy("text_id", "pii_type", "gstart") \
         .orderBy("pstart")
-    return (
-        j.withColumn("rn_p", F.row_number().over(w_pred))
-        .where(F.col("rn_p") == 1)
-        .withColumn("rn_g", F.row_number().over(w_gold))
-        .where(F.col("rn_g") == 1)
-        .drop("rn_p", "rn_g")
-    )
+    overlaps = j.localCheckpoint(eager=True)
+    matched: DataFrame | None = None
+    pkey = ["text_id", "pii_type", "pstart"]
+    gkey = ["text_id", "pii_type", "gstart"]
+    while True:
+        commits = (
+            overlaps.withColumn("rn_p", F.row_number().over(w_pred))
+            .withColumn("rn_g", F.row_number().over(w_gold))
+            .where((F.col("rn_p") == 1) & (F.col("rn_g") == 1))
+            .drop("rn_p", "rn_g")
+            .localCheckpoint(eager=True)
+        )
+        if commits.isEmpty():
+            return matched if matched is not None \
+                else commits  # empty overlap graph -> empty result
+        matched = commits if matched is None \
+            else matched.unionByName(commits)
+        overlaps = (
+            overlaps.join(commits.select(*pkey), pkey, "left_anti")
+            .join(commits.select(*gkey), gkey, "left_anti")
+            .select("text_id", "pii_type", "pstart", "pend",
+                    "gstart", "gend")
+            .localCheckpoint(eager=True)
+        )
 
 
 def _metrics_from_counts(counts: DataFrame) -> DataFrame:
