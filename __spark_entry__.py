@@ -123,6 +123,70 @@ def _ner_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ner.ner_context_signals(ctx)
 
 
+def _full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship ``scan_text`` semantics end-to-end
+    (reference ensemble.py:69-136): extract -> redacted +/-48 contexts
+    (R4) -> N5 context-signal histogram -> E2 embed probabilities (real
+    mapInPandas stage, deterministic md5hex model) -> 11-type fusion with
+    BOTH signal maps bound (not the offline placeholders).
+
+    Scale shape: signals compute once per DISTINCT context (ckey =
+    md5(context)) and join back — context dedup bounds the model stages
+    by unique-context count, not candidate count. The candidate relation
+    is localCheckpointed so the extraction lineage isn't re-derived by
+    the two signal branches + the fusion join (blocks free on driver GC).
+    """
+    from catalog_pii_scanner_spark.operators.embeddings import (
+        deterministic_model, embed_probs)
+    cands = (
+        candidate_contexts(_demo_candidates(spark, sf_dir))
+        .select(*CAND_COLS, "rule_confidence", "validated", "context")
+        .distinct()
+        .withColumn("ckey", F.md5("context"))
+        .localCheckpoint(eager=True)
+    )
+    ctxs = cands.select("ckey", "context").distinct()
+    ner_map = (
+        ner.ner_context_signals(ctxs, keep_cols=("ckey",))
+        .groupBy("ckey")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("pii_type", "signal")))
+            .alias("ner_sig"))
+    )
+    emb_map = embed_probs(ctxs, deterministic_model()) \
+        .select("ckey", "embed_probs")
+    enriched = cands.join(ner_map, "ckey", "left") \
+                    .join(emb_map, "ckey", "left")
+    return fuse_predictions(
+        enriched,
+        ner_signal=F.col("ner_sig"),
+        embed_signal=F.col("embed_probs"),
+    ).select(*CAND_COLS, "label", "score")
+
+
+def _full_pipeline_oracle() -> str:
+    e = redaction_oracle_exprs("duckdb")
+    nersig = ner.ner_context_signals_oracle_sql(
+        "ctxh", keep=("ckey",), wrap_cte="nersig").strip()
+    return (
+        _scored_demo_cte()
+        + f""",
+cand_rel AS (
+  SELECT DISTINCT column_ref, value, pii_type, match_text,
+         rule_confidence, validated, {e['context']} AS context
+  FROM scored
+),
+ctxh AS (
+  SELECT context, md5(context) AS ckey
+  FROM (SELECT DISTINCT context FROM cand_rel)
+),
+{nersig},
+cand2 AS (SELECT c.*, md5(c.context) AS ckey FROM cand_rel c)
+"""
+        + ensemble_oracle_sql("cand2", ner_rel="nersig",
+                              embed_hash_col="ckey"))
+
+
 def _ner_signals_oracle() -> str:
     e = redaction_oracle_exprs("duckdb")
     return (_scored_demo_cte() +
@@ -194,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_ensemble_predictions": _ensemble,
         # P6 decision-threshold consumer gate on the fused predictions
         "pii_ensemble_gated": _ensemble_gated,
+        # the flagship scan_text composition: R4 contexts -> N5 signals ->
+        # E2 embed probs -> fusion with real signal maps bound
+        "pii_full_pipeline": _full_pipeline,
         # P5 enabled_types config gating the rule families
         "pii_scan_enabled_types": _scan_enabled_types,
         # N1/N3/N4 regex-provider NER + gate + max-merge with rules
@@ -250,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction_contexts": _redaction_oracle(),
         "pii_ensemble_predictions": _ensemble_oracle(),
         "pii_ensemble_gated": _ensemble_oracle(GATE_THRESHOLD),
+        "pii_full_pipeline": _full_pipeline_oracle(),
         "pii_scan_enabled_types": oracles.scan_findings_oracle(
             oracles.demo_melted_sql(),
             rules=rules_for_types(ENABLED_SUBSET)),

@@ -40,6 +40,8 @@ from ..pii_types import ALL_PII_TYPES
 
 EMBED_DIM = 32
 
+_HEX = "0123456789abcdef"
+
 
 def embed_text(text: str) -> np.ndarray:
     """E1 offline embedder: deterministic per-text normal vector."""
@@ -48,6 +50,43 @@ def embed_text(text: str) -> np.ndarray:
     v = np.random.RandomState(seed).normal(size=EMBED_DIM)
     n = np.linalg.norm(v)
     return (v / n if n else v).astype(np.float64)
+
+
+def md5hex_embed(text: str) -> np.ndarray:
+    """SQL-expressible offline embedder: the 32 md5 hex digits of the text
+    as integer-valued features in [0, 15]. Exactly computable in any SQL
+    dialect (substr + instr over md5), which makes the full E1->E2->fusion
+    pipeline oracle-checkable — and every arithmetic step downstream stays
+    EXACT in float64 (integer features x half-integer/16 weights), so the
+    engine and the oracle agree bit-for-bit up to the final sigmoid."""
+    h = hashlib.md5(text.encode("utf-8")).hexdigest()
+    return np.array([float(_HEX.index(c)) for c in h])
+
+
+def _det_unit(key: str) -> float:
+    """Deterministic weight in {-7.5/16 .. +7.5/16}: (first md5 hex digit
+    of key - 7.5) / 16 — every value is an exact binary fraction."""
+    d = _HEX.index(hashlib.md5(key.encode("utf-8")).hexdigest()[0])
+    return (d - 7.5) / 16.0
+
+
+def deterministic_head_weights(pii_type: str) -> np.ndarray:
+    """Fixed logistic head w[EMBED_DIM + 1] (last = bias) for the
+    md5hex embedding space, derived from md5 of '<type>:w:<j>' — the
+    hermetic stand-in for a trained head, identical in the engine and the
+    DuckDB oracle (see full-pipeline oracle rendering)."""
+    w = [_det_unit(f"{pii_type}:w:{j}") for j in range(EMBED_DIM)]
+    return np.array(w + [_det_unit(f"{pii_type}:b")])
+
+
+def deterministic_model() -> "EmbedModel":
+    """EmbedModel over the md5hex embedding with deterministic logistic
+    heads for every PII type — predict_proba is a pure, SQL-renderable
+    function of the text."""
+    return EmbedModel(
+        heads={t: ("logistic", deterministic_head_weights(t))
+               for t in ALL_PII_TYPES},
+        embedder="md5hex")
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
@@ -59,15 +98,24 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
     return out
 
 
+#: embedder name -> per-text embedding function (E1 variants).
+EMBEDDERS = {"rand": embed_text, "md5hex": md5hex_embed}
+
+
 @dataclass
 class EmbedModel:
-    """OvR logistic heads over the offline embedding space (E2/E3)."""
+    """OvR logistic heads over an offline embedding space (E2/E3)."""
     #: type -> ("logistic", w[dim+1]) | ("trivial", constant_p)
     heads: dict[str, tuple] = field(default_factory=dict)
+    #: which E1 embedding the heads were fit/defined over.
+    embedder: str = "rand"
+
+    def _embed(self, text: str) -> np.ndarray:
+        return EMBEDDERS[self.embedder](text)
 
     def fit(self, texts: list[str], labels: list[str],
             lr: float = 0.5, iters: int = 300) -> "EmbedModel":
-        X = np.stack([embed_text(t) for t in texts])
+        X = np.stack([self._embed(t) for t in texts])
         Xb = np.hstack([X, np.ones((len(X), 1))])
         for t in sorted(set(labels) & set(ALL_PII_TYPES)):
             y = np.array([1.0 if l == t else 0.0 for l in labels])
@@ -88,7 +136,7 @@ class EmbedModel:
     def predict_proba(self, texts: list[str]) -> list[dict[str, float]]:
         if not self.heads:  # no classifier -> all-zeros (reference)
             return [{} for _ in texts]
-        X = np.stack([embed_text(t) for t in texts])
+        X = np.stack([self._embed(t) for t in texts])
         Xb = np.hstack([X, np.ones((len(X), 1))])
         out: list[dict[str, float]] = [{} for _ in texts]
         for t, (kind, param) in sorted(self.heads.items()):
@@ -106,12 +154,15 @@ class EmbedModel:
             meta.append(f"{t}:{kind}")
             arrays[t] = (np.asarray([param]) if kind == "trivial"
                          else np.asarray(param))
-        np.savez(path, __meta__=np.array(meta), **arrays)
+        np.savez(path, __meta__=np.array(meta),
+                 __embedder__=np.array([self.embedder]), **arrays)
 
     @classmethod
     def load(cls, path: str) -> "EmbedModel":
         data = np.load(path, allow_pickle=False)
         model = cls()
+        if "__embedder__" in data:
+            model.embedder = str(data["__embedder__"][0])
         for entry in data["__meta__"]:
             t, kind = str(entry).split(":")
             arr = data[t]
@@ -127,14 +178,14 @@ def embed_probs(df: DataFrame, model: EmbedModel,
     """E1+E2 as one Arrow-batched stage. The model rides the closure (tiny
     — per-type weight vectors); heavyweight models would ship via
     SparkContext.addFile + executor-global lazy load instead."""
-    heads = model.heads
+    heads, embedder = model.heads, model.embedder
     fields = [f.name for f in df.schema.fields]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} map<string,double>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = EmbedModel(heads)
+        local = EmbedModel(heads, embedder)
         for pdf in batches:
             probs = local.predict_proba(list(pdf[text_col]))
             pdf = pdf.copy()

@@ -97,8 +97,9 @@ def fuse_predictions(
 
     ``cands`` needs columns pii_type (rule label), match_text,
     rule_confidence, validated. ``ner_signal``/``embed_signal`` are
-    functions of the per-type slot — pass None for the offline
-    deterministic signals.
+    MAP<STRING,DOUBLE> columns (type -> signal, the shape the N5/E2
+    stages emit; absent types read as 0.0) — pass None for the offline
+    deterministic md5 signals (the hermetic-mode fallback).
 
     Adds: ``label`` (argmax type), ``score`` (normalized argmax prob,
     rounded 1e-6), keeping all input columns. ``decision_threshold`` is
@@ -111,11 +112,14 @@ def fuse_predictions(
     """
     calibration = calibration or CALIBRATION
 
+    def from_map(m: Column, t: str) -> Column:
+        return F.coalesce(F.element_at(m, F.lit(t)), F.lit(0.0))
+
     def per_type(t: str) -> Column:
         is_label = (F.col("pii_type") == t).cast("double")
-        ner = (ner_signal if ner_signal is not None
+        ner = (from_map(ner_signal, t) if ner_signal is not None
                else offline_signal(F.col("match_text"), t, "ner"))
-        emb = (embed_signal if embed_signal is not None
+        emb = (from_map(embed_signal, t) if embed_signal is not None
                else offline_signal(F.col("match_text"), t, "embed"))
         raw = (F.lit(weights.w_rule) * F.col("rule_confidence") * is_label
                + F.lit(weights.validation_bonus)
@@ -155,17 +159,60 @@ def ensemble_oracle_sql(cands_rel: str,
                         calibration: dict[str, tuple[float, float]] | None = None,
                         out_cols: str = "column_ref, value, pii_type, "
                                         "match_text",
-                        decision_threshold: float | None = None) -> str:
+                        decision_threshold: float | None = None,
+                        ner_rel: str | None = None,
+                        embed_hash_col: str | None = None) -> str:
     """DuckDB rendering: explode candidates x 11 types, window-normalize,
     argmax via row_number with type-order tie-break. ``cands_rel`` must be a
-    relation of DISTINCT candidate rows with the fusion input columns."""
+    relation of DISTINCT candidate rows with the fusion input columns.
+
+    Signal sources (default: the offline md5 placeholders):
+    - ``ner_rel``: a (ckey, pii_type, signal) relation (the N5 histogram
+      keyed by context hash); requires ``cands_rel`` to expose ``ckey``.
+      Absent types contribute 0.0.
+    - ``embed_hash_col``: name of a md5(context) column on ``cands_rel``;
+      renders the E2 deterministic md5hex logistic heads
+      (embeddings.deterministic_head_weights) per type — the exact
+      arithmetic the mapInPandas embed stage computes.
+    """
     calibration = calibration or CALIBRATION
+
+    def embed_vals(t: str) -> str:
+        from .embeddings import EMBED_DIM, deterministic_head_weights
+        w = deterministic_head_weights(t)
+        cells = [f"CAST({float(w[EMBED_DIM])!r} AS DOUBLE)"]
+        cells += [f"CAST({float(w[j])!r} AS DOUBLE)"
+                  for j in range(EMBED_DIM)]
+        return ", " + ", ".join(cells)
+
+    extra_names = ""
+    if embed_hash_col is not None:
+        from .embeddings import EMBED_DIM
+        extra_names = ", eb, " + ", ".join(
+            f"w{j}" for j in range(EMBED_DIM))
     type_rows = ", ".join(
         f"('{t}', {i}, CAST({calibration[t][0]} AS DOUBLE), "
-        f"CAST({calibration[t][1]} AS DOUBLE))"
+        f"CAST({calibration[t][1]} AS DOUBLE)"
+        + (embed_vals(t) if embed_hash_col is not None else "") + ")"
         for i, t in enumerate(ALL_PII_TYPES))
-    ner = offline_signal_sql("c.match_text", "t.t_type", "ner")
-    emb = offline_signal_sql("c.match_text", "t.t_type", "embed")
+
+    if ner_rel is None:
+        ner = offline_signal_sql("c.match_text", "t.t_type", "ner")
+        ner_join = ""
+    else:
+        ner = "COALESCE(ns.signal, CAST(0.0 AS DOUBLE))"
+        ner_join = (f"\n  LEFT JOIN {ner_rel} ns"
+                    f" ON ns.ckey = c.ckey AND ns.pii_type = t.t_type")
+    if embed_hash_col is None:
+        emb = offline_signal_sql("c.match_text", "t.t_type", "embed")
+    else:
+        from .embeddings import EMBED_DIM
+        digits = " + ".join(
+            f"t.w{j} * (instr('{_HEX}', "
+            f"substr(c.{embed_hash_col}, {j + 1}, 1)) - 1)"
+            for j in range(EMBED_DIM))
+        emb = f"(1.0 / (1.0 + exp(-(t.eb + {digits}))))"
+
     raw = (f"({weights.w_rule} * c.rule_confidence * "
            f"(CASE WHEN c.pii_type = t.t_type THEN 1.0 ELSE 0.0 END) + "
            f"{weights.validation_bonus} * "
@@ -183,6 +230,7 @@ SELECT {out_cols}, label, score FROM (
          row_number() OVER (PARTITION BY {part}
                             ORDER BY {cal} DESC, t.t_rank) AS rn
   FROM {cands_rel} c
-  CROSS JOIN (VALUES {type_rows}) t(t_type, t_rank, a, b)
+  CROSS JOIN (VALUES {type_rows}) t(t_type, t_rank, a, b{extra_names})
+  {ner_join}
 ) WHERE rn = 1{gate}
 """

@@ -206,11 +206,14 @@ FROM merged_in GROUP BY column_ref, value, pii_type
 
 def ner_context_signals_oracle_sql(ctx_rel: str = "ctx",
                                    keep: tuple[str, ...] = ("column_ref",
-                                                            "match_text")
-                                   ) -> str:
+                                                            "match_text"),
+                                   wrap_cte: str | None = None) -> str:
     """DuckDB rendering of N5 over a (keep..., context) relation: per-rule
     match extraction (same bounded patterns at the provider scores, all
-    above the 0.60 gate), histogram per keep key, normalized shares."""
+    above the 0.60 gate), histogram per keep key, normalized shares.
+
+    With ``wrap_cte`` the final select becomes a named CTE (for
+    composition into a larger query) instead of the query tail."""
     from .rules import bounded_pattern
     keep_sql = ", ".join(keep)
     parts = []
@@ -222,6 +225,12 @@ def ner_context_signals_oracle_sql(ctx_rel: str = "ctx",
             f"FROM {ctx_rel}")
     spans = " UNION ALL ".join(parts)
     out_keep = ", ".join(f"c.{k} AS {k}" for k in keep)
+    final = f"""SELECT {out_keep}, c.ent_type AS pii_type,
+       round(c.n / CAST(t.total AS DOUBLE), 6) AS signal
+FROM counts c
+JOIN totals t ON {" AND ".join(f"c.{k} = t.{k}" for k in keep)}"""
+    tail = (f",\n{wrap_cte} AS (\n{final}\n)" if wrap_cte is not None
+            else f"\n{final}")
     return f"""
 spans AS ({spans}),
 counts AS (
@@ -230,11 +239,7 @@ counts AS (
 ),
 totals AS (
   SELECT {keep_sql}, SUM(n) AS total FROM counts GROUP BY {keep_sql}
-)
-SELECT {out_keep}, c.ent_type AS pii_type,
-       round(c.n / CAST(t.total AS DOUBLE), 6) AS signal
-FROM counts c
-JOIN totals t ON {" AND ".join(f"c.{k} = t.{k}" for k in keep)}
+){tail}
 """
 
 

@@ -70,3 +70,42 @@ def test_distributed_inference_matches_local(spark, trained):
     for i in range(20):
         for t, v in local[i].items():
             assert dist[i][t] == pytest.approx(v, abs=1e-12)
+
+
+def test_md5hex_embedding_is_exact_hex_digits():
+    import hashlib
+
+    from catalog_pii_scanner_spark.operators.embeddings import md5hex_embed
+    v = md5hex_embed("hello world")
+    h = hashlib.md5(b"hello world").hexdigest()
+    assert list(v) == [float("0123456789abcdef".index(c)) for c in h]
+
+
+def test_deterministic_model_matches_manual_sigmoid():
+    """The md5hex model's predict_proba must equal sigmoid(w . digits + b)
+    computed by hand — the arithmetic the full-pipeline DuckDB oracle
+    renders (exact: integer features x binary-fraction weights)."""
+    import math
+
+    from catalog_pii_scanner_spark.operators.embeddings import (
+        deterministic_head_weights, deterministic_model, md5hex_embed)
+    model = deterministic_model()
+    text = "Contact XXXX Xxxxx via xxxx@x.io"
+    probs = model.predict_proba([text])[0]
+    x = md5hex_embed(text)
+    for t, p in probs.items():
+        w = deterministic_head_weights(t)
+        z = sum(float(x[j]) * float(w[j]) for j in range(32)) + float(w[32])
+        assert p == pytest.approx(1.0 / (1.0 + math.exp(-z)), abs=1e-15)
+
+
+def test_deterministic_model_persistence_keeps_embedder(tmp_path_factory):
+    from catalog_pii_scanner_spark.operators.embeddings import (
+        EmbedModel, deterministic_model)
+    model = deterministic_model()
+    path = str(tmp_path_factory.mktemp("model") / "det.npz")
+    model.save(path)
+    back = EmbedModel.load(path)
+    assert back.embedder == "md5hex"
+    texts = ["a b c", "x y z"]
+    assert back.predict_proba(texts) == model.predict_proba(texts)

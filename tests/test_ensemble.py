@@ -46,8 +46,9 @@ def test_identity_calibration_tie_break_type_order(spark):
     df = spark.createDataFrame(
         [("c", "v", "DATE", "x", 0.0, False)], SCHEMA)
     identity = {t: (1.0, 0.0) for t in ALL_PII_TYPES}
+    empty = F.lit(None).cast("map<string,double>")
     row = fuse_predictions(
         df, REFERENCE_WEIGHTS, calibration=identity,
-        ner_signal=F.lit(0.0), embed_signal=F.lit(0.0)).collect()[0]
+        ner_signal=empty, embed_signal=empty).collect()[0]
     assert row.label == ALL_PII_TYPES[0]
     assert row.score == pytest.approx(1.0 / len(ALL_PII_TYPES), abs=1e-6)
