@@ -29,6 +29,9 @@ from catalog_pii_scanner_spark.operators.redaction import (
 from catalog_pii_scanner_spark.operators.rules import rules_for_types
 from catalog_pii_scanner_spark.sources.catalog import (
     catalog_columns_oracle_sql, parquet_catalog_columns)
+from catalog_pii_scanner_spark.sources.glue import (
+    GlueEnumerator, glue_columns, glue_columns_oracle_sql,
+    stub_glue_client)
 from catalog_pii_scanner_spark.sources.demo_catalog import (
     DEMO_TEXT_COLUMNS, demo_pii_df)
 from catalog_pii_scanner_spark.sources.melt import melt_df, melt_table
@@ -94,6 +97,9 @@ ENABLED_SUBSET = ("EMAIL", "PHONE_NUMBER", "CREDIT_CARD")
 
 #: glob gates for the oracle-checked Unity enumeration (S2/P1).
 UNITY_PATTERNS = ("c*", "orders", "line?tem")
+
+#: glob gates for the oracle-checked Glue enumeration (S1/P1).
+GLUE_PATTERNS = ("nation", "s*", "events")
 
 
 def _ensemble_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unity_columns": lambda s, sf:
             unity_catalog_columns(stub_information_schema(s),
                                   table_patterns=UNITY_PATTERNS),
+        # S1 Glue paginated+backoff protocol walk with fnmatch gates
+        "glue_columns": lambda s, sf:
+            glue_columns(s, GlueEnumerator(stub_glue_client()),
+                         table_patterns=GLUE_PATTERNS),
         # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
         "sample_columns_topn": _sample,
         # streaming-equivalent tumbling window aggregation (§2.13)
@@ -329,6 +339,8 @@ def oracle_sql() -> dict[str, str]:
         "catalog_columns": catalog_columns_oracle_sql(),
         "unity_columns": unity_columns_oracle_sql(
             table_patterns=UNITY_PATTERNS),
+        "glue_columns": glue_columns_oracle_sql(
+            table_patterns=GLUE_PATTERNS),
         "sample_columns_topn": sample_columns_oracle_sql(
             oracles.tables_melted_sql(SCAN_TABLES)),
         "events_hourly": events_hourly_oracle_sql(),
