@@ -38,7 +38,8 @@ from catalog_pii_scanner_spark.sources.melt import melt_df, melt_table
 from catalog_pii_scanner_spark.sources.unity import (
     stub_information_schema, unity_catalog_columns, unity_columns_oracle_sql)
 from catalog_pii_scanner_spark.sources.sampler import (
-    sample_columns, sample_columns_oracle_sql)
+    athena_sample_column, athena_sample_oracle_sql, sample_columns,
+    sample_columns_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
     events_hourly, events_hourly_oracle_sql, stream_events_hourly,
     stream_events_hourly_oracle_sql)
@@ -100,6 +101,13 @@ UNITY_PATTERNS = ("c*", "orders", "line?tem")
 
 #: glob gates for the oracle-checked Glue enumeration (S1/P1).
 GLUE_PATTERNS = ("nation", "s*", "events")
+
+#: S6 cost-capped sampler query shape: WHERE predicate pushed to the
+#: scan, a 25% hash-fraction (the BytesScannedCutoff analog), top-50 in
+#: deterministic pseudo-random order.
+ATHENA_SAMPLE_ARGS = ("lineitem", "l_extendedprice")
+ATHENA_SAMPLE_KW = dict(n=50, where="l_quantity >= 25",
+                        sample_fraction=0.25)
 
 
 def _ensemble_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          table_patterns=GLUE_PATTERNS),
         # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
         "sample_columns_topn": _sample,
+        # S6 Athena-analog: WHERE pushdown + cost-cap fraction + rand
+        # order + LIMIT (args mirror ATHENA_SAMPLE below)
+        "athena_sample_capped": lambda s, sf:
+            athena_sample_column(s, sf, *ATHENA_SAMPLE_ARGS,
+                                 **ATHENA_SAMPLE_KW),
         # streaming-equivalent tumbling window aggregation (§2.13)
         "events_hourly": events_hourly,
         # true Structured Streaming drain (availableNow watcher, §2.13)
@@ -343,6 +356,8 @@ def oracle_sql() -> dict[str, str]:
             table_patterns=GLUE_PATTERNS),
         "sample_columns_topn": sample_columns_oracle_sql(
             oracles.tables_melted_sql(SCAN_TABLES)),
+        "athena_sample_capped": athena_sample_oracle_sql(
+            *ATHENA_SAMPLE_ARGS, **ATHENA_SAMPLE_KW),
         "events_hourly": events_hourly_oracle_sql(),
         "stream_events_hourly": stream_events_hourly_oracle_sql(),
         "doc_quality": textstats.doc_quality_sql("duckdb"),

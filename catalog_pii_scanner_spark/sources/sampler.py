@@ -79,3 +79,97 @@ def tablesample_values(spark, sf_dir: str, table: str, column: str,
         .select(F.col(column).cast("string").alias("value"))
         .where(F.col("value").isNotNull())
     )
+
+
+# --- Athena-analog cost-capped sampler (S6) ---------------------------------
+
+_HEX = "0123456789abcdef"
+#: hash-fraction granularity: 4 md5 hex digits -> [0, 65536).
+_FRACTION_SPACE = 16 ** 4
+
+
+def fraction_for_byte_cap(path: str, bytes_cap: int) -> float:
+    """Translate the reference's BytesScannedCutoffPerQuery workgroup cap
+    (athena.py:138-154) into a scan fraction from parquet FOOTER metadata
+    only: cap / total_compressed_bytes, clamped to (0, 1]."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    total = sum(md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups))
+    return max(min(bytes_cap / max(total, 1), 1.0), 0.0)
+
+
+def _hash_bucket_sql(expr: str, dialect: str, salt: str) -> str:
+    """First 4 md5 hex digits of (salt || expr) as an integer in
+    [0, 65536) — the deterministic, dialect-portable uniform hash used
+    for fraction predicates (both engines compute it identically)."""
+    h = f"md5('{salt}:' || {expr})"
+    return " + ".join(
+        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4))
+
+
+def athena_sample_column(spark, sf_dir: str, table: str, column: str,
+                         n: int = DEFAULT_SAMPLE_N,
+                         where: str | None = None,
+                         sample_fraction: float = 1.0,
+                         salt: str = "cps") -> DataFrame:
+    """S6: the Athena sampler's semantics, Spark-first (reference
+    athena.py:97-135 ``sample_column`` + the cost-cap workgroup,
+    athena.py:138-154):
+
+    - ``where`` + IS NOT NULL push down to the parquet scan (the Athena
+      WHERE clause; asserted by plan test).
+    - ``sample_fraction`` is the BytesScannedCutoffPerQuery analog — a
+      deterministic value-hash fraction predicate (use
+      :func:`fraction_for_byte_cap` to derive it from a byte budget).
+      Deterministic instead of Athena's bucket-random so the oracle
+      checks it; at cluster scale the same predicate prunes work before
+      the distinct shuffle.
+    - distinct values, pseudo-random deterministic order (md5 of the
+      value — the engine-portable ORDER BY rand()), LIMIT n.
+
+    Output: (value) — at most n distinct sampled values.
+    """
+    from .melt import TESTDATA_SCHEMAS, read_table, stringify_sql
+    df = read_table(spark, sf_dir, table)
+    if where:
+        df = df.where(where)
+    dtype = dict(TESTDATA_SCHEMAS[table])[column]
+    out = (
+        df.select(F.expr(stringify_sql(column, dtype, "spark"))
+                  .alias("value"))
+        .where(F.col("value").isNotNull())
+    )
+    if sample_fraction < 1.0:
+        cutoff = int(sample_fraction * _FRACTION_SPACE)
+        out = out.where(
+            F.expr(_hash_bucket_sql("value", "spark", salt)) < cutoff)
+    return (
+        out.distinct()
+        .orderBy(F.md5(F.concat(F.lit("ord:"), F.col("value"))))
+        .limit(n)
+        .select("value")
+    )
+
+
+def athena_sample_oracle_sql(table: str, column: str,
+                             n: int = DEFAULT_SAMPLE_N,
+                             where: str | None = None,
+                             sample_fraction: float = 1.0,
+                             salt: str = "cps") -> str:
+    from .melt import TESTDATA_SCHEMAS, stringify_sql
+    dtype = dict(TESTDATA_SCHEMAS[table])[column]
+    w = f" AND ({where})" if where else ""
+    frac = ""
+    if sample_fraction < 1.0:
+        cutoff = int(sample_fraction * _FRACTION_SPACE)
+        frac = (f" AND ({_hash_bucket_sql('value', 'duckdb', salt)})"
+                f" < {cutoff}")
+    return f"""
+SELECT value FROM (
+  SELECT DISTINCT {stringify_sql(column, dtype, 'duckdb')} AS value
+  FROM {table} WHERE {column} IS NOT NULL{w}
+) WHERE TRUE{frac}
+ORDER BY md5('ord:' || value) LIMIT {n}
+"""
