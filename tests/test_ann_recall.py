@@ -1,0 +1,68 @@
+"""ANN quality gates: the approximate paths must actually approximate.
+Recall@5 measured against the brute-force cosine_topk ground truth on
+the real testdata vectors — the r2 verdict flagged the single 8-bit
+signature (recall 0.04 here) as not production-shaped."""
+
+from __future__ import annotations
+
+import pytest
+
+from catalog_pii_scanner_spark.operators import simsearch
+
+
+@pytest.fixture(scope="module")
+def truth(spark, sf_dir):
+    rows = simsearch.cosine_topk(spark, sf_dir).collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert out
+    return out
+
+
+def _recall(result_rows, truth: dict[int, set[int]]) -> float:
+    got: dict[int, set[int]] = {q: set() for q in truth}
+    for r in result_rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return sum(len(got[q] & t) / len(t) for q, t in truth.items()) \
+        / len(truth)
+
+
+def test_multiprobe_lsh_recall(spark, sf_dir, truth):
+    rows = simsearch.ann_lsh_topk(spark, sf_dir).collect()
+    assert _recall(rows, truth) >= 0.9
+
+
+def test_multiprobe_beats_single_table(spark, sf_dir, truth):
+    """The r2 configuration (one 8-bit table, no probes) is strictly
+    dominated by the multi-table multi-probe default."""
+    single = simsearch.ann_lsh_topk(spark, sf_dir, num_tables=1,
+                                    bits_per_table=8,
+                                    probe_bits=0).collect()
+    multi = simsearch.ann_lsh_topk(spark, sf_dir).collect()
+    assert _recall(multi, truth) > _recall(single, truth)
+
+
+def test_kmeans_quantizer_beats_prefix(spark, sf_dir, truth):
+    """Learned centroids concentrate cells, so at the same probe budget
+    the kmeans quantizer recalls more than the deterministic prefix
+    placeholder (kept for oracle parity)."""
+    prefix = simsearch.ann_ivf_topk(spark, sf_dir,
+                                    quantizer="prefix").collect()
+    kmeans = simsearch.ann_ivf_topk(spark, sf_dir,
+                                    quantizer="kmeans").collect()
+    r_prefix, r_kmeans = _recall(prefix, truth), _recall(kmeans, truth)
+    assert r_kmeans > r_prefix
+    assert r_kmeans >= 0.4
+
+
+def test_ivf_cosines_are_exact(spark, sf_dir):
+    """Approximation may drop neighbors, never mis-score them: every
+    (query, neighbor) cosine the IVF path reports must equal the
+    brute-force cosine for that pair."""
+    brute = {(r.query_id, r.neighbor_id): r.cosine
+             for r in simsearch.cosine_topk(spark, sf_dir,
+                                            k=10 ** 6).collect()}
+    for r in simsearch.ann_ivf_topk(spark, sf_dir,
+                                    quantizer="kmeans").collect():
+        assert brute[(r.query_id, r.neighbor_id)] == r.cosine
