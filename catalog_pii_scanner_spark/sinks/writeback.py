@@ -63,6 +63,59 @@ def desired_tags(findings: DataFrame) -> DataFrame:
     )
 
 
+def update_column_tags_sql(spark: SparkSession, table: str, column: str,
+                           pii: bool, pii_types: list[str] | None = None,
+                           append_comment: str | None = None) -> bool:
+    """K3/K4 REAL path: idempotent tag write-back via actual
+    ``ALTER TABLE … SET TBLPROPERTIES`` / ``ALTER COLUMN … COMMENT``
+    statements against the Spark session catalog (reference
+    unity.py:263-311 SQL tag-back, hms.py:110-162 alter_table). The
+    reference's per-column table-property vocabulary is kept:
+    ``cps.pii.col.<column>`` and ``cps.pii_types.col.<column>``.
+    Diff-before-write: re-running with unchanged desired state issues NO
+    ALTER statements. Returns whether any statement was issued."""
+    props = {r.key: r.value
+             for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    want = {f"cps.pii.col.{column}": str(bool(pii)).lower()}
+    if pii_types is not None:
+        want[f"cps.pii_types.col.{column}"] = ",".join(
+            sorted(t.strip() for t in pii_types if t.strip()))
+    delta = {k: v for k, v in want.items() if props.get(k) != v}
+    changed = False
+    if delta:
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(delta.items()))
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+        changed = True
+    if append_comment:
+        current = next(
+            (c.description for c in spark.catalog.listColumns(table)
+             if c.name == column), None) or ""
+        if append_comment not in current:
+            new = (current + (" " if current else "")
+                   + append_comment)[:MAX_COMMENT]
+            escaped = new.replace("'", "''")
+            spark.sql(f"ALTER TABLE {table} ALTER COLUMN {column} "
+                      f"COMMENT '{escaped}'")
+            changed = True
+    return changed
+
+
+def apply_writeback_sql(spark: SparkSession,
+                        findings: DataFrame) -> dict[str, int]:
+    """Diff-before-write apply loop over the session catalog: findings
+    refs ``cat://schema/table/column`` land as ALTER statements on
+    ``schema.table``. Idempotent like :func:`apply_writeback`."""
+    applied = skipped = 0
+    for row in desired_tags(findings).toLocalIterator():
+        changed = update_column_tags_sql(
+            spark, f"{row['schema']}.{row['table']}", row["column"],
+            pii=True, pii_types=row["pii_types"].split(","),
+            append_comment=row["comment"])
+        applied += int(changed)
+        skipped += int(not changed)
+    return {"applied": applied, "skipped": skipped}
+
+
 def apply_writeback(findings: DataFrame,
                     client: FakeCatalogClient) -> dict[str, int]:
     """Diff-before-write apply loop. Returns counters; re-running with an
