@@ -39,6 +39,14 @@ NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 SHINGLE_K = 3
 
+#: Per-document token cap for shingling: a monster document (multi-MB
+#: crawl artifact) otherwise becomes one straggler task in the per-doc
+#: window AND a shingle-set whose verify joins dwarf every other pair.
+#: The first MAX_SHINGLE_TOKENS tokens are representative for near-dup
+#: purposes (dup docs share prefixes too); applied identically in the
+#: engine and every oracle rendering.
+MAX_SHINGLE_TOKENS = 10_000
+
 #: LSH band-bucket cap: buckets holding more docs than this are excluded
 #: from the pairwise candidate join (a B-doc bucket contributes B^2/2
 #: pairs — boilerplate-heavy corpora produce quadratic blowups that no
@@ -56,8 +64,10 @@ def _tokens_sql(dialect: str, text_col: str = "text") -> str:
     return f"split({text_col}, ' +')"
 
 
-def _shingles_sql(dialect: str, text_col: str = "text") -> str:
-    """ARRAY of word 3-grams; empty when fewer than 3 tokens.
+def _shingles_sql(dialect: str, text_col: str = "text",
+                  cap: int = MAX_SHINGLE_TOKENS) -> str:
+    """ARRAY of word 3-grams over the first ``cap`` tokens; empty when
+    fewer than 3 tokens (see MAX_SHINGLE_TOKENS).
 
     List element access: DuckDB's element_at is map-only, so lists use
     list_extract; Spark's element_at is the array accessor (1-based in
@@ -65,6 +75,8 @@ def _shingles_sql(dialect: str, text_col: str = "text") -> str:
     """
     at = "list_extract" if dialect == "duckdb" else "element_at"
     toks = _tokens_sql(dialect, text_col)
+    toks = (f"({toks})[1:{cap}]" if dialect == "duckdb"
+            else f"slice({toks}, 1, {cap})")
     gram = (f"{at}(t, CAST(i + 1 AS INT)) || ' ' || "
             f"{at}(t, CAST(i + 2 AS INT)) || ' ' || "
             f"{at}(t, CAST(i + 3 AS INT))")
@@ -127,16 +139,19 @@ SELECT doc_id, {mins} FROM doc_shingles GROUP BY doc_id
 """
 
 
-def doc_shingles_df(spark, sf_dir: str) -> DataFrame:
+def shingles_from_docs(docs: DataFrame,
+                       cap: int = MAX_SHINGLE_TOKENS) -> DataFrame:
     """DISTINCT (doc_id, shingle) via posexplode + window leads — pure
     codegen-friendly primitives (the SQL-template formulation uses an HOF
     transform that drops Spark to interpreted eval, and a CTE that Spark
     re-inlines per use; as DataFrame steps the relation is built once and
-    persisted by callers that reuse it)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    persisted by callers that reuse it). Tokens beyond ``cap`` are
+    dropped BEFORE the per-doc window (see MAX_SHINGLE_TOKENS — one
+    monster document must not become the straggler task)."""
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " +")).alias("pos", "tok"))
+    toks = toks.where(F.col("pos") < cap)
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         toks
@@ -147,6 +162,11 @@ def doc_shingles_df(spark, sf_dir: str) -> DataFrame:
                 F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"))
         .distinct()
     )
+
+
+def doc_shingles_df(spark, sf_dir: str) -> DataFrame:
+    return shingles_from_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _signatures_from_shingles(shingles: DataFrame) -> DataFrame:

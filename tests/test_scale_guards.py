@@ -100,3 +100,22 @@ def test_no_cached_relation_accumulation(spark):
             break
         time.sleep(1.0)
     assert _n_persistent(spark) <= baseline
+
+
+def test_monster_document_shingles_bounded(spark):
+    """The per-doc token cap bounds a multi-MB document's shingle set (and
+    its window task) — the straggler guard. A ~10 MB doc completes fast
+    and contributes at most cap-2 shingles."""
+    from catalog_pii_scanner_spark.operators.dedup import shingles_from_docs
+
+    monster = " ".join(f"tok{i}" for i in range(1_500_000))  # ~10 MB text
+    docs = spark.createDataFrame(
+        [(1, monster), (2, "a small doc here")],
+        "doc_id bigint, text string")
+    t0 = time.time()
+    rows = shingles_from_docs(docs, cap=100).groupBy("doc_id") \
+        .count().collect()
+    counts = {r.doc_id: r["count"] for r in rows}
+    assert counts[1] == 98  # cap - (SHINGLE_K - 1)
+    assert counts[2] == 2
+    assert time.time() - t0 < 60
