@@ -22,6 +22,8 @@ from catalog_pii_scanner_spark.operators.ensemble import (
     ensemble_oracle_sql, fuse_predictions)
 from catalog_pii_scanner_spark.operators.evaluate import (
     eval_metrics, eval_metrics_oracle_sql)
+from catalog_pii_scanner_spark.operators.features import (
+    candidate_features, candidate_features_oracle_sql)
 from catalog_pii_scanner_spark.operators.findings import (findings_rollup,
                                                           scan_values)
 from catalog_pii_scanner_spark.operators.redaction import (
@@ -266,6 +268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             findings_rollup(_tables_values(s, sf)),
         # X1-X10 candidate detail (P2-P5 predicates, checksum validation)
         "pii_candidates_scored": _candidates_detail,
+        # P8 feature projection (~28 cols, pure codegen)
+        "pii_candidate_features": lambda s, sf: candidate_features(
+            _demo_candidates(s, sf)
+            .select(*CAND_COLS, "rule_confidence", "validated")
+            .distinct()),
         # R1/R2/R4 redaction + contexts
         "pii_redaction_contexts": _redaction,
         # F1-F5 full 11-type fusion + calibration + argmax
@@ -337,6 +344,11 @@ def oracle_sql() -> dict[str, str]:
             oracles.scan_findings_oracle(
                 oracles.tables_melted_sql(SCAN_TABLES), class_col="vclass"),
         "pii_candidates_scored": _candidates_detail_oracle(),
+        "pii_candidate_features": (
+            _scored_demo_cte()
+            + ", cand_rel AS (SELECT DISTINCT column_ref, value, pii_type,"
+              " match_text, rule_confidence, validated FROM scored)\n"
+            + candidate_features_oracle_sql("cand_rel")),
         "pii_redaction_contexts": _redaction_oracle(),
         "pii_ensemble_predictions": _ensemble_oracle(),
         "pii_ensemble_gated": _ensemble_oracle(GATE_THRESHOLD),

@@ -48,6 +48,22 @@ def scrub_text(text: str) -> str:
     return text
 
 
+def dedupe_spans(texts: list[str | None] | None) -> list[str]:
+    """P9: unique-by-text span list, first occurrence wins (reference
+    logging_utils.py:149-158) — applied before span lists reach a log
+    record. Data-plane twin for spans riding as array columns:
+    ``F.array_distinct`` (order of first occurrence, same semantics)."""
+    if not texts:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for t in texts:
+        if t and t not in seen:
+            out.append(t)
+            seen.add(t)
+    return out
+
+
 def scrub(value: Any) -> Any:
     """Recursive scrub of any JSON-able structure."""
     if isinstance(value, str):

@@ -1,0 +1,71 @@
+"""Candidate feature projection (reference P8,
+src/catalog_pii_scanner/rules.py:169-180 ``candidate_feature_vector``).
+
+One row per candidate -> ~28 numeric/boolean feature columns: surface
+shape (len, has_at, has_dot, has_digits, digits_ratio), the rule prior
+(rule_conf), and per-type validation / rule-label one-hots. The
+reference computes these per candidate dict-at-a-time for a feature
+model it never trained in v0; here they are pure JVM column expressions
+— zero shuffle, whole-stage codegen, and identical SQL renders for the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pii_types import ALL_PII_TYPES
+
+#: key columns carried through the projection.
+FEATURE_KEYS = ("column_ref", "value", "pii_type", "match_text")
+
+
+def candidate_features(cands: DataFrame) -> DataFrame:
+    """Candidates (match_text, rule_confidence, validated, pii_type) ->
+    feature columns. ``validations`` in the reference is a per-type dict;
+    our rule candidates validate under their own label's checksum, so
+    ``val_<t>`` is validated AND label==t (the same truth table the
+    reference's dict produces for rule candidates)."""
+    text = F.col("match_text")
+    n_digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    out = (
+        cands
+        .withColumn("len", F.length(text))
+        .withColumn("has_at", text.contains("@"))
+        .withColumn("has_dot", text.contains("."))
+        .withColumn("has_digits", n_digits > 0)
+        .withColumn("digits_ratio",
+                    F.round(n_digits / F.greatest(F.length(text),
+                                                  F.lit(1)), 6))
+        .withColumn("rule_conf", F.round("rule_confidence", 6))
+    )
+    for t in ALL_PII_TYPES:
+        is_t = F.col("pii_type") == t
+        out = out.withColumn(f"val_{t}", is_t & F.col("validated"))
+        out = out.withColumn(f"rule_is_{t}", is_t.cast("int"))
+    return out.select(
+        *FEATURE_KEYS, "len", "has_at", "has_dot", "has_digits",
+        "digits_ratio", "rule_conf",
+        *[c for t in ALL_PII_TYPES for c in (f"val_{t}", f"rule_is_{t}")])
+
+
+def candidate_features_oracle_sql(cands_rel: str = "scored") -> str:
+    """DuckDB rendering over a scored-candidates relation."""
+    nd = "length(regexp_replace(match_text, '[^0-9]', '', 'g'))"
+    per_type = ", ".join(
+        f"(pii_type = '{t}' AND validated) AS val_{t}, "
+        f"CAST(pii_type = '{t}' AS INT) AS rule_is_{t}"
+        for t in ALL_PII_TYPES)
+    return f"""
+SELECT column_ref, value, pii_type, match_text,
+       length(match_text) AS len,
+       contains(match_text, '@') AS has_at,
+       contains(match_text, '.') AS has_dot,
+       {nd} > 0 AS has_digits,
+       round({nd} / CAST(greatest(length(match_text), 1) AS DOUBLE), 6)
+         AS digits_ratio,
+       round(rule_confidence, 6) AS rule_conf,
+       {per_type}
+FROM {cands_rel}
+"""

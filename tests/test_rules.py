@@ -86,3 +86,33 @@ def test_dob_confidence_boost(scanned):
 def test_scores_within_unit_interval(scanned):
     _, _, probs = scanned
     assert probs and all(0.0 < p < 1.0 for p in probs)
+
+
+def test_candidate_feature_vector_shape(spark):
+    """P8: the ~28-feature projection (reference rules.py:169-180) —
+    spot-check the surface features and one-hots."""
+    from catalog_pii_scanner_spark.operators.features import (
+        candidate_features)
+    from catalog_pii_scanner_spark.pii_types import ALL_PII_TYPES
+    cands = spark.createDataFrame(
+        [("c", "v", "EMAIL", "a@b.io", 0.95, False),
+         ("c", "v", "CREDIT_CARD", "4111 1111 1111 1111", 0.9, True)],
+        "column_ref string, value string, pii_type string, "
+        "match_text string, rule_confidence double, validated boolean")
+    rows = {r.pii_type: r for r in candidate_features(cands).collect()}
+    e = rows["EMAIL"]
+    assert (e.len, e.has_at, e.has_dot, e.has_digits) == \
+        (6, True, True, False)
+    assert e.digits_ratio == 0.0 and e.rule_conf == 0.95
+    assert e.rule_is_EMAIL == 1 and e.val_EMAIL is False
+    c = rows["CREDIT_CARD"]
+    assert c.has_digits and c.val_CREDIT_CARD is True
+    assert c.digits_ratio == round(16 / 19, 6)
+    assert sum(c[f"rule_is_{t}"] for t in ALL_PII_TYPES) == 1
+
+
+def test_dedupe_spans_first_occurrence():
+    from catalog_pii_scanner_spark.logging_utils import dedupe_spans
+    assert dedupe_spans(["a@b.io", "x", "a@b.io", None, "", "y"]) == \
+        ["a@b.io", "x", "y"]
+    assert dedupe_spans(None) == []
