@@ -144,40 +144,11 @@ def _full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference ensemble.py:69-136): extract -> redacted +/-48 contexts
     (R4) -> N5 context-signal histogram -> E2 embed probabilities (real
     mapInPandas stage, deterministic md5hex model) -> 11-type fusion with
-    BOTH signal maps bound (not the offline placeholders).
-
-    Scale shape: signals compute once per DISTINCT context (ckey =
-    md5(context)) and join back — context dedup bounds the model stages
-    by unique-context count, not candidate count. The candidate relation
-    is localCheckpointed so the extraction lineage isn't re-derived by
-    the two signal branches + the fusion join (blocks free on driver GC).
-    """
-    from catalog_pii_scanner_spark.operators.embeddings import (
-        deterministic_model, embed_probs)
-    cands = (
-        candidate_contexts(_demo_candidates(spark, sf_dir))
-        .select(*CAND_COLS, "rule_confidence", "validated", "context")
-        .distinct()
-        .withColumn("ckey", F.md5("context"))
-        .localCheckpoint(eager=True)
-    )
-    ctxs = cands.select("ckey", "context").distinct()
-    ner_map = (
-        ner.ner_context_signals(ctxs, keep_cols=("ckey",))
-        .groupBy("ckey")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("pii_type", "signal")))
-            .alias("ner_sig"))
-    )
-    emb_map = embed_probs(ctxs, deterministic_model()) \
-        .select("ckey", "embed_probs")
-    enriched = cands.join(ner_map, "ckey", "left") \
-                    .join(emb_map, "ckey", "left")
-    return fuse_predictions(
-        enriched,
-        ner_signal=F.col("ner_sig"),
-        embed_signal=F.col("embed_probs"),
-    ).select(*CAND_COLS, "label", "score")
+    BOTH signal maps bound (not the offline placeholders). See
+    operators/pipeline.py for the composition."""
+    from catalog_pii_scanner_spark.operators.pipeline import (
+        full_scan_predictions)
+    return full_scan_predictions(_demo_candidates(spark, sf_dir))
 
 
 def _full_pipeline_oracle() -> str:

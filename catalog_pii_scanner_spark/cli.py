@@ -71,17 +71,28 @@ def cmd_scan(args) -> int:
     print(json.dumps(out, default=str, indent=2))
     if args.store:
         write_findings(findings, args.store)
+    if args.merge_store:
+        from .sinks.findings_store import merge_findings
+        merge_findings(spark, findings, args.merge_store)
+    if args.jdbc_url:
+        from .sinks.findings_store import merge_findings_jdbc
+        merge_findings_jdbc(spark, findings, args.jdbc_url, "findings")
     if args.apply:
         client = FakeCatalogClient()
         stats = apply_writeback(findings, client)
         print(json.dumps({"writeback": stats}), file=sys.stderr)
+    if args.apply_sql:
+        from .sinks.writeback import apply_writeback_sql
+        stats = apply_writeback_sql(spark, findings)
+        print(json.dumps({"writeback_sql": stats}), file=sys.stderr)
     return 0
 
 
 def cmd_scan_text(args) -> int:
     from .config import load_config
-    from .operators.ensemble import fuse_predictions
+    from .operators.embeddings import EmbedModel
     from .operators.findings import scan_values
+    from .operators.pipeline import full_scan_predictions
     from .operators.rules import rules_for_types
     spark = _spark("scan-text")
     cfg = load_config(args.config or None)
@@ -89,10 +100,11 @@ def cmd_scan_text(args) -> int:
                                "column_ref string, value string")
     cands = scan_values(df, rules=rules_for_types(cfg.rules.enabled_types))
     if args.ensemble:
-        # P6 consumer: the decision threshold gates ensemble predictions
-        preds = fuse_predictions(
-            cands.select("column_ref", "value", "pii_type", "match_text",
-                         "rule_confidence", "validated").distinct(),
+        # the reference's scan_text path: contexts -> N5 + E2 signals ->
+        # fusion, gated by the P6 decision threshold (calibrated scale)
+        model = EmbedModel.load(args.model) if args.model else None
+        preds = full_scan_predictions(
+            cands, model=model,
             decision_threshold=cfg.ai.ensemble.decision_threshold)
         print(json.dumps([
             {"type": r.label, "text": r.match_text,
@@ -178,15 +190,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="glob URI spark://table_pat/column_pat, "
                         "e.g. spark://cust*/c_name")
     s.add_argument("--config", default="")
-    s.add_argument("--store", default="")
-    s.add_argument("--apply", action="store_true")
+    s.add_argument("--store", default="",
+                   help="append-only parquet findings store")
+    s.add_argument("--merge-store", default="",
+                   help="MERGE-semantics keyed upsert store")
+    s.add_argument("--jdbc-url", default="",
+                   help="JDBC findings upsert, e.g. jdbc:derby:db;create=true")
+    s.add_argument("--apply", action="store_true",
+                   help="tag write-back via the fake catalog client")
+    s.add_argument("--apply-sql", action="store_true",
+                   help="tag write-back via real ALTER TABLE statements "
+                        "against the session catalog")
     s.set_defaults(fn=cmd_scan)
 
     s = sub.add_parser("scan-text", help="detect PII in one text")
     s.add_argument("text")
     s.add_argument("--config", default="")
     s.add_argument("--ensemble", action="store_true",
-                   help="full 11-type fusion gated by decision_threshold")
+                   help="full pipeline: contexts -> NER/embed signals -> "
+                        "11-type fusion gated by decision_threshold")
+    s.add_argument("--model", default="",
+                   help="trained embed model (.npz); default: offline "
+                        "deterministic model")
     s.set_defaults(fn=cmd_scan_text)
 
     s = sub.add_parser("gen-synth", help="generate labeled JSONL")
