@@ -43,7 +43,8 @@ from catalog_pii_scanner_spark.sources.sampler import (
     athena_sample_column, athena_sample_oracle_sql, sample_columns,
     sample_columns_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
-    events_hourly, events_hourly_oracle_sql, stream_events_hourly,
+    events_hourly, events_hourly_oracle_sql, events_sessions,
+    events_sessions_oracle_sql, stream_events_hourly,
     stream_events_hourly_oracle_sql)
 
 SF0001 = "/root/testdata/sf0.001"
@@ -283,6 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         # true Structured Streaming drain (availableNow watcher, §2.13)
         "stream_events_hourly": stream_events_hourly,
+        # session windows (native session_window; streaming-capable)
+        "events_sessions": events_sessions,
         # text analysis (training-data pipeline)
         "doc_quality": textstats.doc_quality,
         "doc_lang_id": textstats.lang_id,
@@ -343,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
             *ATHENA_SAMPLE_ARGS, **ATHENA_SAMPLE_KW),
         "events_hourly": events_hourly_oracle_sql(),
         "stream_events_hourly": stream_events_hourly_oracle_sql(),
+        "events_sessions": events_sessions_oracle_sql(),
         "doc_quality": textstats.doc_quality_sql("duckdb"),
         "doc_lang_id": textstats.lang_id_sql("duckdb"),
         "doc_token_counts": textstats.token_counts_sql("duckdb"),

@@ -159,6 +159,105 @@ GROUP BY 1, 2
 """
 
 
+SESSION_GAP = "30 minutes"
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session windows with a 30-minute
+    inactivity gap (``F.session_window`` — Spark's native session
+    operator, usable identically on a stream with a watermark).
+    Timestamps truncate to seconds first so the micro-vs-nano reader
+    difference cannot flip a boundary; the DuckDB oracle renders the
+    same sessions as a gaps-and-islands window (lag + running sum).
+
+    Output: user_id, session_start, n_events, sum_value.
+    """
+    from ..sources.melt import read_table
+    ev = read_table(spark, sf_dir, "events") \
+        .withColumn("ts", F.date_trunc("second", "ts"))
+    return (
+        ev.groupBy("user_id",
+                   F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             (F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+              .cast("double")).alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "sum_value")
+    )
+
+
+def events_sessions_oracle_sql(events_rel: str = "events") -> str:
+    """Gaps-and-islands rendering: a session break is a gap >= 30 min
+    (session_window's [start, last+gap) half-open semantics)."""
+    return f"""
+WITH e AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, value FROM {events_rel}
+),
+o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL OR
+                   ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+#: EWMA smoothing for the custom stateful operator.
+EWMA_ALPHA = 0.3
+
+
+def stream_user_ewma(spark: SparkSession, events_path: str,
+                     alpha: float = EWMA_ALPHA):
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the escape hatch for semantics no built-in stateful op expresses):
+    a per-user exponentially-weighted running mean of event values —
+    the recursion ewma = a*x + (1-a)*ewma needs ordered stateful
+    accumulation, which windows/aggregations cannot express. State per
+    user: (n_seen, ewma), carried across microbatches; each batch emits
+    the user's updated running state (update mode).
+
+    Returns the streaming DataFrame (caller picks sink/trigger)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    def update(key, pdfs, state: GroupState):
+        n, ewma = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            for v in pdf.sort_values("ts")["value"]:
+                v = float(v)
+                ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+                n += 1
+        state.update((n, float(ewma)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_seen": [n],
+                            "ewma": [ewma]})
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_seen bigint, ewma double",
+        stateStructType="n bigint, ewma double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def scan_stream(spark: SparkSession, values_dir: str, schema: str =
                 "column_ref string, value string") -> DataFrame:
     """Incremental PII scan over a stream of (column_ref, value) files —
