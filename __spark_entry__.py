@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
+        # near-dup clusters: connected components over the pair graph
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_simhash": dedup.simhash,
         "dedup_embed_cosine": simsearch.embed_cosine_pairs,
@@ -354,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.exact_dedup_sql("duckdb"),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs_sql("duckdb"),
+        "dedup_clusters": dedup.dedup_clusters_sql("duckdb"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("duckdb"),
         "dedup_simhash": dedup.simhash_sql("duckdb"),
         "dedup_embed_cosine": simsearch.embed_cosine_pairs_sql("duckdb"),

@@ -484,3 +484,88 @@ def simhash(spark, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("cpss_documents")
     return spark.sql(simhash_sql("spark", "cpss_documents"))
+
+
+# --- duplicate clusters (connected components over the near-dup graph) ------
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node starts labeled with itself; each round every node takes the MIN
+    label in its closed neighborhood; fixpoint when no label changes.
+    Rounds needed <= component diameter (near-dup clusters are shallow;
+    the classic large-star/small-star variant halves rounds on deep
+    graphs but is overkill here). Each round is one groupBy shuffle over
+    the edge relation; labels localCheckpoint per round so lineage does
+    not grow with iterations.
+
+    ``edges`` needs (doc_a, doc_b); output: (doc_id, cluster_rep) for
+    every node appearing in an edge, cluster_rep = MIN doc_id reachable.
+    """
+    bidir = (
+        edges.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = bidir.select(F.col("src").alias("doc_id")).distinct() \
+        .withColumn("label", F.col("doc_id")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            bidir.join(labels.withColumnRenamed("doc_id", "dst")
+                             .withColumnRenamed("label", "nlabel"), "dst")
+            .groupBy("src").agg(F.min("nlabel").alias("nmin"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select("doc_id",
+                    F.least("label", F.coalesce("nmin", "label"))
+                    .alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.alias("u").join(
+            labels.alias("l"), "doc_id"
+        ).where(F.col("u.label") != F.col("l.label")).isEmpty()
+        labels = updated
+        if changed:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def dedup_clusters(spark, sf_dir: str, threshold: float = 0.5,
+                   max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+    """Duplicate-cluster resolution for the training-data pipeline: LSH
+    near-dup pairs -> connected components -> one canonical doc per
+    cluster (MIN doc_id). A corpus keep-list is then
+    ``all docs - (clustered docs - representatives)``. Output:
+    (doc_id, cluster_rep) for every doc in a near-dup cluster."""
+    pairs = lsh_near_dup_pairs(spark, sf_dir, threshold, max_bucket)
+    return connected_components(pairs)
+
+
+def dedup_clusters_sql(dialect: str, docs_rel: str = "documents",
+                       threshold: float = 0.5,
+                       max_bucket: int = MAX_BAND_BUCKET) -> str:
+    """DuckDB rendering: min reachable doc id per node via a RECURSIVE
+    CTE over the (bidirected) near-dup pair graph — the declarative twin
+    of the label-propagation fixpoint."""
+    pairs = lsh_near_dup_pairs_sql(dialect, docs_rel, threshold,
+                                   max_bucket).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, node) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT src AS doc_id, MIN(node) AS cluster_rep
+FROM reach GROUP BY src
+"""

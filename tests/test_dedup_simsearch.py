@@ -110,3 +110,20 @@ def test_ann_ivf_topk_small(spark, tmp_path):
         # every returned neighbor shares the query's axis parity
         assert all(r.neighbor_id % 2 == q % 2 for r in rs)
         assert all(r.cosine > 0.8 for r in rs)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Label propagation must close transitive chains (a-b, b-c => one
+    cluster) and keep islands separate."""
+    from catalog_pii_scanner_spark.operators.dedup import (
+        connected_components)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> cluster rep 1
+         (10, 11),                    # island -> rep 10
+         (20, 22), (21, 22)],         # star  -> rep 20
+        "doc_a bigint, doc_b bigint")
+    got = {(r.doc_id, r.cluster_rep)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
