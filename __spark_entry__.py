@@ -27,7 +27,8 @@ from catalog_pii_scanner_spark.operators.features import (
 from catalog_pii_scanner_spark.operators.findings import (findings_rollup,
                                                           scan_values)
 from catalog_pii_scanner_spark.operators.redaction import (
-    candidate_contexts, redaction_oracle_exprs)
+    candidate_contexts, redaction_oracle_exprs, suppress_and_redact,
+    suppress_redact_oracle_cte)
 from catalog_pii_scanner_spark.operators.rules import rules_for_types
 from catalog_pii_scanner_spark.sources.catalog import (
     catalog_columns_oracle_sql, parquet_catalog_columns)
@@ -183,6 +184,37 @@ def _ner_signals_oracle() -> str:
             + ner.ner_context_signals_oracle_sql("ctx").lstrip())
 
 
+def _overlap_suppressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: sequential-greedy overlap suppression + whole-text redaction
+    over the eval corpus (whose PERSON-bigram false positives genuinely
+    overlap the gold entity spans, so suppression does real work)."""
+    from catalog_pii_scanner_spark.operators.evaluate import eval_texts
+    from catalog_pii_scanner_spark.operators.rules import extract_candidates
+    texts = eval_texts(spark, sf_dir)
+    cands = extract_candidates(texts, value_col="text",
+                               keep_cols=("text_id",))
+    preds = (
+        cands.withColumn("pstart", F.instr(F.col("text"),
+                                           F.col("match_text")))
+        .withColumn("pend", F.col("pstart") + F.length("match_text"))
+        .select("text_id", "pstart", "pend", "pii_type", "match_text"))
+    return suppress_and_redact(texts, preds)
+
+
+def _overlap_suppressed_oracle() -> str:
+    from catalog_pii_scanner_spark.operators.evaluate import eval_entities_sql
+    return f"""WITH RECURSIVE {eval_entities_sql('duckdb', 'customer').lstrip()},
+{oracles.candidates_cte('texts', key_col='text_id', value_col='text').lstrip()},
+preds AS (
+  SELECT text_id, pii_type, match_text,
+         instr(text, match_text) AS pstart,
+         instr(text, match_text) + length(match_text) AS pend
+  FROM cand_ok
+),
+{suppress_redact_oracle_cte('texts', 'preds').lstrip()}
+SELECT text_id, n_spans, n_kept, redacted_text FROM osupp"""
+
+
 def _hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata_rules.metadata_hints(
         parquet_catalog_columns(spark, sf_dir))
@@ -260,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_ner_merge_max": _ner_merge,
         # N5/A2 entity-label histogram over redacted contexts
         "pii_ner_context_signals": _ner_signals,
+        # P7 overlap suppression: greedy span skip + whole-text redaction
+        "pii_overlap_suppressed": _overlap_suppressed,
         # X11 metadata keyword hints over the catalog frame
         "pii_metadata_hints": _hints,
         # S1-S4 catalog enumeration -> canonical columns frame
@@ -335,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_ner_merge_max": (_scored_demo_cte() + ",\n"
                               + ner.merge_with_rules_oracle_sql()),
         "pii_ner_context_signals": _ner_signals_oracle(),
+        "pii_overlap_suppressed": _overlap_suppressed_oracle(),
         "pii_metadata_hints": metadata_rules.metadata_hints_oracle_sql(
             "(" + catalog_columns_oracle_sql() + ")"),
         "catalog_columns": catalog_columns_oracle_sql(),
