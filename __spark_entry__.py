@@ -15,9 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from catalog_pii_scanner_spark import oracles
-from catalog_pii_scanner_spark.operators import (dedup, metadata_rules,
-                                                 multimodal, ner, simsearch,
-                                                 textstats)
+from catalog_pii_scanner_spark.operators import (corpus, dedup,
+                                                 metadata_rules, multimodal,
+                                                 ner, simsearch, textstats)
 from catalog_pii_scanner_spark.operators.ensemble import (
     ensemble_oracle_sql, fuse_predictions)
 from catalog_pii_scanner_spark.operators.evaluate import (
@@ -325,6 +325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": textstats.lang_id,
         "doc_token_counts": textstats.token_counts,
         "doc_fingerprints": textstats.fingerprints,
+        # corpus curation (training-data pipeline)
+        "corpus_decontaminate": corpus.decontaminate,
+        "corpus_repetition": corpus.repetition,
+        "corpus_sample_stratified": corpus.stratified_sample,
+        "corpus_vocab_topk": corpus.vocab_topk,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -388,6 +393,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": textstats.lang_id_sql("duckdb"),
         "doc_token_counts": textstats.token_counts_sql("duckdb"),
         "doc_fingerprints": textstats.fingerprint_sql("duckdb"),
+        "corpus_decontaminate": corpus.decontaminate_oracle_sql(),
+        "corpus_repetition": corpus.repetition_oracle_sql(),
+        "corpus_sample_stratified": corpus.stratified_sample_oracle_sql(),
+        "corpus_vocab_topk": corpus.vocab_topk_oracle_sql(),
         "dedup_exact": dedup.exact_dedup_sql("duckdb"),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs_sql("duckdb"),

@@ -1,0 +1,241 @@
+"""Corpus-curation operators for the LLM training-data pipeline surface:
+benchmark decontamination, within-document repetition signals, stratified
+per-language sampling, and global vocabulary statistics.
+
+Beyond the reference's own operator set (its detection works on short
+sampled catalog values; reference src/catalog_pii_scanner/scanner.py) —
+these are the corpus-level curation passes a 100 TB text pipeline runs
+alongside the dedup family (operators/dedup.py), and they share its
+tokenization and straggler-cap conventions.
+
+Scale shapes:
+- k-gram generation is posexplode + per-doc lead window: ONE shuffle on
+  doc_id, codegen-friendly (the HOF-transform formulation drops Spark to
+  interpreted eval — measured in PERF.md), with the MAX_SHINGLE_TOKENS
+  cap shared with dedup so one monster document cannot become the
+  straggler task.
+- decontamination joins training k-grams against the benchmark k-gram
+  set; the benchmark side is tiny by construction at any corpus scale,
+  so AQE broadcasts it — no shuffle of the big side.
+- repetition stats aggregate on doc_id, the same key the gram window
+  hash-partitioned on, so the two-level aggregation adds no shuffle.
+- vocabulary counts partial-aggregate map-side before the single
+  token-keyed shuffle; top-k is TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import MAX_SHINGLE_TOKENS
+
+#: Benchmark-overlap n-gram size — the classic 13-gram decontamination
+#: test (GPT-2/GPT-3 style n-gram collision against eval sets).
+DECON_K = 13
+#: Deterministic benchmark membership: doc_id % DECON_BENCH_MOD == 0.
+DECON_BENCH_MOD = 37
+#: Per-language quota for the stratified sample query.
+STRATA_QUOTA = 50
+#: Global vocabulary top-k.
+VOCAB_TOPK = 100
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def doc_kgrams(docs: DataFrame, k: int,
+               cap: int = MAX_SHINGLE_TOKENS) -> DataFrame:
+    """(doc_id, gram) word k-grams over the first ``cap`` tokens, via
+    posexplode + lead window (see module docstring for why not HOF)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " +")).alias("pos", "tok"))
+    toks = toks.where(F.col("pos") < cap)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, k)]
+    out = toks.select("doc_id", "tok", *leads)
+    if k > 1:
+        out = out.where(F.col(f"_t{k - 1}").isNotNull())
+    parts = [F.col("tok")] + [F.col(f"_t{i}") for i in range(1, k)]
+    return out.select("doc_id", F.concat_ws(" ", *parts).alias("gram"))
+
+
+def _kgram_sql_duckdb(k: int, text_col: str = "text",
+                      cap: int = MAX_SHINGLE_TOKENS) -> str:
+    """DuckDB ARRAY of word k-grams (mirrors dedup._shingles_sql)."""
+    gram = " || ' ' || ".join(
+        f"list_extract(t, CAST(i + {j + 1} AS INT))" for j in range(k))
+    toks = f"(regexp_split_to_array({text_col}, ' +'))[1:{cap}]"
+    return (f"(SELECT list_transform(range(0, greatest(len(t) - {k - 1},"
+            f" 0)), i -> {gram}) FROM (SELECT {toks} AS t) _s)")
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+def decontaminate_docs(docs: DataFrame, k: int = DECON_K,
+                       bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
+    """Flag training documents sharing any k-gram with the benchmark set
+    (docs whose doc_id % bench_mod == 0). Output one row per TRAINING
+    doc: (doc_id, n_hits, contaminated) where n_hits counts the distinct
+    shared k-grams. The benchmark-gram relation is small at any corpus
+    scale, so the hit join broadcasts it (AQE)."""
+    grams = doc_kgrams(docs, k).distinct()
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    bench = grams.where(is_bench).select("gram").distinct()
+    hits = (grams.where(~is_bench).join(bench, "gram")
+            .groupBy("doc_id").agg(F.count("*").alias("hits")))
+    n = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
+    return (docs.where(~is_bench).select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id", n.alias("n_hits"),
+                    (n > 0).alias("contaminated")))
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate_docs(_docs(spark, sf_dir))
+
+
+def decontaminate_oracle_sql(docs_rel: str = "documents",
+                             k: int = DECON_K,
+                             bench_mod: int = DECON_BENCH_MOD) -> str:
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_kgram_sql_duckdb(k)}) AS gram
+    FROM {docs_rel}) _e
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS hits
+  FROM grams g JOIN bench b USING (gram)
+  WHERE g.doc_id % {bench_mod} <> 0 GROUP BY g.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.hits, 0) > 0 AS contaminated
+FROM {docs_rel} d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {bench_mod} <> 0
+"""
+
+
+# --- within-document repetition (Gopher-style quality signal) ---------------
+
+def repetition_docs(docs: DataFrame) -> DataFrame:
+    """Per-doc duplicate-2-gram stats: n_grams, n_distinct,
+    dup_gram_frac = (n_grams - n_distinct) / n_grams and top_gram_share =
+    max gram multiplicity / n_grams (0.0 when the doc has < 2 tokens)."""
+    per_gram = (doc_kgrams(docs, 2)
+                .groupBy("doc_id", "gram").agg(F.count("*").alias("cnt")))
+    stats = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("ng"), F.count("*").alias("nd"),
+        F.max("cnt").alias("top"))
+    ng = F.coalesce(F.col("ng"), F.lit(0)).cast("bigint")
+    nd = F.coalesce(F.col("nd"), F.lit(0)).cast("bigint")
+    top = F.coalesce(F.col("top"), F.lit(0)).cast("bigint")
+    dbl = ng.cast("double")
+    frac = F.when(ng > 0,
+                  F.round((ng - nd).cast("double") / dbl, 6)).otherwise(0.0)
+    share = F.when(ng > 0,
+                   F.round(top.cast("double") / dbl, 6)).otherwise(0.0)
+    return (docs.select("doc_id").join(stats, "doc_id", "left")
+            .select("doc_id", ng.alias("n_grams"), nd.alias("n_distinct"),
+                    frac.alias("dup_gram_frac"),
+                    share.alias("top_gram_share")))
+
+
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_docs(_docs(spark, sf_dir))
+
+
+def repetition_oracle_sql(docs_rel: str = "documents") -> str:
+    return f"""
+WITH per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest({_kgram_sql_duckdb(2)}) AS gram
+    FROM {docs_rel}) _e
+  GROUP BY doc_id, gram
+),
+stats AS (
+  SELECT doc_id, SUM(cnt) AS ng, COUNT(*) AS nd, MAX(cnt) AS top
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ng, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(nd, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN COALESCE(ng, 0) > 0
+            THEN round((ng - nd) / CAST(ng AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_gram_frac,
+       CASE WHEN COALESCE(ng, 0) > 0
+            THEN round(top / CAST(ng AS DOUBLE), 6)
+            ELSE 0.0 END AS top_gram_share
+FROM {docs_rel} d LEFT JOIN stats s ON d.doc_id = s.doc_id
+"""
+
+
+# --- stratified per-language sampling ---------------------------------------
+
+def stratified_sample_docs(docs: DataFrame,
+                           quota: int = STRATA_QUOTA) -> DataFrame:
+    """Deterministic per-language quota sample: rank docs inside each
+    language by md5(doc_id) (a stable pseudo-random order both engines
+    compute identically) and keep the first ``quota``. The data-mixing
+    primitive: bounded, reproducible per-stratum subsets. One shuffle on
+    lang; rank-then-filter keeps only quota rows per stratum."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (docs.select("doc_id", "lang")
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= quota)
+            .select("lang", "rk", "doc_id"))
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample_docs(_docs(spark, sf_dir))
+
+
+def stratified_sample_oracle_sql(docs_rel: str = "documents",
+                                 quota: int = STRATA_QUOTA) -> str:
+    return f"""
+SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM {docs_rel}
+) WHERE rk <= {quota}
+"""
+
+
+# --- global vocabulary top-k ------------------------------------------------
+
+def vocab_topk_docs(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
+    """Top-k lowercased whitespace tokens by global frequency, ties by
+    token asc. groupBy partial-aggregates map-side; orderBy+limit plans
+    as TakeOrderedAndProject (per-partition top-k + driver merge, no
+    global sort); the rank window runs over <= k rows."""
+    toks = (docs.select(F.explode(
+                F.split(F.lower(F.col("text")), " +")).alias("token"))
+            .where(F.col("token") != ""))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .select("rk", "token", "n"))
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk_docs(_docs(spark, sf_dir))
+
+
+def vocab_topk_oracle_sql(docs_rel: str = "documents",
+                          k: int = VOCAB_TOPK) -> str:
+    return f"""
+SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rk, token, n
+FROM (
+  SELECT token, COUNT(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS token
+    FROM {docs_rel}) _e
+  WHERE token <> '' GROUP BY token
+)
+QUALIFY rk <= {k}
+"""

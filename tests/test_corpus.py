@@ -1,0 +1,69 @@
+"""Corpus-curation operators: decontamination, repetition, stratified
+sampling, vocabulary top-k (operators/corpus.py)."""
+
+from __future__ import annotations
+
+from catalog_pii_scanner_spark.operators.corpus import (
+    decontaminate_docs, doc_kgrams, repetition_docs,
+    stratified_sample_docs, vocab_topk_docs)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                       "lang string")
+
+
+def test_kgrams_window_and_tail(spark):
+    docs = _docs(spark, [(1, "a b c d", "en"), (2, "x", "en")])
+    grams = sorted((r.doc_id, r.gram)
+                   for r in doc_kgrams(docs, 3).collect())
+    # doc 2 has < 3 tokens -> no grams; doc 1 drops tail partials
+    assert grams == [(1, "a b c"), (1, "b c d")]
+
+
+def test_decontaminate_flags_overlap(spark):
+    # doc 0 is benchmark (0 % mod == 0); doc 1 copies its 13-gram run;
+    # doc 2 shares nothing.
+    bench_text = " ".join(f"w{i}" for i in range(15))
+    docs = _docs(spark, [
+        (0, bench_text, "en"),
+        (1, "intro " + " ".join(f"w{i}" for i in range(13)) + " outro",
+         "en"),
+        (2, "totally different words only here", "en"),
+    ])
+    got = {r.doc_id: r for r in decontaminate_docs(docs).collect()}
+    assert set(got) == {1, 2}  # benchmark doc excluded from output
+    assert got[1].contaminated and got[1].n_hits == 1
+    assert not got[2].contaminated and got[2].n_hits == 0
+
+
+def test_repetition_stats(spark):
+    docs = _docs(spark, [
+        (1, "a b a b a", "en"),   # 2-grams: ab ba ab ba -> 4 total, 2 distinct
+        (2, "solo", "en"),        # < 2 tokens -> zeros
+        (3, "p q r", "en"),       # all distinct
+    ])
+    got = {r.doc_id: r for r in repetition_docs(docs).collect()}
+    assert (got[1].n_grams, got[1].n_distinct) == (4, 2)
+    assert got[1].dup_gram_frac == 0.5 and got[1].top_gram_share == 0.5
+    assert (got[2].n_grams, got[2].dup_gram_frac) == (0, 0.0)
+    assert got[3].dup_gram_frac == 0.0 and got[3].top_gram_share == 0.5
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    rows = [(i, f"text {i}", "en" if i % 3 else "fr") for i in range(40)]
+    docs = _docs(spark, rows)
+    a = sorted(map(tuple, stratified_sample_docs(docs, quota=5).collect()))
+    b = sorted(map(tuple, stratified_sample_docs(docs, quota=5).collect()))
+    assert a == b  # deterministic under re-run
+    per_lang = {}
+    for lang, rk, _ in a:
+        per_lang.setdefault(lang, []).append(rk)
+    assert all(sorted(v) == list(range(1, 6)) for v in per_lang.values())
+
+
+def test_vocab_topk_tiebreak(spark):
+    docs = _docs(spark, [(1, "b a b a c", "en"), (2, "A c", "en")])
+    got = [(r.rk, r.token, r.n) for r in vocab_topk_docs(docs, 3).collect()]
+    # a:3 (one uppercased), b:2, c:2 -> ties b/c break token-asc
+    assert got == [(1, "a", 3), (2, "b", 2), (3, "c", 2)]
