@@ -45,7 +45,8 @@ from catalog_pii_scanner_spark.sources.sampler import (
     sample_columns_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
     events_hourly, events_hourly_oracle_sql, events_sessions,
-    events_sessions_oracle_sql, stream_events_hourly,
+    events_sessions_oracle_sql, stream_dedup_events,
+    stream_dedup_events_oracle_sql, stream_events_hourly,
     stream_events_hourly_oracle_sql)
 
 SF0001 = "/root/testdata/sf0.001"
@@ -320,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_hourly": stream_events_hourly,
         # session windows (native session_window; streaming-capable)
         "events_sessions": events_sessions,
+        # stateful streaming dedup (dropDuplicatesWithinWatermark drain)
+        "stream_dedup_events": stream_dedup_events,
         # text analysis (training-data pipeline)
         "doc_quality": textstats.doc_quality,
         "doc_lang_id": textstats.lang_id,
@@ -389,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": events_hourly_oracle_sql(),
         "stream_events_hourly": stream_events_hourly_oracle_sql(),
         "events_sessions": events_sessions_oracle_sql(),
+        "stream_dedup_events": stream_dedup_events_oracle_sql(),
         "doc_quality": textstats.doc_quality_sql("duckdb"),
         "doc_lang_id": textstats.lang_id_sql("duckdb"),
         "doc_token_counts": textstats.token_counts_sql("duckdb"),

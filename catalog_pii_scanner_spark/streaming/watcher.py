@@ -90,12 +90,11 @@ def _single_file_glob(path: str) -> str:
     return f"{head}/[{tail[0]}]{tail[1:]}" if tail else path
 
 
-def watch_events(spark: SparkSession, events_path: str,
-                 watermark: str = "2 hours", nanos: bool = False):
-    """Streaming watcher over an events file source (directory, glob, or —
-    via the single-file glob rewrite — one parquet file). Returns the
-    streaming DataFrame (caller picks the sink/trigger). ``nanos=True``
-    reads TIMESTAMP(NANOS) sources in place (requires
+def _events_stream(spark: SparkSession, events_path: str,
+                   nanos: bool = False) -> DataFrame:
+    """File-source events stream (directory, glob, or — via the
+    single-file glob rewrite — one parquet file). ``nanos=True`` reads
+    TIMESTAMP(NANOS) sources in place (requires
     spark.sql.legacy.parquet.nanosAsLong)."""
     import os
     if os.path.isfile(events_path):
@@ -110,6 +109,14 @@ def watch_events(spark: SparkSession, events_path: str,
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000)
                                      .cast("long")))
+    return stream
+
+
+def watch_events(spark: SparkSession, events_path: str,
+                 watermark: str = "2 hours", nanos: bool = False):
+    """Streaming watcher: hourly windowed aggregation over the events
+    stream. Returns the streaming DataFrame (caller picks sink/trigger)."""
+    stream = _events_stream(spark, events_path, nanos=nanos)
     return _hourly_agg(stream.withWatermark("ts", watermark),
                        streaming=True)
 
@@ -156,6 +163,46 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
          AS sum_value
 FROM {events_rel}
 GROUP BY 1, 2
+"""
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication drain: the stateful streaming dedup
+    operator (``dropDuplicatesWithinWatermark`` on (user_id, event_type)
+    — dedup state is evicted once the watermark passes an entry's event
+    time, so state stays bounded on an unbounded stream), drained with an
+    availableNow trigger, then a batch rollup of the surviving distinct
+    keys. Deterministic regardless of arrival order: only the KEYS
+    survive into the output, so which duplicate row wins is irrelevant.
+
+    Here the whole table drains in one microbatch so the dedup is exact;
+    on a live stream, duplicates arriving later than the watermark delay
+    can re-emit — the documented within-watermark contract.
+
+    Output: event_type, n_users (distinct users per event type)."""
+    from ..sources.melt import nanos_timestamp_columns
+    path = f"{sf_dir}/events.parquet"
+    nanos = "ts" in nanos_timestamp_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    deduped = (
+        _events_stream(spark, path, nanos=nanos)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "cpss_stream_dedup"
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name).groupBy("event_type")
+            .agg(F.count("*").alias("n_users")))
+
+
+def stream_dedup_events_oracle_sql(events_rel: str = "events") -> str:
+    return f"""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM {events_rel} GROUP BY event_type
 """
 
 
