@@ -414,8 +414,15 @@ def ngram_jaccard_pairs(spark, sf_dir: str,
     groupBy+join shape below BEATS a window-function rewrite (count over
     partitionBy(shingle) etc.) — the aggregations REDUCE before joining
     and AQE broadcasts the small reduced relations, while windows shuffle
-    the full shingle relation unreduced (measured 10.5 s vs 4.7 s warm)."""
-    shingles = doc_shingles_df(spark, sf_dir).persist()
+    the full shingle relation unreduced (measured 10.5 s vs 4.7 s warm).
+
+    Lineage note: shingles/prefix are EAGER localCheckpoints, not
+    persist(): each downstream job then plans against a materialized
+    relation instead of re-deriving (and re-codegen-compiling) the
+    explode+window lineage per consumer — cold first-run 15.3 s -> 10.7 s
+    at sf0.1; warm unchanged. Checkpoint blocks free on driver GC
+    (plans/cache.py rationale; asserted by tests/test_scale_guards.py)."""
+    shingles = doc_shingles_df(spark, sf_dir).localCheckpoint(eager=True)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -424,13 +431,13 @@ def ngram_jaccard_pairs(spark, sf_dir: str,
         .join(sizes, "doc_id")
         .withColumn("rn", F.row_number().over(w))
     )
-    # the self-join reads the prefix relation twice — persist it so the
-    # freq/sizes joins + window run once (measured 11.9 s -> 4.8 s at
+    # the self-join reads the prefix relation twice — materialize it so
+    # the freq/sizes joins + window run once (measured 11.9 s -> 4.8 s at
     # sf0.1 together with the shared verify)
     prefix = ranked.where(
         F.col("rn") <= F.col("n")
         - F.ceil(F.lit(threshold) * F.col("n")).cast("bigint") + 1
-    ).select("doc_id", "shingle", "n").persist()
+    ).select("doc_id", "shingle", "n").localCheckpoint(eager=True)
 
     # PPJoin length filter (lossless): J(A,B) >= t forces
     # t*|A| <= |B| <= |A|/t, so size-mismatched pairs never leave the
@@ -446,8 +453,9 @@ def ngram_jaccard_pairs(spark, sf_dir: str,
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    out = _jaccard_verify(pairs, shingles, threshold)
-    return checkpoint_release(out, shingles, prefix)
+    # nothing persisted -> nothing to release; checkpoint blocks are
+    # reaped by ContextCleaner when the caller drops the references.
+    return _jaccard_verify(pairs, shingles, threshold)
 
 
 # --- simhash ----------------------------------------------------------------
