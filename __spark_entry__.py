@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_repetition": corpus.repetition,
         "corpus_sample_stratified": corpus.stratified_sample,
         "corpus_vocab_topk": corpus.vocab_topk,
+        "corpus_tfidf_keywords": corpus.tfidf_keywords,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_repetition": corpus.repetition_oracle_sql(),
         "corpus_sample_stratified": corpus.stratified_sample_oracle_sql(),
         "corpus_vocab_topk": corpus.vocab_topk_oracle_sql(),
+        "corpus_tfidf_keywords": corpus.tfidf_keywords_oracle_sql(),
         "dedup_exact": dedup.exact_dedup_sql("duckdb"),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs_sql("duckdb"),

@@ -206,6 +206,77 @@ SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
 """
 
 
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+#: Keywords kept per document.
+TFIDF_TOPK = 3
+
+
+def tfidf_keywords_docs(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
+    """Top-k tokens per document by smoothed TF-IDF
+    (tf/n_tok * ln((N+1)/(df+1))), ties by token asc. Ranking happens on
+    the ROUNDED score in both engines so a ULP of ln() cannot reorder.
+
+    Shuffle shape: per-doc term counts (one doc-keyed shuffle), document
+    frequencies (one token-keyed shuffle, reused by the join), a
+    broadcast of the 1-row corpus count, and the per-doc top-k window on
+    the doc key again. All aggregations reduce before joining."""
+    toks = (docs.select("doc_id", F.explode(
+                F.split(F.lower(F.col("text")), " +")).alias("token"))
+            .where(F.col("token") != ""))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tok"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    ndocs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doc_len, "doc_id").join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("tfidf", F.round(
+            (F.col("tf") / F.col("n_tok").cast("double"))
+            * F.log((F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1)), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
+                                             F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= k)
+            .select("doc_id", "rk", "token", "tfidf"))
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_keywords_docs(_docs(spark, sf_dir))
+
+
+def tfidf_keywords_oracle_sql(docs_rel: str = "documents",
+                              k: int = TFIDF_TOPK) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), ' +')) AS token
+  FROM {docs_rel}
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       WHERE token <> '' GROUP BY doc_id, token),
+dl AS (SELECT doc_id, SUM(tf) AS n_tok FROM tf GROUP BY doc_id),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT COUNT(*) AS n_docs FROM {docs_rel}),
+scored AS (
+  SELECT t.doc_id, t.token,
+         round((t.tf / CAST(d.n_tok AS DOUBLE))
+               * ln((n.n_docs + 1) / CAST(f.df + 1 AS DOUBLE)), 6)
+           AS tfidf
+  FROM tf t
+  JOIN dl d USING (doc_id)
+  JOIN dfq f USING (token)
+  CROSS JOIN nd n
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
 # --- global vocabulary top-k ------------------------------------------------
 
 def vocab_topk_docs(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:

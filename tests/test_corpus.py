@@ -67,3 +67,24 @@ def test_vocab_topk_tiebreak(spark):
     got = [(r.rk, r.token, r.n) for r in vocab_topk_docs(docs, 3).collect()]
     # a:3 (one uppercased), b:2, c:2 -> ties b/c break token-asc
     assert got == [(1, "a", 3), (2, "b", 2), (3, "c", 2)]
+
+
+def test_tfidf_keywords_ranks_distinctive_tokens(spark):
+    from catalog_pii_scanner_spark.operators.corpus import (
+        tfidf_keywords_docs)
+    # "zebra" appears only in doc 1 -> highest idf there; "common" is in
+    # every doc -> idf ln(4/4)=0 -> never a keyword.
+    docs = _docs(spark, [
+        (1, "common zebra common", "en"),
+        (2, "common apple apple", "en"),
+        (3, "common berry", "en"),
+    ])
+    got = {}
+    for r in tfidf_keywords_docs(docs, k=2).collect():
+        got.setdefault(r.doc_id, []).append((r.rk, r.token, r.tfidf))
+    assert got[1][0][1] == "zebra"
+    assert got[2][0][1] == "apple"
+    # "common" scores exactly 0 -> ranked below any positive token
+    for doc, kws in got.items():
+        toks = [t for _, t, s in kws if s > 0]
+        assert "common" not in toks
