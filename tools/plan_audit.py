@@ -32,6 +32,11 @@ def main() -> int:
         ("ann_ivf_topk", "IVF probe path"),
         ("eval_greedy_metrics", "range join + windows"),
         ("events_hourly", "windowed aggregation"),
+        ("corpus_decontaminate", "benchmark-gram broadcast join"),
+        ("corpus_repetition", "gram window + reused partitioning"),
+        ("corpus_vocab_topk", "partial agg + TakeOrdered top-k"),
+        ("corpus_tfidf_keywords", "reduce-before-join tf-idf"),
+        ("pii_overlap_suppressed", "array-fold redaction"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
