@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": textstats.lang_id,
         "doc_token_counts": textstats.token_counts,
         "doc_fingerprints": textstats.fingerprints,
+        # per-language length percentiles (exact; approx is the scale path)
+        "doc_length_quantiles": textstats.length_quantiles,
         # corpus curation (training-data pipeline)
         "corpus_decontaminate": corpus.decontaminate,
         "corpus_repetition": corpus.repetition,
@@ -398,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": textstats.lang_id_sql("duckdb"),
         "doc_token_counts": textstats.token_counts_sql("duckdb"),
         "doc_fingerprints": textstats.fingerprint_sql("duckdb"),
+        "doc_length_quantiles": textstats.length_quantiles_oracle_sql(),
         "corpus_decontaminate": corpus.decontaminate_oracle_sql(),
         "corpus_repetition": corpus.repetition_oracle_sql(),
         "corpus_sample_stratified": corpus.stratified_sample_oracle_sql(),

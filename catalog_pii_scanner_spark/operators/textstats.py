@@ -201,3 +201,40 @@ def fingerprints(spark, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("cpss_documents")
     return spark.sql(fingerprint_sql("spark", "cpss_documents"))
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def length_quantiles(spark, sf_dir: str, approx: bool = False) -> DataFrame:
+    """Per-language document-length percentiles (p50/p90/p99 of n_chars,
+    linear interpolation) + counts.
+
+    ``approx=False`` uses exact ``percentile`` — numerically identical
+    to DuckDB's ``quantile_cont`` (oracle-checked), but it buffers each
+    group's values in the aggregation state. At 100 TB a single language
+    holds billions of rows, so the scale path is ``approx=True``:
+    ``approx_percentile`` (t-digest sketch — bounded memory, mergeable,
+    partial-aggregatable map-side); tests pin the two paths within
+    tolerance on the testdata.
+    """
+    qs = ", ".join(str(q) for q in QUANTILES)
+    fn = "approx_percentile" if approx else "percentile"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = F.expr(f"{fn}(n_chars, array({qs}))").alias("q")
+    return (
+        docs.groupBy("lang")
+        .agg(agg, F.count("*").alias("n"))
+        .select("lang", "n",
+                F.round(F.col("q")[0].cast("double"), 6).alias("p50"),
+                F.round(F.col("q")[1].cast("double"), 6).alias("p90"),
+                F.round(F.col("q")[2].cast("double"), 6).alias("p99"))
+    )
+
+
+def length_quantiles_oracle_sql(docs_rel: str = "documents") -> str:
+    cols = ", ".join(
+        f"round(quantile_cont(n_chars, {q}), 6) AS p{int(q * 100)}"
+        for q in QUANTILES)
+    return (f"SELECT lang, COUNT(*) AS n, {cols} "
+            f"FROM {docs_rel} GROUP BY lang")

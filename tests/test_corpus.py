@@ -88,3 +88,20 @@ def test_tfidf_keywords_ranks_distinctive_tokens(spark):
     for doc, kws in got.items():
         toks = [t for _, t, s in kws if s > 0]
         assert "common" not in toks
+
+
+def test_length_quantiles_approx_close_to_exact(spark):
+    from catalog_pii_scanner_spark.operators.textstats import (
+        length_quantiles)
+    sf = "/root/testdata/sf0.001"
+    exact = {r.lang: r for r in length_quantiles(spark, sf).collect()}
+    approx = {r.lang: r for r in
+              length_quantiles(spark, sf, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.n == e.n
+        for col in ("p50", "p90", "p99"):
+            # t-digest sketch within 10% relative of the exact value
+            assert abs(getattr(a, col) - getattr(e, col)) \
+                <= 0.1 * max(getattr(e, col), 1.0), (lang, col)
