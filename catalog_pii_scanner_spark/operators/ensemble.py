@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..pii_types import ALL_PII_TYPES
+from ..plans.barrier import barrier_filter
 
 
 @dataclass(frozen=True)
@@ -148,15 +149,14 @@ def fuse_predictions(
     )
     if decision_threshold is not None:
         # gate on the ROUNDED calibrated argmax prob so the oracle's
-        # WHERE matches exactly. The unused nondeterministic column is a
-        # predicate-pushdown barrier: without it Catalyst substitutes the
-        # filter condition with the FULL 11-type fusion expression tree
-        # and evaluates it a second time per row below the projection
-        # (measured 1.9 s -> 1.0 s for the fuse stage at sf0.1).
-        out = out.withColumn("_nd_barrier", F.rand(7))
-        out = out.where(
-            F.round(F.col("_best"), 6) >= F.lit(decision_threshold))
-        out = out.drop("_nd_barrier")
+        # WHERE matches exactly. barrier_filter stops Catalyst pushing
+        # the gate below the candidate distinct: pushed, the conjunct is
+        # substituted with the FULL 11-type fusion tree (22 md5 calls) and
+        # re-evaluated per pre-distinct row, and it drags the checksum
+        # ArrowEvalPython stage in with it (measured: 3.1 s -> 10.3 s for
+        # the gated query at sf0.1 when pushed).
+        out = barrier_filter(
+            out, F.round(F.col("_best"), 6) >= F.lit(decision_threshold))
     return out.drop("_best", *cal_cols)
 
 

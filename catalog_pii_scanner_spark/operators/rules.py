@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from ..functions.checksums import luhn_ok, verhoeff_ok
+from ..plans.barrier import barrier_filter
 
 __all__ = ["Rule", "RULES", "DOB_BOOST", "W_RULE", "W_VALIDATION",
            "extract_candidates", "candidate_score", "rules_for_types"]
@@ -213,14 +214,19 @@ def extract_candidates(
     # inlining them here knocks the whole stage out of whole-stage codegen
     # (HOF aggregate + mega-CASE => CodegenFallback), making the 10-regex
     # projection ~20x slower. Measured at sf0.01: 16.4s -> 0.8s.
+    # The invalid-checksum drop goes through barrier_filter: a plain
+    # .where(checksum_ok ...) is pushed below this projection, which
+    # duplicates the Luhn/Verhoeff ArrowEvalPython stage (two Python
+    # round-trips per scan instead of one).
     validated = (
         F.when(F.col("validator") == "luhn", _luhn_udf("match_text"))
         .when(F.col("validator") == "verhoeff12", _verhoeff_udf("match_text"))
         .otherwise(F.lit(None).cast("boolean"))
     )
+    checked = exploded.withColumn("checksum_ok", validated)
     return (
-        exploded.withColumn("checksum_ok", validated)
-        .where(F.col("checksum_ok").isNull() | F.col("checksum_ok"))
+        barrier_filter(checked,
+                       F.col("checksum_ok").isNull() | F.col("checksum_ok"))
         .select(*keep_cols, value_col, "pii_type", "match_text",
                 "rule_confidence",
                 F.coalesce(F.col("checksum_ok"), F.lit(False)).alias("validated"))
