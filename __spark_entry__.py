@@ -336,6 +336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": corpus.stratified_sample,
         "corpus_vocab_topk": corpus.vocab_topk,
         "corpus_tfidf_keywords": corpus.tfidf_keywords,
+        # GPT-style concat-then-chunk packing via distributed prefix sum
+        "corpus_pack_sequences": corpus.pack_sequences,
+        # alpha=0.5 temperature mixture rebalancing by source
+        "corpus_temperature_sample": corpus.temperature_sample,
+        # fused keep/drop curation verdict (quality+repetition+decontam)
+        "corpus_curate": corpus.curate,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -406,6 +412,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample_stratified": corpus.stratified_sample_oracle_sql(),
         "corpus_vocab_topk": corpus.vocab_topk_oracle_sql(),
         "corpus_tfidf_keywords": corpus.tfidf_keywords_oracle_sql(),
+        "corpus_pack_sequences": corpus.pack_sequences_oracle_sql(),
+        "corpus_temperature_sample": corpus.temperature_sample_oracle_sql(),
+        "corpus_curate": corpus.curate_oracle_sql(),
         "dedup_exact": dedup.exact_dedup_sql("duckdb"),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs_sql("duckdb"),

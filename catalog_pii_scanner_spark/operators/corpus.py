@@ -277,6 +277,222 @@ SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tfidf FROM (
 """
 
 
+# --- sequence packing (concat-then-chunk) -----------------------------------
+
+#: Tokens per packed training sequence. A power of two keeps the
+#: start/budget division EXACT in binary floating point, so floor() can
+#: never disagree between engines at a bin boundary.
+TOKEN_BUDGET = 512
+#: md5-prefix bucket width (2 hex chars = 256 buckets) for the
+#: distributed prefix sum.
+PACK_BUCKET_CHARS = 2
+
+
+def pack_sequences_docs(docs: DataFrame,
+                        budget: int = TOKEN_BUDGET) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens in
+    a deterministic pseudo-random order (md5(doc_id)) and chunk the token
+    stream at ``budget`` boundaries. Output per doc: (doc_id, start_tok —
+    global offset of the doc's first token, n_tokens, seq_id — the
+    training sequence its first token lands in, straddles — whether the
+    doc crosses a sequence boundary and is split across two sequences).
+
+    Scale shape: a naive global running sum is a single-partition window
+    — the classic scale-killer. Here the prefix sum is TWO-LEVEL: docs
+    hash into 256 md5-prefix buckets; each bucket cumsums independently
+    (per-bucket window, ~N/256 rows), bucket token totals (256 rows)
+    cumsum on one tiny partition, and the bucket offsets broadcast back.
+    Because the bucket is a PREFIX of the global sort key, bucket-local
+    order + bucket offsets reproduce the global order exactly — the plan
+    that survives a 100 TB corpus.
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id", h.alias("h"),
+        F.size(F.split("text", " +")).cast("bigint").alias("n_tokens"),
+    ).withColumn("bucket", F.substring("h", 1, PACK_BUCKET_CHARS))
+    w_in = (Window.partitionBy("bucket").orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = base.withColumn("run", F.sum("n_tokens").over(w_in))
+    w_off = (Window.orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (base.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+               .withColumn("boff", F.coalesce(F.sum("btot").over(w_off),
+                                              F.lit(0).cast("bigint")))
+               .select("bucket", "boff"))
+    start = (F.col("boff") + F.col("run") - F.col("n_tokens"))
+    seq = F.floor(start / F.lit(budget)).cast("bigint")
+    last_seq = F.floor((start + F.col("n_tokens") - 1) / F.lit(budget))
+    straddles = F.when(F.col("n_tokens") > 0,
+                       seq != last_seq.cast("bigint")).otherwise(F.lit(False))
+    return (base.join(F.broadcast(offsets), "bucket")
+            .select("doc_id", start.cast("bigint").alias("start_tok"),
+                    "n_tokens", seq.alias("seq_id"),
+                    straddles.alias("straddles")))
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences_docs(_docs(spark, sf_dir))
+
+
+def pack_sequences_oracle_sql(docs_rel: str = "documents",
+                              budget: int = TOKEN_BUDGET) -> str:
+    """Oracle = the semantic definition: ONE global running sum over the
+    md5 order (fine at oracle scale; the engine's two-level bucket sum is
+    the distributed evaluation of this exact expression)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens
+  FROM {docs_rel}
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_tok
+  FROM base
+)
+SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok, n_tokens,
+       CAST(floor(start_tok / {budget}) AS BIGINT) AS seq_id,
+       CASE WHEN n_tokens > 0
+            THEN floor(start_tok / {budget})
+                 <> floor((start_tok + n_tokens - 1) / {budget})
+            ELSE FALSE END AS straddles
+FROM cum
+"""
+
+
+# --- temperature-scaled source mixture ---------------------------------------
+
+#: sqrt-scale factor: per-source quota = floor(sqrt(n_src) * SCALE). The
+#: alpha=0.5 temperature of multilingual-sampling fame, expressed WITHOUT
+#: a cross-source normalizing sum — sqrt and *2.0 are single exactly-
+#: rounded IEEE ops both engines compute bit-identically, whereas
+#: floor(N * p_i / sum_j p_j) can flip on the last ULP of a float SUM
+#: whose accumulation order differs between engines.
+MIXTURE_SCALE = 2.0
+
+
+def temperature_sample_docs(docs: DataFrame,
+                            scale: float = MIXTURE_SCALE) -> DataFrame:
+    """Temperature-scaled mixture sampling by source: over-represented
+    sources are down-sampled toward sqrt proportions (alpha=0.5), the
+    standard rebalancing for heavy-head corpus mixtures. Deterministic:
+    docs rank by md5 within source, first quota kept.
+
+    Shuffle shape: one tiny source-count aggregate (broadcast back), one
+    source-keyed window. Output: source, rk, doc_id, quota."""
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    quotas = counts.select(
+        "source",
+        F.greatest(F.lit(1).cast("bigint"),
+                   F.floor(F.sqrt(F.col("n_src").cast("double"))
+                           * F.lit(scale)).cast("bigint")).alias("quota"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (docs.select("source", "doc_id")
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .join(F.broadcast(quotas), "source")
+            .where(F.col("rk") <= F.col("quota"))
+            .select("source", "rk", "doc_id", "quota"))
+
+
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_sample_docs(_docs(spark, sf_dir))
+
+
+def temperature_sample_oracle_sql(docs_rel: str = "documents",
+                                  scale: float = MIXTURE_SCALE) -> str:
+    return f"""
+WITH quotas AS (
+  SELECT source,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * {scale})
+                       AS BIGINT)) AS quota
+  FROM {docs_rel} GROUP BY source
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM {docs_rel}
+)
+SELECT r.source, CAST(r.rk AS BIGINT) AS rk, r.doc_id, q.quota
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.rk <= q.quota
+"""
+
+
+# --- end-to-end curation verdict ---------------------------------------------
+
+#: Keep thresholds (tuned on the testdata distributions: quality p25 is
+#: ~0.645, dup_gram_frac p75 ~0.047 — each gate does real work).
+MIN_QUALITY = 0.65
+MAX_DUP_FRAC = 0.05
+
+
+def curate_docs(docs: DataFrame, spark: SparkSession,
+                min_quality: float = MIN_QUALITY,
+                max_dup_frac: float = MAX_DUP_FRAC) -> DataFrame:
+    """The corpus-level flagship composition (the curation analog of the
+    scan family's pii_full_pipeline): quality scoring + within-doc
+    repetition + benchmark decontamination fused into one keep/drop
+    verdict per training document, with the first failing gate as the
+    drop reason (precedence: contaminated > repetitive > low_quality).
+
+    All three inputs aggregate on doc_id before the joins, so the fused
+    query adds joins of three doc-keyed relations — no new data-sized
+    shuffles beyond the component operators' own."""
+    from .textstats import doc_quality_sql
+    docs.createOrReplaceTempView("cpss_curate_docs")
+    quality = spark.sql(doc_quality_sql("spark", "cpss_curate_docs")) \
+        .select("doc_id", "quality_score")
+    rep = repetition_docs(docs).select("doc_id", "dup_gram_frac")
+    decon = decontaminate_docs(docs).select("doc_id", "contaminated")
+    out = (decon.join(quality, "doc_id").join(rep, "doc_id"))
+    reason = (
+        F.when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.col("dup_gram_frac") > max_dup_frac, F.lit("repetitive"))
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality")))
+    return out.select(
+        "doc_id", "quality_score", "dup_gram_frac", "contaminated",
+        reason.isNull().alias("keep"), reason.alias("drop_reason"))
+
+
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_docs(_docs(spark, sf_dir), spark)
+
+
+def curate_oracle_sql(docs_rel: str = "documents",
+                      min_quality: float = MIN_QUALITY,
+                      max_dup_frac: float = MAX_DUP_FRAC) -> str:
+    from .textstats import doc_quality_sql
+    return f"""
+WITH quality AS (
+  SELECT doc_id, quality_score FROM ({doc_quality_sql("duckdb", docs_rel)})
+),
+rep AS (
+  SELECT doc_id, dup_gram_frac FROM ({repetition_oracle_sql(docs_rel)})
+),
+decon AS (
+  SELECT doc_id, contaminated FROM ({decontaminate_oracle_sql(docs_rel)})
+),
+fused AS (
+  SELECT d.doc_id, q.quality_score, r.dup_gram_frac, d.contaminated,
+         CASE WHEN d.contaminated THEN 'contaminated'
+              WHEN r.dup_gram_frac > {max_dup_frac} THEN 'repetitive'
+              WHEN q.quality_score < {min_quality} THEN 'low_quality'
+              END AS drop_reason
+  FROM decon d JOIN quality q USING (doc_id) JOIN rep r USING (doc_id)
+)
+SELECT doc_id, quality_score, dup_gram_frac, contaminated,
+       drop_reason IS NULL AS keep, drop_reason
+FROM fused
+"""
+
+
 # --- global vocabulary top-k ------------------------------------------------
 
 def vocab_topk_docs(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:

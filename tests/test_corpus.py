@@ -90,6 +90,72 @@ def test_tfidf_keywords_ranks_distinctive_tokens(spark):
         assert "common" not in toks
 
 
+def test_pack_sequences_matches_global_cumsum(spark):
+    from catalog_pii_scanner_spark.operators.corpus import (
+        pack_sequences_docs)
+    rows = [(i, " ".join(f"t{j}" for j in range(3 + i % 7)), "en")
+            for i in range(60)]
+    docs = _docs(spark, rows)
+    got = {r.doc_id: r for r in
+           pack_sequences_docs(docs, budget=16).collect()}
+    # reference semantics: one global cumsum over (md5(doc_id), doc_id)
+    import hashlib
+    order = sorted(rows, key=lambda r: (hashlib.md5(
+        str(r[0]).encode()).hexdigest(), r[0]))
+    start = 0
+    covered = set()
+    for doc_id, text, _ in order:
+        n = len(text.split(" "))
+        r = got[doc_id]
+        assert (r.start_tok, r.n_tokens) == (start, n), doc_id
+        assert r.seq_id == start // 16
+        assert r.straddles == (start // 16 != (start + n - 1) // 16)
+        covered.update(range(start // 16, (start + n - 1) // 16 + 1))
+        start += n
+    # chunking covers every sequence id in [0, ceil(total/16)) — no gaps
+    assert covered == set(range(-(-start // 16)))
+
+
+def test_temperature_sample_quota_shape(spark):
+    from catalog_pii_scanner_spark.operators.corpus import (
+        temperature_sample_docs)
+    rows = [(i, f"text {i}", "en", "big" if i < 36 else "small")
+            for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+    got = temperature_sample_docs(docs, scale=1.0).collect()
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r.source, []).append(r.rk)
+    # big: 36 docs -> quota floor(sqrt(36))=6; small: 4 -> quota 2
+    assert sorted(per_src["big"]) == list(range(1, 7))
+    assert sorted(per_src["small"]) == [1, 2]
+    # rerun is deterministic
+    again = temperature_sample_docs(docs, scale=1.0).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_curate_reason_precedence(spark):
+    from catalog_pii_scanner_spark.operators.corpus import curate_docs
+    bench_text = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (0, bench_text, "en"),                      # benchmark (excluded)
+        # contaminated AND repetitive -> contamination wins
+        (1, bench_text + " " + bench_text, "en"),
+        # highly repetitive only
+        (2, " ".join(["dup"] * 30), "en"),
+        # clean prose-ish doc: keep
+        (3, "the quick brown fox jumps over the lazy dog and then "
+            "the fox rests while the dog watches the quiet field", "en"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r.doc_id: r for r in curate_docs(docs, spark).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].drop_reason == "contaminated" and not got[1].keep
+    assert got[2].drop_reason == "repetitive" and not got[2].keep
+    assert got[3].keep and got[3].drop_reason is None
+
+
 def test_length_quantiles_approx_close_to_exact(spark):
     from catalog_pii_scanner_spark.operators.textstats import (
         length_quantiles)
