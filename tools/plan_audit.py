@@ -36,7 +36,11 @@ def main() -> int:
         ("corpus_repetition", "gram window + reused partitioning"),
         ("corpus_vocab_topk", "partial agg + TakeOrdered top-k"),
         ("corpus_tfidf_keywords", "reduce-before-join tf-idf"),
+        ("corpus_pack_sequences", "two-level bucketed prefix sum"),
+        ("corpus_temperature_sample", "broadcast quotas + source window"),
+        ("corpus_curate", "doc-keyed three-way verdict join"),
         ("pii_overlap_suppressed", "array-fold redaction"),
+        ("pii_ensemble_gated", "fusion gate above the distinct"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
