@@ -59,8 +59,37 @@ def cmd_scan(args) -> int:
     if not tables:
         print("[]")
         return 0
+    table_cols: dict[str, list] = {t: TESTDATA_SCHEMAS[t] for t in tables}
+    if args.since:
+        # incremental scan (reference README.md:200 promises --since; its
+        # CLI never implemented it): columns with a fresh-enough finding
+        # in the store are pruned at plan construction — they never enter
+        # the melt projection, so the parquet scan reads neither their
+        # pages nor their footer stats.
+        from .sinks.findings_store import parse_since, recently_scanned_refs
+        from .sources.melt import column_ref
+        store = args.merge_store or args.store
+        if not store:
+            raise SystemExit("--since needs --store or --merge-store "
+                             "(the lookback source)")
+        skip = recently_scanned_refs(
+            spark, store, parse_since(args.since),
+            merged=bool(args.merge_store))
+        table_cols = {
+            t: [(c, ty) for c, ty in cols
+                if column_ref(t, c) not in skip]
+            for t, cols in table_cols.items()}
+        table_cols = {t: cols for t, cols in table_cols.items() if cols}
+        n_skip = len(skip)
+        print(json.dumps({"since": args.since, "skipped_columns": n_skip,
+                          "tables_remaining": len(table_cols)}),
+              file=sys.stderr)
+        if not table_cols:
+            print("[]")
+            return 0
     vals = reduce(DataFrame.unionByName,
-                  [melt_table(spark, args.sf_dir, t) for t in tables])
+                  [melt_table(spark, args.sf_dir, t, columns=cols)
+                   for t, cols in table_cols.items()])
     if col_pat != "*":
         vals = vals.where(F.col("column_ref").rlike(
             glob_to_rlike(f"spark://*/{col_pat}")))
@@ -196,6 +225,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MERGE-semantics keyed upsert store")
     s.add_argument("--jdbc-url", default="",
                    help="JDBC findings upsert, e.g. jdbc:derby:db;create=true")
+    s.add_argument("--since", default="",
+                   help="incremental scan: skip columns with a finding "
+                        "newer than this window ('24h', '7d', or hours); "
+                        "lookback source is --merge-store or --store")
     s.add_argument("--apply", action="store_true",
                    help="tag write-back via the fake catalog client")
     s.add_argument("--apply-sql", action="store_true",

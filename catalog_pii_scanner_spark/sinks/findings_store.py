@@ -64,6 +64,44 @@ def read_latest_findings(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
+def parse_since(spec: str) -> float:
+    """``--since`` window spec -> hours: '24h', '7d', or a plain number
+    of hours (reference README.md:200 promises ``--since 24h``; the
+    option never existed in its CLI — this engine implements it)."""
+    s = spec.strip().lower()
+    if s.endswith("h"):
+        return float(s[:-1])
+    if s.endswith("d"):
+        return float(s[:-1]) * 24.0
+    return float(s)
+
+
+def recently_scanned_refs(spark: SparkSession, store_path: str,
+                          since_hours: float, now=None,
+                          merged: bool = False) -> frozenset[str]:
+    """column_refs with a finding newer than ``now - since_hours`` — the
+    skip set for an incremental scan. Driver-side set: the findings store
+    is catalog-metadata-sized (one row per column), so collecting refs is
+    the same driver-scale work as enumeration itself; the pruning then
+    happens at PLAN CONSTRUCTION (columns never enter the melt), which no
+    in-plan filter can match at 100 TB.
+
+    ``now`` pins the clock for deterministic tests (None = wall clock);
+    ``merged`` selects the MERGE-store layout over the append store."""
+    try:
+        latest = (read_merged_findings(spark, store_path) if merged
+                  else read_latest_findings(spark, store_path))
+    except Exception:  # store doesn't exist yet -> nothing to skip
+        return frozenset()
+    now_col = (F.lit(now).cast("timestamp") if now is not None
+               else F.current_timestamp())
+    cutoff = now_col - F.expr(
+        f"INTERVAL {int(round(since_hours * 3600))} SECONDS")
+    rows = (latest.where(F.col("scanned_at") >= cutoff)
+            .select("column_ref").collect())
+    return frozenset(r.column_ref for r in rows)
+
+
 #: Natural-key hash buckets for the MERGE store layout: updates rewrite
 #: only the buckets containing changed keys.
 MERGE_BUCKETS = 16

@@ -65,6 +65,63 @@ def test_export_json_csv(spark, findings, tmp_path_factory):
     assert "EMAIL,PHONE_NUMBER" in csv_text  # list -> comma-joined
 
 
+def test_parse_since():
+    from catalog_pii_scanner_spark.sinks.findings_store import parse_since
+    assert parse_since("24h") == 24.0
+    assert parse_since("7d") == 168.0
+    assert parse_since("1.5") == 1.5
+
+
+def test_recently_scanned_refs_window(spark, tmp_path_factory):
+    from catalog_pii_scanner_spark.sinks.findings_store import (
+        recently_scanned_refs)
+    store = str(tmp_path_factory.mktemp("inc") / "findings")
+    rows = [
+        ("spark://users/email", ["EMAIL"], 0.9, 1.0, "m1",
+         "2026-01-02 00:00:00", "scan"),
+        ("spark://users/phone", ["PHONE_NUMBER"], 0.8, 1.0, "m1",
+         "2026-01-01 00:00:00", "scan"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "column_ref string, types array<string>, confidence double, "
+        "hit_rate double, model_version string, scanned_at string, "
+        "source string",
+    ).withColumn("scanned_at", F.to_timestamp("scanned_at"))
+    write_findings(df, store)
+    now = "2026-01-02 12:00:00"
+    # 24h lookback at that clock covers only the newer finding
+    assert recently_scanned_refs(spark, store, 24.0, now=now) \
+        == {"spark://users/email"}
+    # 72h covers both; 1h covers none
+    assert recently_scanned_refs(spark, store, 72.0, now=now) \
+        == {"spark://users/email", "spark://users/phone"}
+    assert recently_scanned_refs(spark, store, 1.0, now=now) == frozenset()
+    # missing store -> empty skip set, not an error
+    assert recently_scanned_refs(spark, "/nonexistent/store", 24.0) \
+        == frozenset()
+
+
+def test_cli_scan_since_prunes_scanned_columns(spark, tmp_path_factory,
+                                               capsys, monkeypatch):
+    """End-to-end incremental flow: a full scan populates the store, an
+    immediate --since rescan prunes every previously-scanned column at
+    plan construction and emits []."""
+    import catalog_pii_scanner_spark.cli as cli
+    store = str(tmp_path_factory.mktemp("inc2") / "findings")
+    monkeypatch.setattr(cli, "_spark", lambda app: spark)
+    args = ["scan", "--sf-dir", "/root/testdata/sf0.001",
+            "--tables", "orders", "--store", store]
+    assert cli.main(args) == 0
+    first = json.loads(capsys.readouterr().out)
+    assert [f["column_ref"] for f in first] == ["spark://orders/o_orderdate"]
+    assert cli.main(args + ["--since", "24h"]) == 0
+    captured = capsys.readouterr()
+    # the scanned column is pruned; the other 5 re-scan but find nothing
+    assert json.loads(captured.out) == []
+    assert '"skipped_columns": 1' in captured.err
+
+
 def test_writeback_idempotent(findings):
     client = FakeCatalogClient()
     first = apply_writeback(findings, client)
