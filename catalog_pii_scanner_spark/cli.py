@@ -267,12 +267,56 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.set_defaults(fn=cmd_eval)
 
+    s = sub.add_parser("serve", help="health endpoint (GET /healthz)")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--once", action="store_true",
+                   help="answer one request then exit (for tests)")
+    s.set_defaults(fn=cmd_serve)
+
     s = sub.add_parser("export")
     s.add_argument("--store", required=True)
     s.add_argument("--fmt", choices=("json", "csv"), default="json")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_export)
     return p
+
+
+def make_health_server(host: str = "127.0.0.1", port: int = 0):
+    """The reference's API surface is GET /healthz only (reference
+    api.py:7-13, FastAPI); this is the dependency-free stdlib rendering.
+    Returns an http.server.HTTPServer bound and ready (port 0 = ephemeral,
+    read the actual one from ``server_address``)."""
+    import http.server
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            if self.path == "/healthz":
+                body = json.dumps({"status": "ok"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *args):  # quiet: structured logs only
+            pass
+
+    return http.server.HTTPServer((host, port), Handler)
+
+
+def cmd_serve(args) -> int:
+    srv = make_health_server(args.host, args.port)
+    print(f"serving /healthz on "
+          f"{srv.server_address[0]}:{srv.server_address[1]}",
+          file=sys.stderr)
+    if args.once:
+        srv.handle_request()
+    else:  # pragma: no cover - interactive mode
+        srv.serve_forever()
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -102,6 +102,33 @@ def test_glob_to_rlike_filters_columns(spark):
     assert glob_to_rlike("a.b") == r"^a\.b$"
 
 
+def test_serve_healthz():
+    """The reference API surface (GET /healthz -> {"status": "ok"},
+    reference api.py:7-13), stdlib rendering."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    from catalog_pii_scanner_spark.cli import make_health_server
+    srv = make_health_server(port=0)
+    host, port = srv.server_address
+    t = threading.Thread(target=srv.handle_request, daemon=True)
+    t.start()
+    with urllib.request.urlopen(f"http://{host}:{port}/healthz") as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read()) == {"status": "ok"}
+    t.join(timeout=5)
+    t2 = threading.Thread(target=srv.handle_request, daemon=True)
+    t2.start()
+    try:
+        urllib.request.urlopen(f"http://{host}:{port}/other")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    t2.join(timeout=5)
+    srv.server_close()
+
+
 def test_cli_scan_target_and_config(tmp_path, spark):
     """CLI round-trip: --target glob prunes tables, --config gates types."""
     import json

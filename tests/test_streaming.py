@@ -67,6 +67,44 @@ def test_incremental_scan_stream(spark, tmp_path_factory):
         [("c1", "EMAIL", "a@b.io")]
 
 
+def test_scan_watcher_merges_store_incrementally(spark, tmp_path_factory):
+    """Full watcher loop: drain -> findings in the MERGE store; new files
+    -> second drain processes ONLY them (checkpoint) and upserts without
+    duplicating keys."""
+    from catalog_pii_scanner_spark.sinks.findings_store import (
+        read_merged_findings)
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        run_scan_watcher_once)
+    d = tmp_path_factory.mktemp("watcher")
+    src, store, ckpt = str(d / "in"), str(d / "store"), str(d / "ckpt")
+    spark.createDataFrame(
+        [("t1/email", "reach me: x@y.dev"), ("t1/notes", "plain words")],
+        "column_ref string, value string",
+    ).write.mode("append").parquet(src)
+    assert run_scan_watcher_once(spark, src, store, ckpt) == 1
+    first = {r.column_ref: r for r in
+             read_merged_findings(spark, store).collect()}
+    assert set(first) == {"t1/email"}
+    assert first["t1/email"].types == ["EMAIL"]
+
+    # second wave: a rescan of the same column (now with a phone too) and
+    # a brand-new column
+    spark.createDataFrame(
+        [("t1/email", "x@y.dev or 555-204-1123"), ("t2/ssn", "123-45-6789")],
+        "column_ref string, value string",
+    ).write.mode("append").parquet(src)
+    assert run_scan_watcher_once(spark, src, store, ckpt) == 1
+    rows = read_merged_findings(spark, store).collect()
+    got = {r.column_ref: r for r in rows}
+    assert set(got) == {"t1/email", "t2/ssn"}      # upsert, no dup keys
+    assert len(rows) == 2
+    assert got["t1/email"].types == ["EMAIL", "PHONE_NUMBER"]  # updated
+    assert got["t2/ssn"].types == ["SSN"]
+
+    # nothing new -> zero batches processed
+    assert run_scan_watcher_once(spark, src, store, ckpt) == 0
+
+
 def test_stream_user_ewma_stateful(spark, tmp_path_factory):
     """Custom stateful operator (applyInPandasWithState): per-user EWMA
     state must carry ACROSS microbatches — the final emitted state for
