@@ -31,7 +31,8 @@ from catalog_pii_scanner_spark.operators.redaction import (
     suppress_redact_oracle_cte)
 from catalog_pii_scanner_spark.operators.rules import rules_for_types
 from catalog_pii_scanner_spark.sources.catalog import (
-    catalog_columns_oracle_sql, parquet_catalog_columns)
+    catalog_columns_oracle_sql, hms_catalog_columns,
+    parquet_catalog_columns)
 from catalog_pii_scanner_spark.sources.glue import (
     GlueEnumerator, glue_columns, glue_columns_oracle_sql,
     stub_glue_client)
@@ -300,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S1-S4 catalog enumeration -> canonical columns frame
         "catalog_columns": lambda s, sf:
             parquet_catalog_columns(s, sf),
+        # S4 HMS walk: session-catalog round-trip (register + enumerate)
+        "hms_columns": hms_catalog_columns,
         # S2 Unity information_schema scan with glob-pattern pushdown
         "unity_columns": lambda s, sf:
             unity_catalog_columns(stub_information_schema(s),
@@ -390,6 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_metadata_hints": metadata_rules.metadata_hints_oracle_sql(
             "(" + catalog_columns_oracle_sql() + ")"),
         "catalog_columns": catalog_columns_oracle_sql(),
+        "hms_columns": catalog_columns_oracle_sql(
+            catalog="spark", schema="session", comments={}),
         "unity_columns": unity_columns_oracle_sql(
             table_patterns=UNITY_PATTERNS),
         "glue_columns": glue_columns_oracle_sql(

@@ -100,15 +100,17 @@ def parquet_catalog_columns(spark: SparkSession, sf_dir: str,
 
 def catalog_columns_oracle_sql(tables: tuple[str, ...] | None = None,
                                catalog: str = "parquet",
-                               schema: str = "testdata") -> str:
+                               schema: str = "testdata",
+                               comments: dict | None = None) -> str:
     """DuckDB VALUES rendering from the shared schema constants. The Spark
-    side reads real footers; equality *is* the test that enumeration found
-    exactly the declared columns/types."""
+    side reads real footers (or walks the session catalog); equality *is*
+    the test that enumeration found exactly the declared columns/types."""
     tables = tables or tuple(TESTDATA_SCHEMAS)
+    comments = DEMO_COMMENTS if comments is None else comments
     rows = []
     for t in tables:
         for c, dt in TESTDATA_SCHEMAS[t]:
-            comment = DEMO_COMMENTS.get((t, c))
+            comment = comments.get((t, c))
             cm = "NULL" if comment is None else f"'{comment}'"
             rows.append(
                 f"('{catalog}', '{schema}', '{t}', '{c}', '{dt}', {cm}, "
@@ -116,6 +118,45 @@ def catalog_columns_oracle_sql(tables: tuple[str, ...] | None = None,
     return ("SELECT * FROM (VALUES " + ", ".join(rows) +
             ') t(catalog, "schema", "table", "column", data_type, '
             'comment, ref)')
+
+
+_HMS_VIEW_PREFIX = "cpss_hms_"
+
+
+def hms_catalog_columns(spark: SparkSession, sf_dir: str,
+                        tables: tuple[str, ...] | None = None,
+                        catalog: str = "spark",
+                        schema: str = "session") -> DataFrame:
+    """S4 as an oracle-checkable query: register the testdata tables in
+    the SESSION catalog (temp views — the hermetic stand-in for a Hive
+    Metastore; Spark's embedded HMS client makes the real path identical)
+    and enumerate them back through ``spark.catalog.listTables`` /
+    ``listColumns`` (reference hms.py:76-106's thrift walk). The oracle is
+    the declared schema constants: equality proves the catalog round-trip
+    preserved every column name and logical type."""
+    tables = tables or tuple(TESTDATA_SCHEMAS)
+    from .melt import read_table
+    for t in tables:
+        read_table(spark, sf_dir, t) \
+            .createOrReplaceTempView(f"{_HMS_VIEW_PREFIX}{t}")
+    rows = []
+    for tbl in spark.catalog.listTables():
+        if not tbl.name.startswith(_HMS_VIEW_PREFIX):
+            continue
+        base = tbl.name[len(_HMS_VIEW_PREFIX):]
+        if base not in tables:
+            continue
+        for c in spark.catalog.listColumns(tbl.name):
+            # catalog-level logical vocabulary: the reference carries one
+            # free-form 'timestamp' type; Spark's NTZ distinction is a
+            # data-plane detail (melt renders both identically)
+            dt = ("timestamp" if c.dataType == "timestamp_ntz"
+                  else c.dataType)
+            rows.append((
+                catalog, schema, base, c.name, dt, c.description,
+                column_ref(catalog, schema, base, c.name),
+            ))
+    return spark.createDataFrame(rows, COLUMNS_SCHEMA)
 
 
 def spark_catalog_columns(spark: SparkSession,
