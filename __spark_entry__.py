@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from catalog_pii_scanner_spark import oracles
-from catalog_pii_scanner_spark.operators import (corpus, dedup,
+from catalog_pii_scanner_spark.operators import (corpus, dedup, llm,
                                                  metadata_rules, multimodal,
                                                  ner, simsearch, textstats)
 from catalog_pii_scanner_spark.operators.ensemble import (
@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_sample": corpus.temperature_sample,
         # fused keep/drop curation verdict (quality+repetition+decontam)
         "corpus_curate": corpus.curate,
+        # LLM cost-cap metering as a deterministic plan (ensemble+llm)
+        "llm_budget_plan": lambda s, sf: llm.llm_budget_plan(
+            s.read.parquet(f"{sf}/documents.parquet")),
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -420,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_sequences": corpus.pack_sequences_oracle_sql(),
         "corpus_temperature_sample": corpus.temperature_sample_oracle_sql(),
         "corpus_curate": corpus.curate_oracle_sql(),
+        "llm_budget_plan": llm.llm_budget_plan_sql(),
         "dedup_exact": dedup.exact_dedup_sql("duckdb"),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs_sql("duckdb"),

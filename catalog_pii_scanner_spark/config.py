@@ -68,14 +68,45 @@ class RulesConfig:
 
 
 @dataclass(frozen=True)
+class LLMConfig:
+    """Reference config.py:67-78 — declared there, consumed nowhere; this
+    engine's operators/llm.py renders the cap/cache behaviors."""
+    enabled: bool = False
+    provider: str = "local"
+    model: str = "offline-deterministic"
+    max_tokens: int = 256
+    temperature: float = 0.0
+    redact: bool = True
+    cost_cap_usd_per_scan: float = 0.50
+    cache_ttl_minutes: int = 1440
+
+    def __post_init__(self) -> None:
+        if self.provider not in ("local",):
+            raise ConfigError(f"unknown llm.provider {self.provider!r} "
+                              f"(only 'local' runs offline)")
+        if self.max_tokens < 1:
+            raise ConfigError("llm.max_tokens must be >= 1")
+        if not 0.0 <= self.temperature <= 2.0:
+            raise ConfigError("llm.temperature must be in [0, 2]")
+        if self.cost_cap_usd_per_scan < 0:
+            raise ConfigError("llm.cost_cap_usd_per_scan must be >= 0")
+        if self.cache_ttl_minutes < 0:
+            raise ConfigError("llm.cache_ttl_minutes must be >= 0")
+
+
+@dataclass(frozen=True)
 class AiConfig:
     mode: str = "rules"
     ner: NerConfig = field(default_factory=NerConfig)
     ensemble: EnsembleConfig = field(default_factory=EnsembleConfig)
+    llm: LLMConfig = field(default_factory=LLMConfig)
 
     def __post_init__(self) -> None:
-        if self.mode not in ("rules", "ensemble"):
+        if self.mode not in ("rules", "ensemble", "ensemble+llm"):
             raise ConfigError(f"unknown ai.mode {self.mode!r}")
+        if self.mode == "ensemble+llm" and not self.llm.enabled:
+            raise ConfigError(
+                "ai.mode 'ensemble+llm' requires ai.llm.enabled=true")
 
 
 @dataclass(frozen=True)
@@ -90,7 +121,8 @@ class AppConfig:
 
 
 _NESTED = {AppConfig: {"ai": AiConfig, "rules": RulesConfig},
-           AiConfig: {"ner": NerConfig, "ensemble": EnsembleConfig}}
+           AiConfig: {"ner": NerConfig, "ensemble": EnsembleConfig,
+                      "llm": LLMConfig}}
 
 
 def _build(cls, data: dict[str, Any]):

@@ -283,9 +283,6 @@ SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tfidf FROM (
 #: start/budget division EXACT in binary floating point, so floor() can
 #: never disagree between engines at a bin boundary.
 TOKEN_BUDGET = 512
-#: md5-prefix bucket width (2 hex chars = 256 buckets) for the
-#: distributed prefix sum.
-PACK_BUCKET_CHARS = 2
 
 
 def pack_sequences_docs(docs: DataFrame,
@@ -297,38 +294,23 @@ def pack_sequences_docs(docs: DataFrame,
     training sequence its first token lands in, straddles — whether the
     doc crosses a sequence boundary and is split across two sequences).
 
-    Scale shape: a naive global running sum is a single-partition window
-    — the classic scale-killer. Here the prefix sum is TWO-LEVEL: docs
-    hash into 256 md5-prefix buckets; each bucket cumsums independently
-    (per-bucket window, ~N/256 rows), bucket token totals (256 rows)
-    cumsum on one tiny partition, and the bucket offsets broadcast back.
-    Because the bucket is a PREFIX of the global sort key, bucket-local
-    order + bucket offsets reproduce the global order exactly — the plan
-    that survives a 100 TB corpus.
+    Scale shape: the global running sum evaluates as plans/prefix.py's
+    two-level bucketed prefix sum — no single-partition window at any
+    corpus size.
     """
-    h = F.md5(F.col("doc_id").cast("string"))
+    from ..plans.prefix import running_total
     base = docs.select(
-        "doc_id", h.alias("h"),
-        F.size(F.split("text", " +")).cast("bigint").alias("n_tokens"),
-    ).withColumn("bucket", F.substring("h", 1, PACK_BUCKET_CHARS))
-    w_in = (Window.partitionBy("bucket").orderBy("h", "doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    base = base.withColumn("run", F.sum("n_tokens").over(w_in))
-    w_off = (Window.orderBy("bucket")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = (base.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
-               .withColumn("boff", F.coalesce(F.sum("btot").over(w_off),
-                                              F.lit(0).cast("bigint")))
-               .select("bucket", "boff"))
-    start = (F.col("boff") + F.col("run") - F.col("n_tokens"))
+        "doc_id",
+        F.size(F.split("text", " +")).cast("bigint").alias("n_tokens"))
+    cum = running_total(base, "doc_id", "n_tokens", "start_tok")
+    start = F.col("start_tok")
     seq = F.floor(start / F.lit(budget)).cast("bigint")
     last_seq = F.floor((start + F.col("n_tokens") - 1) / F.lit(budget))
     straddles = F.when(F.col("n_tokens") > 0,
                        seq != last_seq.cast("bigint")).otherwise(F.lit(False))
-    return (base.join(F.broadcast(offsets), "bucket")
-            .select("doc_id", start.cast("bigint").alias("start_tok"),
-                    "n_tokens", seq.alias("seq_id"),
-                    straddles.alias("straddles")))
+    return cum.select("doc_id", start.cast("bigint").alias("start_tok"),
+                      "n_tokens", seq.alias("seq_id"),
+                      straddles.alias("straddles"))
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

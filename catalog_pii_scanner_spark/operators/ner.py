@@ -93,6 +93,9 @@ def _get_provider(name: str):
     if name not in _PROVIDER_SINGLETONS:
         if name == "fake_heavy":
             _PROVIDER_SINGLETONS[name] = FakeHeavyProvider()
+        elif name == "fake_llm":
+            from .llm import FakeLLMProvider
+            _PROVIDER_SINGLETONS[name] = FakeLLMProvider()
         elif name in ("spacy", "presidio"):  # pragma: no cover - no models
             raise ImportError(
                 f"NER provider '{name}' needs its model package, which is "

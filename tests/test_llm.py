@@ -1,0 +1,93 @@
+"""The ensemble+llm surface (operators/llm.py): cost-cap metering as a
+deterministic plan, TTL response cache, budget-gated detection, and the
+config block the reference declares but never consumes."""
+
+from __future__ import annotations
+
+import pytest
+
+from catalog_pii_scanner_spark.operators.llm import (
+    FakeLLMProvider, detect_llm_spans, llm_budget_plan)
+
+
+def _texts(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_budget_plan_caps_cumulative_cost(spark):
+    # 10 docs x 100 tokens at $0.03/1k = $0.003 each; cap $0.01 -> first
+    # 3 docs (in md5 order) are in budget
+    docs = _texts(spark, [(i, " ".join(["w"] * 100)) for i in range(10)])
+    plan = llm_budget_plan(docs, cost_cap_usd=0.01, price_per_1k=0.03)
+    rows = sorted(plan.collect(), key=lambda r: r.cum_usd)
+    assert [r.est_tokens for r in rows] == [100] * 10
+    assert sum(r.in_budget for r in rows) == 3
+    # metering order is the md5 order, and cum_usd is strictly increasing
+    assert [round(r.cum_usd, 6) for r in rows] == \
+        [round(0.003 * (i + 1), 6) for i in range(10)]
+    # deterministic: rerun selects the identical subset
+    again = {r.doc_id: r.in_budget for r in
+             llm_budget_plan(docs, cost_cap_usd=0.01,
+                             price_per_1k=0.03).collect()}
+    assert {r.doc_id: r.in_budget for r in rows} == again
+
+
+def test_provider_ttl_cache():
+    clock = [0.0]
+    p = FakeLLMProvider(cache_ttl_minutes=1, clock=lambda: clock[0])
+    [first] = p.detect_batch(["mail a@b.io now"])
+    assert [(s[0], s[1]) for s in first] == [("EMAIL", "a@b.io")]
+    assert (p.model_calls, p.cache_hits) == (1, 0)
+    # within TTL: cached, no model call
+    [again] = p.detect_batch(["mail a@b.io now"])
+    assert again == first
+    assert (p.model_calls, p.cache_hits) == (1, 1)
+    # past TTL: lazy expiry -> model re-invoked
+    clock[0] = 61.0
+    p.detect_batch(["mail a@b.io now"])
+    assert (p.model_calls, p.cache_hits) == (2, 1)
+
+
+def test_detect_llm_spans_budget_gated(spark):
+    # two values: the cheap one fits a tiny budget, the expensive one
+    # (500 tokens) exceeds it -> its spans are never produced
+    big = "b@c.org " + " ".join(["pad"] * 499)
+    vals = spark.createDataFrame(
+        [("c1", "a@b.io"), ("c2", big)],
+        "column_ref string, value string")
+    spans = detect_llm_spans(vals, cost_cap_usd=0.0001, price_per_1k=0.03)
+    got = [(r.column_ref, r.pii_type, r.match_text) for r in spans.collect()]
+    assert got == [("c1", "EMAIL", "a@b.io")]
+    # a budget that covers both finds both emails
+    spans_all = detect_llm_spans(vals, cost_cap_usd=1.0)
+    assert sorted(r.match_text for r in spans_all.collect()
+                  if r.pii_type == "EMAIL") == ["a@b.io", "b@c.org"]
+
+
+def test_llm_spans_merge_with_rules(spark):
+    from catalog_pii_scanner_spark.operators.findings import scan_values
+    from catalog_pii_scanner_spark.operators.ner import merge_with_rules
+    vals = spark.createDataFrame(
+        [("c1", "ssn 123-45-6789 mail a@b.io")],
+        "column_ref string, value string")
+    merged = merge_with_rules(scan_values(vals), detect_llm_spans(vals))
+    by_type = {r.pii_type: r for r in merged.collect()}
+    # the LLM stage's 0.95 lifts SSN above its 0.90 rule confidence
+    assert by_type["SSN"].merged_score == pytest.approx(0.95)
+
+
+def test_llm_config_block():
+    from catalog_pii_scanner_spark.config import ConfigError, load_config
+    cfg = load_config(environ={
+        "CPS_AI__MODE": "ensemble+llm",
+        "CPS_AI__LLM__ENABLED": "true",
+        "CPS_AI__LLM__COST_CAP_USD_PER_SCAN": "0.25",
+    })
+    assert cfg.ai.mode == "ensemble+llm"
+    assert cfg.ai.llm.cost_cap_usd_per_scan == 0.25
+    assert cfg.ai.llm.cache_ttl_minutes == 1440  # reference default
+    with pytest.raises(ConfigError):  # mode requires llm.enabled
+        load_config(environ={"CPS_AI__MODE": "ensemble+llm"})
+    with pytest.raises(ConfigError):  # ranged field
+        load_config(environ={"CPS_AI__LLM__ENABLED": "true",
+                             "CPS_AI__LLM__TEMPERATURE": "3.0"})
