@@ -45,7 +45,8 @@ from catalog_pii_scanner_spark.sources.sampler import (
     athena_sample_column, athena_sample_oracle_sql, sample_columns,
     sample_columns_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
-    events_hourly, events_hourly_oracle_sql, events_sessions,
+    events_hourly, events_hourly_oracle_sql, events_props_stats,
+    events_props_stats_oracle_sql, events_sessions,
     events_sessions_oracle_sql, stream_dedup_events,
     stream_dedup_events_oracle_sql, stream_events_hourly,
     stream_events_hourly_oracle_sql)
@@ -320,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  **ATHENA_SAMPLE_KW),
         # streaming-equivalent tumbling window aggregation (§2.13)
         "events_hourly": events_hourly,
+        # semi-structured JSON column extraction (from_json, codegen)
+        "events_props_stats": events_props_stats,
         # true Structured Streaming drain (availableNow watcher, §2.13)
         "stream_events_hourly": stream_events_hourly,
         # session windows (native session_window; streaming-capable)
@@ -407,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "athena_sample_capped": athena_sample_oracle_sql(
             *ATHENA_SAMPLE_ARGS, **ATHENA_SAMPLE_KW),
         "events_hourly": events_hourly_oracle_sql(),
+        "events_props_stats": events_props_stats_oracle_sql(),
         "stream_events_hourly": stream_events_hourly_oracle_sql(),
         "events_sessions": events_sessions_oracle_sql(),
         "stream_dedup_events": stream_dedup_events_oracle_sql(),

@@ -74,6 +74,41 @@ GROUP BY 1, 2
 """
 
 
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: parse the events ``props`` JSON with
+    ``from_json`` (typed extraction inside codegen — not a UDF) and
+    aggregate the extracted field per event type. The extraction is a
+    projection, so Catalyst still prunes the scan to (event_type, props)
+    and the single shuffle is the groupBy. SUM over ints stays exact in
+    doubles, so avg_k is engine-order-independent."""
+    from ..sources.melt import read_table
+    ev = read_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.count("k").alias("n_with_k"),
+             F.sum("k").cast("bigint").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             F.round(F.avg("k"), 6).alias("avg_k"))
+    )
+
+
+def events_props_stats_oracle_sql(events_rel: str = "events") -> str:
+    return f"""
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k,
+       MAX(k) AS max_k, round(AVG(k), 6) AS avg_k
+FROM (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM {events_rel}
+) GROUP BY event_type
+"""
+
+
 #: Stream-source schema when the parquet carries TIMESTAMP(NANOS): Spark's
 #: reader surfaces nanos as LONG under nanosAsLong; the stream projects it
 #: back to a microsecond timestamp (same truncation as sources/melt.py).

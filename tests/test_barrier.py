@@ -57,6 +57,27 @@ def test_extract_candidates_single_arrow_stage(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
 
 
+def test_running_total_big_window_is_bucket_partitioned(spark):
+    """The distributed prefix sum must never plan the data-sized window
+    globally: the only partition-less window allowed is the 256-row
+    bucket-offsets one."""
+    from catalog_pii_scanner_spark.plans.prefix import running_total
+    df = spark.range(1000).select(F.col("id"), F.lit(3).alias("w"))
+    out = running_total(df, "id", "w")
+    plan = _physical(out)
+    specs = [line for line in plan.split("\n") if "Window" in line]
+    big = [s for s in specs if "_bucket" in s and "_run" in s]
+    assert big, plan  # the per-row cumsum window partitions by bucket
+    # and the result equals the naive global cumsum
+    import hashlib
+    order = sorted(range(1000),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                  i))
+    expected = {i: 3 * rank for rank, i in enumerate(order)}
+    got = {r.id: r.run_total for r in out.collect()}
+    assert got == expected
+
+
 def test_gated_fusion_filter_above_distinct(spark):
     from catalog_pii_scanner_spark.operators.ensemble import fuse_predictions
     cands = spark.createDataFrame(
