@@ -128,13 +128,22 @@ def cmd_scan_text(args) -> int:
     df = spark.createDataFrame([("cli", args.text)],
                                "column_ref string, value string")
     cands = scan_values(df, rules=rules_for_types(cfg.rules.enabled_types))
-    if args.ensemble:
+    if args.ensemble or cfg.ai.mode in ("ensemble", "ensemble+llm"):
         # the reference's scan_text path: contexts -> N5 + E2 signals ->
-        # fusion, gated by the P6 decision threshold (calibrated scale)
+        # fusion, gated by the P6 decision threshold (calibrated scale).
+        # mode ensemble+llm swaps the N5 provider for the (TTL-cached,
+        # worker-singleton) LLM stub — the declared-but-never-built
+        # reference mode, config-dispatched.
+        from .operators.ensemble import IDENTITY_CALIBRATION
+        ner_provider = ("fake_llm"
+                        if cfg.ai.mode == "ensemble+llm" and cfg.ai.llm.enabled
+                        else "regex")
         model = EmbedModel.load(args.model) if args.model else None
         preds = full_scan_predictions(
             cands, model=model,
-            decision_threshold=cfg.ai.ensemble.decision_threshold)
+            decision_threshold=cfg.ai.ensemble.decision_threshold,
+            ner_provider=ner_provider,
+            calibration=IDENTITY_CALIBRATION)
         print(json.dumps([
             {"type": r.label, "text": r.match_text,
              "score": round(r.score, 6)}

@@ -64,6 +64,13 @@ CALIBRATION = {
     for i, t in enumerate(ALL_PII_TYPES)
 }
 
+#: The reference's LIVE default: an identity Platt calibrator
+#: (ensemble.py:34-42's load-fallback, a=1 b=0 per type). The CLI uses
+#: this so scale/offset test constants never flip user-facing argmax
+#: labels; the oracle queries keep the non-identity CALIBRATION above to
+#: exercise F2 with a != 1.
+IDENTITY_CALIBRATION = {t: (1.0, 0.0) for t in ALL_PII_TYPES}
+
 _HEX = "0123456789abcdef"
 
 

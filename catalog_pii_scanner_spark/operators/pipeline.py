@@ -35,6 +35,7 @@ def full_scan_predictions(
     weights: EnsembleWeights = REFERENCE_WEIGHTS,
     decision_threshold: float | None = None,
     ner_provider: str = "regex",
+    calibration: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Scored candidates (CAND_COLS + rule_confidence + validated) ->
     fused predictions with the REAL signal path bound. ``model`` defaults
@@ -64,6 +65,7 @@ def full_scan_predictions(
     return fuse_predictions(
         enriched,
         weights=weights,
+        calibration=calibration,
         ner_signal=F.col("ner_sig"),
         embed_signal=F.col("embed_probs"),
         decision_threshold=decision_threshold,

@@ -76,6 +76,23 @@ def test_llm_spans_merge_with_rules(spark):
     assert by_type["SSN"].merged_score == pytest.approx(0.95)
 
 
+def test_cli_scan_text_mode_dispatch(spark, tmp_path, capsys, monkeypatch):
+    """ai.mode='ensemble+llm' routes scan-text's N5 stage through the LLM
+    provider via config alone (no CLI flag) and still produces gated
+    ensemble predictions."""
+    import json as _json
+    import catalog_pii_scanner_spark.cli as cli
+    monkeypatch.setattr(cli, "_spark", lambda app: spark)
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps({
+        "ai": {"mode": "ensemble+llm", "llm": {"enabled": True},
+               "ensemble": {"decision_threshold": 0.5}}}))
+    rc = cli.main(["scan-text", "reach me at a@b.io", "--config", str(cfg)])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert any(p["type"] == "EMAIL" and p["text"] == "a@b.io" for p in out)
+
+
 def test_llm_config_block():
     from catalog_pii_scanner_spark.config import ConfigError, load_config
     cfg = load_config(environ={
