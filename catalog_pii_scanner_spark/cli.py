@@ -134,13 +134,23 @@ def cmd_scan_text(args) -> int:
         # mode ensemble+llm swaps the N5 provider for the (TTL-cached,
         # worker-singleton) LLM stub — the declared-but-never-built
         # reference mode, config-dispatched.
-        from .operators.ensemble import IDENTITY_CALIBRATION
+        from .operators.ensemble import (EnsembleWeights,
+                                         IDENTITY_CALIBRATION,
+                                         REFERENCE_WEIGHTS)
         ner_provider = ("fake_llm"
                         if cfg.ai.mode == "ensemble+llm" and cfg.ai.llm.enabled
                         else "regex")
+        # SURVEY §7.6: the reference ships two disagreeing weight sets
+        # (dataclass 0.6/0.2/0.4 actually used; config 0.4/0.3/0.3 never
+        # wired). This engine is config-driven; --reference-compat selects
+        # the dataclass defaults for 1:1 parity runs.
+        weights = (REFERENCE_WEIGHTS if args.reference_compat
+                   else EnsembleWeights(w_rule=cfg.ai.ensemble.w_rule,
+                                        w_ner=cfg.ai.ensemble.w_ner,
+                                        w_embed=cfg.ai.ensemble.w_embed))
         model = EmbedModel.load(args.model) if args.model else None
         preds = full_scan_predictions(
-            cands, model=model,
+            cands, model=model, weights=weights,
             decision_threshold=cfg.ai.ensemble.decision_threshold,
             ner_provider=ner_provider,
             calibration=IDENTITY_CALIBRATION)
@@ -254,6 +264,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--model", default="",
                    help="trained embed model (.npz); default: offline "
                         "deterministic model")
+    s.add_argument("--reference-compat", action="store_true",
+                   help="fuse with the reference's dataclass weight "
+                        "defaults (0.6/0.2/0.4) instead of the config "
+                        "weights")
     s.set_defaults(fn=cmd_scan_text)
 
     s = sub.add_parser("gen-synth", help="generate labeled JSONL")

@@ -93,6 +93,21 @@ def test_cli_scan_text_mode_dispatch(spark, tmp_path, capsys, monkeypatch):
     assert any(p["type"] == "EMAIL" and p["text"] == "a@b.io" for p in out)
 
 
+def test_cli_scan_text_weight_sets_differ(spark, capsys, monkeypatch):
+    """Config weights drive fusion; --reference-compat restores the
+    reference's dataclass defaults (SURVEY §7.6 discrepancy, exposed as
+    the two documented weight sets)."""
+    import json as _json
+    import catalog_pii_scanner_spark.cli as cli
+    monkeypatch.setattr(cli, "_spark", lambda app: spark)
+    base = ["scan-text", "mail a@b.io", "--ensemble"]
+    assert cli.main(base) == 0
+    config_score = _json.loads(capsys.readouterr().out)[0]["score"]
+    assert cli.main(base + ["--reference-compat"]) == 0
+    ref_score = _json.loads(capsys.readouterr().out)[0]["score"]
+    assert config_score != ref_score  # 0.4/0.3/0.3 vs 0.6/0.2/0.4
+
+
 def test_llm_config_block():
     from catalog_pii_scanner_spark.config import ConfigError, load_config
     cfg = load_config(environ={
