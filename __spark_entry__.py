@@ -47,6 +47,7 @@ from catalog_pii_scanner_spark.sources.sampler import (
 from catalog_pii_scanner_spark.streaming.watcher import (
     events_hourly, events_hourly_oracle_sql, events_props_stats,
     events_props_stats_oracle_sql, events_sessions,
+    events_value_outliers, events_value_outliers_oracle_sql,
     events_sessions_oracle_sql, stream_dedup_events,
     stream_dedup_events_oracle_sql, stream_events_hourly,
     stream_events_hourly_oracle_sql)
@@ -323,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         # semi-structured JSON column extraction (from_json, codegen)
         "events_props_stats": events_props_stats,
+        # per-type z-score outliers (exact decimal moments, no window)
+        "events_value_outliers": events_value_outliers,
         # true Structured Streaming drain (availableNow watcher, §2.13)
         "stream_events_hourly": stream_events_hourly,
         # session windows (native session_window; streaming-capable)
@@ -411,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
             *ATHENA_SAMPLE_ARGS, **ATHENA_SAMPLE_KW),
         "events_hourly": events_hourly_oracle_sql(),
         "events_props_stats": events_props_stats_oracle_sql(),
+        "events_value_outliers": events_value_outliers_oracle_sql(),
         "stream_events_hourly": stream_events_hourly_oracle_sql(),
         "events_sessions": events_sessions_oracle_sql(),
         "stream_dedup_events": stream_dedup_events_oracle_sql(),

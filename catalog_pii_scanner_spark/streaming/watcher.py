@@ -109,6 +109,66 @@ FROM (
 """
 
 
+#: |z| cutoff for the outlier query.
+OUTLIER_Z = 3.0
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str,
+                          z_threshold: float = OUTLIER_Z) -> DataFrame:
+    """Per-event-type z-score outliers — the monitoring query a watcher
+    feeds. Two-pass exact: per-type count/sum/sum-of-squares accumulate
+    in DECIMAL (exact, so the reduction order between engines cannot
+    perturb them — a double SUM would hash-diverge in the last ULP), the
+    moment arithmetic then runs in doubles on the already-exact sums.
+    Shuffle shape: one partial-aggregated groupBy over ~#event_types
+    rows, broadcast back to the row-level scan; no window over the data.
+
+    Output: event_id, event_type, value, z (|z| >= threshold only)."""
+    from ..sources.melt import read_table
+    v = F.col("value").cast("decimal(18,2)")
+    ev = read_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", v.alias("v"))
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("sumv"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("sumsq"))
+    mean = F.col("sumv") / F.col("n")
+    var = (F.col("sumsq") - F.col("n") * mean * mean) / (F.col("n") - 1)
+    enriched = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("_z", (F.col("v").cast("double") - mean)
+                    / F.sqrt(var)))
+    return (enriched.where(F.abs("_z") >= F.lit(z_threshold))
+            .select("event_id", "event_type",
+                    F.col("v").cast("double").alias("value"),
+                    F.round("_z", 6).alias("z")))
+
+
+def events_value_outliers_oracle_sql(events_rel: str = "events",
+                                     z_threshold: float = OUTLIER_Z) -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+  FROM {events_rel}
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) AS sumv,
+         CAST(SUM(v * v) AS DOUBLE) AS sumsq
+  FROM ev GROUP BY event_type
+),
+z AS (
+  SELECT e.event_id, e.event_type, CAST(e.v AS DOUBLE) AS value,
+         (CAST(e.v AS DOUBLE) - s.sumv / s.n)
+           / sqrt((s.sumsq - s.n * (s.sumv / s.n) * (s.sumv / s.n))
+                  / (s.n - 1)) AS zval
+  FROM ev e JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, value, round(zval, 6) AS z
+FROM z WHERE abs(zval) >= {z_threshold}
+"""
+
+
 #: Stream-source schema when the parquet carries TIMESTAMP(NANOS): Spark's
 #: reader surfaces nanos as LONG under nanosAsLong; the stream projects it
 #: back to a microsecond timestamp (same truncation as sources/melt.py).

@@ -41,6 +41,9 @@ def main() -> int:
         ("corpus_curate", "doc-keyed three-way verdict join"),
         ("pii_overlap_suppressed", "array-fold redaction"),
         ("pii_ensemble_gated", "fusion gate above the distinct"),
+        ("llm_budget_plan", "bucketed prefix-sum cost metering"),
+        ("events_props_stats", "typed from_json inside codegen"),
+        ("events_value_outliers", "decimal moments + broadcast stats"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
