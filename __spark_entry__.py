@@ -24,8 +24,9 @@ from catalog_pii_scanner_spark.operators.evaluate import (
     eval_metrics, eval_metrics_oracle_sql)
 from catalog_pii_scanner_spark.operators.features import (
     candidate_features, candidate_features_oracle_sql)
-from catalog_pii_scanner_spark.operators.findings import (findings_rollup,
-                                                          scan_values)
+from catalog_pii_scanner_spark.operators.findings import (
+    candidates_rollup, candidates_rollup_oracle_sql, findings_rollup,
+    scan_values)
 from catalog_pii_scanner_spark.operators.redaction import (
     candidate_contexts, redaction_oracle_exprs, suppress_and_redact,
     suppress_redact_oracle_cte)
@@ -276,6 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             findings_rollup(_tables_values(s, sf)),
         # X1-X10 candidate detail (P2-P5 predicates, checksum validation)
         "pii_candidates_scored": _candidates_detail,
+        # §2.11 grouping sets: one-pass ROLLUP candidate summary
+        "pii_candidates_rollup": lambda s, sf:
+            candidates_rollup(_demo_candidates(s, sf)),
         # P8 feature projection (~28 cols, pure codegen)
         "pii_candidate_features": lambda s, sf: candidate_features(
             _demo_candidates(s, sf)
@@ -383,6 +387,8 @@ def oracle_sql() -> dict[str, str]:
             oracles.scan_findings_oracle(
                 oracles.tables_melted_sql(SCAN_TABLES), class_col="vclass"),
         "pii_candidates_scored": _candidates_detail_oracle(),
+        "pii_candidates_rollup": (_scored_demo_cte()
+                                  + candidates_rollup_oracle_sql()),
         "pii_candidate_features": (
             _scored_demo_cte()
             + ", cand_rel AS (SELECT DISTINCT column_ref, value, pii_type,"

@@ -39,6 +39,41 @@ def scan_values(values_df: DataFrame,
     return cands.withColumn("prob", candidate_score())
 
 
+def candidates_rollup(cands: DataFrame) -> DataFrame:
+    """Grouping-sets summary of scored candidates: per (type, validated),
+    per type, and grand total in ONE aggregation pass (GROUP BY ROLLUP —
+    Spark computes all three grouping sets from a single shuffle, the
+    layout SURVEY §2.11 notes as the natural shape for A3/A5-style
+    summaries). NULL grouping keys render as 'ALL' (the input columns are
+    non-null, so the coalesce is unambiguous).
+
+    Output: pii_type, validated, n_candidates, n_columns, max_prob.
+    """
+    return (
+        cands.rollup("pii_type", "validated")
+        .agg(F.count("*").alias("n_candidates"),
+             F.countDistinct("column_ref").alias("n_columns"),
+             F.round(F.max("prob"), 6).alias("max_prob"))
+        .select(
+            F.coalesce(F.col("pii_type"), F.lit("ALL")).alias("pii_type"),
+            F.coalesce(F.col("validated").cast("string"),
+                       F.lit("ALL")).alias("validated"),
+            "n_candidates", "n_columns", "max_prob")
+    )
+
+
+def candidates_rollup_oracle_sql(scored_rel: str = "scored") -> str:
+    return f"""
+SELECT COALESCE(pii_type, 'ALL') AS pii_type,
+       COALESCE(CAST(validated AS VARCHAR), 'ALL') AS validated,
+       COUNT(*) AS n_candidates,
+       COUNT(DISTINCT column_ref) AS n_columns,
+       round(MAX(prob), 6) AS max_prob
+FROM {scored_rel}
+GROUP BY ROLLUP(pii_type, validated)
+"""
+
+
 def findings_rollup(values_df: DataFrame,
                     rules: tuple[Rule, ...] = RULES) -> DataFrame:
     """Full scan: values -> per-(column, type) findings.
