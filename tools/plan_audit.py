@@ -44,6 +44,7 @@ def main() -> int:
         ("llm_budget_plan", "bucketed prefix-sum cost metering"),
         ("events_props_stats", "typed from_json inside codegen"),
         ("events_value_outliers", "decimal moments + broadcast stats"),
+        ("pii_candidates_rollup", "one-shuffle grouping sets"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
