@@ -27,6 +27,8 @@ from catalog_pii_scanner_spark.operators.features import (
 from catalog_pii_scanner_spark.operators.findings import (
     candidates_rollup, candidates_rollup_oracle_sql, findings_rollup,
     scan_values)
+from catalog_pii_scanner_spark.operators.profile import (
+    profile_columns, profile_columns_oracle_sql)
 from catalog_pii_scanner_spark.operators.redaction import (
     candidate_contexts, redaction_oracle_exprs, suppress_and_redact,
     suppress_redact_oracle_cte)
@@ -319,6 +321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          table_patterns=GLUE_PATTERNS),
         # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
         "sample_columns_topn": _sample,
+        # column profiling: null/distinct/minmax/length stats per column
+        "profile_columns": lambda s, sf: profile_columns(
+            _tables_values(s, sf)),
         # S6 Athena-analog: WHERE pushdown + cost-cap fraction + rand
         # order + LIMIT (args mirror ATHENA_SAMPLE below)
         "athena_sample_capped": lambda s, sf:
@@ -364,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
         # near-dup clusters: connected components over the pair graph
         "dedup_clusters": dedup.dedup_clusters,
+        # corpus keep/drop verdict: cluster representative per doc
+        "dedup_keep_list": dedup.dedup_keep_list,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_simhash": dedup.simhash,
         "dedup_embed_cosine": simsearch.embed_cosine_pairs,
@@ -416,6 +423,8 @@ def oracle_sql() -> dict[str, str]:
             table_patterns=GLUE_PATTERNS),
         "sample_columns_topn": sample_columns_oracle_sql(
             oracles.tables_melted_sql(SCAN_TABLES)),
+        "profile_columns": profile_columns_oracle_sql(
+            oracles.tables_melted_sql(SCAN_TABLES)),
         "athena_sample_capped": athena_sample_oracle_sql(
             *ATHENA_SAMPLE_ARGS, **ATHENA_SAMPLE_KW),
         "events_hourly": events_hourly_oracle_sql(),
@@ -442,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs_sql("duckdb"),
         "dedup_clusters": dedup.dedup_clusters_sql("duckdb"),
+        "dedup_keep_list": dedup.dedup_keep_list_sql("duckdb"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("duckdb"),
         "dedup_simhash": dedup.simhash_sql("duckdb"),
         "dedup_embed_cosine": simsearch.embed_cosine_pairs_sql("duckdb"),

@@ -554,6 +554,40 @@ def dedup_clusters(spark, sf_dir: str, threshold: float = 0.5,
     return connected_components(pairs)
 
 
+def dedup_keep_list(spark, sf_dir: str, threshold: float = 0.5,
+                    max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+    """The dedup family's actual product: one row per corpus document
+    with the keep/drop verdict. A doc is dropped iff it sits in a
+    near-dup cluster and is not that cluster's canonical representative
+    (MIN doc_id). Unclustered docs are their own representative.
+
+    Output: doc_id, cluster_rep, keep. Shuffle shape: the cluster
+    relation is bounded by near-dup membership (small vs the corpus), so
+    the verdict join broadcasts it under AQE."""
+    clusters = dedup_clusters(spark, sf_dir, threshold, max_bucket)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    out = docs.join(clusters, "doc_id", "left")
+    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+    return out.select(
+        "doc_id", rep.alias("cluster_rep"),
+        (rep == F.col("doc_id")).alias("keep"))
+
+
+def dedup_keep_list_sql(dialect: str, docs_rel: str = "documents",
+                        threshold: float = 0.5,
+                        max_bucket: int = MAX_BAND_BUCKET) -> str:
+    clusters = dedup_clusters_sql(dialect, docs_rel, threshold,
+                                  max_bucket).strip()
+    return f"""
+WITH clusters AS ({clusters})
+SELECT d.doc_id,
+       COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+       COALESCE(c.cluster_rep, d.doc_id) = d.doc_id AS keep
+FROM {docs_rel} d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+"""
+
+
 def dedup_clusters_sql(dialect: str, docs_rel: str = "documents",
                        threshold: float = 0.5,
                        max_bucket: int = MAX_BAND_BUCKET) -> str:

@@ -127,3 +127,22 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
+
+
+def test_dedup_keep_list_keeps_reps_and_singletons(spark, sf_dir):
+    """Every cluster keeps exactly its MIN-doc_id representative; docs
+    outside any near-dup cluster keep themselves; keep-list covers the
+    whole corpus."""
+    from catalog_pii_scanner_spark.operators.dedup import (
+        dedup_clusters, dedup_keep_list)
+    clusters = {r.doc_id: r.cluster_rep
+                for r in dedup_clusters(spark, sf_dir).collect()}
+    keep = {r.doc_id: (r.cluster_rep, r.keep)
+            for r in dedup_keep_list(spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(keep) == n_docs
+    for doc, (rep, kept) in keep.items():
+        if doc in clusters:
+            assert rep == clusters[doc] and kept == (doc == rep)
+        else:
+            assert rep == doc and kept
