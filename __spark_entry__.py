@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": corpus.stratified_sample,
         "corpus_vocab_topk": corpus.vocab_topk,
         "corpus_tfidf_keywords": corpus.tfidf_keywords,
+        # CCNet-style unigram LM doc scoring (decimal-exact reduction)
+        "corpus_unigram_logprob": corpus.unigram_logprob,
         # GPT-style concat-then-chunk packing via distributed prefix sum
         "corpus_pack_sequences": corpus.pack_sequences,
         # alpha=0.5 temperature mixture rebalancing by source
@@ -443,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample_stratified": corpus.stratified_sample_oracle_sql(),
         "corpus_vocab_topk": corpus.vocab_topk_oracle_sql(),
         "corpus_tfidf_keywords": corpus.tfidf_keywords_oracle_sql(),
+        "corpus_unigram_logprob": corpus.unigram_logprob_oracle_sql(),
         "corpus_pack_sequences": corpus.pack_sequences_oracle_sql(),
         "corpus_temperature_sample": corpus.temperature_sample_oracle_sql(),
         "corpus_curate": corpus.curate_oracle_sql(),

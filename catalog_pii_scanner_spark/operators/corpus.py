@@ -475,6 +475,65 @@ FROM fused
 """
 
 
+# --- unigram LM scoring (CCNet-style quality signal) -------------------------
+
+def unigram_logprob_docs(docs: DataFrame) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus
+    unigram LM — the CCNet-style "perplexity" filter: prose made of
+    common tokens scores low, token-salad scores high.
+
+    Determinism across engines: per-token costs are rounded to 1e-6 and
+    summed as DECIMAL(28,6), so the (engine-specific) reduction order
+    cannot move the sum by a ULP; the rounding also absorbs any last-ULP
+    libm difference in ln() itself. Shuffle shape: token-keyed count
+    (reused by the join), broadcast 1-row total, doc-keyed average.
+
+    Output: doc_id, n_tokens, avg_neg_logp (rounded 1e-6)."""
+    toks = (docs.select("doc_id", F.explode(
+                F.split(F.lower(F.col("text")), " +")).alias("token"))
+            .where(F.col("token") != ""))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tok_n"))
+    total = vocab.agg(F.sum("tok_n").alias("tok_total"))
+    cost = F.round(-F.log(F.col("tok_n")
+                          / F.col("tok_total").cast("double")), 6) \
+        .cast("decimal(28,6)")
+    scored = (toks.join(vocab, "token")
+              .crossJoin(F.broadcast(total))
+              .select("doc_id", cost.alias("cost")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("cost").alias("cost_sum"))
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("cost_sum").cast("double")
+                            / F.col("n_tokens"), 6).alias("avg_neg_logp")))
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob_docs(_docs(spark, sf_dir))
+
+
+def unigram_logprob_oracle_sql(docs_rel: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), ' +')) AS token
+  FROM {docs_rel}
+),
+toks_ok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (SELECT token, COUNT(*) AS tok_n FROM toks_ok GROUP BY token),
+total AS (SELECT SUM(tok_n) AS tok_total FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(-ln(v.tok_n / CAST(x.tok_total AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS cost
+  FROM toks_ok t JOIN vocab v USING (token) CROSS JOIN total x
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- global vocabulary top-k ------------------------------------------------
 
 def vocab_topk_docs(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:

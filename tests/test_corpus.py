@@ -156,6 +156,21 @@ def test_curate_reason_precedence(spark):
     assert got[3].keep and got[3].drop_reason is None
 
 
+def test_unigram_logprob_orders_docs_by_surprise(spark):
+    from catalog_pii_scanner_spark.operators.corpus import (
+        unigram_logprob_docs)
+    import math
+    docs = _docs(spark, [
+        (1, "the the the the", "en"),     # all common -> low surprise
+        (2, "the zig zag qux", "en"),     # mostly rare -> high surprise
+    ])
+    got = {r.doc_id: r for r in unigram_logprob_docs(docs).collect()}
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+    assert got[1].avg_neg_logp < got[2].avg_neg_logp
+    # doc 1: every token is 'the' (5 of 8 corpus tokens)
+    assert got[1].avg_neg_logp == round(round(-math.log(5 / 8), 6), 6)
+
+
 def test_length_quantiles_approx_close_to_exact(spark):
     from catalog_pii_scanner_spark.operators.textstats import (
         length_quantiles)
