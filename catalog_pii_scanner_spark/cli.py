@@ -168,6 +168,41 @@ def cmd_scan_text(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Column profiling over catalog tables (pre-sampling survey)."""
+    from .operators.profile import profile_columns
+    from .sources.melt import TESTDATA_SCHEMAS, melt_table
+    from functools import reduce
+    from pyspark.sql import DataFrame
+    spark = _spark("profile")
+    tables = tuple(args.tables.split(",")) if args.tables \
+        else tuple(TESTDATA_SCHEMAS)
+    vals = reduce(DataFrame.unionByName,
+                  [melt_table(spark, args.sf_dir, t) for t in tables])
+    prof = profile_columns(vals, exact=not args.approx)
+    if args.out:
+        prof.write.mode("overwrite").parquet(args.out)
+        print(f"wrote profiles to {args.out}", file=sys.stderr)
+    print(json.dumps([r.asDict() for r in
+                      prof.orderBy("column_ref").collect()],
+                     default=str, indent=2))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    """Corpus near-dup keep-list (the dedup family's product)."""
+    from .operators.dedup import dedup_keep_list
+    spark = _spark("dedup")
+    keep = dedup_keep_list(spark, args.sf_dir,
+                           threshold=args.threshold)
+    if args.out:
+        keep.write.mode("overwrite").parquet(args.out)
+        print(f"wrote keep-list to {args.out}", file=sys.stderr)
+    stats = keep.groupBy("keep").count().collect()
+    print(json.dumps({str(r.keep).lower(): r["count"] for r in stats}))
+    return 0
+
+
 def cmd_gen_synth(args) -> int:
     from .sources.datasets import generate_synthetic, save_jsonl
     spark = _spark("gen-synth")
@@ -289,6 +324,20 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("eval")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("profile", help="column profiles -> JSON/parquet")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--tables", default="")
+    s.add_argument("--approx", action="store_true",
+                   help="HLL distinct counts (the 100 TB path)")
+    s.add_argument("--out", default="")
+    s.set_defaults(fn=cmd_profile)
+
+    s = sub.add_parser("dedup", help="near-dup keep-list for a corpus")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--threshold", type=float, default=0.5)
+    s.add_argument("--out", default="")
+    s.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser("serve", help="health endpoint (GET /healthz)")
     s.add_argument("--host", default="127.0.0.1")

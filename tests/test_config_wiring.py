@@ -102,6 +102,22 @@ def test_glob_to_rlike_filters_columns(spark):
     assert glob_to_rlike("a.b") == r"^a\.b$"
 
 
+def test_cli_profile_and_dedup_verbs(spark, capsys, monkeypatch):
+    import json
+    import catalog_pii_scanner_spark.cli as cli
+    monkeypatch.setattr(cli, "_spark", lambda app: spark)
+    assert cli.main(["profile", "--sf-dir", "/root/testdata/sf0.001",
+                     "--tables", "region"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["column_ref"] for r in rows] == \
+        ["spark://region/r_name", "spark://region/r_regionkey"]
+    assert all(r["n_nulls"] == 0 and r["n_rows"] == 5 for r in rows)
+    assert cli.main(["dedup", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    verdict = json.loads(capsys.readouterr().out)
+    assert set(verdict) == {"true", "false"}
+    assert verdict["true"] + verdict["false"] == 500
+
+
 def test_serve_healthz():
     """The reference API surface (GET /healthz -> {"status": "ok"},
     reference api.py:7-13), stdlib rendering."""
