@@ -3,9 +3,15 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall-clock over all benchmarked queries; per-query
-seconds are in ``queries``. Each query is forced with a count() so the full
-plan executes (no collect of big results to the driver).
+``value`` is the total best-of wall-clock over all benchmarked queries;
+per-query best-of seconds are in ``queries``. Each query is forced with a
+count() so the full plan executes (no collect of big results to the driver).
+
+Measurement discipline (round-4 fix): each query runs ``$SPARK_GRAFT_BENCH_N``
+times (default 3) and we record the BEST — single-shot numbers on a shared
+box showed 3-6x run-to-run variance (PERF.md), which made round-over-round
+comparisons unfalsifiable. The per-query max/best spread is published in
+``spread`` so the reader can see how noisy the box was.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
 
     import __spark_entry__ as E
     from catalog_pii_scanner_spark.session import get_spark
@@ -34,24 +41,38 @@ def main() -> None:
         pass
 
     per_query: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, fn in E.queries().items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.count()
-            per_query[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # a failing query must not kill the bench
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        times: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+                times.append(time.time() - t0)
+            except Exception as exc:  # a failing query must not kill the bench
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                times = []
+                break
+            # drop relations persisted inside operators so suite-long cache
+            # growth doesn't GC-throttle later queries
+            spark.catalog.clearCache()
+        if times:
+            per_query[name] = round(min(times), 3)
+            # max/min over the warm runs: 1.0 = perfectly stable box
+            spread[name] = round(max(times) / max(min(times), 1e-9), 2)
+        else:
             per_query[name] = -1.0
-        # drop relations persisted inside operators so suite-long cache
-        # growth doesn't GC-throttle later queries
-        spark.catalog.clearCache()
+            spread[name] = -1.0
+            spark.catalog.clearCache()
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
     print(json.dumps({
         "metric": "pii_scan_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "spread": spread,
+        "n_runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

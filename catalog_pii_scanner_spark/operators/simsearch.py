@@ -13,12 +13,13 @@ label INT)``:
 Both are rendered from one SQL template per dialect (explode to
 (vec_id, pos, val), join on pos, one groupBy per pair for the dot
 product). Scale notes: for a production 100 TB corpus the inner product
-moves to an Arrow-batched pandas UDF doing numpy matmul per partition
-against a broadcast query matrix with per-partition top-k + global top-k
-merge — same semantics, BLAS throughput; the declarative form here is the
-oracle-parity implementation and is already shuffle-minimal (positions
-join is a projection-local explode; the only shuffle is the (query,
-candidate) aggregation).
+moves to ``cosine_topk_matmul`` — an Arrow-batched ``mapInPandas`` doing
+numpy matmul per partition against a broadcast query matrix with
+per-partition top-k + global top-k merge — same semantics (equality test
+in tests/test_dedup_simsearch.py), BLAS throughput, and no 64x exploded
+relation; the declarative form here is the oracle-parity implementation
+and is already shuffle-minimal (positions join is a projection-local
+explode; the only shuffle is the (query, candidate) aggregation).
 
 Floating point: cosines are rounded to 1e-6 before ranking (ties then
 break by neighbor id) so engine summation order cannot flip ranks.
@@ -88,6 +89,73 @@ def cosine_topk(spark, sf_dir: str, k: int = 5,
         .createOrReplaceTempView("cpss_embeddings")
     return spark.sql(cosine_topk_sql("spark", "cpss_embeddings", k,
                                      query_mod))
+
+
+def cosine_topk_matmul(spark, sf_dir: str, k: int = 5,
+                       query_mod: int = 50) -> DataFrame:
+    """The 100 TB serving path for brute-force cosine top-k: the query
+    subset is collected once (it is small by construction — the serving
+    query set, not the corpus) and broadcast as a dense numpy matrix;
+    candidates stream through an Arrow-batched ``mapInPandas`` that does
+    one BLAS matmul per batch and keeps only the per-batch top-k per
+    query, so the shuffle carries at most ``partitions * nq * k`` rows
+    instead of ``nq * N``; a final per-query window merges the partial
+    top-ks. Semantics are identical to ``cosine_topk`` (round 1e-6, ties
+    by neighbor_id — asserted by equality test in
+    tests/test_dedup_simsearch.py): float32 -> float64 casts are exact,
+    and the 1e-6 rounding absorbs summation-order differences, the same
+    tolerance the dual-dialect oracle already relies on.
+
+    Replaces the exploded ``(vec_id, pos, val)`` representation whose
+    64x row inflation is the declarative path's honest scale cost.
+    Output: query_id, neighbor_id, rank, cosine.
+    """
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (emb.where(F.col("vec_id") % query_mod == 0)
+             .select("vec_id", "embedding").collect())
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(Q, axis=1)
+    bq = spark.sparkContext.broadcast((q_ids, Q, q_norm))
+    kk = k
+
+    def part_topk(batches):
+        import numpy as np
+        import pandas as pd
+        qi, qm, qn = bq.value
+        if qi.size == 0:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_ids = pdf["vec_id"].to_numpy(np.int64)
+            c_norm = np.linalg.norm(C, axis=1)
+            cos = np.round((C @ qm.T) / (c_norm[:, None] * qn[None, :]), 6)
+            out_q, out_n, out_c = [], [], []
+            for j in range(qi.size):
+                col = cos[:, j]
+                keep = c_ids != qi[j]
+                ids, vals = c_ids[keep], col[keep]
+                # same ordering as the window: cosine DESC, neighbor ASC
+                order = np.lexsort((ids, -vals))[:kk]
+                out_q.append(np.full(order.size, qi[j]))
+                out_n.append(ids[order])
+                out_c.append(vals[order])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c)})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        part_topk, schema="query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
 def _planes_cte(n_planes: int = NUM_PLANES) -> str:

@@ -356,6 +356,49 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_sessions`` through a REAL Structured Streaming drain:
+    the same per-user 30-minute-gap ``session_window`` aggregation run
+    as a ``writeStream`` with an availableNow trigger over the events
+    file source (multiple microbatches via maxFilesPerTrigger — sessions
+    spanning batch boundaries merge in the session state store, which is
+    the semantics being proven here; the batch query only proves the API
+    shape). Complete output mode so the final memory-sink snapshot holds
+    every merged session; on an unbounded production stream this runs in
+    append mode where the watermark finalizes sessions.
+
+    Output: user_id, session_start, n_events, sum_value — oracle-checked
+    against the same gaps-and-islands SQL as the batch query."""
+    from ..sources.melt import nanos_timestamp_columns
+    path = f"{sf_dir}/events.parquet"
+    nanos = "ts" in nanos_timestamp_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        _events_stream(spark, path, nanos=nanos)
+        .withColumn("ts", F.date_trunc("second", "ts"))
+        .withWatermark("ts", "2 hours")
+    )
+    agg = (
+        stream.groupBy("user_id",
+                       F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             (F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+              .cast("double")).alias("sum_value"))
+    )
+    name = "cpss_stream_sessions"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "sum_value"))
+
+
+def stream_events_sessions_oracle_sql(events_rel: str = "events") -> str:
+    return events_sessions_oracle_sql(events_rel)
+
+
 #: EWMA smoothing for the custom stateful operator.
 EWMA_ALPHA = 0.3
 

@@ -146,3 +146,20 @@ def test_dedup_keep_list_keeps_reps_and_singletons(spark, sf_dir):
             assert rep == clusters[doc] and kept == (doc == rep)
         else:
             assert rep == doc and kept
+
+
+def test_cosine_topk_matmul_equals_declarative(spark, sf_dir):
+    """The BLAS mapInPandas serving path must return exactly the same
+    frame as the declarative exploded-relation form on the real testdata
+    vectors (same rounding, same tie-break) — the matmul path is an
+    execution strategy, never a semantics change."""
+    decl = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in simsearch.cosine_topk(spark, sf_dir, k=5,
+                                           query_mod=20).collect()}
+    mm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in simsearch.cosine_topk_matmul(spark, sf_dir, k=5,
+                                                query_mod=20).collect()}
+    assert set(decl) == set(mm)
+    for key, (nid, cos) in decl.items():
+        assert mm[key][0] == nid, key
+        assert mm[key][1] == pytest.approx(cos, abs=2e-6)

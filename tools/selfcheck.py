@@ -90,6 +90,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
             failures += 1
             continue
+        t2 = time.time()
         duck_fp = frame_fingerprint(ocols, orows)
         ok = spark_fp == duck_fp
         if not ok:
@@ -104,7 +105,7 @@ def main() -> int:
                 print("  duck-only: ", list(oset - sset)[:3])
         else:
             print(f"PASS {name}: rows={spark_fp[0]} hash={spark_fp[2]} "
-                  f"[{t1-t0:.1f}s]")
+                  f"[spark {t1-t0:.1f}s, duck {t2-t1:.1f}s]")
     spark.stop()
     return 1 if failures else 0
 
