@@ -75,12 +75,16 @@ def cmd_scan(args) -> int:
         skip = recently_scanned_refs(
             spark, store, parse_since(args.since),
             merged=bool(args.merge_store))
-        table_cols = {
+        pruned = {
             t: [(c, ty) for c, ty in cols
                 if column_ref(t, c) not in skip]
             for t, cols in table_cols.items()}
-        table_cols = {t: cols for t, cols in table_cols.items() if cols}
-        n_skip = len(skip)
+        # report the columns actually pruned from THIS scan's table set,
+        # not the store-wide fresh-ref count (the store may hold findings
+        # for tables outside --tables).
+        n_skip = sum(len(cols) for cols in table_cols.values()) \
+            - sum(len(cols) for cols in pruned.values())
+        table_cols = {t: cols for t, cols in pruned.items() if cols}
         print(json.dumps({"since": args.since, "skipped_columns": n_skip,
                           "tables_remaining": len(table_cols)}),
               file=sys.stderr)
@@ -149,11 +153,17 @@ def cmd_scan_text(args) -> int:
                                         w_ner=cfg.ai.ensemble.w_ner,
                                         w_embed=cfg.ai.ensemble.w_embed))
         model = EmbedModel.load(args.model) if args.model else None
+        # the declared LLM knobs are enforced on the fake_llm path:
+        # cost_cap_usd_per_scan budget-gates the model stage, and
+        # cache_ttl_minutes reaches the provider singleton.
+        llm_kw = ({"llm_cost_cap_usd": cfg.ai.llm.cost_cap_usd_per_scan,
+                   "llm_cache_ttl_minutes": cfg.ai.llm.cache_ttl_minutes}
+                  if ner_provider == "fake_llm" else {})
         preds = full_scan_predictions(
             cands, model=model, weights=weights,
             decision_threshold=cfg.ai.ensemble.decision_threshold,
             ner_provider=ner_provider,
-            calibration=IDENTITY_CALIBRATION)
+            calibration=IDENTITY_CALIBRATION, **llm_kw)
         print(json.dumps([
             {"type": r.label, "text": r.match_text,
              "score": round(r.score, 6)}

@@ -93,6 +93,49 @@ def _sigmoid(x: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
 
 
+def _raw_expr(t: str, weights: EnsembleWeights,
+              ner_signal: Column | None,
+              embed_signal: Column | None) -> Column:
+    """raw[t] for one type (the pre-calibration fused score — reference
+    ensemble.py:96-110)."""
+    def from_map(m: Column) -> Column:
+        return F.coalesce(F.element_at(m, F.lit(t)), F.lit(0.0))
+
+    is_label = (F.col("pii_type") == t).cast("double")
+    ner = (from_map(ner_signal) if ner_signal is not None
+           else offline_signal(F.col("match_text"), t, "ner"))
+    emb = (from_map(embed_signal) if embed_signal is not None
+           else offline_signal(F.col("match_text"), t, "embed"))
+    return (F.lit(weights.w_rule) * F.col("rule_confidence") * is_label
+            + F.lit(weights.validation_bonus)
+            * F.col("validated").cast("double") * is_label
+            + F.lit(weights.w_ner) * ner
+            + F.lit(weights.w_embed) * emb)
+
+
+def raw_type_scores(
+    cands: DataFrame,
+    weights: EnsembleWeights = REFERENCE_WEIGHTS,
+    ner_signal: Column | None = None,
+    embed_signal: Column | None = None,
+) -> DataFrame:
+    """Per-candidate per-type RAW fused scores, pre-calibration — the
+    reference's ``Ensemble.raw_scores`` (ensemble.py:138-167), consumed
+    by the calibrator fit. Output: every input column + ``score_type`` +
+    ``raw``, exploded 11x per candidate (calibration-fit sets are small
+    by construction — the serving path never explodes; see
+    fuse_predictions)."""
+    rows = F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 _raw_expr(t, weights, ner_signal, embed_signal)
+                 .alias("raw"))
+        for t in ALL_PII_TYPES])
+    return (cands.withColumn("_tr", F.explode(rows))
+            .select(*cands.columns,
+                    F.col("_tr.t").alias("score_type"),
+                    F.col("_tr.raw").alias("raw")))
+
+
 def fuse_predictions(
     cands: DataFrame,
     weights: EnsembleWeights = REFERENCE_WEIGHTS,
@@ -120,40 +163,33 @@ def fuse_predictions(
     """
     calibration = calibration or CALIBRATION
 
-    def from_map(m: Column, t: str) -> Column:
-        return F.coalesce(F.element_at(m, F.lit(t)), F.lit(0.0))
-
     def per_type(t: str) -> Column:
-        is_label = (F.col("pii_type") == t).cast("double")
-        ner = (from_map(ner_signal, t) if ner_signal is not None
-               else offline_signal(F.col("match_text"), t, "ner"))
-        emb = (from_map(embed_signal, t) if embed_signal is not None
-               else offline_signal(F.col("match_text"), t, "embed"))
-        raw = (F.lit(weights.w_rule) * F.col("rule_confidence") * is_label
-               + F.lit(weights.validation_bonus)
-               * F.col("validated").cast("double") * is_label
-               + F.lit(weights.w_ner) * ner
-               + F.lit(weights.w_embed) * emb)
+        raw = _raw_expr(t, weights, ner_signal, embed_signal)
         a, b = calibration[t]
         return _sigmoid(F.lit(a) * raw + F.lit(b))
 
     cal_cols = [f"_cal_{i}" for i in range(len(ALL_PII_TYPES))]
-    out = cands
-    for i, t in enumerate(ALL_PII_TYPES):
-        out = out.withColumn(cal_cols[i], per_type(t))
+    # batch the column additions into THREE selects instead of 13 chained
+    # withColumns: every withColumn re-analyzes the whole (large) fusion
+    # expression tree, and the re-analysis rounds dominated driver time
+    # (measured 4.6 s -> 0.6 s DataFrame-build for
+    # pii_ensemble_predictions at sf0.01; the optimized plan is
+    # identical — tests/test_barrier.py still pins the shape).
+    out = cands.select(
+        "*", *[per_type(t).alias(cal_cols[i])
+               for i, t in enumerate(ALL_PII_TYPES)])
     total = sum((F.col(c) for c in cal_cols[1:]), F.col(cal_cols[0]))
     best = F.greatest(*[F.col(c) for c in cal_cols])
+    out = out.select("*", best.alias("_best"))
     # first type reaching the max == ALL_PII_TYPES-order tie-break
     # (greatest returns one of the operands verbatim, so == is exact)
     chain = F.when(F.col(cal_cols[0]) == F.col("_best"),
                    F.lit(ALL_PII_TYPES[0]))
     for i, t in list(enumerate(ALL_PII_TYPES))[1:]:
         chain = chain.when(F.col(cal_cols[i]) == F.col("_best"), F.lit(t))
-    out = (
-        out.withColumn("_best", best)
-        .withColumn("label", chain)
-        .withColumn("score", F.round(F.col("_best") / total, 6))
-    )
+    out = out.select(
+        "*", chain.alias("label"),
+        F.round(F.col("_best") / total, 6).alias("score"))
     if decision_threshold is not None:
         # gate on the ROUNDED calibrated argmax prob so the oracle's
         # WHERE matches exactly. barrier_filter stops Catalyst pushing

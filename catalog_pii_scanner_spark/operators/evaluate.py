@@ -239,6 +239,68 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _metrics_from_counts(counts_df)
 
 
+def eval_metrics_trained(spark: SparkSession, labeled: DataFrame,
+                         model=None,
+                         calibration: dict[str, tuple[float, float]]
+                         | None = None) -> DataFrame:
+    """Phase-3 closure: evaluate the TRAINED ensemble on a labeled corpus
+    (reference ``cps eval``, cli.py:351-385): candidates -> full ensemble
+    predictions with the trained embed model + fitted calibration -> the
+    prediction's argmax label (not the rule label) greedy-matches against
+    the corpus's gold spans -> the same type/micro/macro metric frame as
+    :func:`eval_metrics`. The whole composition is deterministic for a
+    seeded ``generate_synthetic`` corpus — asserted end-to-end in
+    tests/test_training.py."""
+    from .pipeline import full_scan_predictions
+    from .training import labeled_candidates
+
+    lc = (labeled_candidates(labeled)
+          .select("text_id", "text", "pii_type", "match_text",
+                  "rule_confidence", "validated", "pstart", "pend")
+          .distinct().localCheckpoint(eager=True))
+    cands = lc.select(
+        F.col("text_id").cast("string").alias("column_ref"),
+        F.col("text").alias("value"),
+        "pii_type", "match_text", "rule_confidence", "validated")
+    fused = full_scan_predictions(cands, model=model,
+                                  calibration=calibration)
+    preds = (
+        fused.join(
+            lc.select(F.col("text_id").cast("string").alias("column_ref"),
+                      F.col("text").alias("value"), "match_text",
+                      "pstart", "pend").distinct(),
+            ["column_ref", "value", "match_text"])
+        .select(F.col("column_ref").cast("bigint").alias("text_id"),
+                F.col("label").alias("pii_type"), "pstart", "pend")
+        .localCheckpoint(eager=True))
+    gold = (labeled.select("text_id", F.explode("labels").alias("l"))
+            .select("text_id", F.col("l.type").alias("pii_type"),
+                    (F.col("l.start") + 1).alias("gstart"),
+                    (F.col("l.end") + 1).alias("gend"))
+            .localCheckpoint(eager=True))
+    tp = greedy_match(preds, gold).groupBy("pii_type") \
+        .agg(F.count("*").alias("tp"))
+    n_pred = preds.groupBy("pii_type").agg(F.count("*").alias("n_pred"))
+    n_gold = gold.groupBy("pii_type").agg(F.count("*").alias("n_gold"))
+    counts = (
+        n_pred.join(n_gold, "pii_type", "full")
+        .join(tp, "pii_type", "left")
+        .select(
+            "pii_type",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("n_pred", F.lit(0))
+             - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("n_gold", F.lit(0))
+             - F.coalesce("tp", F.lit(0))).alias("fn")))
+    # same driver-side materialization + zero-fill as eval_metrics
+    local = [tuple(r) for r in counts.collect()]
+    present = {r[0] for r in local}
+    local += [(t, 0, 0, 0) for t in ALL_PII_TYPES if t not in present]
+    counts_df = spark.createDataFrame(
+        local, "pii_type string, tp bigint, fp bigint, fn bigint")
+    return _metrics_from_counts(counts_df)
+
+
 # --- oracle -----------------------------------------------------------------
 
 def eval_metrics_oracle_sql(customer_rel: str = "customer") -> str:

@@ -29,25 +29,25 @@ def candidate_features(cands: DataFrame) -> DataFrame:
     reference's dict produces for rule candidates)."""
     text = F.col("match_text")
     n_digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
-    out = (
-        cands
-        .withColumn("len", F.length(text))
-        .withColumn("has_at", text.contains("@"))
-        .withColumn("has_dot", text.contains("."))
-        .withColumn("has_digits", n_digits > 0)
-        .withColumn("digits_ratio",
-                    F.round(n_digits / F.greatest(F.length(text),
-                                                  F.lit(1)), 6))
-        .withColumn("rule_conf", F.round("rule_confidence", 6))
-    )
-    for t in ALL_PII_TYPES:
-        is_t = F.col("pii_type") == t
-        out = out.withColumn(f"val_{t}", is_t & F.col("validated"))
-        out = out.withColumn(f"rule_is_{t}", is_t.cast("int"))
-    return out.select(
-        *FEATURE_KEYS, "len", "has_at", "has_dot", "has_digits",
-        "digits_ratio", "rule_conf",
-        *[c for t in ALL_PII_TYPES for c in (f"val_{t}", f"rule_is_{t}")])
+
+    def one_hots():
+        for t in ALL_PII_TYPES:
+            is_t = F.col("pii_type") == t
+            yield (is_t & F.col("validated")).alias(f"val_{t}")
+            yield is_t.cast("int").alias(f"rule_is_{t}")
+
+    # one select, one analysis pass (28 chained withColumns re-analyzed
+    # the growing projection 28 times — pure driver overhead)
+    return cands.select(
+        *FEATURE_KEYS,
+        F.length(text).alias("len"),
+        text.contains("@").alias("has_at"),
+        text.contains(".").alias("has_dot"),
+        (n_digits > 0).alias("has_digits"),
+        F.round(n_digits / F.greatest(F.length(text), F.lit(1)), 6)
+        .alias("digits_ratio"),
+        F.round("rule_confidence", 6).alias("rule_conf"),
+        *one_hots())
 
 
 def candidate_features_oracle_sql(cands_rel: str = "scored") -> str:

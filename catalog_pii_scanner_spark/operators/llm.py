@@ -98,26 +98,36 @@ FROM cum
 """
 
 
+#: Response-cache entry cap: a scan over many distinct long texts must
+#: not grow executor memory without bound — the cache is an LRU, and
+#: expired entries are swept per batch (not only lazily on re-access).
+LLM_CACHE_MAX_ENTRIES = 10_000
+
+
 class FakeLLMProvider:
     """Deterministic offline "LLM" span labeler with the declared runtime
-    behaviors: worker-lifetime TTL response cache and call accounting.
-    Detection reuses the shared rule patterns at confidence 0.95 (an LLM
-    asked to label PII spans; determinism keeps it hermetic). The
-    spacy/presidio stub policy applies: the model is fake, the
-    cache/batch/singleton plumbing is the real production shape."""
+    behaviors: worker-lifetime TTL response cache (LRU-bounded, expired
+    entries swept each batch) and call accounting. Detection reuses the
+    shared rule patterns at confidence 0.95 (an LLM asked to label PII
+    spans; determinism keeps it hermetic). The spacy/presidio stub policy
+    applies: the model is fake, the cache/batch/singleton plumbing is the
+    real production shape."""
 
     load_count = 0
 
     def __init__(self, cache_ttl_minutes: int = LLM_CACHE_TTL_MINUTES,
+                 cache_max_entries: int = LLM_CACHE_MAX_ENTRIES,
                  clock=time.monotonic) -> None:
         import re
+        from collections import OrderedDict
         from .rules import RULES, bounded_pattern
         type(self).load_count += 1
         self._patterns = [(r.pii_type, re.compile(bounded_pattern(r)))
                           for r in RULES]
         self._ttl_s = cache_ttl_minutes * 60.0
+        self._max = max(1, cache_max_entries)
         self._clock = clock
-        self._cache: dict[str, tuple[float, list]] = {}
+        self._cache: OrderedDict[str, tuple[float, list]] = OrderedDict()
         self.model_calls = 0
         self.cache_hits = 0
 
@@ -126,8 +136,15 @@ class FakeLLMProvider:
         return [(t, m.group(0), 0.95)
                 for t, pat in self._patterns for m in pat.finditer(text)]
 
+    def _sweep(self, now: float) -> None:
+        expired = [k for k, (ts, _) in self._cache.items()
+                   if now - ts > self._ttl_s]
+        for k in expired:
+            del self._cache[k]
+
     def detect_batch(self, texts):
         now = self._clock()
+        self._sweep(now)
         out = []
         for text in texts:
             if text is None:
@@ -136,10 +153,14 @@ class FakeLLMProvider:
             hit = self._cache.get(text)
             if hit is not None and now - hit[0] <= self._ttl_s:
                 self.cache_hits += 1
+                self._cache.move_to_end(text)
                 out.append(hit[1])
                 continue
             spans = self._label(text)
             self._cache[text] = (now, spans)
+            self._cache.move_to_end(text)
+            while len(self._cache) > self._max:
+                self._cache.popitem(last=False)
             out.append(spans)
         return out
 

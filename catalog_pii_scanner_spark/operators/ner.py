@@ -88,27 +88,32 @@ class FakeHeavyProvider:
         return out
 
 
-def _get_provider(name: str):
-    """Lazy once-per-worker provider construction."""
-    if name not in _PROVIDER_SINGLETONS:
+def _get_provider(name: str, opts: dict | None = None):
+    """Lazy once-per-worker provider construction. ``opts`` are provider
+    constructor kwargs (e.g. the LLM provider's ``cache_ttl_minutes`` from
+    the validated config); they key the singleton so two scans with
+    different declared options never share a stale provider."""
+    key = name if not opts else f"{name}:{sorted(opts.items())!r}"
+    if key not in _PROVIDER_SINGLETONS:
         if name == "fake_heavy":
-            _PROVIDER_SINGLETONS[name] = FakeHeavyProvider()
+            _PROVIDER_SINGLETONS[key] = FakeHeavyProvider()
         elif name == "fake_llm":
             from .llm import FakeLLMProvider
-            _PROVIDER_SINGLETONS[name] = FakeLLMProvider()
+            _PROVIDER_SINGLETONS[key] = FakeLLMProvider(**(opts or {}))
         elif name in ("spacy", "presidio"):  # pragma: no cover - no models
             raise ImportError(
                 f"NER provider '{name}' needs its model package, which is "
                 f"not installed; use provider='regex' or 'fake_heavy'")
         else:
             raise ValueError(f"unknown NER provider {name!r}")
-    return _PROVIDER_SINGLETONS[name]
+    return _PROVIDER_SINGLETONS[key]
 
 
 def detect_ner_spans_model(values_df: DataFrame, value_col: str = "value",
                            keep_cols: tuple[str, ...] = ("column_ref",),
                            provider: str = "fake_heavy",
-                           confidence_min: float = NER_CONFIDENCE_MIN
+                           confidence_min: float = NER_CONFIDENCE_MIN,
+                           provider_opts: dict | None = None
                            ) -> DataFrame:
     """Heavy-provider N1+N3: Arrow-batched ``mapInPandas`` with the
     executor-global singleton. Partition-preserving (no shuffle); batch
@@ -126,7 +131,7 @@ def detect_ner_spans_model(values_df: DataFrame, value_col: str = "value",
     out_cols = in_cols + ["pii_type", "match_text", "ner_score"]
 
     def gen(batches):
-        prov = _get_provider(provider)
+        prov = _get_provider(provider, provider_opts)
         for pdf in batches:
             rows = []
             texts = pdf[value_col].tolist()
@@ -142,7 +147,8 @@ def detect_ner_spans_model(values_df: DataFrame, value_col: str = "value",
 def detect_ner_spans(values_df: DataFrame, value_col: str = "value",
                      keep_cols: tuple[str, ...] = ("column_ref",),
                      provider: str = "regex",
-                     confidence_min: float = NER_CONFIDENCE_MIN) -> DataFrame:
+                     confidence_min: float = NER_CONFIDENCE_MIN,
+                     provider_opts: dict | None = None) -> DataFrame:
     """N1+N3: provider dispatch + confidence gate.
 
     Output: keep_cols..., value, pii_type, match_text, ner_score.
@@ -151,7 +157,8 @@ def detect_ner_spans(values_df: DataFrame, value_col: str = "value",
     """
     if provider != "regex":
         return detect_ner_spans_model(values_df, value_col, keep_cols,
-                                      provider, confidence_min)
+                                      provider, confidence_min,
+                                      provider_opts)
     spans = extract_candidates(values_df, value_col, keep_cols,
                                rules=_NER_RULES)
     score = F.lit(None).cast("double")
@@ -250,7 +257,8 @@ def ner_context_signals(contexts: DataFrame,
                         context_col: str = "context",
                         keep_cols: tuple[str, ...] = ("column_ref",
                                                       "match_text"),
-                        provider: str = "regex") -> DataFrame:
+                        provider: str = "regex",
+                        provider_opts: dict | None = None) -> DataFrame:
     """N5: entity-label histogram over redacted contexts -> normalized
     soft signals per context. With the regex provider the entities are the
     provider's three families detected in the (redacted) context; counts
@@ -267,7 +275,8 @@ def ner_context_signals(contexts: DataFrame,
             ctx = ctx.withColumnRenamed(k, a)
     safe_keep = tuple(alias[k] for k in keep_cols)
     spans = detect_ner_spans(ctx, context_col, safe_keep,
-                             provider=provider)
+                             provider=provider,
+                             provider_opts=provider_opts)
     counts = spans.groupBy(*safe_keep, "pii_type").agg(
         F.count("*").alias("n"))
     total = counts.groupBy(*safe_keep).agg(F.sum("n").alias("total"))

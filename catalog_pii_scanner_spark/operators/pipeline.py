@@ -36,12 +36,44 @@ def full_scan_predictions(
     decision_threshold: float | None = None,
     ner_provider: str = "regex",
     calibration: dict[str, tuple[float, float]] | None = None,
+    llm_cost_cap_usd: float | None = None,
+    llm_cache_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Scored candidates (CAND_COLS + rule_confidence + validated) ->
     fused predictions with the REAL signal path bound. ``model`` defaults
     to the deterministic md5hex model (hermetic offline mode — the
     reference's CPS_OFFLINE analog); pass a trained EmbedModel for the
-    live path."""
+    live path.
+
+    With ``ner_provider='fake_llm'`` the declared LLM runtime knobs are
+    ENFORCED, not just validated: ``llm_cost_cap_usd`` budget-gates the
+    distinct-context relation through ``llm.llm_budget_plan`` before any
+    model invocation (out-of-budget contexts simply contribute no NER
+    signal — the fusion's missing-signal path), and
+    ``llm_cache_ttl_minutes`` reaches the worker-singleton provider
+    construction."""
+    enriched = _enriched_candidates(cands, model, ner_provider,
+                                    llm_cost_cap_usd,
+                                    llm_cache_ttl_minutes)
+    return fuse_predictions(
+        enriched,
+        weights=weights,
+        calibration=calibration,
+        ner_signal=F.col("ner_sig"),
+        embed_signal=F.col("embed_probs"),
+        decision_threshold=decision_threshold,
+    ).select(*CAND_COLS, "label", "score")
+
+
+def _enriched_candidates(
+    cands: DataFrame,
+    model: EmbedModel | None,
+    ner_provider: str,
+    llm_cost_cap_usd: float | None = None,
+    llm_cache_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Shared signal plumbing: distinct candidates + context -> N5 signal
+    map + E2 probability map joined back by context hash."""
     model = model or deterministic_model()
     cands = (
         candidate_contexts(cands)
@@ -51,22 +83,52 @@ def full_scan_predictions(
         .localCheckpoint(eager=True)
     )
     ctxs = cands.select("ckey", "context").distinct()
+    ner_ctxs, provider_opts = ctxs, None
+    if ner_provider == "fake_llm":
+        from .llm import llm_budget_plan
+        if llm_cost_cap_usd is not None:
+            # cap/price bounds the in-budget set regardless of corpus
+            # size, so the semi-join side is broadcast-safe by
+            # construction (same argument as llm.detect_llm_spans).
+            plan = llm_budget_plan(ctxs, id_col="ckey",
+                                   text_col="context",
+                                   cost_cap_usd=llm_cost_cap_usd)
+            allowed = plan.where("in_budget") \
+                .select(F.col("ckey").alias("_ok_ckey"))
+            ner_ctxs = ctxs.join(
+                F.broadcast(allowed),
+                F.col("ckey") == F.col("_ok_ckey"), "left_semi")
+        if llm_cache_ttl_minutes is not None:
+            provider_opts = {"cache_ttl_minutes": llm_cache_ttl_minutes}
     ner_map = (
-        ner_context_signals(ctxs, keep_cols=("ckey",),
-                            provider=ner_provider)
+        ner_context_signals(ner_ctxs, keep_cols=("ckey",),
+                            provider=ner_provider,
+                            provider_opts=provider_opts)
         .groupBy("ckey")
         .agg(F.map_from_entries(
             F.collect_list(F.struct("pii_type", "signal")))
             .alias("ner_sig"))
     )
     emb_map = embed_probs(ctxs, model).select("ckey", "embed_probs")
-    enriched = cands.join(ner_map, "ckey", "left") \
-                    .join(emb_map, "ckey", "left")
-    return fuse_predictions(
-        enriched,
-        weights=weights,
-        calibration=calibration,
+    return cands.join(ner_map, "ckey", "left") \
+                .join(emb_map, "ckey", "left")
+
+
+def full_scan_raw_scores(
+    cands: DataFrame,
+    model: EmbedModel | None = None,
+    weights: EnsembleWeights = REFERENCE_WEIGHTS,
+    ner_provider: str = "regex",
+) -> DataFrame:
+    """Pre-calibration per-type raw fused scores with the REAL signal
+    path bound (reference ``Ensemble.raw_scores``, ensemble.py:138-167) —
+    the input to the calibrator fit. Output: CAND_COLS + rule_confidence
+    + validated + score_type + raw (11 rows per candidate)."""
+    from .ensemble import raw_type_scores
+    enriched = _enriched_candidates(cands, model, ner_provider)
+    return raw_type_scores(
+        enriched, weights=weights,
         ner_signal=F.col("ner_sig"),
         embed_signal=F.col("embed_probs"),
-        decision_threshold=decision_threshold,
-    ).select(*CAND_COLS, "label", "score")
+    ).select(*CAND_COLS, "rule_confidence", "validated",
+             "score_type", "raw")

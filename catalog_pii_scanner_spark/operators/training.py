@@ -140,6 +140,74 @@ def calibration_pairs(labeled: DataFrame) -> DataFrame:
     )
 
 
+def fit_calibrator_ensemble(labeled: DataFrame, model=None,
+                            weights=None,
+                            ner_provider: str = "regex") -> Calibrator:
+    """The reference's calibration fit, faithfully (eval.py:80-103 +
+    ensemble.py:170-189): per PII type t, a 1-D Platt scaler over the
+    FULL raw ensemble score raw[t] of EVERY candidate (not just
+    candidates of type t), labeled y = (first-overlapping gold's type ==
+    t). Degenerate types (no positives / all positives) fall back to
+    identity — reference ensemble.py:180-182.
+
+    The (raw, y) pairs collect to the driver for the numpy fit, as the
+    reference does: calibration sets are small by design (a labeled
+    sample, not the corpus); at scale the caller samples ``labeled``
+    first. The raw scores themselves are computed distributed with the
+    real N5+E2 signal path."""
+    from .pipeline import full_scan_raw_scores
+
+    lc = (labeled_candidates(labeled)
+          .select("text_id", "text", "pii_type", "match_text",
+                  "rule_confidence", "validated", "pstart", "pend")
+          .distinct().localCheckpoint(eager=True))
+    cands = lc.select(
+        F.col("text_id").cast("string").alias("column_ref"),
+        F.col("text").alias("value"),
+        "pii_type", "match_text", "rule_confidence", "validated")
+    kw = {} if weights is None else {"weights": weights}
+    raw = full_scan_raw_scores(cands, model=model,
+                               ner_provider=ner_provider, **kw)
+    pos = lc.select(
+        F.col("text_id").cast("string").alias("column_ref"),
+        F.col("text").alias("value"), "pii_type", "match_text",
+        "pstart", "pend")
+    raw = raw.join(pos, ["column_ref", "value", "pii_type", "match_text"])
+    gold = labeled.select(
+        F.col("text_id").cast("string").alias("column_ref"),
+        F.explode("labels").alias("l")) \
+        .select("column_ref", F.col("l.start").alias("gstart"),
+                F.col("l.end").alias("gend"),
+                F.col("l.type").alias("gold_type"))
+    j = raw.join(
+        gold,
+        (raw.column_ref == gold.column_ref)
+        & (F.col("pstart") - 1 < F.col("gend"))
+        & (F.col("gstart") < F.col("pend") - 1),
+        "left")
+    w = Window.partitionBy(raw.column_ref, "pii_type", "pstart",
+                           "score_type") \
+        .orderBy(F.col("gstart").asc_nulls_last())
+    pairs = (
+        j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("score_type", "raw",
+                F.coalesce(
+                    (F.col("gold_type") == F.col("score_type"))
+                    .cast("double"), F.lit(0.0)).alias("y")))
+    rows = pairs.collect()
+    cal = Calibrator()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.score_type, []).append((r.raw, r.y))
+    for t, prs in by_type.items():
+        y = np.array([p[1] for p in prs])
+        if y.min() == y.max():  # no positives or all positives
+            continue
+        s = np.array([p[0] for p in prs])
+        cal.params[t] = _fit_platt_1d(s, y)
+    return cal
+
+
 def fit_calibrator(labeled: DataFrame) -> Calibrator:
     rows = calibration_pairs(labeled).collect()
     cal = Calibrator()

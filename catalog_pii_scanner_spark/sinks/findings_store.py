@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 MODEL_VERSION = "cpss-spark-0.1"
 
@@ -91,7 +92,11 @@ def recently_scanned_refs(spark: SparkSession, store_path: str,
     try:
         latest = (read_merged_findings(spark, store_path) if merged
                   else read_latest_findings(spark, store_path))
-    except Exception:  # store doesn't exist yet -> nothing to skip
+    except AnalysisException:
+        # store doesn't exist yet -> nothing to skip. ONLY the
+        # path-not-found analysis error degrades to a full rescan;
+        # a corrupt/unreadable store must propagate, not silently
+        # rescan everything and mask the real failure.
         return frozenset()
     now_col = (F.lit(now).cast("timestamp") if now is not None
                else F.current_timestamp())

@@ -54,10 +54,32 @@ TESTDATA_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 
 
 def nanos_timestamp_columns(path: str) -> list[str]:
-    """Names of TIMESTAMP(NANOS) columns in a parquet file (footer-only)."""
-    schema = pq.read_schema(path)
-    return [f.name for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    """Names of TIMESTAMP(NANOS) columns in a parquet file (footer-only).
+    Directory-shaped tables (the normal multi-part layout) are probed via
+    their first part file — one footer read either way. The check reads
+    the PARQUET logical type, not the arrow-converted schema: pyarrow
+    surfaces legacy INT96 timestamps (Spark's own writer default) as
+    ``timestamp[ns]`` too, which Spark's reader handles natively — only a
+    true Timestamp(nanoseconds) logical type needs the nanosAsLong
+    workaround."""
+    import glob
+    import os
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
+    import json
+    sch = pq.ParquetFile(path).schema
+    out = []
+    for i in range(len(sch)):
+        col = sch.column(i)
+        lt = col.logical_type
+        if lt is None or lt.type != "TIMESTAMP":
+            continue
+        if json.loads(lt.to_json()).get("timeUnit") == "nanoseconds":
+            out.append(col.name)
+    return out
 
 
 def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

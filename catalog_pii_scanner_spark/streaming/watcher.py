@@ -123,7 +123,13 @@ def events_value_outliers(spark: SparkSession, sf_dir: str,
     Shuffle shape: one partial-aggregated groupBy over ~#event_types
     rows, broadcast back to the row-level scan; no window over the data.
 
-    Output: event_id, event_type, value, z (|z| >= threshold only)."""
+    Output: event_id, event_type, value, z (|z| >= threshold only).
+
+    Degenerate groups are filtered, not left to engine luck: a
+    single-row type (n-1 = 0) or a constant-valued type (var = 0) has no
+    defined z — Spark's non-ANSI division would yield NULL (rows silently
+    dropped) while DuckDB's IEEE semantics give inf/NaN, so both engines
+    must exclude those groups explicitly for the oracle to agree."""
     from ..sources.melt import read_table
     v = F.col("value").cast("decimal(18,2)")
     ev = read_table(spark, sf_dir, "events") \
@@ -134,6 +140,7 @@ def events_value_outliers(spark: SparkSession, sf_dir: str,
         F.sum(F.col("v") * F.col("v")).cast("double").alias("sumsq"))
     mean = F.col("sumv") / F.col("n")
     var = (F.col("sumsq") - F.col("n") * mean * mean) / (F.col("n") - 1)
+    stats = stats.where((F.col("n") > 1) & (var > 0))
     enriched = (
         ev.join(F.broadcast(stats), "event_type")
         .withColumn("_z", (F.col("v").cast("double") - mean)
@@ -156,6 +163,10 @@ stats AS (
          CAST(SUM(v) AS DOUBLE) AS sumv,
          CAST(SUM(v * v) AS DOUBLE) AS sumsq
   FROM ev GROUP BY event_type
+  HAVING COUNT(*) > 1
+     AND (CAST(SUM(v * v) AS DOUBLE)
+          - COUNT(*) * (CAST(SUM(v) AS DOUBLE) / COUNT(*))
+            * (CAST(SUM(v) AS DOUBLE) / COUNT(*))) / (COUNT(*) - 1) > 0
 ),
 z AS (
   SELECT e.event_id, e.event_type, CAST(e.v AS DOUBLE) AS value,

@@ -186,3 +186,37 @@ def test_length_quantiles_approx_close_to_exact(spark):
             # t-digest sketch within 10% relative of the exact value
             assert abs(getattr(a, col) - getattr(e, col)) \
                 <= 0.1 * max(getattr(e, col), 1.0), (lang, col)
+
+
+def test_dedup_keep_list_cli_rerun_is_byte_stable(spark, sf_dir, tmp_path,
+                                                  monkeypatch, capsys):
+    """The training-data pipeline's reproducibility contract: re-running
+    the keep-list CLI over the same corpus writes the IDENTICAL parquet
+    (same partition files, same bytes) — the keep/drop verdict is a
+    deterministic function of the corpus, with no wall-clock, random, or
+    scheduling dependence."""
+    import hashlib
+    import json
+    import os
+    import catalog_pii_scanner_spark.cli as cli
+
+    monkeypatch.setattr(cli, "_spark", lambda app: spark)
+
+    def file_hashes(d):
+        # part-file NAMES embed Spark's per-job UUID; the contract is on
+        # the CONTENT: the sorted multiset of per-file byte hashes
+        out = []
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".parquet"):
+                with open(os.path.join(d, name), "rb") as f:
+                    out.append(hashlib.sha256(f.read()).hexdigest())
+        return sorted(out)
+
+    outs = []
+    for run in ("a", "b"):
+        out = str(tmp_path / f"keep_{run}")
+        assert cli.main(["dedup", "--sf-dir", sf_dir, "--out", out]) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["true"] > 0                  # keep-list is non-trivial
+        outs.append(file_hashes(out))
+    assert outs[0] and outs[0] == outs[1]

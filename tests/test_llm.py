@@ -123,3 +123,66 @@ def test_llm_config_block():
     with pytest.raises(ConfigError):  # ranged field
         load_config(environ={"CPS_AI__LLM__ENABLED": "true",
                              "CPS_AI__LLM__TEMPERATURE": "3.0"})
+
+
+def test_provider_cache_lru_bound_and_sweep():
+    """The response cache is bounded (LRU eviction) and expired entries
+    are swept per batch — executor memory cannot grow without bound over
+    a scan of many distinct texts."""
+    clock = [0.0]
+    p = FakeLLMProvider(cache_ttl_minutes=1, cache_max_entries=3,
+                        clock=lambda: clock[0])
+    p.detect_batch([f"text {i} a@b.io" for i in range(10)])
+    assert len(p._cache) == 3          # LRU cap
+    assert p.model_calls == 10
+    # the surviving 3 are the most recent; a hit refreshes recency
+    [_] = p.detect_batch(["text 9 a@b.io"])
+    assert p.cache_hits == 1
+    # past TTL the sweep clears everything, even without re-access
+    clock[0] = 61.0
+    p.detect_batch(["fresh z@y.io"])
+    assert len(p._cache) == 1
+
+
+def test_full_pipeline_llm_cost_cap_enforced(spark):
+    """The config-dispatched ensemble+llm path enforces the declared
+    cost cap: with a tiny cap the expensive context never reaches the
+    model stage, so its NER signal is absent (missing-signal fusion),
+    while an uncapped run binds signals for every context."""
+    from catalog_pii_scanner_spark.operators.findings import scan_values
+    from catalog_pii_scanner_spark.operators.pipeline import (
+        full_scan_predictions)
+    vals = spark.createDataFrame(
+        [("c1", "a@b.io"), ("c2", "b@c.org " + " ".join(["pad"] * 499))],
+        "column_ref string, value string")
+    cands = scan_values(vals).select(
+        "column_ref", "value", "pii_type", "match_text",
+        "rule_confidence", "validated").distinct()
+    capped = {r.column_ref: r.score for r in full_scan_predictions(
+        cands, ner_provider="fake_llm",
+        llm_cost_cap_usd=0.0001).collect()}
+    open_ = {r.column_ref: r.score for r in full_scan_predictions(
+        cands, ner_provider="fake_llm",
+        llm_cost_cap_usd=100.0).collect()}
+    uncapped = {r.column_ref: r.score for r in full_scan_predictions(
+        cands, ner_provider="fake_llm").collect()}
+    assert set(capped) == set(open_) == set(uncapped) == {"c1", "c2"}
+    # a generous cap changes nothing vs no cap at all
+    for c in ("c1", "c2"):
+        assert open_[c] == pytest.approx(uncapped[c])
+    # the tiny cap pushes the expensive context (and, because metering is
+    # cumulative in deterministic md5 order, everything after it) out of
+    # the model stage — its NER signal goes missing and the score moves
+    assert capped["c2"] != pytest.approx(open_["c2"])
+
+
+def test_full_pipeline_llm_ttl_reaches_provider(spark):
+    """cache_ttl_minutes reaches the worker-singleton construction (the
+    singleton is keyed by options, so the declared TTL is never silently
+    replaced by a default-constructed provider)."""
+    from catalog_pii_scanner_spark.operators.ner import _get_provider
+    p1 = _get_provider("fake_llm", {"cache_ttl_minutes": 7})
+    assert p1._ttl_s == 7 * 60.0
+    assert _get_provider("fake_llm", {"cache_ttl_minutes": 7}) is p1
+    p2 = _get_provider("fake_llm")
+    assert p2 is not p1

@@ -146,3 +146,40 @@ def test_stream_user_ewma_stateful(spark, tmp_path_factory):
     assert final[1][0] == 3
     assert final[1][1] == pytest.approx(seq([10.0, 20.0, 30.0]), abs=1e-12)
     assert final[2] == (1, 5.0)
+
+
+def test_outliers_degenerate_groups_filtered(spark, tmp_path):
+    """A single-row event type (n-1 = 0) and a constant-valued type
+    (var = 0) have no defined z-score; both engines must drop those
+    groups explicitly rather than diverge on NULL-vs-inf division."""
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        events_value_outliers)
+    d = str(tmp_path / "ev")
+    # a lone outlier's max z is (n-1)/sqrt(n), so n must exceed ~11 for
+    # any single point to clear the 3.0 threshold — use 19 ones + one 500
+    rows = ([(1, "solo", 100.0)]                       # n == 1
+            + [(10 + i, "const", 5.0) for i in range(4)]   # var == 0
+            + [(20 + i, "normal", 1.0) for i in range(19)]
+            + [(39, "normal", 500.0)])                     # the outlier
+    import datetime
+    ts = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, ts, 1, t, v, "{}") for (i, t, v) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = events_value_outliers(spark, d).collect()
+    assert [(r.event_id, r.event_type) for r in got] == [(39, "normal")]
+
+
+def test_stream_events_sessions_equals_batch(spark, sf_dir):
+    """The streaming session-window drain must produce exactly the batch
+    sessionization frame (state-store merge across microbatches is an
+    execution detail, never a semantics change)."""
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        events_sessions, stream_events_sessions)
+    batch = {(r.user_id, r.session_start): (r.n_events, r.sum_value)
+             for r in events_sessions(spark, sf_dir).collect()}
+    streamed = {(r.user_id, r.session_start): (r.n_events, r.sum_value)
+                for r in stream_events_sessions(spark, sf_dir).collect()}
+    assert batch == streamed

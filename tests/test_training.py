@@ -71,3 +71,49 @@ def test_candidates_carry_positions(labeled):
     assert rows
     for r in rows:
         assert r.text[r.pstart - 1:r.pend - 1] == r.match_text
+
+
+def test_phase3_trained_end_to_end(spark):
+    """Phase-3 closure (reference cps eval, cli.py:351-385): gen-synth ->
+    train_embed -> fit_calibrator_ensemble -> full ensemble predictions
+    with the trained model + calibration -> greedy match -> metric frame,
+    asserted EXACTLY (the whole composition is deterministic for the
+    seeded corpus; these numbers pin both the semantics and the
+    determinism)."""
+    from catalog_pii_scanner_spark.operators.evaluate import (
+        eval_metrics_trained)
+    from catalog_pii_scanner_spark.operators.training import (
+        fit_calibrator_ensemble)
+    from catalog_pii_scanner_spark.pii_types import ALL_PII_TYPES
+
+    corpus = generate_synthetic(spark, 500, seed=1234) \
+        .localCheckpoint(eager=True)
+    model = train_embed(spark, corpus)
+    cal = fit_calibrator_ensemble(corpus, model=model)
+    # the ensemble fit produces proper Platt scalers for every type seen
+    # in the corpus: strong positive slope, negative intercept (a biased
+    # own-type-only fit yields pathological positive intercepts instead)
+    assert set(cal.params) == {"PERSON", "EMAIL", "PHONE_NUMBER", "SSN",
+                               "CREDIT_CARD", "IP_ADDRESS", "DATE"}
+    for t, (a, b) in cal.params.items():
+        assert a > 0 and b < 0, (t, a, b)
+    calibration = {t: cal.get(t) for t in ALL_PII_TYPES}
+    m = eval_metrics_trained(spark, corpus, model=model,
+                             calibration=calibration)
+    rows = {(r.level, r.pii_type): r for r in m.collect()}
+    micro = rows[("micro", "ALL")]
+    assert (micro.tp, micro.fp, micro.fn) == (1025, 375, 175)
+    assert (micro.precision, micro.recall, micro.f1) == \
+        (0.732143, 0.854167, 0.788462)
+    # macro averages over ALL 11 types, zero-filling the 3 types absent
+    # from this corpus (reference eval.py:69-77 semantics)
+    macro = rows[("macro", "ALL")]
+    assert (macro.precision, macro.recall, macro.f1) == \
+        (0.576577, 0.537879, 0.54833)
+    # the trained model resolves EMAIL/CREDIT_CARD perfectly on this
+    # corpus; the PERSON-bigram false positives stay imperfect by design
+    for t in ("EMAIL", "CREDIT_CARD", "PHONE_NUMBER", "IP_ADDRESS",
+              "DATE"):
+        r = rows[("type", t)]
+        assert (r.fp, r.fn) == (0, 0), t
+        assert r.f1 == 1.0
