@@ -232,13 +232,53 @@ def cmd_train_embed(args) -> int:
 
 
 def cmd_calibrate(args) -> int:
-    from .operators.training import fit_calibrator
+    from .operators.training import fit_calibrator, fit_calibrator_ensemble
+    from .operators.embeddings import EmbedModel
     from .sources.datasets import load_jsonl
     spark = _spark("calibrate")
-    cal = fit_calibrator(load_jsonl(spark, args.data))
+    data = load_jsonl(spark, args.data)
+    if args.ensemble:
+        # reference calibrate semantics (eval.py:80-103): per-type Platt
+        # over the FULL raw ensemble scores, with the trained model bound
+        model = EmbedModel.load(args.model) if args.model else None
+        cal = fit_calibrator_ensemble(data, model=model)
+    else:
+        cal = fit_calibrator(data)
     with open(args.out, "w") as f:
         json.dump({t: list(p) for t, p in cal.params.items()}, f)
     print(f"calibrated types: {sorted(cal.params)} -> {args.out}")
+    return 0
+
+
+def cmd_eval_trained(args) -> int:
+    """Phase-3 closure verb (reference ``cps eval``): evaluate the full
+    TRAINED ensemble on a labeled corpus."""
+    from .operators.embeddings import EmbedModel
+    from .operators.evaluate import eval_metrics_trained
+    from .operators.training import fit_calibrator_ensemble
+    from .pii_types import ALL_PII_TYPES
+    from .sources.datasets import load_jsonl
+    spark = _spark("eval-trained")
+    data = load_jsonl(spark, args.data).localCheckpoint(eager=True)
+    model = EmbedModel.load(args.model) if args.model else None
+    if args.calibration:
+        with open(args.calibration) as f:
+            params = {t: tuple(p) for t, p in json.load(f).items()}
+    else:
+        params = fit_calibrator_ensemble(data, model=model).params
+    calibration = {t: params.get(t, (1.0, 0.0)) for t in ALL_PII_TYPES}
+    rows = eval_metrics_trained(spark, data, model=model,
+                                calibration=calibration).collect()
+    for r in sorted(rows, key=lambda r: (r.level, r.pii_type)):
+        if r.level == "type":
+            print(f"{r.pii_type:14s} P={r.precision:.4f} "
+                  f"R={r.recall:.4f} F1={r.f1:.4f}")
+    micro = next(r for r in rows if r.level == "micro")
+    macro = next(r for r in rows if r.level == "macro")
+    print(f"Micro: P={micro.precision:.4f} R={micro.recall:.4f} "
+          f"F1={micro.f1:.4f}")
+    print(f"Macro: P={macro.precision:.4f} R={macro.recall:.4f} "
+          f"F1={macro.f1:.4f}")
     return 0
 
 
@@ -329,11 +369,26 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("calibrate")
     s.add_argument("--data", required=True)
     s.add_argument("--out", required=True)
+    s.add_argument("--ensemble", action="store_true",
+                   help="fit on full raw ensemble scores "
+                        "(reference calibrate semantics)")
+    s.add_argument("--model", default="",
+                   help="trained embed model (.npz) for --ensemble")
     s.set_defaults(fn=cmd_calibrate)
 
     s = sub.add_parser("eval")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("eval-trained",
+                       help="evaluate the trained ensemble on a labeled "
+                            "JSONL corpus (reference `cps eval`)")
+    s.add_argument("--data", required=True)
+    s.add_argument("--model", default="")
+    s.add_argument("--calibration", default="",
+                   help="calibration JSON from `calibrate` (default: "
+                        "fit on --data)")
+    s.set_defaults(fn=cmd_eval_trained)
 
     s = sub.add_parser("profile", help="column profiles -> JSON/parquet")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")

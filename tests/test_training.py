@@ -117,3 +117,32 @@ def test_phase3_trained_end_to_end(spark):
         r = rows[("type", t)]
         assert (r.fp, r.fn) == (0, 0), t
         assert r.f1 == 1.0
+
+
+def test_cli_train_calibrate_eval_trained_roundtrip(spark, tmp_path,
+                                                    monkeypatch, capsys):
+    """The reference's CLI training loop end-to-end through OUR verbs:
+    gen-synth -> train-embed -> calibrate --ensemble -> eval-trained,
+    artifacts round-tripping through disk (JSONL corpus, .npz model,
+    calibration JSON)."""
+    import json as _json
+    import catalog_pii_scanner_spark.cli as cli
+    monkeypatch.setattr(cli, "_spark", lambda app: spark)
+    data = str(tmp_path / "synth")
+    model = str(tmp_path / "model.npz")
+    calib = str(tmp_path / "calib.json")
+    assert cli.main(["gen-synth", "--n", "120", "--out", data]) == 0
+    assert cli.main(["train-embed", "--data", data, "--out", model]) == 0
+    assert cli.main(["calibrate", "--data", data, "--out", calib,
+                     "--ensemble", "--model", model]) == 0
+    capsys.readouterr()
+    with open(calib) as f:
+        params = _json.load(f)
+    assert params and all(a > 0 and b < 0 for a, b in params.values())
+    assert cli.main(["eval-trained", "--data", data, "--model", model,
+                     "--calibration", calib]) == 0
+    out = capsys.readouterr().out
+    micro = [ln for ln in out.splitlines() if ln.startswith("Micro:")]
+    assert micro, out
+    f1 = float(micro[0].rsplit("F1=", 1)[1])
+    assert f1 > 0.5

@@ -5,11 +5,13 @@ at the given sf dir, then compares row count, sorted-by-name schema, and an
 order-insensitive value hash. Usage:
 
     python tools/selfcheck.py [sf_dir] [query_name ...]
+    python tools/selfcheck.py --json OUT.json [sf_dir]   # driver-format JSON
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -50,8 +52,14 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str, str
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as E
     from catalog_pii_scanner_spark.session import get_spark
@@ -74,6 +82,8 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"spark: {exc}"[:300]}
             failures += 1
             continue
         spark_fp = frame_fingerprint(scols, srows)
@@ -81,6 +91,9 @@ def main() -> int:
         if name not in oracles:
             print(f"PASS? {name}: rows={spark_fp[0]} (no oracle, "
                   f"rows-only check) [{t1-t0:.1f}s]")
+            report[name] = {"rows_match": spark_fp[0] >= 0,
+                            "schema_match": None, "hash_match": None,
+                            "spark_rows": spark_fp[0], "err": None}
             continue
         try:
             res = con.execute(oracles[name])
@@ -88,11 +101,20 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False,
+                            "err": f"duckdb: {exc}"[:300]}
             failures += 1
             continue
         t2 = time.time()
         duck_fp = frame_fingerprint(ocols, orows)
         ok = spark_fp == duck_fp
+        report[name] = {
+            "rows_match": spark_fp[0] == duck_fp[0],
+            "schema_match": spark_fp[1] == duck_fp[1],
+            "hash_match": spark_fp[2] == duck_fp[2],
+            "spark_rows": spark_fp[0], "oracle_rows": duck_fp[0],
+            "err": None}
         if not ok:
             failures += 1
             print(f"FAIL {name}: spark={spark_fp} duck={duck_fp}")
@@ -106,6 +128,9 @@ def main() -> int:
         else:
             print(f"PASS {name}: rows={spark_fp[0]} hash={spark_fp[2]} "
                   f"[spark {t1-t0:.1f}s, duck {t2-t1:.1f}s]")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
     spark.stop()
     return 1 if failures else 0
 
