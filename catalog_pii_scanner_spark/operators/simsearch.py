@@ -91,6 +91,13 @@ def cosine_topk(spark, sf_dir: str, k: int = 5,
                                      query_mod))
 
 
+#: Driver-collect guard for the matmul path's query subset: 100k × 64
+#: float64 ≈ 50 MB broadcast — comfortably under executor/driver budgets;
+#: beyond that the query set should be batched (loop over chunks, same
+#: plan), never silently collected.
+MAX_QUERY_VECTORS = 100_000
+
+
 def cosine_topk_matmul(spark, sf_dir: str, k: int = 5,
                        query_mod: int = 50) -> DataFrame:
     """The 100 TB serving path for brute-force cosine top-k: the query
@@ -114,7 +121,13 @@ def cosine_topk_matmul(spark, sf_dir: str, k: int = 5,
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrows = (emb.where(F.col("vec_id") % query_mod == 0)
-             .select("vec_id", "embedding").collect())
+             .select("vec_id", "embedding")
+             .limit(MAX_QUERY_VECTORS + 1).collect())
+    if len(qrows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"query subset exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS} "
+            f"(driver collect + broadcast guard); raise query_mod or "
+            f"batch the query set")
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     Q = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
     q_norm = np.linalg.norm(Q, axis=1)

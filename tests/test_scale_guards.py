@@ -119,3 +119,13 @@ def test_monster_document_shingles_bounded(spark):
     assert counts[1] == 98  # cap - (SHINGLE_K - 1)
     assert counts[2] == 2
     assert time.time() - t0 < 60
+
+
+def test_matmul_query_collect_guard(spark, sf_dir, monkeypatch):
+    """The BLAS path's driver collect is bounded: a query subset larger
+    than MAX_QUERY_VECTORS fails fast with a clear error instead of
+    silently collecting an unbounded relation to the driver."""
+    from catalog_pii_scanner_spark.operators import simsearch
+    monkeypatch.setattr(simsearch, "MAX_QUERY_VECTORS", 3)
+    with pytest.raises(ValueError, match="MAX_QUERY_VECTORS"):
+        simsearch.cosine_topk_matmul(spark, sf_dir, k=2, query_mod=1)

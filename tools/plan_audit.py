@@ -29,6 +29,7 @@ def main() -> int:
         ("dedup_ngram_jaccard", "prefix-filtered similarity join"),
         ("dedup_embed_cosine", "LSH-blocked cosine pairs"),
         ("ann_cosine_topk", "brute-force ANN"),
+        ("ann_cosine_matmul", "BLAS mapInPandas serving path"),
         ("ann_ivf_topk", "IVF probe path"),
         ("eval_greedy_metrics", "range join + windows"),
         ("events_hourly", "windowed aggregation"),
