@@ -322,9 +322,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_matmul": simsearch.cosine_topk_matmul,
         "ann_lsh_topk": simsearch.ann_lsh_topk,
         "ann_ivf_topk": simsearch.ann_ivf_topk,
+        # IVF + BLAS one-pass search (FAISS IVF-flat shape; zero joins)
+        "ann_ivf_matmul": simsearch.ann_ivf_matmul,
         # multimodal plumbing (binary columns + mapInPandas features)
         "multimodal_features": multimodal.media_features_query,
         "multimodal_frame_sample": multimodal.frame_sample_query,
+        # binary resize through the same Arrow mapInPandas signature a
+        # real codec plugs into (byte-exact contract in tests)
+        "multimodal_resize": multimodal.media_resize_query,
         # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
         "sample_columns_topn": _sample,
         # column profiling: null/distinct/minmax/length stats per column
@@ -344,9 +349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_sessions": stream_events_sessions,
         # stateful streaming dedup (dropDuplicatesWithinWatermark drain)
         "stream_dedup_events": stream_dedup_events,
-        # text analysis (training-data pipeline)
-        "doc_quality": textstats.doc_quality,
-        "doc_lang_id": textstats.lang_id,
         # per-language length percentiles (exact; approx is the scale path)
         "doc_length_quantiles": textstats.length_quantiles,
         # corpus curation (training-data pipeline)
@@ -398,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "athena_sample_capped": lambda s, sf:
             athena_sample_column(s, sf, *ATHENA_SAMPLE_ARGS,
                                  **ATHENA_SAMPLE_KW),
+        "doc_quality": textstats.doc_quality,
+        "doc_lang_id": textstats.lang_id,
         "doc_token_counts": textstats.token_counts,
         "doc_fingerprints": textstats.fingerprints,
     }
@@ -480,7 +484,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_matmul": simsearch.cosine_topk_sql("duckdb"),
         "ann_lsh_topk": simsearch.ann_lsh_topk_sql("duckdb"),
         "ann_ivf_topk": simsearch.ann_ivf_topk_sql("duckdb"),
+        # identical output contract to the declarative IVF (bitwise-equal
+        # after the shared 1e-6 rounding), so it shares the oracle
+        "ann_ivf_matmul": simsearch.ann_ivf_topk_sql("duckdb"),
         "multimodal_features": multimodal.media_features_oracle_sql(),
         "multimodal_frame_sample": multimodal.frame_sample_oracle_sql(),
+        "multimodal_resize": multimodal.media_resize_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
     }

@@ -159,6 +159,67 @@ FROM f
 """
 
 
+def resize_media(assets: DataFrame, target_bytes: int = 32,
+                 fake: bool = True) -> DataFrame:
+    """Media resize shape: binary -> smaller binary through the same
+    Arrow-batched mapInPandas signature a real resizer (PIL thumbnail /
+    audio downsample / ffmpeg scale) plugs into. The fake codec is
+    deterministic stride subsampling: stride = ceil(n/target), keep
+    every stride-th byte from offset 0 — output length is exactly
+    ceil(n/stride) <= target (byte-exact contract tested in
+    tests/test_multimodal.py).
+
+    Output: asset_id, media_type, n_bytes, resized BINARY,
+    resized_bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = ("asset_id", "media_type", "n_bytes")
+        for pdf in batches:
+            resized = []
+            for m in pdf["media"]:
+                if not fake:
+                    decode_image(bytes(m))  # pragma: no cover - stub
+                b = bytes(m)
+                if len(b) > target_bytes:
+                    stride = -(-len(b) // target_bytes)
+                    b = b[::stride]
+                resized.append(b)
+            out = {c: pdf[c] for c in out_cols}
+            out["resized"] = resized
+            out["resized_bytes"] = [len(b) for b in resized]
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run, "asset_id bigint, media_type string, n_bytes bigint, "
+             "resized binary, resized_bytes bigint")
+
+
+def media_resize_query(spark: SparkSession, sf_dir: str,
+                       target_bytes: int = 32) -> DataFrame:
+    """Driver-contract query: resize plumbing over real binary payloads;
+    the oracle verifies the size arithmetic (stride subsample length),
+    byte content is pinned by the unit test."""
+    return resize_media(media_assets(spark, sf_dir), target_bytes).select(
+        "asset_id", "media_type", "n_bytes", "resized_bytes")
+
+
+def media_resize_oracle_sql(docs_rel: str = "documents",
+                            target_bytes: int = 32) -> str:
+    n = "octet_length(encode(text))"
+    stride = f"CAST(ceil({n} / {target_bytes}.0) AS BIGINT)"
+    return f"""
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       {n} AS n_bytes,
+       CASE WHEN {n} <= {target_bytes} THEN {n}
+            ELSE CAST(ceil({n} / CAST({stride} AS DOUBLE)) AS BIGINT)
+       END AS resized_bytes
+FROM {docs_rel}
+"""
+
+
 def frame_sample(assets: DataFrame, every: int = 256,
                  frame_bytes: int = 64) -> DataFrame:
     """Video-path shape: sample fixed-size byte 'frames' every ``every``

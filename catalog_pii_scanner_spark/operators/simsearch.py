@@ -454,6 +454,114 @@ NUM_CENTROIDS = 16
 NPROBE = 2
 
 
+def ann_ivf_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
+                   nprobe: int = NPROBE) -> DataFrame:
+    """IVF + BLAS serving path (the FAISS IVF-flat shape on Spark):
+    centroids and the query subset are tiny by construction, so both are
+    computed driver-side and broadcast; candidates stream through ONE
+    Arrow-batched ``mapInPandas`` that (a) assigns each vector to its
+    nearest-centroid cell with one matmul, then (b) matmuls each cell's
+    members against only the queries probing that cell, keeping the
+    per-batch top-k per query. A final per-query window merges partial
+    top-ks — the whole search is one pass over the corpus with zero
+    joins, vs the declarative twin's exploded-relation joins. Semantics
+    identical to ``ann_ivf_topk(quantizer='prefix')`` (same 1e-6
+    rounding, same cid/neighbor tie-breaks) — equality-tested in
+    tests/test_dedup_simsearch.py.
+
+    Output: query_id, neighbor_id, rank, cosine."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    crows = (emb.where(F.col("vec_id") < NUM_CENTROIDS)
+             .select("vec_id", "embedding").collect())
+    c_ids = np.array([r.vec_id for r in crows], dtype=np.int64)
+    C = np.array([list(r.embedding) for r in crows], dtype=np.float64)
+    order = np.argsort(c_ids)
+    c_ids, C = c_ids[order], C[order]
+    c_norm = np.linalg.norm(C, axis=1)
+
+    qrows = (emb.where(F.col("vec_id") % query_mod == 0)
+             .select("vec_id", "embedding")
+             .limit(MAX_QUERY_VECTORS + 1).collect())
+    if len(qrows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"query subset exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}")
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(Q, axis=1)
+
+    def probe_cells(vecs: np.ndarray, norms: np.ndarray,
+                    n: int) -> np.ndarray:
+        """Top-n cells per vector by round(cosine,6) DESC, cid ASC —
+        the declarative crank ordering."""
+        cc = np.round((vecs @ C.T) / (norms[:, None] * c_norm[None, :]), 6)
+        out = np.empty((len(vecs), n), dtype=np.int64)
+        for i in range(len(vecs)):
+            out[i] = c_ids[np.lexsort((c_ids, -cc[i]))[:n]]
+        return out
+
+    # driver-side: nq x nprobe probe table -> cell -> query-row indices
+    qcells = probe_cells(Q, q_norm, nprobe) if len(q_ids) else \
+        np.empty((0, nprobe), dtype=np.int64)
+    cell_to_qidx: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for cell in qcells[qi]:
+            cell_to_qidx.setdefault(int(cell), []).append(qi)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, Q, q_norm, c_ids, C, c_norm, cell_to_qidx))
+    kk = k
+
+    def search(batches):
+        import pandas as pd
+        qi_, Q_, qn_, ci_, C_, cn_, c2q = bc.value
+        if qi_.size == 0:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v_ids = pdf["vec_id"].to_numpy(np.int64)
+            v_norm = np.linalg.norm(V, axis=1)
+            cc = np.round((V @ C_.T) / (v_norm[:, None] * cn_[None, :]), 6)
+            # crank==1 assignment with the declarative tie-break
+            assign = np.empty(len(V), dtype=np.int64)
+            for i in range(len(V)):
+                assign[i] = ci_[np.lexsort((ci_, -cc[i]))[0]]
+            out_q, out_n, out_c = [], [], []
+            for cell in np.unique(assign):
+                qidx = c2q.get(int(cell))
+                if not qidx:
+                    continue
+                members = assign == cell
+                M, m_ids = V[members], v_ids[members]
+                m_norm = v_norm[members]
+                qsel = np.array(qidx, dtype=np.int64)
+                cos = np.round(
+                    (M @ Q_[qsel].T)
+                    / (m_norm[:, None] * qn_[qsel][None, :]), 6)
+                for j, qrow in enumerate(qsel):
+                    keep = m_ids != qi_[qrow]
+                    ids, vals = m_ids[keep], cos[keep, j]
+                    order = np.lexsort((ids, -vals))[:kk]
+                    out_q.append(np.full(order.size, qi_[qrow]))
+                    out_n.append(ids[order])
+                    out_c.append(vals[order])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c)})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        search, schema="query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
 def ann_ivf_topk_sql(dialect: str, rel: str = "embeddings", k: int = 5,
                      query_mod: int = 50) -> str:
     """IVF-style ANN: a deterministic coarse quantizer (centroids = the

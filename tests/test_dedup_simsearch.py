@@ -163,3 +163,19 @@ def test_cosine_topk_matmul_equals_declarative(spark, sf_dir):
     for key, (nid, cos) in decl.items():
         assert mm[key][0] == nid, key
         assert mm[key][1] == pytest.approx(cos, abs=2e-6)
+
+
+def test_ann_ivf_matmul_equals_declarative(spark, sf_dir):
+    """The IVF+BLAS one-pass search must return exactly the declarative
+    IVF's frame (same prefix quantizer, rounding, and tie-breaks) — cell
+    assignment, probing, and exact re-rank are execution strategies."""
+    decl = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in simsearch.ann_ivf_topk(spark, sf_dir, k=5,
+                                            query_mod=20).collect()}
+    mm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in simsearch.ann_ivf_matmul(spark, sf_dir, k=5,
+                                            query_mod=20).collect()}
+    assert set(decl) == set(mm)
+    for key, (nid, cos) in decl.items():
+        assert mm[key][0] == nid, key
+        assert mm[key][1] == pytest.approx(cos, abs=2e-6)

@@ -48,3 +48,23 @@ def test_frame_sample_fanout(assets):
     assert [r.frame_no for r in sorted(one, key=lambda r: r.frame_no)] == \
         list(range(len(one)))
     assert all(r.frame_size <= 32 for r in rows)
+
+
+def test_resize_media_byte_exact(assets):
+    """The stride-subsample fake codec is byte-exact: resized ==
+    media[::ceil(n/target)] whenever n > target, identity otherwise, and
+    never exceeds the target size."""
+    from catalog_pii_scanner_spark.operators.multimodal import resize_media
+    target = 16
+    rows = resize_media(assets, target_bytes=target).collect()
+    originals = {r.asset_id: bytes(r.media) for r in assets.collect()}
+    assert rows
+    for r in rows:
+        b = originals[r.asset_id]
+        if len(b) <= target:
+            expect = b
+        else:
+            stride = -(-len(b) // target)
+            expect = b[::stride]
+        assert bytes(r.resized) == expect, r.asset_id
+        assert r.resized_bytes == len(expect) <= target or len(b) <= target

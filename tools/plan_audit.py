@@ -31,6 +31,7 @@ def main() -> int:
         ("ann_cosine_topk", "brute-force ANN"),
         ("ann_cosine_matmul", "BLAS mapInPandas serving path"),
         ("ann_ivf_topk", "IVF probe path"),
+        ("ann_ivf_matmul", "IVF+BLAS one-pass search"),
         ("eval_greedy_metrics", "range join + windows"),
         ("events_hourly", "windowed aggregation"),
         ("corpus_decontaminate", "benchmark-gram broadcast join"),
