@@ -16,7 +16,6 @@ Parquet column pruning still applies to any column subset selection.
 
 from __future__ import annotations
 
-import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,13 +62,13 @@ def nanos_timestamp_columns(path: str) -> list[str]:
     true Timestamp(nanoseconds) logical type needs the nanosAsLong
     workaround."""
     import glob
+    import json
     import os
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not parts:
             return []
         path = parts[0]
-    import json
     sch = pq.ParquetFile(path).schema
     out = []
     for i in range(len(sch)):
