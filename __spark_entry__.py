@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": simsearch.cosine_topk,
         "ann_cosine_matmul": simsearch.cosine_topk_matmul,
         "ann_lsh_topk": simsearch.ann_lsh_topk,
+        # multi-probe LSH as a one-pass broadcast-probe-table search
+        "ann_lsh_matmul": simsearch.ann_lsh_matmul,
         "ann_ivf_topk": simsearch.ann_ivf_topk,
         # IVF + BLAS one-pass search (FAISS IVF-flat shape; zero joins)
         "ann_ivf_matmul": simsearch.ann_ivf_matmul,
@@ -349,8 +351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_sessions": stream_events_sessions,
         # stateful streaming dedup (dropDuplicatesWithinWatermark drain)
         "stream_dedup_events": stream_dedup_events,
-        # per-language length percentiles (exact; approx is the scale path)
-        "doc_length_quantiles": textstats.length_quantiles,
         # corpus curation (training-data pipeline)
         "corpus_decontaminate": corpus.decontaminate,
         "corpus_repetition": corpus.repetition,
@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": textstats.lang_id,
         "doc_token_counts": textstats.token_counts,
         "doc_fingerprints": textstats.fingerprints,
+        # per-language length percentiles (exact; approx is the scale path)
+        "doc_length_quantiles": textstats.length_quantiles,
     }
 
 
@@ -483,6 +485,9 @@ def oracle_sql() -> dict[str, str]:
         # shares the declarative oracle (bitwise-equal after 1e-6 round)
         "ann_cosine_matmul": simsearch.cosine_topk_sql("duckdb"),
         "ann_lsh_topk": simsearch.ann_lsh_topk_sql("duckdb"),
+        # one-pass probe-table form shares the declarative oracle
+        # (bitwise-equal after the shared 1e-6 rounding)
+        "ann_lsh_matmul": simsearch.ann_lsh_topk_sql("duckdb"),
         "ann_ivf_topk": simsearch.ann_ivf_topk_sql("duckdb"),
         # identical output contract to the declarative IVF (bitwise-equal
         # after the shared 1e-6 rounding), so it shares the oracle

@@ -291,6 +291,124 @@ def ann_lsh_topk(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
                                       bits_per_table, probe_bits))
 
 
+def _planes_matrix(n_planes: int):
+    """The deterministic md5-parity +/-1 hyperplanes as a numpy matrix —
+    byte-identical to the SQL construction (_planes_cte): sign of plane
+    p at pos d (1-based) is +1 iff the first hex digit of md5("p:d") is
+    odd."""
+    import hashlib
+
+    import numpy as np
+    P = np.empty((n_planes, DIMS), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(1, DIMS + 1):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0]
+            P[p, d - 1] = 1.0 if int(h, 16) % 2 == 1 else -1.0
+    return P
+
+
+def ann_lsh_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
+                   num_tables: int = NUM_TABLES,
+                   bits_per_table: int = BITS_PER_TABLE,
+                   probe_bits: int = PROBE_BITS) -> DataFrame:
+    """Multi-probe LSH ANN as a ONE-PASS search (no exploded relation,
+    no joins): the query subset's per-table signatures and their
+    Hamming-``probe_bits`` probes are computed driver-side and broadcast
+    as a (table, signature) -> query-rows hash table; candidates stream
+    through a single mapInPandas that signs each vector against the
+    broadcast plane matrix (one matmul), looks its 8 table signatures up
+    in the probe table, and computes exact cosines for matched queries
+    with per-batch top-k. A vector matches a query at most once per
+    batch (candidate set is deduped per batch; a vector lives in exactly
+    one batch), so the final per-query window merge is exact. Semantics
+    identical to ``ann_lsh_topk`` — equality-tested and oracle-shared.
+
+    Output: query_id, neighbor_id, rank, cosine."""
+    import numpy as np
+
+    b = bits_per_table
+    P = _planes_matrix(num_tables * b)
+
+    def sigs_of(vecs: np.ndarray) -> np.ndarray:
+        """(n, num_tables) int64 signatures: bit j of table t set iff
+        proj on plane t*b+j is > 0."""
+        proj = vecs @ P.T
+        bits = (proj > 0).astype(np.int64)
+        out = np.zeros((len(vecs), num_tables), dtype=np.int64)
+        for t in range(num_tables):
+            for j in range(b):
+                out[:, t] |= bits[:, t * b + j] << j
+        return out
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (emb.where(F.col("vec_id") % query_mod == 0)
+             .select("vec_id", "embedding")
+             .limit(MAX_QUERY_VECTORS + 1).collect())
+    if len(qrows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"query subset exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}")
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(Q, axis=1)
+    flips = [0] + ([1 << j for j in range(b)] if probe_bits >= 1 else [])
+    probe: dict[tuple[int, int], list[int]] = {}
+    if len(q_ids):
+        qs = sigs_of(Q)
+        for qi in range(len(q_ids)):
+            for t in range(num_tables):
+                for f_ in flips:
+                    probe.setdefault((t, int(qs[qi, t]) ^ f_),
+                                     []).append(qi)
+    bq = spark.sparkContext.broadcast((q_ids, Q, q_norm, probe))
+    kk = k
+
+    def search(batches):
+        import pandas as pd
+        qi_, Q_, qn_, probe_ = bq.value
+        if qi_.size == 0:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v_ids = pdf["vec_id"].to_numpy(np.int64)
+            v_norm = np.linalg.norm(V, axis=1)
+            vs = sigs_of(V)
+            # query -> unique candidate rows in this batch
+            cand: dict[int, set[int]] = {}
+            for row in range(len(V)):
+                for t in range(vs.shape[1]):
+                    hits = probe_.get((t, int(vs[row, t])))
+                    if hits:
+                        for qrow in hits:
+                            if v_ids[row] != qi_[qrow]:
+                                cand.setdefault(qrow, set()).add(row)
+            out_q, out_n, out_c = [], [], []
+            for qrow, rows_ in cand.items():
+                idx = np.fromiter(rows_, dtype=np.int64, count=len(rows_))
+                cos = np.round(
+                    (V[idx] @ Q_[qrow])
+                    / (v_norm[idx] * qn_[qrow]), 6)
+                ids = v_ids[idx]
+                order = np.lexsort((ids, -cos))[:kk]
+                out_q.append(np.full(order.size, qi_[qrow]))
+                out_n.append(ids[order])
+                out_c.append(cos[order])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c)})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        search, schema="query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
 COSINE_DUP_T = 0.3
 
 #: Signature-bucket cap for the near-dup pair join — same quadratic-blowup

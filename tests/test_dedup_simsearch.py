@@ -179,3 +179,19 @@ def test_ann_ivf_matmul_equals_declarative(spark, sf_dir):
     for key, (nid, cos) in decl.items():
         assert mm[key][0] == nid, key
         assert mm[key][1] == pytest.approx(cos, abs=2e-6)
+
+
+def test_ann_lsh_matmul_equals_declarative(spark, sf_dir):
+    """The one-pass broadcast-probe-table LSH search must return exactly
+    the declarative multi-probe LSH's frame (same planes, probes,
+    rounding, tie-breaks)."""
+    decl = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in simsearch.ann_lsh_topk(spark, sf_dir, k=5,
+                                            query_mod=20).collect()}
+    mm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in simsearch.ann_lsh_matmul(spark, sf_dir, k=5,
+                                            query_mod=20).collect()}
+    assert set(decl) == set(mm)
+    for key, (nid, cos) in decl.items():
+        assert mm[key][0] == nid, key
+        assert mm[key][1] == pytest.approx(cos, abs=2e-6)

@@ -30,6 +30,7 @@ def main() -> int:
         ("dedup_embed_cosine", "LSH-blocked cosine pairs"),
         ("ann_cosine_topk", "brute-force ANN"),
         ("ann_cosine_matmul", "BLAS mapInPandas serving path"),
+        ("ann_lsh_matmul", "LSH one-pass broadcast-probe search"),
         ("ann_ivf_topk", "IVF probe path"),
         ("ann_ivf_matmul", "IVF+BLAS one-pass search"),
         ("eval_greedy_metrics", "range join + windows"),
