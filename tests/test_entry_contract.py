@@ -1,0 +1,34 @@
+"""Driver-contract invariants on __spark_entry__ (no Spark session):
+every query has an oracle, and the ordering policy that works around the
+driver's 50-entry correctness cap stays intact — only designated stable
+queries may sit past position 50."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+#: The deliberately-parked tail (see the ordering note in queries()):
+#: untouched protocol stubs + textstats, all green in r3 AND in the
+#: committed CORRECTNESS_LOCAL artifact. Anything else appearing past
+#: position 50 would silently lose driver verification.
+STABLE_PARKED = {
+    "catalog_columns", "hms_columns", "unity_columns", "glue_columns",
+    "pii_metadata_hints", "athena_sample_capped", "doc_quality",
+    "doc_lang_id", "doc_token_counts", "doc_fingerprints",
+    "doc_length_quantiles",
+}
+
+
+def test_every_query_has_an_oracle():
+    q, o = E.queries(), E.oracle_sql()
+    assert set(q) == set(o), (set(q) ^ set(o))
+
+
+def test_only_designated_stable_queries_past_position_50():
+    tail = list(E.queries())[50:]
+    assert set(tail) <= STABLE_PARKED, set(tail) - STABLE_PARKED
+
+
+def test_oracles_are_nonempty_sql():
+    for name, sql in E.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
