@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 from catalog_pii_scanner_spark import oracles
 from catalog_pii_scanner_spark.operators import (corpus, dedup, llm,
                                                  metadata_rules, multimodal,
-                                                 ner, simsearch, textstats)
+                                                 ner, pii_docs, simsearch,
+                                                 textstats)
 from catalog_pii_scanner_spark.operators.ensemble import (
     ensemble_oracle_sql, fuse_predictions)
 from catalog_pii_scanner_spark.operators.evaluate import (
@@ -316,6 +317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_ner_context_signals": _ner_signals,
         # P7 overlap suppression: greedy span skip + whole-text redaction
         "pii_overlap_suppressed": _overlap_suppressed,
+        # the scanner applied to the training corpus: per-doc PII budget
+        "doc_pii_density": pii_docs.doc_pii_density,
+        # corpus-wide R3 guarantee: scrubbed documents table
+        "corpus_anonymize": pii_docs.corpus_anonymize,
         # J1/J2 greedy span match + A3-A5 metrics
         "eval_greedy_metrics": eval_metrics,
         # similarity search (declarative oracle-parity + BLAS serving path)
@@ -369,9 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM cost-cap metering as a deterministic plan (ensemble+llm)
         "llm_budget_plan": lambda s, sf: llm.llm_budget_plan(
             s.read.parquet(f"{sf}/documents.parquet")),
-        # dedup family
-        "dedup_exact": dedup.exact_dedup,
-        "dedup_minhash_signatures": dedup.minhash_signatures,
+        # dedup family (exact + minhash signatures parked in the stable
+        # tail — untouched since their r3 driver-green rows)
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
         # near-dup clusters: connected components over the pair graph
         "dedup_clusters": dedup.dedup_clusters,
@@ -407,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textstats.fingerprints,
         # per-language length percentiles (exact; approx is the scale path)
         "doc_length_quantiles": textstats.length_quantiles,
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_signatures": dedup.minhash_signatures,
     }
 
 
@@ -436,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
                               + ner.merge_with_rules_oracle_sql()),
         "pii_ner_context_signals": _ner_signals_oracle(),
         "pii_overlap_suppressed": _overlap_suppressed_oracle(),
+        "doc_pii_density": pii_docs.doc_pii_density_oracle_sql(),
+        "corpus_anonymize": pii_docs.corpus_anonymize_oracle_sql(),
         "pii_metadata_hints": metadata_rules.metadata_hints_oracle_sql(
             "(" + catalog_columns_oracle_sql() + ")"),
         "catalog_columns": catalog_columns_oracle_sql(),

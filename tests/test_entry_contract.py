@@ -15,7 +15,9 @@ STABLE_PARKED = {
     "catalog_columns", "hms_columns", "unity_columns", "glue_columns",
     "pii_metadata_hints", "athena_sample_capped", "doc_quality",
     "doc_lang_id", "doc_token_counts", "doc_fingerprints",
-    "doc_length_quantiles",
+    "doc_length_quantiles", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_simhash", "corpus_vocab_topk", "corpus_tfidf_keywords",
+    "corpus_sample_stratified",
 }
 
 

@@ -1,0 +1,99 @@
+"""PII-over-corpus operators: per-doc density stats and corpus-wide
+anonymization (the R3 no-raw-PII guarantee applied to the documents
+table, reference redaction.py semantics at corpus scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from catalog_pii_scanner_spark.operators.pii_docs import (
+    anonymize_docs, doc_pii_density_docs)
+
+
+def _docs(spark, sf_dir):
+    """Testdata documents plus two synthetic PII-bearing docs (sf0.001's
+    documents may contain no rule-matchable span at all, and the
+    invariants below need both hit and clean docs)."""
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "n_chars"))
+    extra_rows = [
+        (10_000_001,
+         "contact jane.doe@example.com or 555-867-5309; "
+         "card 4111111111111111 on file"),
+        (10_000_002, "ssn 123-45-6789 email jane.doe@example.com"),
+    ]
+    extra = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in extra_rows],
+        "doc_id bigint, text string, n_chars bigint")
+    return base.unionByName(extra)
+
+
+def test_density_one_row_per_doc_with_zeros(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = doc_pii_density_docs(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(by_id) == len(rows)  # doc_id unique
+    hit = [r for r in rows if r.n_pii > 0]
+    clean = [r for r in rows if r.n_pii == 0]
+    assert hit, "testdata documents contain rule-matchable spans"
+    assert all(r.pii_chars == 0 and r.pii_density == 0.0
+               and r.pii_types_csv == "" for r in clean)
+    for r in hit:
+        assert r.n_pii_types == len(r.pii_types_csv.split(","))
+        assert list(r.pii_types_csv.split(",")) == \
+            sorted(r.pii_types_csv.split(","))
+        assert r.pii_chars > 0 and r.pii_density > 0
+
+
+def test_density_counts_match_manual_recount(spark, sf_dir):
+    """n_pii equals a direct count of extract_candidates rows per doc."""
+    from catalog_pii_scanner_spark.operators.rules import extract_candidates
+    docs = _docs(spark, sf_dir)
+    manual = {
+        r.doc_id: r.n for r in
+        extract_candidates(docs.select("doc_id", "text"),
+                           value_col="text", keep_cols=("doc_id",))
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    out = {r.doc_id: r.n_pii
+           for r in doc_pii_density_docs(docs).collect() if r.n_pii}
+    assert out == manual
+
+
+def test_anonymize_no_raw_match_survives(spark, sf_dir):
+    """R3 corpus-wide: no extracted span text remains in its document's
+    anonymized text; shape (length) is preserved by the mask."""
+    from catalog_pii_scanner_spark.operators.rules import extract_candidates
+    docs = _docs(spark, sf_dir)
+    anon = {r.doc_id: r for r in anonymize_docs(docs).collect()}
+    assert len(anon) == docs.count()
+    spans = (extract_candidates(docs.select("doc_id", "text"),
+                                value_col="text", keep_cols=("doc_id",))
+             .select("doc_id", "match_text").distinct().collect())
+    assert spans
+    leaked = [(r.doc_id, r.match_text) for r in spans
+              if r.match_text in anon[r.doc_id].anon_text]
+    assert not leaked, leaked[:5]
+    n_masked = {r.doc_id: 0 for r in docs.select("doc_id").collect()}
+    for r in spans:
+        n_masked[r.doc_id] += 1
+    assert {d: r.n_masked for d, r in anon.items()} == n_masked
+
+
+def test_anonymize_preserves_text_length_and_structure(spark):
+    """Masks are shape-preserving, so anonymized text keeps its length;
+    longest-match-first folding resolves nested spans deterministically."""
+    docs = spark.createDataFrame(
+        [(1, "call 555-867-5309 or mail a.b@example.com today"),
+         (2, "no pii here at all")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in anonymize_docs(docs).collect()}
+    src = {1: "call 555-867-5309 or mail a.b@example.com today",
+           2: "no pii here at all"}
+    for d, r in out.items():
+        assert len(r.anon_text) == len(src[d])
+    assert out[2].anon_text == src[2] and out[2].n_masked == 0
+    assert "555-867-5309" not in out[1].anon_text
+    assert "a.b@example.com" not in out[1].anon_text
+    assert out[1].anon_text.startswith("call ")
