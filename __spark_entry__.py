@@ -365,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tfidf_keywords": corpus.tfidf_keywords,
         # CCNet-style unigram LM doc scoring (decimal-exact reduction)
         "corpus_unigram_logprob": corpus.unigram_logprob,
+        # bigram MLE transition model (salad-with-common-words filter)
+        "corpus_bigram_logprob": corpus.bigram_logprob,
         # GPT-style concat-then-chunk packing via distributed prefix sum
         "corpus_pack_sequences": corpus.pack_sequences,
         # alpha=0.5 temperature mixture rebalancing by source
@@ -382,7 +384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus keep/drop verdict: cluster representative per doc
         "dedup_keep_list": dedup.dedup_keep_list,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "dedup_simhash": dedup.simhash,
         "dedup_embed_cosine": simsearch.embed_cosine_pairs,
         # --- position 51+: stable, untouched, r3-green (see note above) ---
         # S1-S4 catalog enumeration -> canonical columns frame
@@ -413,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": textstats.length_quantiles,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_simhash": dedup.simhash,
     }
 
 
@@ -477,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_vocab_topk": corpus.vocab_topk_oracle_sql(),
         "corpus_tfidf_keywords": corpus.tfidf_keywords_oracle_sql(),
         "corpus_unigram_logprob": corpus.unigram_logprob_oracle_sql(),
+        "corpus_bigram_logprob": corpus.bigram_logprob_oracle_sql(),
         "corpus_pack_sequences": corpus.pack_sequences_oracle_sql(),
         "corpus_temperature_sample": corpus.temperature_sample_oracle_sql(),
         "corpus_curate": corpus.curate_oracle_sql(),

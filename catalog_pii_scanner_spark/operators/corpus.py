@@ -534,6 +534,85 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --- bigram LM document scoring ---------------------------------------------
+
+def bigram_logprob_docs(docs: DataFrame) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus
+    bigram MLE model: cost(w1 w2) = -ln(c(w1 w2) / c(w1->*)), the
+    context count c(w1->*) being the number of bigrams starting with w1
+    (proper conditional — rows sum to 1 per context). Sharper than the
+    unigram filter: token-salad with common words scores high here
+    because its *transitions* are rare.
+
+    Same determinism discipline as the unigram LM: per-bigram costs are
+    rounded to 1e-6 then summed as DECIMAL(28,6), so reduction order
+    cannot move the result. Shuffle shape: one doc-keyed window builds
+    bigrams (same posexplode+lead form as the shingle machinery),
+    bigram- and context-keyed counts partial-aggregate map-side, the
+    final agg is doc-keyed. Documents with fewer than two tokens have no
+    bigram and produce no row (both engines).
+
+    Output: doc_id, n_bigrams, avg_neg_logp (rounded 1e-6)."""
+    toks = (docs.select(
+                "doc_id",
+                F.posexplode(F.split(F.lower(F.col("text")), " +"))
+                .alias("pos", "token"))
+            .where(F.col("token") != ""))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (toks.withColumn("t1", F.lead("token", 1).over(w))
+           .where(F.col("t1").isNotNull())
+           .select("doc_id", F.col("token").alias("w1"),
+                   F.concat_ws(" ", "token", "t1").alias("bigram")))
+    bcounts = big.groupBy("bigram").agg(F.count("*").alias("big_n"))
+    ctx = big.groupBy("w1").agg(F.count("*").alias("ctx_n"))
+    cost = F.round(-F.log(F.col("big_n")
+                          / F.col("ctx_n").cast("double")), 6) \
+        .cast("decimal(28,6)")
+    scored = (big.join(bcounts, "bigram").join(ctx, "w1")
+              .select("doc_id", cost.alias("cost")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("cost").alias("cost_sum"))
+            .select("doc_id", "n_bigrams",
+                    F.round(F.col("cost_sum").cast("double")
+                            / F.col("n_bigrams"), 6).alias("avg_neg_logp")))
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_logprob_docs(_docs(spark, sf_dir))
+
+
+def bigram_logprob_oracle_sql(docs_rel: str = "documents") -> str:
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS toks
+        FROM {docs_rel}) _t
+),
+toks AS (SELECT doc_id, pos, token FROM toks0 WHERE token <> ''),
+big0 AS (
+  SELECT doc_id, token AS w1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+  FROM toks
+),
+big AS (
+  SELECT doc_id, w1, w1 || ' ' || t1 AS bigram FROM big0
+  WHERE t1 IS NOT NULL
+),
+bcounts AS (SELECT bigram, COUNT(*) AS big_n FROM big GROUP BY bigram),
+ctx AS (SELECT w1, COUNT(*) AS ctx_n FROM big GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(-ln(bc.big_n / CAST(c.ctx_n AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS cost
+  FROM big b JOIN bcounts bc USING (bigram) JOIN ctx c USING (w1)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- global vocabulary top-k ------------------------------------------------
 
 def vocab_topk_docs(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:

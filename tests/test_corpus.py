@@ -171,6 +171,30 @@ def test_unigram_logprob_orders_docs_by_surprise(spark):
     assert got[1].avg_neg_logp == round(round(-math.log(5 / 8), 6), 6)
 
 
+def test_bigram_logprob_exact_transition_costs(spark):
+    """MLE conditional: cost(w1 w2) = -ln(c(w1 w2)/c(w1->*)); docs with
+    <2 tokens produce no row."""
+    from catalog_pii_scanner_spark.operators.corpus import (
+        bigram_logprob_docs)
+    import math
+    docs = _docs(spark, [
+        (1, "a b a b", "en"),   # bigrams: 'a b'x2, 'b a'
+        (2, "a c", "en"),       # bigram: 'a c'
+        (3, "solo", "en"),      # no bigram -> no row
+    ])
+    got = {r.doc_id: r for r in bigram_logprob_docs(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 2 - 1
+    # contexts: a->3 ('a b' x2 + 'a c'), b->1 ('b a')
+    c_ab = round(-math.log(2 / 3), 6)
+    c_ba = round(-math.log(1 / 1), 6)
+    c_ac = round(-math.log(1 / 3), 6)
+    assert got[1].avg_neg_logp == round((2 * c_ab + c_ba) / 3, 6)
+    assert got[2].avg_neg_logp == round(c_ac, 6)
+    # repeated transitions are cheaper than novel ones
+    assert got[1].avg_neg_logp < got[2].avg_neg_logp
+
+
 def test_length_quantiles_approx_close_to_exact(spark):
     from catalog_pii_scanner_spark.operators.textstats import (
         length_quantiles)
