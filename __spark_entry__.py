@@ -361,7 +361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": corpus.decontaminate,
         "corpus_repetition": corpus.repetition,
         "corpus_sample_stratified": corpus.stratified_sample,
-        "corpus_vocab_topk": corpus.vocab_topk,
         "corpus_tfidf_keywords": corpus.tfidf_keywords,
         # CCNet-style unigram LM doc scoring (decimal-exact reduction)
         "corpus_unigram_logprob": corpus.unigram_logprob,
@@ -384,6 +383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus keep/drop verdict: cluster representative per doc
         "dedup_keep_list": dedup.dedup_keep_list,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # asymmetric containment: quote/subset pairs the symmetric
+        # Jaccard join structurally misses
+        "dedup_containment": dedup.containment_pairs,
         "dedup_embed_cosine": simsearch.embed_cosine_pairs,
         # --- position 51+: stable, untouched, r3-green (see note above) ---
         # S1-S4 catalog enumeration -> canonical columns frame
@@ -415,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_simhash": dedup.simhash,
+        "corpus_vocab_topk": corpus.vocab_topk,
     }
 
 
@@ -490,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.dedup_clusters_sql("duckdb"),
         "dedup_keep_list": dedup.dedup_keep_list_sql("duckdb"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("duckdb"),
+        "dedup_containment": dedup.containment_pairs_sql("duckdb"),
         "dedup_simhash": dedup.simhash_sql("duckdb"),
         "dedup_embed_cosine": simsearch.embed_cosine_pairs_sql("duckdb"),
         "ann_cosine_topk": simsearch.cosine_topk_sql("duckdb"),

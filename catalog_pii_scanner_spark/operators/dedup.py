@@ -458,6 +458,145 @@ def ngram_jaccard_pairs(spark, sf_dir: str,
     return _jaccard_verify(pairs, shingles, threshold)
 
 
+# --- asymmetric containment (quote / subset detection) ----------------------
+
+#: Containment threshold: C(small, large) = |A∩B| / |A_small| >= t. The
+#: asymmetric complement to the Jaccard join — a short document quoted
+#: whole inside a long one has high containment but LOW Jaccard (the
+#: union is dominated by the long side), so the symmetric joins miss it.
+CONTAIN_T = 0.6
+
+#: Grams present in more than this many documents are dropped from the
+#: containment universe (boilerplate/stopword 3-grams). This bounds the
+#: per-gram join fan-out at df_cap^2 — the same quadratic-blowup cap
+#: discipline as MAX_BAND_BUCKET — at the cost of computing containment
+#: over the capped gram universe (observability:
+#: ``containment_excluded_grams``).
+MAX_GRAM_DF = 200
+
+
+def containment_pairs_sql(dialect: str, docs_rel: str = "documents",
+                          threshold: float = CONTAIN_T,
+                          df_cap: int = MAX_GRAM_DF) -> str:
+    """Exact n-gram containment join. Since max(C(A,B), C(B,A)) is always
+    achieved by the smaller gram set, a pair qualifies iff the SMALLER
+    side's containment >= t — so the candidate join probes only the
+    smaller side's PPJoin prefix (first n - ceil(t*n) + 1 grams under the
+    global (df, shingle) order) against the larger side's full gram set.
+    Lossless: |A∩B| >= ceil(t*|A|) forces A's prefix to intersect B.
+
+    Output: doc_a, doc_b (doc_a < doc_b), n_common, contain_a,
+    contain_b (rounded 1e-6)."""
+    return f"""
+WITH {_doc_shingles_cte(dialect, docs_rel)},
+freq AS (SELECT shingle, COUNT(*) AS df FROM doc_shingles GROUP BY shingle),
+kept AS (
+  SELECT s.doc_id, s.shingle, f.df
+  FROM doc_shingles s JOIN freq f ON f.shingle = s.shingle
+  WHERE f.df <= {df_cap}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+ranked AS (
+  SELECT k.doc_id, k.shingle, z.n,
+         row_number() OVER (PARTITION BY k.doc_id
+                            ORDER BY k.df, k.shingle) AS rn
+  FROM kept k JOIN sizes z ON z.doc_id = k.doc_id
+),
+prefix AS (
+  SELECT doc_id, shingle, n FROM ranked
+  WHERE rn <= n - CAST(ceil({threshold} * n) AS BIGINT) + 1
+),
+full_k AS (
+  SELECT k.doc_id, k.shingle, z.n
+  FROM kept k JOIN sizes z ON z.doc_id = k.doc_id
+),
+cand AS (
+  SELECT DISTINCT LEAST(p.doc_id, f.doc_id) AS doc_a,
+                  GREATEST(p.doc_id, f.doc_id) AS doc_b
+  FROM prefix p JOIN full_k f
+    ON p.shingle = f.shingle AND p.doc_id <> f.doc_id AND p.n <= f.n
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN kept sa ON sa.doc_id = c.doc_a
+  JOIN kept sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, i.n_common AS n_common,
+       round(i.n_common / CAST(za.n AS DOUBLE), 6) AS contain_a,
+       round(i.n_common / CAST(zb.n AS DOUBLE), 6) AS contain_b
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_common / CAST(LEAST(za.n, zb.n) AS DOUBLE) >= {threshold}
+"""
+
+
+def containment_pairs(spark, sf_dir: str, threshold: float = CONTAIN_T,
+                      df_cap: int = MAX_GRAM_DF) -> DataFrame:
+    """DataFrame-step implementation (same lineage discipline as
+    ``ngram_jaccard_pairs``: eager-checkpointed shingle/prefix relations,
+    reduced-then-joined freq/sizes, no forced broadcasts — AQE promotes
+    the runtime-small sides). The df-cap filter bounds every per-gram
+    bucket BEFORE the self-join, so the plan has no unbounded fan-out at
+    100 TB; dropped-gram observability via
+    ``containment_excluded_grams``."""
+    shingles = doc_shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = (shingles.join(freq.where(F.col("df") <= df_cap), "shingle")
+            .select("doc_id", "shingle", "df")
+            .localCheckpoint(eager=True))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (kept.join(sizes, "doc_id")
+              .withColumn("rn", F.row_number().over(w)))
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n")).cast("bigint") + 1
+    ).select("doc_id", "shingle", "n")
+    full_k = kept.join(sizes, "doc_id").select("doc_id", "shingle", "n")
+
+    p, f_ = prefix.alias("p"), full_k.alias("f")
+    cand = (
+        p.join(f_, (F.col("p.shingle") == F.col("f.shingle"))
+               & (F.col("p.doc_id") != F.col("f.doc_id"))
+               & (F.col("p.n") <= F.col("f.n")))
+        .select(F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+                F.greatest("p.doc_id", "f.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
+    za = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    return (
+        inter.join(za, "doc_a").join(zb, "doc_b")
+        .where(F.col("n_common")
+               / F.least("na", "nb").cast("double") >= threshold)
+        .select("doc_a", "doc_b", "n_common",
+                F.round(F.col("n_common") / F.col("na").cast("double"), 6)
+                .alias("contain_a"),
+                F.round(F.col("n_common") / F.col("nb").cast("double"), 6)
+                .alias("contain_b"))
+    )
+
+
+def containment_excluded_grams(spark, sf_dir: str,
+                               df_cap: int = MAX_GRAM_DF) -> DataFrame:
+    """Observability twin (same convention as ``lsh_excluded_buckets``):
+    how many grams the df-cap removed from the containment universe, and
+    the worst offenders — the recall caveat is measurable, not silent."""
+    shingles = doc_shingles_df(spark, sf_dir)
+    freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (freq.where(F.col("df") > df_cap)
+            .orderBy(F.desc("df"), "shingle"))
+
+
 # --- simhash ----------------------------------------------------------------
 
 _HEX = "0123456789abcdef"

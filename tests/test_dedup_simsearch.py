@@ -195,3 +195,52 @@ def test_ann_lsh_matmul_equals_declarative(spark, sf_dir):
     for key, (nid, cos) in decl.items():
         assert mm[key][0] == nid, key
         assert mm[key][1] == pytest.approx(cos, abs=2e-6)
+
+
+def test_containment_finds_quote_pair_jaccard_misses(spark, tmp_path):
+    """A short doc quoted whole inside a long one: containment-of-smaller
+    is 1.0 while Jaccard is far below its threshold — the asymmetric join
+    must report the pair, the symmetric one must not."""
+    quote = "to be or not to be that is the question"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    texts = [
+        quote,                                   # 0: the short doc
+        filler + " " + quote + " " + filler,     # 1: quotes doc 0 whole
+        "an unrelated corpus document about engines and planners today",
+    ]
+    d = _write_docs(spark, tmp_path, texts)
+    pairs = {(r.doc_a, r.doc_b): r
+             for r in dedup.containment_pairs(spark, d).collect()}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    n_small = len(_shingles(quote))
+    assert r.n_common == n_small          # every quote gram is in doc 1
+    assert r.contain_a == 1.0             # doc 0 fully contained
+    assert r.contain_b < 0.5              # but doc 1 is much bigger...
+    jac = {(p.doc_a, p.doc_b)
+           for p in dedup.ngram_jaccard_pairs(spark, d).collect()}
+    assert (0, 1) not in jac              # ...so Jaccard misses the pair
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_containment_df_cap_drops_boilerplate_grams(spark, tmp_path):
+    """A gram above the df cap leaves the universe entirely: pairs whose
+    overlap is ONLY boilerplate disappear, and the excluded-gram
+    observability query reports exactly the dropped grams."""
+    # 12 boilerplate tokens -> 10 of each doc's 13 grams are shared
+    # (0.77 containment), so uncapped runs report every pair
+    boiler = ("all rights reserved worldwide please do not redistribute "
+              "without explicit written permission")
+    texts = [f"document number {i} {boiler}" for i in range(6)]
+    d = _write_docs(spark, tmp_path, texts)
+    # cap 5 < 6 docs: every gram of the shared boilerplate tail is dropped
+    assert dedup.containment_pairs(spark, d, df_cap=5).count() == 0
+    excluded = {r.shingle for r in
+                dedup.containment_excluded_grams(spark, d, df_cap=5)
+                .collect()}
+    assert excluded                       # the boilerplate grams
+    assert all(df > 5 for df in
+               (r.df for r in dedup.containment_excluded_grams(
+                   spark, d, df_cap=5).collect()))
+    # with no cap the boilerplate-only pairs appear (shared tail grams)
+    assert dedup.containment_pairs(spark, d, df_cap=10_000).count() > 0
