@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": simsearch.ann_ivf_topk,
         # IVF + BLAS one-pass search (FAISS IVF-flat shape; zero joins)
         "ann_ivf_matmul": simsearch.ann_ivf_matmul,
+        # embedding-space topic/domain mixture (data-mixing dashboard)
+        "embed_cluster_mix": simsearch.embed_cluster_mix,
         # multimodal plumbing (binary columns + mapInPandas features)
         "multimodal_features": multimodal.media_features_query,
         "multimodal_frame_sample": multimodal.frame_sample_query,
@@ -361,7 +363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": corpus.decontaminate,
         "corpus_repetition": corpus.repetition,
         "corpus_sample_stratified": corpus.stratified_sample,
-        "corpus_tfidf_keywords": corpus.tfidf_keywords,
         # CCNet-style unigram LM doc scoring (decimal-exact reduction)
         "corpus_unigram_logprob": corpus.unigram_logprob,
         # bigram MLE transition model (salad-with-common-words filter)
@@ -418,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_simhash": dedup.simhash,
         "corpus_vocab_topk": corpus.vocab_topk,
+        "corpus_tfidf_keywords": corpus.tfidf_keywords,
     }
 
 
@@ -508,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         # identical output contract to the declarative IVF (bitwise-equal
         # after the shared 1e-6 rounding), so it shares the oracle
         "ann_ivf_matmul": simsearch.ann_ivf_topk_sql("duckdb"),
+        "embed_cluster_mix": simsearch.embed_cluster_mix_sql("duckdb"),
         "multimodal_features": multimodal.media_features_oracle_sql(),
         "multimodal_frame_sample": multimodal.frame_sample_oracle_sql(),
         "multimodal_resize": multimodal.media_resize_oracle_sql(),

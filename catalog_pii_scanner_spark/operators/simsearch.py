@@ -832,3 +832,104 @@ def ann_ivf_topk(spark, sf_dir: str, k: int = 5,
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
     return checkpoint_release(out, vecs)
+
+
+# --- embedding-space cluster mixture ----------------------------------------
+
+def embed_cluster_mix_sql(dialect: str, rel: str = "embeddings") -> str:
+    """Topic/domain mixture of the corpus in embedding space: every
+    vector assigned to its nearest centroid by cosine (deterministic
+    prefix quantizer — centroids are the first NUM_CENTROIDS vec_ids,
+    same as the IVF coarse quantizer), then per-cluster size, corpus
+    share, and mean centroid-cosine (cohesion). This is the data-mixing
+    dashboard a curation pipeline balances sources against.
+
+    Determinism: per-vector cosine is rounded to 1e-6 BEFORE both the
+    argmax (ties by cid) and the mean; the mean sums DECIMAL(18,6) so
+    reduction order cannot move it.
+
+    Output: cluster_id, n_vecs, share, avg_cos (rounded 1e-6)."""
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+cents AS (
+  SELECT vec_id AS cid, pos, val FROM vecs WHERE vec_id < {NUM_CENTROIDS}
+),
+cell_cos AS (
+  SELECT v.vec_id, c.cid, SUM(v.val * c.val) / (nv.norm * nc.norm) AS ccos
+  FROM vecs v
+  JOIN cents c ON c.pos = v.pos
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.cid
+  GROUP BY v.vec_id, c.cid, nv.norm, nc.norm
+),
+ranked AS (
+  SELECT vec_id, cid, round(ccos, 6) AS rcos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(ccos, 6) DESC, cid) AS crank
+  FROM cell_cos
+),
+assign AS (
+  SELECT vec_id, cid, CAST(rcos AS DECIMAL(18,6)) AS dcos
+  FROM ranked WHERE crank = 1
+),
+total AS (SELECT COUNT(*) AS n_total FROM assign)
+SELECT a.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(COUNT(*) / CAST(t.n_total AS DOUBLE), 6) AS share,
+       round(CAST(SUM(a.dcos) AS DOUBLE) / COUNT(*), 6) AS avg_cos
+FROM assign a CROSS JOIN total t
+GROUP BY a.cid, t.n_total
+"""
+
+
+def embed_cluster_mix(spark, sf_dir: str,
+                      quantizer: str = "prefix") -> DataFrame:
+    """DataFrame-step implementation. Shuffle shape: one broadcast join
+    against the (NUM_CENTROIDS-row) centroid relation, one
+    (vec_id, cid)-keyed partial-aggregated dot product, one per-vector
+    argmax window (partitioned by vec_id — never a global window), one
+    cid-keyed final agg with a broadcast 1-row total. The exploded
+    vector relation is persisted across its two consumers and released
+    before returning.
+
+    ``quantizer='kmeans'`` swaps in MLlib-learned centroids
+    (kmeans_centroid_frames) — the plan is unchanged; 'prefix' is the
+    oracle-parity path identical to embed_cluster_mix_sql."""
+    vecs = _vecs_df(spark, sf_dir).persist()
+    norms = _norms_df(vecs)
+    if quantizer == "kmeans":
+        cents, nc = kmeans_centroid_frames(spark, sf_dir)
+    else:
+        cents = vecs.where(F.col("vec_id") < NUM_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), "pos",
+            F.col("val").alias("cval"))
+        nc = norms.where(F.col("vec_id") < NUM_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("norm").alias("cnorm"))
+    cell_cos = (
+        vecs.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))
+        .join(norms, "vec_id")
+        .join(F.broadcast(nc), "cid")
+        .select("vec_id", "cid",
+                F.round(F.col("cdot") / (F.col("norm") * F.col("cnorm")),
+                        6).alias("rcos"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("rcos"), F.col("cid"))
+    assign = (cell_cos.withColumn("crank", F.row_number().over(w))
+              .where(F.col("crank") == 1)
+              .select("vec_id", "cid",
+                      F.col("rcos").cast("decimal(18,6)").alias("dcos")))
+    total = assign.agg(F.count("*").alias("n_total"))
+    out = (
+        assign.groupBy("cid")
+        .agg(F.count("*").alias("n_vecs"), F.sum("dcos").alias("scos"))
+        .crossJoin(F.broadcast(total))
+        .select(F.col("cid").alias("cluster_id"),
+                F.col("n_vecs").cast("bigint").alias("n_vecs"),
+                F.round(F.col("n_vecs")
+                        / F.col("n_total").cast("double"), 6)
+                .alias("share"),
+                F.round(F.col("scos").cast("double")
+                        / F.col("n_vecs"), 6).alias("avg_cos"))
+    )
+    return checkpoint_release(out, vecs)

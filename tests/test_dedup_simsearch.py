@@ -244,3 +244,19 @@ def test_containment_df_cap_drops_boilerplate_grams(spark, tmp_path):
                    spark, d, df_cap=5).collect()))
     # with no cap the boilerplate-only pairs appear (shared tail grams)
     assert dedup.containment_pairs(spark, d, df_cap=10_000).count() > 0
+
+
+def test_embed_cluster_mix_partitions_the_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cluster: sizes sum to the corpus
+    count, shares sum to 1, cohesion is a valid cosine; the MLlib-kmeans
+    quantizer drives the identical plan."""
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = simsearch.embed_cluster_mix(spark, sf_dir).collect()
+    assert 0 < len(rows) <= simsearch.NUM_CENTROIDS
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert all(-1.0 <= r.avg_cos <= 1.0 for r in rows)
+    km = simsearch.embed_cluster_mix(spark, sf_dir, quantizer="kmeans") \
+        .collect()
+    assert sum(r.n_vecs for r in km) == n_vecs
+    assert abs(sum(r.share for r in km) - 1.0) < 1e-4
