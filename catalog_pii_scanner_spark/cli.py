@@ -213,6 +213,16 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_export_corpus(args) -> int:
+    """Materialize the curated (dedup + verdict + scrub) training corpus."""
+    from .sinks.corpus_export import export_training_corpus
+    spark = _spark("export-corpus")
+    stats = export_training_corpus(spark, args.sf_dir, args.out,
+                                   anonymize=not args.no_anonymize)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_gen_synth(args) -> int:
     from .sources.datasets import generate_synthetic, save_jsonl
     spark = _spark("gen-synth")
@@ -403,6 +413,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--threshold", type=float, default=0.5)
     s.add_argument("--out", default="")
     s.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("export-corpus",
+                       help="curated+scrubbed training corpus -> parquet")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--out", required=True)
+    s.add_argument("--no-anonymize", action="store_true",
+                   help="skip the PII scrub pass (keep raw text)")
+    s.set_defaults(fn=cmd_export_corpus)
 
     s = sub.add_parser("serve", help="health endpoint (GET /healthz)")
     s.add_argument("--host", default="127.0.0.1")
