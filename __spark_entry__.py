@@ -362,7 +362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation (training-data pipeline)
         "corpus_decontaminate": corpus.decontaminate,
         "corpus_repetition": corpus.repetition,
-        "corpus_sample_stratified": corpus.stratified_sample,
         # CCNet-style unigram LM doc scoring (decimal-exact reduction)
         "corpus_unigram_logprob": corpus.unigram_logprob,
         # bigram MLE transition model (salad-with-common-words filter)
@@ -373,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_sample": corpus.temperature_sample,
         # fused keep/drop curation verdict (quality+repetition+decontam)
         "corpus_curate": corpus.curate,
+        # the verdict with the PII budget fused in (pii_heavy gate)
+        "corpus_curate_pii": pii_docs.corpus_curate_pii,
         # LLM cost-cap metering as a deterministic plan (ensemble+llm)
         "llm_budget_plan": lambda s, sf: llm.llm_budget_plan(
             s.read.parquet(f"{sf}/documents.parquet")),
@@ -420,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.simhash,
         "corpus_vocab_topk": corpus.vocab_topk,
         "corpus_tfidf_keywords": corpus.tfidf_keywords,
+        "corpus_sample_stratified": corpus.stratified_sample,
     }
 
 
@@ -488,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_sequences": corpus.pack_sequences_oracle_sql(),
         "corpus_temperature_sample": corpus.temperature_sample_oracle_sql(),
         "corpus_curate": corpus.curate_oracle_sql(),
+        "corpus_curate_pii": pii_docs.corpus_curate_pii_oracle_sql(),
         "llm_budget_plan": llm.llm_budget_plan_sql(),
         "dedup_exact": dedup.exact_dedup_sql("duckdb"),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),

@@ -41,6 +41,58 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+#: Every doc_id divisible by 7 gets a contact suffix (email + phone);
+#: every doc_id divisible by 21 additionally an SSN-shaped span. The
+#: synthetic testdata corpus contains no organically rule-matchable span
+#: at any SF, which would make these oracle rows trivially-true (all-zero
+#: stats, identity scrub); the deterministic augmentation — same
+#: construction in both dialects, like the synthesized demo CRM
+#: (sources/demo_catalog.py) — makes them exercise extraction, checksum
+#: gating, aggregation, and the replacement fold for real.
+CONTACT_MOD = 7
+SSN_MOD = 21
+
+
+def augment_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, text, n_chars) with deterministic
+    injected PII spans; n_chars is recomputed over the augmented text."""
+    did = F.col("doc_id")
+    contact = F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com phone 555-867-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))
+    ssn = F.concat(F.lit(" ssn 123-45-"),
+                   F.lpad((did % 10000).cast("string"), 4, "0"))
+    text2 = (F.when(did % SSN_MOD == 0,
+                    F.concat(F.col("text"), contact, ssn))
+             .when(did % CONTACT_MOD == 0, F.concat(F.col("text"), contact))
+             .otherwise(F.col("text")))
+    extra = [c for c in ("lang", "source") if c in docs.columns]
+    return docs.select("doc_id", text2.alias("text"), *extra) \
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+
+
+def augmented_docs_sql(docs_rel: str = "documents") -> str:
+    """The identical augmentation as a DuckDB relation body."""
+    contact = ("' contact user' || CAST(doc_id AS VARCHAR) || "
+               "'@example.com phone 555-867-' || "
+               "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    ssn = ("' ssn 123-45-' || "
+           "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    return f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % {SSN_MOD} = 0 THEN text || {contact} || {ssn}
+              WHEN doc_id % {CONTACT_MOD} = 0 THEN text || {contact}
+              ELSE text END AS text,
+         lang, source,
+         CAST(length(CASE WHEN doc_id % {SSN_MOD} = 0
+                          THEN text || {contact} || {ssn}
+                          WHEN doc_id % {CONTACT_MOD} = 0
+                          THEN text || {contact}
+                          ELSE text END) AS BIGINT) AS n_chars
+  FROM {docs_rel}"""
+
+
 # --- per-document PII density ------------------------------------------------
 
 def doc_pii_density_docs(docs: DataFrame) -> DataFrame:
@@ -74,12 +126,12 @@ def doc_pii_density_docs(docs: DataFrame) -> DataFrame:
 
 
 def doc_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_pii_density_docs(_docs(spark, sf_dir))
+    return doc_pii_density_docs(augment_docs(_docs(spark, sf_dir)))
 
 
 def doc_pii_density_oracle_sql(docs_rel: str = "documents") -> str:
     return f"""
-WITH docs AS (SELECT doc_id, text, n_chars FROM {docs_rel}),
+WITH docs AS ({augmented_docs_sql(docs_rel)}),
 {candidates_cte('docs', key_col='doc_id', value_col='text')},
 dist AS (SELECT DISTINCT doc_id, pii_type FROM cand_ok),
 types AS (
@@ -136,13 +188,13 @@ def anonymize_docs(docs: DataFrame) -> DataFrame:
 
 
 def corpus_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return anonymize_docs(_docs(spark, sf_dir))
+    return anonymize_docs(augment_docs(_docs(spark, sf_dir)))
 
 
 def corpus_anonymize_oracle_sql(docs_rel: str = "documents") -> str:
     fold_mask = mask_sql("x", "duckdb")
     return f"""
-WITH docs AS (SELECT doc_id, text FROM {docs_rel}),
+WITH docs AS ({augmented_docs_sql(docs_rel)}),
 {candidates_cte('docs', key_col='doc_id', value_col='text')},
 dist AS (SELECT DISTINCT doc_id, match_text FROM cand_ok),
 ms AS (
@@ -157,4 +209,63 @@ SELECT d.doc_id,
          list_prepend(d.text, COALESCE(m.ms, CAST([] AS VARCHAR[]))),
          (acc, x) -> replace(acc, x, {fold_mask})) AS anon_text
 FROM docs d LEFT JOIN ms m USING (doc_id)
+"""
+
+
+# --- curation verdict with a PII budget --------------------------------------
+
+#: A document spending more than this fraction of its characters on
+#: rule-matched PII spans is dropped outright — scrubbing can't save a
+#: document that is mostly PII (a contact dump, a leaked table row).
+MAX_PII_DENSITY = 0.1
+
+
+def curate_pii_docs(docs: DataFrame, spark: SparkSession,
+                    max_pii_density: float = MAX_PII_DENSITY) -> DataFrame:
+    """The full curation verdict with the PII budget fused in: quality +
+    repetition + decontamination (corpus.curate_docs) AND per-doc PII
+    density, with 'pii_heavy' as the lowest-precedence drop reason
+    (contaminated > repetitive > low_quality > pii_heavy).
+
+    Both inputs are doc-keyed aggregates, so the fusion is one more
+    doc-keyed join on top of the component operators' own shuffles."""
+    from .corpus import curate_docs
+    base = curate_docs(docs, spark)
+    pii = doc_pii_density_docs(docs).select("doc_id", "pii_density")
+    dens = F.coalesce(F.col("pii_density"), F.lit(0.0))
+    reason = F.coalesce(
+        F.col("drop_reason"),
+        F.when(dens > max_pii_density, F.lit("pii_heavy")))
+    return (base.join(pii, "doc_id")
+            .select("doc_id", "quality_score", "dup_gram_frac",
+                    "contaminated", "pii_density",
+                    reason.isNull().alias("keep"),
+                    reason.alias("drop_reason")))
+
+
+def corpus_curate_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_pii_docs(augment_docs(_docs(spark, sf_dir)), spark)
+
+
+def corpus_curate_pii_oracle_sql(docs_rel: str = "documents",
+                                 max_pii_density: float = MAX_PII_DENSITY
+                                 ) -> str:
+    from .corpus import curate_oracle_sql
+    return f"""
+WITH aug AS ({augmented_docs_sql(docs_rel)}),
+base AS ({curate_oracle_sql('aug')}),
+pii AS (
+  SELECT doc_id, pii_density FROM ({doc_pii_density_oracle_sql(docs_rel)})
+),
+fused AS (
+  SELECT b.doc_id, b.quality_score, b.dup_gram_frac, b.contaminated,
+         p.pii_density,
+         COALESCE(b.drop_reason,
+                  CASE WHEN COALESCE(p.pii_density, 0) > {max_pii_density}
+                       THEN 'pii_heavy' END) AS drop_reason
+  FROM base b JOIN pii p USING (doc_id)
+)
+SELECT doc_id, quality_score, dup_gram_frac, contaminated, pii_density,
+       drop_reason IS NULL AS keep, drop_reason
+FROM fused
 """

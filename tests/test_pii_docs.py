@@ -97,3 +97,49 @@ def test_anonymize_preserves_text_length_and_structure(spark):
     assert "555-867-5309" not in out[1].anon_text
     assert "a.b@example.com" not in out[1].anon_text
     assert out[1].anon_text.startswith("call ")
+
+
+def test_augment_injects_deterministic_pii(spark):
+    from catalog_pii_scanner_spark.operators.pii_docs import (
+        CONTACT_MOD, SSN_MOD, augment_docs)
+    rows = [(i, f"plain body {i}", "en", "unit", 0) for i in
+            (1, CONTACT_MOD, SSN_MOD, SSN_MOD * 2)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    out = {r.doc_id: r for r in augment_docs(docs).collect()}
+    assert out[1].text == "plain body 1"
+    assert "@example.com" in out[CONTACT_MOD].text
+    assert "ssn" not in out[CONTACT_MOD].text
+    assert "@example.com" in out[SSN_MOD].text
+    assert "ssn 123-45-" in out[SSN_MOD].text
+    for r in out.values():
+        assert r.n_chars == len(r.text)      # recomputed post-augment
+        assert r.lang == "en" and r.source == "unit"
+    # deterministic: same input -> same output
+    again = {r.doc_id: r.text for r in augment_docs(docs).collect()}
+    assert again == {d: r.text for d, r in out.items()}
+
+
+def test_curate_pii_gate_and_precedence(spark, sf_dir):
+    """pii_heavy drops exactly the docs over the density budget among
+    otherwise-kept docs; higher-precedence reasons are never displaced."""
+    from catalog_pii_scanner_spark.operators.corpus import curate
+    from catalog_pii_scanner_spark.operators.pii_docs import (
+        MAX_PII_DENSITY, corpus_curate_pii)
+    base = {r.doc_id: r for r in curate(spark, sf_dir).collect()}
+    got = {r.doc_id: r for r in corpus_curate_pii(spark, sf_dir).collect()}
+    # curate() runs on the raw corpus, curate_pii on the augmented one —
+    # quality/repetition scores may shift slightly, but coverage (the
+    # training-doc set) is identical
+    assert set(got) == set(base)
+    heavy = [r for r in got.values() if r.drop_reason == "pii_heavy"]
+    assert heavy, "augmented corpus must contain over-budget docs"
+    for r in heavy:
+        assert r.pii_density > MAX_PII_DENSITY and not r.keep
+    for r in got.values():
+        if r.keep:
+            assert (r.pii_density or 0.0) <= MAX_PII_DENSITY
+        if r.drop_reason in ("contaminated", "repetitive", "low_quality"):
+            # pii_heavy never displaces a higher-precedence reason
+            assert r.drop_reason != "pii_heavy"

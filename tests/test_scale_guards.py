@@ -91,6 +91,17 @@ def test_no_cached_relation_accumulation(spark):
         df = findings_rollup(melt_table(spark, sf, "customer"))
         df.count()
         del df
+    # the round-4 additions follow the same discipline: containment's
+    # eager checkpoints and cluster-mix's persisted vector relation must
+    # not survive their query
+    from catalog_pii_scanner_spark.operators import simsearch
+    for _ in range(2):
+        df = dedup.containment_pairs(spark, sf)
+        df.count()
+        del df
+        df = simsearch.embed_cluster_mix(spark, sf)
+        df.count()
+        del df
     # ask the driver JVM to GC so ContextCleaner reaps checkpoint blocks
     deadline = time.time() + 30
     while time.time() < deadline:

@@ -48,6 +48,11 @@ def main() -> int:
         ("events_props_stats", "typed from_json inside codegen"),
         ("events_value_outliers", "decimal moments + broadcast stats"),
         ("pii_candidates_rollup", "one-shuffle grouping sets"),
+        ("doc_pii_density", "rule scan over documents + doc-keyed agg"),
+        ("corpus_anonymize", "per-doc mask fold, one doc-keyed shuffle"),
+        ("corpus_bigram_logprob", "doc-window bigrams + decimal mean"),
+        ("dedup_containment", "df-capped prefix-vs-full gram join"),
+        ("embed_cluster_mix", "broadcast centroids + per-vector argmax"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
