@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_matmul": simsearch.ann_ivf_matmul,
         # embedding-space topic/domain mixture (data-mixing dashboard)
         "embed_cluster_mix": simsearch.embed_cluster_mix,
+        # oracle-checkable iterative Lloyd refinement (quantizer trainer)
+        "embed_kmeans_lloyd": simsearch.embed_kmeans_lloyd,
         # multimodal plumbing (binary columns + mapInPandas features)
         "multimodal_features": multimodal.media_features_query,
         "multimodal_frame_sample": multimodal.frame_sample_query,
@@ -361,7 +363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_events": stream_dedup_events,
         # corpus curation (training-data pipeline)
         "corpus_decontaminate": corpus.decontaminate,
-        "corpus_repetition": corpus.repetition,
         # CCNet-style unigram LM doc scoring (decimal-exact reduction)
         "corpus_unigram_logprob": corpus.unigram_logprob,
         # bigram MLE transition model (salad-with-common-words filter)
@@ -422,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_topk": corpus.vocab_topk,
         "corpus_tfidf_keywords": corpus.tfidf_keywords,
         "corpus_sample_stratified": corpus.stratified_sample,
+        "corpus_repetition": corpus.repetition,
     }
 
 
@@ -514,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         # after the shared 1e-6 rounding), so it shares the oracle
         "ann_ivf_matmul": simsearch.ann_ivf_topk_sql("duckdb"),
         "embed_cluster_mix": simsearch.embed_cluster_mix_sql("duckdb"),
+        "embed_kmeans_lloyd": simsearch.kmeans_lloyd_sql("duckdb"),
         "multimodal_features": multimodal.media_features_oracle_sql(),
         "multimodal_frame_sample": multimodal.frame_sample_oracle_sql(),
         "multimodal_resize": multimodal.media_resize_oracle_sql(),

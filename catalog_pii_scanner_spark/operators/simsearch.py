@@ -933,3 +933,123 @@ def embed_cluster_mix(spark, sf_dir: str,
                         / F.col("n_vecs"), 6).alias("avg_cos"))
     )
     return checkpoint_release(out, vecs)
+
+
+# --- deterministic Lloyd k-means (quantizer trainer) -------------------------
+
+#: Fixed iteration count for the oracle-checkable trainer. MLlib KMeans||
+#: (kmeans_centroid_frames) is the production trainer; this exists to
+#: prove the iterative refinement itself runs distributed AND
+#: deterministically enough to oracle-check — the same discipline as
+#: dedup's connected-components loop.
+LLOYD_ITERS = 2
+
+
+def kmeans_lloyd_sql(dialect: str, rel: str = "embeddings",
+                     iters: int = LLOYD_ITERS) -> str:
+    """Lloyd's algorithm, unrolled: seed centroids are the first
+    NUM_CENTROIDS vectors; each iteration assigns every vector to its
+    nearest centroid by cosine (rounded 1e-6, ties to smaller cid) and
+    recomputes centroids as the per-dimension mean of assigned vectors.
+    The mean is computed in exact integer micro-units —
+    floor(val*1e6 + 0.5) per value (floor is IEEE-identical in both
+    engines, unlike round-half ties), BIGINT sum (exact; bounded by
+    corpus*1e6 << 2^53), one double division by count — so neither
+    reduction order nor round-half convention can move a centroid.
+    Clusters that lose all members disappear (both engines
+    identically).
+
+    Output: cid, pos, cval (final centroids), n_assigned."""
+    cte = [_exploded_cte(dialect, rel).strip().rstrip(")") + ")"]
+    cte.append(f"""
+cent0 AS (
+  SELECT vec_id AS cid, pos, val AS cval FROM vecs
+  WHERE vec_id < {NUM_CENTROIDS}
+),
+cnorm0 AS (
+  SELECT cid, sqrt(SUM(cval * cval)) AS cnorm FROM cent0 GROUP BY cid
+)""")
+    for i in range(iters):
+        cte.append(f"""
+cc{i} AS (
+  SELECT v.vec_id, c.cid,
+         SUM(v.val * c.cval) / (nv.norm * nc.cnorm) AS ccos
+  FROM vecs v
+  JOIN cent{i} c ON c.pos = v.pos
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN cnorm{i} nc ON nc.cid = c.cid
+  GROUP BY v.vec_id, c.cid, nv.norm, nc.cnorm
+),
+asg{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(ccos, 6) DESC, cid) AS rk
+    FROM cc{i}
+  ) _r WHERE rk = 1
+),
+cent{i + 1} AS (
+  SELECT a.cid, v.pos,
+         CAST(SUM(CAST(floor(v.val * 1000000 + 0.5) AS BIGINT))
+              AS DOUBLE) / (COUNT(*) * 1000000.0) AS cval
+  FROM asg{i} a JOIN vecs v ON v.vec_id = a.vec_id
+  GROUP BY a.cid, v.pos
+),
+cnorm{i + 1} AS (
+  SELECT cid, sqrt(SUM(cval * cval)) AS cnorm
+  FROM cent{i + 1} GROUP BY cid
+)""")
+    last = iters
+    return f"""
+WITH {','.join(cte)},
+sizes AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned
+  FROM asg{last - 1} GROUP BY cid
+)
+SELECT c.cid AS cid, c.pos AS pos, c.cval AS cval, s.n_assigned
+FROM cent{last} c JOIN sizes s ON s.cid = c.cid
+"""
+
+
+def embed_kmeans_lloyd(spark, sf_dir: str,
+                       iters: int = LLOYD_ITERS) -> DataFrame:
+    """DataFrame-step Lloyd loop, same math as kmeans_lloyd_sql. Each
+    iteration: one broadcast join against the (tiny) centroid relation,
+    one (vec_id, cid)-keyed partial agg, one per-vector argmax window,
+    one (cid, pos)-keyed mean — all bounded shuffles, no driver-side
+    data movement (the loop is driver-CONTROL only, like
+    dedup.connected_components). Centroids are eager-checkpointed per
+    round so iteration i+1 plans against a materialized ~k*DIMS-row
+    relation instead of the whole growing lineage."""
+    vecs = _vecs_df(spark, sf_dir).persist()
+    norms = _norms_df(vecs)
+    cents = vecs.where(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("val").alias("cval"))
+    assign = None
+    for _ in range(iters):
+        cnorm = cents.groupBy("cid").agg(
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cnorm"))
+        cc = (vecs.join(F.broadcast(cents), "pos")
+              .groupBy("vec_id", "cid")
+              .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))
+              .join(norms, "vec_id")
+              .join(F.broadcast(cnorm), "cid")
+              .select("vec_id", "cid",
+                      F.round(F.col("cdot")
+                              / (F.col("norm") * F.col("cnorm")), 6)
+                      .alias("rcos")))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("rcos"),
+                                                 F.col("cid"))
+        assign = (cc.withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") == 1).select("vec_id", "cid"))
+        cents = (assign.join(vecs, "vec_id")
+                 .groupBy("cid", "pos")
+                 .agg((F.sum(F.floor(F.col("val") * 1000000 + 0.5)
+                             .cast("bigint")).cast("double")
+                       / (F.count("*") * F.lit(1000000.0))).alias("cval"))
+                 .localCheckpoint(eager=True))
+    sizes = assign.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_assigned"))
+    out = cents.join(sizes, "cid").select("cid", "pos", "cval",
+                                          "n_assigned")
+    return checkpoint_release(out, vecs)

@@ -260,3 +260,30 @@ def test_embed_cluster_mix_partitions_the_corpus(spark, sf_dir):
         .collect()
     assert sum(r.n_vecs for r in km) == n_vecs
     assert abs(sum(r.share for r in km) - 1.0) < 1e-4
+
+
+def test_kmeans_lloyd_refines_toward_axis_clusters(spark, tmp_path):
+    """On an axis-separable corpus the refined centroids align with the
+    member axes, n_assigned covers the corpus, and the loop is
+    deterministic run-to-run."""
+    dims = simsearch.DIMS
+    vecs = []
+    for i in range(40):
+        v = [0.0] * dims
+        v[i % 2] = 1.0
+        v[(i % 7) + 3] = 0.05          # small deterministic noise
+        vecs.append(v)
+    d = _write_vecs(spark, tmp_path, vecs)
+    rows = simsearch.embed_kmeans_lloyd(spark, d).collect()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r.cid, {})[r.pos] = (r.cval, r.n_assigned)
+    assert sum(next(iter(c.values()))[1] for c in by_cid.values()) == 40
+    for cid, dims_map in by_cid.items():
+        # dominant dimension of the refined centroid is axis 1 or 2
+        top = max(dims_map, key=lambda p: dims_map[p][0])
+        assert top in (1, 2)
+        assert dims_map[top][0] > 0.9   # members agree on the axis
+    again = {(r.cid, r.pos): (r.cval, r.n_assigned)
+             for r in simsearch.embed_kmeans_lloyd(spark, d).collect()}
+    assert again == {(r.cid, r.pos): (r.cval, r.n_assigned) for r in rows}

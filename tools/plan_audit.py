@@ -53,6 +53,8 @@ def main() -> int:
         ("corpus_bigram_logprob", "doc-window bigrams + decimal mean"),
         ("dedup_containment", "df-capped prefix-vs-full gram join"),
         ("embed_cluster_mix", "broadcast centroids + per-vector argmax"),
+        ("embed_kmeans_lloyd", "iterative refine, checkpointed rounds"),
+        ("corpus_curate_pii", "four-way doc-keyed verdict join"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
