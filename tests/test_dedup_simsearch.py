@@ -287,3 +287,45 @@ def test_kmeans_lloyd_refines_toward_axis_clusters(spark, tmp_path):
     again = {(r.cid, r.pos): (r.cval, r.n_assigned)
              for r in simsearch.embed_kmeans_lloyd(spark, d).collect()}
     assert again == {(r.cid, r.pos): (r.cval, r.n_assigned) for r in rows}
+
+
+def test_containment_equals_bruteforce_on_random_corpus(spark, tmp_path):
+    """Differential: the prefix-filtered, df-capped containment join must
+    equal brute-force containment over the same capped gram universe on a
+    seeded random corpus (the filter is an optimization, never a
+    semantics change)."""
+    import random
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 25)))
+             for _ in range(30)]
+    # guarantee qualifying pairs: contiguous slices of earlier docs
+    # (full containment of the smaller side) plus one near-slice
+    for src in (2, 7, 11):
+        toks = texts[src].split(" ")
+        if len(toks) >= 8:
+            texts.append(" ".join(toks[1:7]))
+    texts.append(" ".join(texts[2].split(" ")[:5]) + " w0")
+    d = _write_docs(spark, tmp_path, texts)
+    t, cap = 0.6, 10
+
+    # brute force over the capped universe
+    from collections import Counter
+    grams = [_shingles(x) for x in texts]
+    df_count = Counter(g for gs in grams for g in gs)
+    kept = [{g for g in gs if df_count[g] <= cap} for gs in grams]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if not kept[a] or not kept[b]:
+                continue
+            inter = len(kept[a] & kept[b])
+            if inter and inter / min(len(kept[a]), len(kept[b])) >= t:
+                want[(a, b)] = (inter,
+                                round(inter / len(kept[a]), 6),
+                                round(inter / len(kept[b]), 6))
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.contain_a, r.contain_b)
+           for r in dedup.containment_pairs(spark, d, threshold=t,
+                                            df_cap=cap).collect()}
+    assert got == want
+    assert want, "seeded corpus must produce at least one qualifying pair"
