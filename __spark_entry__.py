@@ -53,9 +53,9 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_props_stats_oracle_sql, events_sessions,
     events_value_outliers, events_value_outliers_oracle_sql,
     events_sessions_oracle_sql, stream_dedup_events,
-    stream_dedup_events_oracle_sql, stream_events_hourly,
-    stream_events_hourly_oracle_sql, stream_events_sessions,
-    stream_events_sessions_oracle_sql)
+    stream_dedup_events_oracle_sql, stream_doc_pii_density,
+    stream_events_hourly, stream_events_hourly_oracle_sql,
+    stream_events_sessions, stream_events_sessions_oracle_sql)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_overlap_suppressed": _overlap_suppressed,
         # the scanner applied to the training corpus: per-doc PII budget
         "doc_pii_density": pii_docs.doc_pii_density,
+        # the same scan as a zero-state foreachBatch streaming drain
+        "stream_doc_pii_density": stream_doc_pii_density,
         # corpus-wide R3 guarantee: scrubbed documents table
         "corpus_anonymize": pii_docs.corpus_anonymize,
         # J1/J2 greedy span match + A3-A5 metrics
@@ -362,7 +364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stateful streaming dedup (dropDuplicatesWithinWatermark drain)
         "stream_dedup_events": stream_dedup_events,
         # corpus curation (training-data pipeline)
-        "corpus_decontaminate": corpus.decontaminate,
         # CCNet-style unigram LM doc scoring (decimal-exact reduction)
         "corpus_unigram_logprob": corpus.unigram_logprob,
         # bigram MLE transition model (salad-with-common-words filter)
@@ -424,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tfidf_keywords": corpus.tfidf_keywords,
         "corpus_sample_stratified": corpus.stratified_sample,
         "corpus_repetition": corpus.repetition,
+        "corpus_decontaminate": corpus.decontaminate,
     }
 
 
@@ -454,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_ner_context_signals": _ner_signals_oracle(),
         "pii_overlap_suppressed": _overlap_suppressed_oracle(),
         "doc_pii_density": pii_docs.doc_pii_density_oracle_sql(),
+        # streaming ingest must not change answers: same oracle as batch
+        "stream_doc_pii_density": pii_docs.doc_pii_density_oracle_sql(),
         "corpus_anonymize": pii_docs.corpus_anonymize_oracle_sql(),
         "pii_metadata_hints": metadata_rules.metadata_hints_oracle_sql(
             "(" + catalog_columns_oracle_sql() + ")"),

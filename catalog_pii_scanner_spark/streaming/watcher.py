@@ -510,3 +510,40 @@ def run_scan_watcher_once(spark: SparkSession, values_dir: str,
     )
     q.awaitTermination()
     return len(n_batches)
+
+
+def stream_doc_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus PII scan as a Structured Streaming drain: documents
+    stream through an availableNow watcher and each microbatch runs the
+    SAME batch operator (augment + extract_candidates + doc-keyed agg)
+    via foreachBatch, appending per-doc density rows to the result set.
+
+    Why foreachBatch and not a streaming aggregation: density is
+    DOC-LOCAL (a document never spans source files), so per-batch
+    computation is exact with ZERO streaming state — the shape that
+    survives an unbounded corpus feed, unlike a complete-mode global
+    aggregation whose state grows with every doc ever seen. The oracle
+    is the batch query's own SQL (identical rows by construction, which
+    is the point: streaming ingest must not change answers)."""
+    import os
+    import tempfile
+
+    from ..operators.pii_docs import augment_docs, doc_pii_density_docs
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    out_dir = tempfile.mkdtemp(prefix="cpss_stream_pii_out_")
+    ckpt = tempfile.mkdtemp(prefix="cpss_stream_pii_ckpt_")
+    src = _single_file_glob(path) if os.path.isfile(path) else path
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src))
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        (doc_pii_density_docs(augment_docs(bdf))
+         .write.mode("append").parquet(out_dir))
+
+    q = (stream.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -183,3 +183,17 @@ def test_stream_events_sessions_equals_batch(spark, sf_dir):
     streamed = {(r.user_id, r.session_start): (r.n_events, r.sum_value)
                 for r in stream_events_sessions(spark, sf_dir).collect()}
     assert batch == streamed
+
+
+def test_stream_doc_pii_density_equals_batch(spark, sf_dir):
+    """The foreachBatch drain returns exactly the batch operator's rows —
+    streaming ingest must not change answers, and the drain holds zero
+    streaming state (density is doc-local)."""
+    from catalog_pii_scanner_spark.operators.pii_docs import doc_pii_density
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_doc_pii_density)
+    batch = {r.doc_id: tuple(r) for r in
+             doc_pii_density(spark, sf_dir).collect()}
+    streamed = {r.doc_id: tuple(r) for r in
+                stream_doc_pii_density(spark, sf_dir).collect()}
+    assert streamed == batch and batch
