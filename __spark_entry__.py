@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # binary resize through the same Arrow mapInPandas signature a
         # real codec plugs into (byte-exact contract in tests)
         "multimodal_resize": multimodal.media_resize_query,
+        # audio path: vectorized per-window energy (numpy reduceat)
+        "multimodal_audio_energy": multimodal.audio_energy_query,
         # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
         "sample_columns_topn": _sample,
         # column profiling: null/distinct/minmax/length stats per column
@@ -368,8 +370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_unigram_logprob": corpus.unigram_logprob,
         # bigram MLE transition model (salad-with-common-words filter)
         "corpus_bigram_logprob": corpus.bigram_logprob,
-        # GPT-style concat-then-chunk packing via distributed prefix sum
-        "corpus_pack_sequences": corpus.pack_sequences,
         # alpha=0.5 temperature mixture rebalancing by source
         "corpus_temperature_sample": corpus.temperature_sample,
         # fused keep/drop curation verdict (quality+repetition+decontam)
@@ -426,6 +426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": corpus.stratified_sample,
         "corpus_repetition": corpus.repetition,
         "corpus_decontaminate": corpus.decontaminate,
+        # GPT-style concat-then-chunk packing via distributed prefix sum
+        "corpus_pack_sequences": corpus.pack_sequences,
     }
 
 
@@ -524,5 +526,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": multimodal.media_features_oracle_sql(),
         "multimodal_frame_sample": multimodal.frame_sample_oracle_sql(),
         "multimodal_resize": multimodal.media_resize_oracle_sql(),
+        "multimodal_audio_energy": multimodal.audio_energy_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
     }

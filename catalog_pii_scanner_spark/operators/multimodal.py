@@ -239,3 +239,96 @@ def frame_sample(assets: DataFrame, every: int = 256,
         .select("asset_id", "frame_no", "frame_bytes",
                 F.octet_length("frame_bytes").alias("frame_size"))
     )
+
+
+# --- audio path: per-window energy -------------------------------------------
+
+#: Non-overlapping analysis window, in payload bytes. A real audio
+#: pipeline frames PCM samples the same way (librosa frame_length/
+#: hop_length); the fake decoder treats each byte as one unsigned
+#: sample.
+AUDIO_WINDOW = 64
+
+
+def audio_window_energy(assets: DataFrame,
+                        window: int = AUDIO_WINDOW) -> DataFrame:
+    """Audio-path feature extraction: frame each audio payload into
+    non-overlapping ``window``-byte frames and emit mean-amplitude
+    energy per frame — the vectorized numpy shape (frombuffer +
+    add.reduceat, no per-sample Python loop) a real PCM energy/VAD
+    stage uses; a real decoder (librosa/soundfile) plugs into the same
+    mapInPandas signature.
+
+    Cross-engine float discipline: energy = floor(mean/255 * 1e6 + .5)
+    / 1e6 — exact integer byte_sum and win_len are also emitted, so the
+    rounding is checkable.
+
+    Output: asset_id, window_no, win_len, byte_sum, energy."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "window_no": [], "win_len": [],
+                   "byte_sum": [], "energy": []}
+            for aid, m in zip(pdf["asset_id"], pdf["media"]):
+                b = np.frombuffer(bytes(m), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                starts = np.arange(0, n, window)
+                sums = np.add.reduceat(b.astype(np.int64), starts)
+                lens = np.diff(np.append(starts, n))
+                energy = np.floor(sums / (lens * 255.0) * 1e6 + 0.5) / 1e6
+                k = len(starts)
+                out["asset_id"] += [aid] * k
+                out["window_no"] += range(k)
+                out["win_len"] += lens.tolist()
+                out["byte_sum"] += sums.tolist()
+                out["energy"] += energy.tolist()
+            if out["asset_id"]:
+                yield pd.DataFrame(out)
+
+    return (assets.where(F.col("media_type") == "audio/wav")
+            .select("asset_id", "media")
+            .mapInPandas(run, "asset_id bigint, window_no bigint, "
+                              "win_len bigint, byte_sum bigint, "
+                              "energy double"))
+
+
+def audio_energy_query(spark: SparkSession, sf_dir: str,
+                       window: int = AUDIO_WINDOW) -> DataFrame:
+    return audio_window_energy(media_assets(spark, sf_dir), window)
+
+
+def audio_energy_oracle_sql(docs_rel: str = "documents",
+                            window: int = AUDIO_WINDOW) -> str:
+    """Byte arithmetic over the (pure-ASCII) payload: char position ==
+    byte position, ord == byte value."""
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
+  FROM {docs_rel} WHERE doc_id % 3 = 1
+),
+w AS (
+  SELECT asset_id, text, n,
+         unnest(range(0, CAST(ceil(n / {window}.0) AS BIGINT)))
+           AS window_no
+  FROM a WHERE n > 0
+),
+b AS (
+  SELECT asset_id, window_no,
+         CAST(least({window}, n - window_no * {window}) AS BIGINT)
+           AS win_len,
+         unnest(range(0, least({window}, n - window_no * {window}))) AS j,
+         text
+  FROM w
+)
+SELECT asset_id, window_no, win_len,
+       CAST(SUM(ord(substr(text,
+                           CAST(window_no * {window} + j + 1 AS INT), 1)))
+            AS BIGINT) AS byte_sum,
+       floor(SUM(ord(substr(text,
+                            CAST(window_no * {window} + j + 1 AS INT), 1)))
+             / (win_len * 255.0) * 1000000 + 0.5) / 1000000 AS energy
+FROM b GROUP BY asset_id, window_no, win_len
+"""

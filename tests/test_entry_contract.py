@@ -18,7 +18,7 @@ STABLE_PARKED = {
     "doc_length_quantiles", "dedup_exact", "dedup_minhash_signatures",
     "dedup_simhash", "corpus_vocab_topk", "corpus_tfidf_keywords",
     "corpus_sample_stratified", "corpus_repetition",
-    "corpus_decontaminate",
+    "corpus_decontaminate", "corpus_pack_sequences",
 }
 
 

@@ -68,3 +68,24 @@ def test_resize_media_byte_exact(assets):
             expect = b[::stride]
         assert bytes(r.resized) == expect, r.asset_id
         assert r.resized_bytes == len(expect) <= target or len(b) <= target
+
+
+def test_audio_window_energy_hand_check(spark):
+    """Framing and energy match a hand computation on a crafted payload;
+    only audio assets are framed."""
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        audio_window_energy)
+    # asset 1 -> audio (id % 3 == 1): 10 bytes, window 4 -> lens 4,4,2
+    payload = bytes([0, 255, 10, 20, 30, 40, 50, 60, 70, 80])
+    assets = spark.createDataFrame(
+        [(1, payload, "audio/wav", len(payload)),
+         (2, payload, "video/mp4", len(payload))],
+        "asset_id bigint, media binary, media_type string, n_bytes bigint")
+    rows = sorted(audio_window_energy(assets, window=4).collect(),
+                  key=lambda r: r.window_no)
+    assert [r.asset_id for r in rows] == [1, 1, 1]   # video not framed
+    assert [r.win_len for r in rows] == [4, 4, 2]
+    assert [r.byte_sum for r in rows] == [285, 180, 150]
+    import math
+    for r, (s, n) in zip(rows, [(285, 4), (180, 4), (150, 2)]):
+        assert r.energy == math.floor(s / (n * 255.0) * 1e6 + 0.5) / 1e6
