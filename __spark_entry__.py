@@ -370,10 +370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_unigram_logprob": corpus.unigram_logprob,
         # bigram MLE transition model (salad-with-common-words filter)
         "corpus_bigram_logprob": corpus.bigram_logprob,
-        # alpha=0.5 temperature mixture rebalancing by source
-        "corpus_temperature_sample": corpus.temperature_sample,
-        # fused keep/drop curation verdict (quality+repetition+decontam)
-        "corpus_curate": corpus.curate,
+        # reproducible hash-range train/val/test split (zero shuffles)
+        "corpus_split": corpus.corpus_split,
+        # character-entropy quality signal (decimal-exact reduction)
+        "corpus_char_entropy": corpus.corpus_char_entropy,
         # the verdict with the PII budget fused in (pii_heavy gate)
         "corpus_curate_pii": pii_docs.corpus_curate_pii,
         # LLM cost-cap metering as a deterministic plan (ensemble+llm)
@@ -428,6 +428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": corpus.decontaminate,
         # GPT-style concat-then-chunk packing via distributed prefix sum
         "corpus_pack_sequences": corpus.pack_sequences,
+        # alpha=0.5 temperature mixture rebalancing by source
+        "corpus_temperature_sample": corpus.temperature_sample,
+        # fused keep/drop curation verdict (its PII-budget superset
+        # corpus_curate_pii stays in the driver-checked front)
+        "corpus_curate": corpus.curate,
     }
 
 
@@ -498,6 +503,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_sequences": corpus.pack_sequences_oracle_sql(),
         "corpus_temperature_sample": corpus.temperature_sample_oracle_sql(),
         "corpus_curate": corpus.curate_oracle_sql(),
+        "corpus_split": corpus.corpus_split_oracle_sql(),
+        "corpus_char_entropy": corpus.char_entropy_oracle_sql(),
         "corpus_curate_pii": pii_docs.corpus_curate_pii_oracle_sql(),
         "llm_budget_plan": llm.llm_budget_plan_sql(),
         "dedup_exact": dedup.exact_dedup_sql("duckdb"),

@@ -646,3 +646,132 @@ FROM (
 )
 QUALIFY rk <= {k}
 """
+
+
+# --- deterministic train/val/test split --------------------------------------
+
+#: (name, fraction) in assignment order; fractions sum to 1.
+SPLIT_FRACS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def _split_bounds(fracs=SPLIT_FRACS) -> list[tuple[str, str]]:
+    """Cumulative fraction boundaries as 8-hex-digit strings: a doc goes
+    to the first split whose boundary exceeds the doc's md5-prefix. Hex
+    STRING comparison avoids any cross-engine numeric parsing — both
+    engines produce the identical lowercase digest."""
+    out, acc = [], 0.0
+    for name, frac in fracs:
+        acc += frac
+        out.append((name, format(min(int(acc * 16 ** 8), 16 ** 8 - 1),
+                                 "08x")))
+    return out
+
+
+def split_docs(docs: DataFrame, fracs=SPLIT_FRACS) -> DataFrame:
+    """Reproducible corpus split: doc -> split by the first 8 hex chars
+    of md5(doc_id) against cumulative-fraction boundaries. Hash-range
+    (not row_number) assignment: stable under corpus growth — adding
+    documents never reassigns an existing one — and embarrassingly
+    parallel (a projection; zero shuffles).
+
+    Output: doc_id, bucket (the hex prefix), split."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")
+                          .cast("binary")), 1, 8)
+    bounds = _split_bounds(fracs)
+    # CASE chain in declaration order (first matching boundary wins)
+    case = None
+    for name, bound in bounds[:-1]:
+        clause = h < F.lit(bound)
+        case = F.when(clause, F.lit(name)) if case is None \
+            else case.when(clause, F.lit(name))
+    case = case.otherwise(F.lit(bounds[-1][0])) if case is not None \
+        else F.lit(bounds[-1][0])
+    return docs.select("doc_id", h.alias("bucket"), case.alias("split"))
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_docs(_docs(spark, sf_dir))
+
+
+def corpus_split_oracle_sql(docs_rel: str = "documents",
+                            fracs=SPLIT_FRACS) -> str:
+    bounds = _split_bounds(fracs)
+    whens = " ".join(
+        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{b}' "
+        f"THEN '{n}'" for n, b in bounds[:-1])
+    return f"""
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket,
+       CASE {whens} ELSE '{bounds[-1][0]}' END AS split
+FROM {docs_rel}
+"""
+
+
+# --- character-entropy quality signal ----------------------------------------
+
+def char_entropy_docs(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (nats)
+    — low entropy flags repeated-char padding / single-token spam that
+    token-level signals can miss; very high entropy flags binary-ish
+    noise. Per-(doc, char) contribution c/n * ln(n/c) is rounded to
+    1e-6 and summed as DECIMAL, so reduction order cannot move the
+    result. One explode + one (doc, char) group + one doc-keyed sum.
+
+    Output: doc_id, n_chars_used, n_distinct_chars, entropy."""
+    chars = (docs.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), F.length("text")))
+                .alias("i"), "text")
+             .select("doc_id",
+                     F.substring(F.col("text"), F.col("i"), 1)
+                     .alias("ch"))
+             .where(F.col("ch") != ""))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct"))
+    term = F.round((F.col("c") / F.col("n"))
+                   * F.log(F.col("n") / F.col("c")), 6) \
+        .cast("decimal(28,6)")
+    return (counts.join(totals, "doc_id")
+            .select("doc_id", "n", "n_distinct", term.alias("term"))
+            .groupBy("doc_id")
+            .agg(F.first("n").alias("n_chars_used"),
+                 F.first("n_distinct").cast("bigint")
+                 .alias("n_distinct_chars"),
+                 F.sum("term").cast("double").alias("entropy"))
+            .select("doc_id",
+                    F.col("n_chars_used").cast("bigint")
+                    .alias("n_chars_used"),
+                    "n_distinct_chars",
+                    F.round("entropy", 6).alias("entropy")))
+
+
+def corpus_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy_docs(_docs(spark, sf_dir))
+
+
+def char_entropy_oracle_sql(docs_rel: str = "documents") -> str:
+    return f"""
+WITH chars AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+  FROM {docs_rel}, LATERAL (
+    SELECT unnest(range(1, length(text) + 1)) AS i) _u
+  WHERE substr(text, CAST(i AS INT), 1) <> ''
+),
+counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+totals AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM counts GROUP BY doc_id
+),
+terms AS (
+  SELECT t.doc_id, t.n, t.n_distinct,
+         CAST(round((c.c / CAST(t.n AS DOUBLE))
+                    * ln(CAST(t.n AS DOUBLE) / c.c), 6)
+              AS DECIMAL(28,6)) AS term
+  FROM counts c JOIN totals t USING (doc_id)
+)
+SELECT doc_id, MIN(n) AS n_chars_used, MIN(n_distinct) AS n_distinct_chars,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+FROM terms GROUP BY doc_id
+"""

@@ -244,3 +244,38 @@ def test_dedup_keep_list_cli_rerun_is_byte_stable(spark, sf_dir, tmp_path,
         assert stats["true"] > 0                  # keep-list is non-trivial
         outs.append(file_hashes(out))
     assert outs[0] and outs[0] == outs[1]
+
+
+def test_corpus_split_is_stable_under_growth(spark):
+    """Hash-range assignment: a doc's split never changes when the corpus
+    grows, every doc gets exactly one split, fractions are roughly
+    honored."""
+    from catalog_pii_scanner_spark.operators.corpus import split_docs
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id: r.split for r in split_docs(small).collect()}
+    s_big = {r.doc_id: r.split for r in split_docs(big).collect()}
+    assert all(s_big[d] == s for d, s in s_small.items())
+    from collections import Counter
+    frac = Counter(s_big.values())
+    assert set(frac) == {"train", "val", "test"}
+    assert 0.85 <= frac["train"] / 2000 <= 0.95
+    assert frac["val"] + frac["test"] <= 0.2 * 2000
+
+
+def test_char_entropy_hand_check(spark):
+    """Uniform chars -> ln(k); constant char -> 0; computed per doc."""
+    import math
+    from catalog_pii_scanner_spark.operators.corpus import (
+        char_entropy_docs)
+    docs = spark.createDataFrame(
+        [(1, "aaaa", "en"), (2, "abcd", "en"), (3, "aabb", "en")],
+        "doc_id bigint, text string, lang string")
+    got = {r.doc_id: r for r in char_entropy_docs(docs).collect()}
+    assert got[1].entropy == 0.0 and got[1].n_distinct_chars == 1
+    # per-term rounding to 1e-6 before the sum, as the operator computes
+    t4 = round(0.25 * math.log(4), 6)
+    assert got[2].entropy == round(4 * t4, 6)
+    t2 = round(0.5 * math.log(2), 6)
+    assert got[3].entropy == round(2 * t2, 6)
+    assert all(r.n_chars_used == 4 for r in got.values())

@@ -19,6 +19,7 @@ STABLE_PARKED = {
     "dedup_simhash", "corpus_vocab_topk", "corpus_tfidf_keywords",
     "corpus_sample_stratified", "corpus_repetition",
     "corpus_decontaminate", "corpus_pack_sequences",
+    "corpus_temperature_sample", "corpus_curate",
 }
 
 
