@@ -213,6 +213,40 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_scan_corpus(args) -> int:
+    """PII exposure report over a documents corpus: per-type rollup plus
+    the over-budget doc count — the corpus analog of `scan`'s findings
+    rollup. --out writes the full per-doc density frame."""
+    from pyspark.sql import functions as F
+    from .operators.pii_docs import doc_pii_density_docs
+    spark = _spark("scan-corpus")
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    dens = doc_pii_density_docs(docs)
+    if args.out:
+        dens.write.mode("overwrite").parquet(args.out)
+        print(f"wrote per-doc densities to {args.out}", file=sys.stderr)
+    summary = dens.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_pii") > 0).cast("int")).alias("n_docs_with_pii"),
+        F.sum("n_pii").alias("n_spans"),
+        F.sum((F.col("pii_density") > args.max_density).cast("int"))
+        .alias("n_over_budget")).collect()[0]
+    by_type = (dens.where(F.col("pii_types_csv") != "")
+               .select(F.explode(F.split("pii_types_csv", ","))
+                       .alias("pii_type"))
+               .groupBy("pii_type").count()
+               .orderBy("pii_type").collect())
+    print(json.dumps({
+        "n_docs": summary.n_docs,
+        "n_docs_with_pii": int(summary.n_docs_with_pii or 0),
+        "n_spans": int(summary.n_spans or 0),
+        "n_over_budget": int(summary.n_over_budget or 0),
+        "max_density": args.max_density,
+        "docs_by_type": {r.pii_type: r["count"] for r in by_type},
+    }))
+    return 0
+
+
 def cmd_export_corpus(args) -> int:
     """Materialize the curated (dedup + verdict + scrub) training corpus."""
     from .sinks.corpus_export import export_training_corpus
@@ -413,6 +447,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--threshold", type=float, default=0.5)
     s.add_argument("--out", default="")
     s.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("scan-corpus",
+                       help="PII exposure report over a documents corpus")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--out", default="",
+                   help="write the per-doc density frame as parquet")
+    s.add_argument("--max-density", type=float, default=0.1,
+                   help="over-budget threshold for the summary count")
+    s.set_defaults(fn=cmd_scan_corpus)
 
     s = sub.add_parser("export-corpus",
                        help="curated+scrubbed training corpus -> parquet")

@@ -143,3 +143,30 @@ def test_curate_pii_gate_and_precedence(spark, sf_dir):
         if r.drop_reason in ("contaminated", "repetitive", "low_quality"):
             # pii_heavy never displaces a higher-precedence reason
             assert r.drop_reason != "pii_heavy"
+
+
+def test_scan_corpus_cli_reports_exposure(tmp_path, capsys, spark):
+    """The scan-corpus verb prints a summary JSON and writes the per-doc
+    frame; counts agree with the density operator."""
+    import json as _json
+    from catalog_pii_scanner_spark import cli
+    texts = [
+        (1, "contact jane.doe@example.com or 555-867-5309 today", "en"),
+        (2, "a clean document about query planning in spark", "en"),
+        (3, "ssn 123-45-6789 appears in this leaked record", "en"),
+    ]
+    d = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, t, lg, "unit", len(t)) for i, t, lg in texts],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = str(tmp_path / "dens")
+    assert cli.main(["scan-corpus", "--sf-dir", d, "--out", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 3
+    assert rep["n_docs_with_pii"] == 2
+    assert rep["n_spans"] >= 3           # email + phone + ssn at least
+    assert set(rep["docs_by_type"]) >= {"EMAIL", "PHONE_NUMBER", "SSN"}
+    back = spark.read.parquet(out)
+    assert back.count() == 3
