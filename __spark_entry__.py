@@ -52,6 +52,8 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_hourly, events_hourly_oracle_sql, events_props_stats,
     events_props_stats_oracle_sql, events_sessions,
     events_value_outliers, events_value_outliers_oracle_sql,
+    events_funnel, events_funnel_oracle_sql, events_retention,
+    events_retention_oracle_sql,
     events_sessions_oracle_sql, stream_dedup_events,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
     stream_events_hourly, stream_events_hourly_oracle_sql,
@@ -357,6 +359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": events_props_stats,
         # per-type z-score outliers (exact decimal moments, no window)
         "events_value_outliers": events_value_outliers,
+        # cohort retention matrix (first-day cohorts x day offset)
+        "events_retention": events_retention,
+        # ordered sequential-min conversion funnel per user
+        "events_funnel": events_funnel,
         # true Structured Streaming drain (availableNow watcher, §2.13)
         "stream_events_hourly": stream_events_hourly,
         # session windows (native session_window; streaming-capable)
@@ -381,9 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{sf}/documents.parquet")),
         # dedup family (exact + minhash signatures parked in the stable
         # tail — untouched since their r3 driver-green rows)
-        "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
-        # near-dup clusters: connected components over the pair graph
-        "dedup_clusters": dedup.dedup_clusters,
+
+
         # corpus keep/drop verdict: cluster representative per doc
         "dedup_keep_list": dedup.dedup_keep_list,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -433,6 +438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fused keep/drop curation verdict (its PII-budget superset
         # corpus_curate_pii stays in the driver-checked front)
         "corpus_curate": corpus.curate,
+        # parked: superset dedup_keep_list (front) runs the same LSH,
+        # band-cap, and connected-components code every driver round
+        "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
     }
 
 
@@ -484,6 +493,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": events_hourly_oracle_sql(),
         "events_props_stats": events_props_stats_oracle_sql(),
         "events_value_outliers": events_value_outliers_oracle_sql(),
+        "events_retention": events_retention_oracle_sql(),
+        "events_funnel": events_funnel_oracle_sql(),
         "stream_events_hourly": stream_events_hourly_oracle_sql(),
         "events_sessions": events_sessions_oracle_sql(),
         "stream_events_sessions": stream_events_sessions_oracle_sql(),

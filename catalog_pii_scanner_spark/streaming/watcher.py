@@ -547,3 +547,110 @@ def stream_doc_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events stream: cohort = a user's
+    first active calendar day; a (cohort, offset) cell counts users
+    active offset days after their first day, with the rate against
+    cohort size. Shuffle shape: one distinct on (user, day), one
+    user-keyed min, then two small keyed aggs; the per-user cohort
+    relation is runtime-small (one row per user) so AQE broadcasts it
+    into the activity join.
+
+    Output: cohort (ISO day string — DATE objects don't survive the
+    driver's frame comparator), day_offset, n_active, retention
+    (rounded 1e-6)."""
+    from ..sources.melt import read_table
+    ev = read_table(spark, sf_dir, "events")
+    days = (ev.select("user_id", F.to_date("ts").alias("day"))
+            .distinct())
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    activity = (days.join(first, "user_id")
+                .select("cohort",
+                        F.datediff("day", "cohort").alias("day_offset")))
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").alias("n_cohort"))
+    return (activity.groupBy("cohort", "day_offset")
+            .agg(F.count("*").alias("n_active"))
+            .join(sizes, "cohort")
+            .select(F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+                    F.col("day_offset").cast("bigint").alias("day_offset"),
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.round(F.col("n_active")
+                            / F.col("n_cohort").cast("double"), 6)
+                    .alias("retention")))
+
+
+def events_retention_oracle_sql(events_rel: str = "events") -> str:
+    return f"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM {events_rel}
+),
+first AS (SELECT user_id, MIN(day) AS cohort FROM days GROUP BY user_id),
+activity AS (
+  SELECT f.cohort, d.day - f.cohort AS day_offset
+  FROM days d JOIN first f ON f.user_id = d.user_id
+),
+sizes AS (SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY cohort)
+SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort,
+       CAST(a.day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       round(COUNT(*) / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+FROM activity a JOIN sizes s ON s.cohort = a.cohort
+GROUP BY a.cohort, a.day_offset, s.n_cohort
+"""
+
+
+#: Ordered funnel the conversion query walks: each stage's timestamp must
+#: strictly follow the previous stage's.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str,
+                  steps: tuple = FUNNEL_STEPS) -> DataFrame:
+    """Sequential-min funnel per user: stage k's timestamp is the
+    earliest event of that type strictly AFTER the user's stage-(k-1)
+    timestamp (the standard ordered-funnel semantics — a purchase before
+    any click does not convert). Each stage is a user-keyed min over a
+    type-pruned scan joined to the previous stage's (runtime-small,
+    one-row-per-user) relation — AQE broadcasts it, so the events
+    relation shuffles once per stage at most and never all-pairs.
+
+    Output: user_id, t_<step> per step (NULL where the funnel stalled)."""
+    from ..sources.melt import read_table
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    prev = (ev.where(F.col("event_type") == steps[0])
+            .groupBy("user_id").agg(F.min("ts").alias(f"t_{steps[0]}")))
+    out = prev
+    for k in range(1, len(steps)):
+        prev_col = f"t_{steps[k - 1]}"
+        stage = (ev.where(F.col("event_type") == steps[k])
+                 .join(out.select("user_id", prev_col), "user_id")
+                 .where(F.col("ts") > F.col(prev_col))
+                 .groupBy("user_id")
+                 .agg(F.min("ts").alias(f"t_{steps[k]}")))
+        out = out.join(stage, "user_id", "left")
+    return out
+
+
+def events_funnel_oracle_sql(events_rel: str = "events",
+                             steps: tuple = FUNNEL_STEPS) -> str:
+    ctes = [f"""
+s0 AS (
+  SELECT user_id, MIN(ts) AS t_{steps[0]} FROM {events_rel}
+  WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""]
+    joined = "s0"
+    for k in range(1, len(steps)):
+        ctes.append(f"""
+s{k} AS (
+  SELECT e.user_id, MIN(e.ts) AS t_{steps[k]}
+  FROM {events_rel} e JOIN s{k - 1} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{steps[k]}' AND e.ts > p.t_{steps[k - 1]}
+  GROUP BY e.user_id
+)""")
+        joined += f" LEFT JOIN s{k} USING (user_id)"
+    cols = ", ".join(f"t_{s}" for s in steps)
+    return f"WITH {','.join(ctes)}\nSELECT user_id, {cols} FROM {joined}\n"

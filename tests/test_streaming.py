@@ -197,3 +197,59 @@ def test_stream_doc_pii_density_equals_batch(spark, sf_dir):
     streamed = {r.doc_id: tuple(r) for r in
                 stream_doc_pii_density(spark, sf_dir).collect()}
     assert streamed == batch and batch
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+
+def test_events_retention_hand_check(spark, tmp_path):
+    """Two cohorts; user 1 returns on day 2, user 2 never returns."""
+    import datetime as dt
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(1, 5), 1, "click", 0.0, "{}"),      # same day, same cell
+        (3, t(3), 1, "view", 0.0, "{}"),          # day offset 2
+        (4, t(2), 2, "view", 0.0, "{}"),          # cohort 2024-01-02
+    ]
+    d = str(tmp_path)
+    _events(spark, rows).write.mode("overwrite") \
+        .parquet(f"{d}/events.parquet")
+    from catalog_pii_scanner_spark.streaming.watcher import events_retention
+    got = {(r.cohort, r.day_offset): (r.n_active, r.retention)
+           for r in events_retention(spark, d).collect()}
+    assert got == {
+        ("2024-01-01", 0): (1, 1.0),
+        ("2024-01-01", 2): (1, 1.0),
+        ("2024-01-02", 0): (1, 1.0),
+    }
+
+
+def test_events_funnel_requires_order(spark, tmp_path):
+    """A purchase BEFORE the first click never converts; a later one
+    does; users without the first step produce no row."""
+    import datetime as dt
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        # user 1: view -> click -> purchase, in order
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "click", 0.0, "{}"),
+        (3, t(3), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase precedes the click -> no purchase conversion
+        (4, t(1), 2, "view", 0.0, "{}"),
+        (5, t(2), 2, "purchase", 0.0, "{}"),
+        (6, t(3), 2, "click", 0.0, "{}"),
+        # user 3: never views -> absent
+        (7, t(1), 3, "click", 0.0, "{}"),
+    ]
+    d = str(tmp_path)
+    _events(spark, rows).write.mode("overwrite") \
+        .parquet(f"{d}/events.parquet")
+    from catalog_pii_scanner_spark.streaming.watcher import events_funnel
+    got = {r.user_id: r for r in events_funnel(spark, d).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].t_click is not None and got[1].t_purchase is not None
+    assert got[2].t_click is not None and got[2].t_purchase is None
