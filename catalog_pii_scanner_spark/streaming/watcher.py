@@ -654,3 +654,60 @@ s{k} AS (
         joined += f" LEFT JOIN s{k} USING (user_id)"
     cols = ", ".join(f"t_{s}" for s in steps)
     return f"WITH {','.join(ctes)}\nSELECT user_id, {cols} FROM {joined}\n"
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str,
+                     left_type: str = "purchase",
+                     right_type: str = "view") -> DataFrame:
+    """As-of join: each ``left_type`` event attached to the user's most
+    recent STRICTLY-earlier ``right_type`` event (last-touch
+    attribution). Spark has no ASOF JOIN operator; the idiomatic
+    distributed form is a tagged UNION + one per-user running
+    ``last(..., ignoreNulls)`` window ordered by (ts, kind) — purchases
+    sort BEFORE same-timestamp views so the running last excludes ties
+    (strict <). ONE shuffle on user_id and a linear window — no range
+    join, no per-pair blowup, state bounded by one row per window frame.
+    The oracle is DuckDB's native ASOF LEFT JOIN, so the semantics are
+    checked against a first-class implementation, not a mirror of our
+    own formulation.
+
+    Output: event_id, user_id, ts, last_view_ts (NULL when no prior
+    view), gap_us (exact integer microseconds)."""
+    from pyspark.sql import Window
+    from ..sources.melt import read_table
+    ev = read_table(spark, sf_dir, "events")
+    tagged = (ev.where(F.col("event_type").isin(left_type, right_type))
+              .select("event_id", "user_id", "ts", "event_type",
+                      F.when(F.col("event_type") == right_type,
+                             F.col("ts")).alias("r_ts"),
+                      # same-ts ordering: left rows first so the running
+                      # last() sees only strictly-earlier right rows
+                      F.when(F.col("event_type") == left_type, 0)
+                      .otherwise(1).alias("kind")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "kind")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (tagged
+            .withColumn("last_view_ts",
+                        F.last("r_ts", ignorenulls=True).over(w))
+            .where(F.col("event_type") == left_type)
+            .select("event_id", "user_id", "ts", "last_view_ts",
+                    (F.unix_micros(F.col("ts").cast("timestamp"))
+                     - F.unix_micros(F.col("last_view_ts")
+                                     .cast("timestamp")))
+                    .alias("gap_us")))
+
+
+def events_asof_join_oracle_sql(events_rel: str = "events",
+                                left_type: str = "purchase",
+                                right_type: str = "view") -> str:
+    return f"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM {events_rel}
+  WHERE event_type = '{left_type}'
+),
+v AS (SELECT user_id, ts FROM {events_rel}
+      WHERE event_type = '{right_type}')
+SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+"""

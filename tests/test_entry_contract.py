@@ -20,7 +20,7 @@ STABLE_PARKED = {
     "corpus_sample_stratified", "corpus_repetition",
     "corpus_decontaminate", "corpus_pack_sequences",
     "corpus_temperature_sample", "corpus_curate",
-    "dedup_lsh_near_pairs", "dedup_clusters",
+    "dedup_lsh_near_pairs", "dedup_clusters", "events_hourly",
 }
 
 

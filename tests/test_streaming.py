@@ -253,3 +253,30 @@ def test_events_funnel_requires_order(spark, tmp_path):
     assert set(got) == {1, 2}
     assert got[1].t_click is not None and got[1].t_purchase is not None
     assert got[2].t_click is not None and got[2].t_purchase is None
+
+
+def test_events_asof_join_strictly_earlier_last_touch(spark, tmp_path):
+    """The attached view is the LATEST strictly-earlier one: same-ts
+    views don't match (strict <), later views never match, no-view users
+    get NULL."""
+    import datetime as dt
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "view", 0.0, "{}"),       # latest prior
+        (3, t(3), 1, "purchase", 0.0, "{}"),
+        (4, t(4), 1, "view", 0.0, "{}"),       # after: ignored
+        (5, t(5), 2, "purchase", 0.0, "{}"),   # user 2: no view
+        (6, t(6), 3, "view", 0.0, "{}"),
+        (7, t(6), 3, "purchase", 0.0, "{}"),   # same-ts view: excluded
+    ]
+    d = str(tmp_path)
+    _events(spark, rows).write.mode("overwrite") \
+        .parquet(f"{d}/events.parquet")
+    from catalog_pii_scanner_spark.streaming.watcher import events_asof_join
+    got = {r.event_id: r for r in events_asof_join(spark, d).collect()}
+    assert set(got) == {3, 5, 7}
+    assert got[3].last_view_ts == t(2)
+    assert got[3].gap_us == 3600 * 1_000_000
+    assert got[5].last_view_ts is None and got[5].gap_us is None
+    assert got[7].last_view_ts is None    # strict: same-ts view excluded
