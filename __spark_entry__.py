@@ -53,6 +53,7 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_props_stats_oracle_sql, events_sessions,
     events_value_outliers, events_value_outliers_oracle_sql,
     events_asof_join, events_asof_join_oracle_sql,
+    events_hourly_gapfill, events_hourly_gapfill_oracle_sql,
     events_funnel, events_funnel_oracle_sql, events_retention,
     events_retention_oracle_sql,
     events_sessions_oracle_sql, stream_dedup_events,
@@ -354,8 +355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # column profiling: null/distinct/minmax/length stats per column
         "profile_columns": lambda s, sf: profile_columns(
             _tables_values(s, sf)),
-        # semi-structured JSON column extraction (from_json, codegen)
-        "events_props_stats": events_props_stats,
         # per-type z-score outliers (exact decimal moments, no window)
         "events_value_outliers": events_value_outliers,
         # cohort retention matrix (first-day cohorts x day offset)
@@ -364,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         # as-of join (union + running-last window; native ASOF oracle)
         "events_asof_join": events_asof_join,
+        # dense hour spine with zero-filled gaps (date-spine op)
+        "events_hourly_gapfill": events_hourly_gapfill,
         # true Structured Streaming drain (availableNow watcher, §2.13)
         "stream_events_hourly": stream_events_hourly,
         # session windows (native session_window; streaming-capable)
@@ -439,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fused keep/drop curation verdict (its PII-budget superset
         # corpus_curate_pii stays in the driver-checked front)
         "corpus_curate": corpus.curate,
+        # semi-structured JSON column extraction (from_json, codegen)
+        "events_props_stats": events_props_stats,
         # streaming-equivalent tumbling window aggregation; its superset
         # stream_events_hourly (front) drains the same agg via writeStream
         "events_hourly": events_hourly,
@@ -500,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": events_retention_oracle_sql(),
         "events_funnel": events_funnel_oracle_sql(),
         "events_asof_join": events_asof_join_oracle_sql(),
+        "events_hourly_gapfill": events_hourly_gapfill_oracle_sql(),
         "stream_events_hourly": stream_events_hourly_oracle_sql(),
         "events_sessions": events_sessions_oracle_sql(),
         "stream_events_sessions": stream_events_sessions_oracle_sql(),

@@ -711,3 +711,59 @@ SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts,
        epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
 """
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with zero-filled gaps — the
+    time_bucket_gapfill/date_spine operation dashboards need (a missing
+    bucket must chart as 0, not vanish). The hour spine explodes from a
+    ONE-ROW global min/max aggregate crossed with the (tiny) distinct
+    type relation, so the grid costs no data-sized shuffle; the counts
+    join is keyed on (hour, type) and AQE broadcasts the spine.
+
+    Output: window_start, event_type, n_events, filled."""
+    from ..sources.melt import read_table
+    ev = read_table(spark, sf_dir, "events")
+    hours = ev.select(F.date_trunc("hour", "ts").alias("h"))
+    bounds = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (bounds.select(F.explode(F.sequence(
+                "h0", "h1", F.expr("interval 1 hour"))).alias("window_start"))
+             .crossJoin(ev.select("event_type").distinct()))
+    counts = (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                         "event_type")
+              .agg(F.count("*").alias("n")))
+    return (spine.join(counts, ["window_start", "event_type"], "left")
+            .select("window_start", "event_type",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+                    .alias("n_events"),
+                    F.col("n").isNull().alias("filled")))
+
+
+def events_hourly_gapfill_oracle_sql(events_rel: str = "events") -> str:
+    return f"""
+WITH bounds AS (
+  SELECT MIN(date_trunc('hour', ts)) AS h0,
+         MAX(date_trunc('hour', ts)) AS h1
+  FROM {events_rel}
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS window_start
+  FROM bounds
+),
+grid AS (
+  SELECT s.window_start, t.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type
+                           FROM {events_rel}) t
+),
+counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n
+  FROM {events_rel} GROUP BY 1, 2
+)
+SELECT g.window_start, g.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+       c.n IS NULL AS filled
+FROM grid g
+LEFT JOIN counts c
+  ON c.window_start = g.window_start AND c.event_type = g.event_type
+"""

@@ -280,3 +280,31 @@ def test_events_asof_join_strictly_earlier_last_touch(spark, tmp_path):
     assert got[3].gap_us == 3600 * 1_000_000
     assert got[5].last_view_ts is None and got[5].gap_us is None
     assert got[7].last_view_ts is None    # strict: same-ts view excluded
+
+
+def test_events_hourly_gapfill_fills_zeros(spark, tmp_path):
+    """Gaps in the hour spine appear as zero rows flagged filled; dense
+    cells carry their exact counts."""
+    import datetime as dt
+    t = lambda h: dt.datetime(2024, 1, 1, h, 30)
+    rows = [
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(1), 2, "view", 0.0, "{}"),
+        (3, t(3), 1, "view", 0.0, "{}"),       # hour 2 is a gap
+        (4, t(2), 1, "click", 0.0, "{}"),
+    ]
+    d = str(tmp_path)
+    _events(spark, rows).write.mode("overwrite") \
+        .parquet(f"{d}/events.parquet")
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        events_hourly_gapfill)
+    got = {(r.window_start.hour, r.event_type): (r.n_events, r.filled)
+           for r in events_hourly_gapfill(spark, d).collect()}
+    # spine: hours 1..3 x {view, click} = 6 cells, all present
+    assert len(got) == 6
+    assert got[(1, "view")] == (2, False)
+    assert got[(2, "view")] == (0, True)       # the gap, zero-filled
+    assert got[(3, "view")] == (1, False)
+    assert got[(2, "click")] == (1, False)
+    assert got[(1, "click")] == (0, True)
+    assert got[(3, "click")] == (0, True)
