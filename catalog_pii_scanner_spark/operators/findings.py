@@ -48,12 +48,19 @@ def candidates_rollup(cands: DataFrame) -> DataFrame:
     non-null, so the coalesce is unambiguous).
 
     Output: pii_type, validated, n_candidates, n_columns, max_prob.
+
+    The n_candidates > 0 gate exists for the empty-input corner: SQL
+    ROLLUP emits the grand-total grouping set even over zero rows
+    (DuckDB does) while Spark's rollup yields no rows — filtering the
+    count-0 row makes both engines agree and costs nothing on real
+    input (every emitted group counts at least one candidate).
     """
     return (
         cands.rollup("pii_type", "validated")
         .agg(F.count("*").alias("n_candidates"),
              F.countDistinct("column_ref").alias("n_columns"),
              F.round(F.max("prob"), 6).alias("max_prob"))
+        .where(F.col("n_candidates") > 0)
         .select(
             F.coalesce(F.col("pii_type"), F.lit("ALL")).alias("pii_type"),
             F.coalesce(F.col("validated").cast("string"),
@@ -71,6 +78,7 @@ SELECT COALESCE(pii_type, 'ALL') AS pii_type,
        round(MAX(prob), 6) AS max_prob
 FROM {scored_rel}
 GROUP BY ROLLUP(pii_type, validated)
+HAVING COUNT(*) > 0
 """
 
 

@@ -48,8 +48,12 @@ LLM_CACHE_TTL_MINUTES = 1440
 
 
 def est_tokens_col(text_col: str = "text"):
-    """Whitespace-token estimate (matches textstats' n_ws_tokens)."""
-    return F.size(F.split(text_col, " +")).cast("bigint")
+    """Whitespace-token estimate (matches textstats' n_ws_tokens). NULL
+    text meters as 0 tokens in BOTH engines — Spark's legacy size(NULL)
+    is -1 and DuckDB's len(NULL) is NULL, either of which would corrupt
+    the running total."""
+    return F.when(F.col(text_col).isNull(), F.lit(0)) \
+        .otherwise(F.size(F.split(text_col, " +"))).cast("bigint")
 
 
 def llm_budget_plan(df: DataFrame, id_col: str = "doc_id",
@@ -79,8 +83,8 @@ def llm_budget_plan_sql(rel: str = "documents", id_col: str = "doc_id",
     return f"""
 WITH base AS (
   SELECT {id_col},
-         CAST(len(regexp_split_to_array({text_col}, ' +')) AS BIGINT)
-           AS est_tokens,
+         CAST(COALESCE(len(regexp_split_to_array({text_col}, ' +')), 0)
+              AS BIGINT) AS est_tokens,
          md5(CAST({id_col} AS VARCHAR)) AS h
   FROM {rel}
 ),

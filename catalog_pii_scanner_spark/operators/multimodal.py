@@ -42,8 +42,12 @@ FEATURES_SCHEMA = ("asset_id bigint, media_type string, n_bytes bigint, "
 
 
 def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize a binary assets frame from documents (deterministic)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Synthesize a binary assets frame from documents (deterministic).
+    NULL-text docs carry no payload and are excluded — a NULL media
+    column must never reach a decoder batch (bytes(None) raises), and
+    the oracles apply the identical predicate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("text").isNotNull())
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "utf-8").alias("media"),
@@ -123,7 +127,7 @@ SELECT doc_id AS asset_id,
             ELSE 'video/mp4' END AS media_type,
        octet_length(encode(text)) AS n_bytes,
        {feats}
-FROM {docs_rel}
+FROM {docs_rel} WHERE text IS NOT NULL
 """
 
 
@@ -144,7 +148,7 @@ def frame_sample_oracle_sql(docs_rel: str = "documents",
     return f"""
 WITH a AS (
   SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes
-  FROM {docs_rel} WHERE doc_id % 3 = 2
+  FROM {docs_rel} WHERE doc_id % 3 = 2 AND text IS NOT NULL
 ),
 f AS (
   SELECT asset_id, n_bytes,
@@ -216,7 +220,7 @@ SELECT doc_id AS asset_id,
        CASE WHEN {n} <= {target_bytes} THEN {n}
             ELSE CAST(ceil({n} / CAST({stride} AS DOUBLE)) AS BIGINT)
        END AS resized_bytes
-FROM {docs_rel}
+FROM {docs_rel} WHERE text IS NOT NULL
 """
 
 
@@ -307,7 +311,7 @@ def audio_energy_oracle_sql(docs_rel: str = "documents",
     return f"""
 WITH a AS (
   SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
-  FROM {docs_rel} WHERE doc_id % 3 = 1
+  FROM {docs_rel} WHERE doc_id % 3 = 1 AND text IS NOT NULL
 ),
 w AS (
   SELECT asset_id, text, n,

@@ -51,7 +51,10 @@ def _exploded_cte(dialect: str, rel: str) -> str:
     return f"""
 vecs AS ({explode}),
 norms AS (
-  SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM vecs GROUP BY vec_id
+  -- zero-norm vectors have no cosine: excluded from the universe
+  -- (HAVING, so ANSI division can never see a 0 divisor)
+  SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM vecs
+  GROUP BY vec_id HAVING SUM(val * val) > 0
 )"""
 
 
@@ -129,8 +132,11 @@ def cosine_topk_matmul(spark, sf_dir: str, k: int = 5,
             f"(driver collect + broadcast guard); raise query_mod or "
             f"batch the query set")
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+    Q = np.array([list(r.embedding) for r in qrows],
+                 dtype=np.float64).reshape(len(qrows), DIMS)
     q_norm = np.linalg.norm(Q, axis=1)
+    ok = q_norm > 0            # zero-norm queries leave the universe
+    q_ids, Q, q_norm = q_ids[ok], Q[ok], q_norm[ok]
     bq = spark.sparkContext.broadcast((q_ids, Q, q_norm))
     kk = k
 
@@ -146,6 +152,10 @@ def cosine_topk_matmul(spark, sf_dir: str, k: int = 5,
             C = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             c_ids = pdf["vec_id"].to_numpy(np.int64)
             c_norm = np.linalg.norm(C, axis=1)
+            okc = c_norm > 0   # zero-norm candidates leave the universe
+            C, c_ids, c_norm = C[okc], c_ids[okc], c_norm[okc]
+            if not len(C):
+                continue
             cos = np.round((C @ qm.T) / (c_norm[:, None] * qn[None, :]), 6)
             out_q, out_n, out_c = [], [], []
             for j in range(qi.size):
@@ -348,8 +358,11 @@ def ann_lsh_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
         raise ValueError(
             f"query subset exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}")
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+    Q = np.array([list(r.embedding) for r in qrows],
+                 dtype=np.float64).reshape(len(qrows), DIMS)
     q_norm = np.linalg.norm(Q, axis=1)
+    ok = q_norm > 0            # zero-norm queries leave the universe
+    q_ids, Q, q_norm = q_ids[ok], Q[ok], q_norm[ok]
     flips = [0] + ([1 << j for j in range(b)] if probe_bits >= 1 else [])
     probe: dict[tuple[int, int], list[int]] = {}
     if len(q_ids):
@@ -373,6 +386,10 @@ def ann_lsh_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
             V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             v_ids = pdf["vec_id"].to_numpy(np.int64)
             v_norm = np.linalg.norm(V, axis=1)
+            okv = v_norm > 0   # zero-norm candidates leave the universe
+            V, v_ids, v_norm = V[okv], v_ids[okv], v_norm[okv]
+            if not len(V):
+                continue
             vs = sigs_of(V)
             # query -> unique candidate rows in this batch
             cand: dict[int, set[int]] = {}
@@ -485,8 +502,14 @@ def _vecs_df(spark, sf_dir: str) -> DataFrame:
 
 
 def _norms_df(vecs: DataFrame) -> DataFrame:
+    """Per-vector L2 norms, zero-norm vectors EXCLUDED (mirrors the
+    SQL template's HAVING): a degenerate all-zero embedding has no
+    cosine to anything and would crash ANSI division; every cosine path
+    inner-joins this relation, so such vectors leave the universe
+    identically in both engines."""
     return vecs.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")) \
+        .where(F.col("norm") > 0)
 
 
 def _planes_df(spark) -> DataFrame:
@@ -594,10 +617,13 @@ def ann_ivf_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     crows = (emb.where(F.col("vec_id") < NUM_CENTROIDS)
              .select("vec_id", "embedding").collect())
     c_ids = np.array([r.vec_id for r in crows], dtype=np.int64)
-    C = np.array([list(r.embedding) for r in crows], dtype=np.float64)
+    C = np.array([list(r.embedding) for r in crows],
+                 dtype=np.float64).reshape(len(crows), DIMS)
     order = np.argsort(c_ids)
     c_ids, C = c_ids[order], C[order]
     c_norm = np.linalg.norm(C, axis=1)
+    okc = c_norm > 0           # zero-norm centroids leave the quantizer
+    c_ids, C, c_norm = c_ids[okc], C[okc], c_norm[okc]
 
     qrows = (emb.where(F.col("vec_id") % query_mod == 0)
              .select("vec_id", "embedding")
@@ -606,8 +632,11 @@ def ann_ivf_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
         raise ValueError(
             f"query subset exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}")
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+    Q = np.array([list(r.embedding) for r in qrows],
+                 dtype=np.float64).reshape(len(qrows), DIMS)
     q_norm = np.linalg.norm(Q, axis=1)
+    okq = q_norm > 0           # zero-norm queries leave the universe
+    q_ids, Q, q_norm = q_ids[okq], Q[okq], q_norm[okq]
 
     def probe_cells(vecs: np.ndarray, norms: np.ndarray,
                     n: int) -> np.ndarray:
@@ -641,6 +670,10 @@ def ann_ivf_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
             V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             v_ids = pdf["vec_id"].to_numpy(np.int64)
             v_norm = np.linalg.norm(V, axis=1)
+            okv = v_norm > 0   # zero-norm candidates leave the universe
+            V, v_ids, v_norm = V[okv], v_ids[okv], v_norm[okv]
+            if not len(V):
+                continue
             cc = np.round((V @ C_.T) / (v_norm[:, None] * cn_[None, :]), 6)
             # crank==1 assignment with the declarative tie-break
             assign = np.empty(len(V), dtype=np.int64)
@@ -967,7 +1000,8 @@ cent0 AS (
   WHERE vec_id < {NUM_CENTROIDS}
 ),
 cnorm0 AS (
-  SELECT cid, sqrt(SUM(cval * cval)) AS cnorm FROM cent0 GROUP BY cid
+  SELECT cid, sqrt(SUM(cval * cval)) AS cnorm FROM cent0
+  GROUP BY cid HAVING SUM(cval * cval) > 0
 )""")
     for i in range(iters):
         cte.append(f"""
@@ -997,7 +1031,7 @@ cent{i + 1} AS (
 ),
 cnorm{i + 1} AS (
   SELECT cid, sqrt(SUM(cval * cval)) AS cnorm
-  FROM cent{i + 1} GROUP BY cid
+  FROM cent{i + 1} GROUP BY cid HAVING SUM(cval * cval) > 0
 )""")
     last = iters
     return f"""
@@ -1028,7 +1062,8 @@ def embed_kmeans_lloyd(spark, sf_dir: str,
     assign = None
     for _ in range(iters):
         cnorm = cents.groupBy("cid").agg(
-            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cnorm"))
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cnorm")) \
+            .where(F.col("cnorm") > 0)
         cc = (vecs.join(F.broadcast(cents), "pos")
               .groupBy("vec_id", "cid")
               .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))

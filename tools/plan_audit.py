@@ -55,6 +55,12 @@ def main() -> int:
         ("embed_cluster_mix", "broadcast centroids + per-vector argmax"),
         ("embed_kmeans_lloyd", "iterative refine, checkpointed rounds"),
         ("corpus_curate_pii", "four-way doc-keyed verdict join"),
+        ("events_retention", "cohort matrix, broadcast cohort relation"),
+        ("events_funnel", "per-stage keyed min + broadcast prev stage"),
+        ("events_asof_join", "union + running-last window, one shuffle"),
+        ("events_hourly_gapfill", "one-row bounds spine + keyed join"),
+        ("corpus_split", "hash-range projection, zero shuffles"),
+        ("corpus_char_entropy", "char explode + two keyed aggs"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
