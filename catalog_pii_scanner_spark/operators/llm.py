@@ -19,7 +19,8 @@ Spark-first:
   ``cache_ttl_minutes`` becomes a worker-local memo keyed by exact text:
   module globals live for the Python worker's lifetime (the same
   executor-global pattern as the heavy NER providers), so repeat texts
-  within the TTL never re-invoke the model. Expiry is lazy.
+  within the TTL never re-invoke the model. The cache is LRU-bounded and
+  expired entries are swept each batch.
 - **Redaction invariant.** ``redact=True`` (the reference default) is the
   caller's contract: the detection input must already be redacted
   contexts, never raw values — identical to the N5/E2 stages.
