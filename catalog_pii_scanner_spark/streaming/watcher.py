@@ -340,8 +340,11 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_sessions_oracle_sql(events_rel: str = "events") -> str:
-    """Gaps-and-islands rendering: a session break is a gap >= 30 min
-    (session_window's [start, last+gap) half-open semantics)."""
+    """Gaps-and-islands rendering: a session break is a gap STRICTLY
+    over 30 min. Spark's session_window merges an event landing exactly
+    on last+gap (closed end — verified empirically; an sf0.1 event pair
+    exactly 1800 s apart after the second-truncation caught the >= vs >
+    mismatch the sf0.01 gate never exercised)."""
     return f"""
 WITH e AS (
   SELECT user_id, date_trunc('second', ts) AS ts, value FROM {events_rel}
@@ -351,7 +354,7 @@ o AS (
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    IS NULL OR
                    ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM e
 ),

@@ -308,3 +308,37 @@ def test_events_hourly_gapfill_fills_zeros(spark, tmp_path):
     assert got[(2, "click")] == (1, False)
     assert got[(1, "click")] == (0, True)
     assert got[(3, "click")] == (0, True)
+
+
+def test_session_window_exact_gap_merges(spark, tmp_path):
+    """Spark's session_window treats the session end as CLOSED: an event
+    landing exactly gap after the previous one joins the session (found
+    by the sf0.1 differential sweep; the oracle's break is strict >)."""
+    import datetime as dt
+    rows = [
+        (1, dt.datetime(2024, 1, 6, 22, 16, 14, 740464), 511, "view",
+         13.44, "{}"),
+        # exactly 1800 s after the first once truncated to seconds
+        (2, dt.datetime(2024, 1, 6, 22, 46, 14, 77845), 511, "view",
+         194.58, "{}"),
+        # strictly over the gap -> its own session
+        (3, dt.datetime(2024, 1, 6, 23, 16, 15), 511, "view", 1.0, "{}"),
+    ]
+    d = str(tmp_path)
+    _events(spark, rows).write.mode("overwrite") \
+        .parquet(f"{d}/events.parquet")
+    from catalog_pii_scanner_spark.streaming.watcher import events_sessions
+    got = sorted(events_sessions(spark, d).collect(),
+                 key=lambda r: r.session_start)
+    assert [(r.n_events, r.sum_value) for r in got] == [(2, 208.02),
+                                                        (1, 1.0)]
+    # the oracle agrees on the same corpus
+    import duckdb
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        events_sessions_oracle_sql)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet/*.parquet'")
+    orows = sorted(con.execute(events_sessions_oracle_sql()).fetchall(),
+                   key=lambda r: r[1])
+    assert [(r[2], r[3]) for r in orows] == [(2, 208.02), (1, 1.0)]
