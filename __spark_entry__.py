@@ -277,16 +277,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate checks entries in dict
-    # order and r3 stopped at exactly 50, leaving the last 6 unverified.
-    # Queries that changed recently (the ANN family incl. the one-pass
-    # BLAS twins, multimodal, eval_greedy_metrics, this round's
-    # additions) therefore sit in the first 50; positions 51+ hold the
-    # entries whose code is untouched and whose r3 rows are green
-    # (catalog enumeration protocol stubs, metadata hints, Athena
-    # sampler, the textstats projections), so a repeat truncation goes
-    # stale on the most-stable queries only. tools/selfcheck.py runs the
-    # FULL set regardless (committed as CORRECTNESS_LOCAL_r04.json,
-    # 61/61 green).
+    # order and r3 stopped at exactly 50, leaving everything past that
+    # position unverified by the driver. Queries whose code is NEW or
+    # CHANGED this round (the PII-over-corpus family, bigram/entropy/
+    # split, containment, cluster-mix/Lloyd, retention/funnel/as-of/
+    # gapfill, the streaming drains, the ANN/matmul family) sit in the
+    # first 50; positions 51+ hold only STABLE_PARKED entries
+    # (tests/test_entry_contract.py): function bodies untouched since
+    # their r3 driver-green rows, most with a front-50 superset that
+    # exercises the same code (keep_list ⊃ lsh_near_pairs+clusters,
+    # curate_pii ⊃ curate, stream_events_hourly ⊃ events_hourly). The
+    # FULL set is verified every session by tools/selfcheck.py
+    # (committed as CORRECTNESS_LOCAL_r04.json — all green at sf0.01),
+    # plus tools/edge_sweep.py (empty + degenerate corpora) and a
+    # one-off sf0.1 sweep (PERF.md).
     return {
         # X1-X10 + F1-F4 closed form + A6 rollup over synthesized CRM
         "pii_scan_demo_crm": lambda s, sf:
