@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from catalog_pii_scanner_spark import oracles
-from catalog_pii_scanner_spark.operators import (corpus, dedup, llm,
+from catalog_pii_scanner_spark.operators import (analytics, corpus,
+                                                 dedup, llm,
                                                  metadata_rules, multimodal,
                                                  ner, pii_docs, simsearch,
                                                  textstats)
@@ -317,8 +318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the flagship scan_text composition: R4 contexts -> N5 signals ->
         # E2 embed probs -> fusion with real signal maps bound
         "pii_full_pipeline": _full_pipeline,
-        # P5 enabled_types config gating the rule families
-        "pii_scan_enabled_types": _scan_enabled_types,
         # N1/N3/N4 regex-provider NER + gate + max-merge with rules
         "pii_ner_merge_max": _ner_merge,
         # N5/A2 entity-label histogram over redacted contexts
@@ -356,9 +355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_energy": multimodal.audio_energy_query,
         # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
         "sample_columns_topn": _sample,
-        # column profiling: null/distinct/minmax/length stats per column
-        "profile_columns": lambda s, sf: profile_columns(
-            _tables_values(s, sf)),
+        # classic OLAP over the business tables: Q1-shape wide agg
+        "tpch_pricing_summary": analytics.tpch_pricing_summary,
+        # star join (broadcast dims) + TakeOrdered top-k
+        "top_customers_by_revenue": analytics.top_customers_by_revenue,
         # per-type z-score outliers (exact decimal moments, no window)
         "events_value_outliers": events_value_outliers,
         # cohort retention matrix (first-day cohorts x day offset)
@@ -449,6 +449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-equivalent tumbling window aggregation; its superset
         # stream_events_hourly (front) drains the same agg via writeStream
         "events_hourly": events_hourly,
+        # column profiling stats (melt+rules code runs in the front scan
+        # family every round)
+        "profile_columns": lambda s, sf: profile_columns(
+            _tables_values(s, sf)),
+        # P5 enabled_types gate (rules_for_types untouched since r3)
+        "pii_scan_enabled_types": _scan_enabled_types,
         # parked: superset dedup_keep_list (front) runs the same LSH,
         # band-cap, and connected-components code every driver round
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
@@ -497,6 +503,8 @@ def oracle_sql() -> dict[str, str]:
             table_patterns=GLUE_PATTERNS),
         "sample_columns_topn": sample_columns_oracle_sql(
             oracles.tables_melted_sql(SCAN_TABLES)),
+        "tpch_pricing_summary": analytics.tpch_pricing_summary_oracle_sql(),
+        "top_customers_by_revenue": analytics.top_customers_oracle_sql(),
         "profile_columns": profile_columns_oracle_sql(
             oracles.tables_melted_sql(SCAN_TABLES)),
         "athena_sample_capped": athena_sample_oracle_sql(

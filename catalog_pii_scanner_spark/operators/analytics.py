@@ -1,0 +1,131 @@
+"""Classic OLAP queries over the business tables — the engine's general
+analytical surface beyond the scanner (the reference samples these
+tables; a replacement engine must also ANALYZE them).
+
+Two canonical shapes, dual-dialect:
+
+- ``tpch_pricing_summary``: the TPC-H Q1 shape — wide scan, pushed date
+  predicate, one groupBy with many aggregates. The Spark plan is the
+  textbook columnar path: parquet scan pruned to 7 columns with the
+  shipdate filter in PushedFilters, whole-stage-codegen partial
+  aggregation map-side, ONE shuffle over 6 (returnflag, linestatus)
+  groups. All money sums accumulate in DECIMAL so the engines cannot
+  drift a ULP (the same discipline as events_hourly's sum_value).
+- ``top_customers_by_revenue``: 3-way star join (orders facts against
+  the customer and nation dims) + top-k. Both dims are broadcast —
+  Catalyst already chooses broadcast-hash under the 10 MB threshold, and
+  at 100 TB the dims remain broadcast-sized while orders stays
+  shuffle-free through both joins; the top-k is TakeOrderedAndProject
+  (per-partition heads + driver merge, never a global sort).
+
+Floating point: every emitted average divides two exact quantities
+(DECIMAL sum / BIGINT count) in doubles and rounds to 1e-6 — identical
+operands, identical quotient in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Q1-style cutoff inside the synthetic data's 1995..2001 shipdate range
+#: (prunes ~1/3 of lineitem, so the pushed filter is observable).
+PRICING_CUTOFF = "2000-01-01"
+
+TOP_CUSTOMERS_K = 25
+
+
+def tpch_pricing_summary(spark: SparkSession, sf_dir: str,
+                         cutoff: str = PRICING_CUTOFF) -> DataFrame:
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp")))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                           - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(dec("l_quantity")).alias("_sq"),
+             F.sum(dec("l_extendedprice")).alias("_sbp"),
+             F.sum(disc_price).alias("_sdp"),
+             F.sum(charge).alias("_sc"),
+             F.count("*").alias("count_order"))
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.round(F.col("_sq").cast("double"), 2).alias("sum_qty"),
+            F.round(F.col("_sbp").cast("double"), 2)
+            .alias("sum_base_price"),
+            F.round(F.col("_sdp").cast("double"), 4)
+            .alias("sum_disc_price"),
+            F.round(F.col("_sc").cast("double"), 4).alias("sum_charge"),
+            F.round(F.col("_sq").cast("double") / F.col("count_order"), 6)
+            .alias("avg_qty"),
+            F.round(F.col("_sbp").cast("double") / F.col("count_order"), 6)
+            .alias("avg_price"),
+            F.col("count_order").cast("bigint").alias("count_order"))
+    )
+
+
+def tpch_pricing_summary_oracle_sql(li_rel: str = "lineitem",
+                                    cutoff: str = PRICING_CUTOFF) -> str:
+    dec = lambda c: f"CAST({c} AS DECIMAL(18,2))"
+    disc = (f"({dec('l_extendedprice')} * (CAST(1 AS DECIMAL(18,2)) "
+            f"- {dec('l_discount')}))")
+    charge = f"({disc} * (CAST(1 AS DECIMAL(18,2)) + {dec('l_tax')}))"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM({dec('l_quantity')}) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(SUM({dec('l_extendedprice')}) AS DOUBLE), 2)
+         AS sum_base_price,
+       round(CAST(SUM({disc}) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(SUM({charge}) AS DOUBLE), 4) AS sum_charge,
+       round(CAST(SUM({dec('l_quantity')}) AS DOUBLE) / COUNT(*), 6)
+         AS avg_qty,
+       round(CAST(SUM({dec('l_extendedprice')}) AS DOUBLE) / COUNT(*), 6)
+         AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM {li_rel}
+WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str,
+                             k: int = TOP_CUSTOMERS_K) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("_rev"),
+                F.count("*").alias("n_orders")))
+    out = (rev.join(F.broadcast(cust),
+                    rev.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .select(F.col("c_custkey").cast("bigint").alias("custkey"),
+                   "c_name",
+                   F.col("n_name").alias("nation"),
+                   F.col("n_orders").cast("bigint").alias("n_orders"),
+                   F.round(F.col("_rev").cast("double"), 2)
+                   .alias("revenue")))
+    return (out.orderBy(F.desc("revenue"), F.asc("custkey")).limit(k))
+
+
+def top_customers_oracle_sql(k: int = TOP_CUSTOMERS_K) -> str:
+    return f"""
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(c.c_custkey AS BIGINT) AS custkey, c.c_name,
+       n.n_name AS nation,
+       CAST(v.n_orders AS BIGINT) AS n_orders,
+       round(CAST(v.r AS DOUBLE), 2) AS revenue
+FROM rev v
+JOIN customer c ON c.c_custkey = v.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY revenue DESC, custkey ASC
+LIMIT {k}
+"""

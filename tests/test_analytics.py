@@ -1,0 +1,47 @@
+"""Classic OLAP queries over the business tables: results sane and the
+physical plans are the shapes that survive 100x — pushed scan predicate,
+broadcast dimension joins, TakeOrdered top-k (never a global sort)."""
+
+from __future__ import annotations
+
+from catalog_pii_scanner_spark.operators.analytics import (
+    tpch_pricing_summary, top_customers_by_revenue)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    # AQE's toString carries BOTH the final and the initial plan; count
+    # operators in the final section only
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_pricing_summary_shape_and_plan(spark):
+    df = tpch_pricing_summary(spark, SF)
+    rows = df.collect()
+    # 6 (returnflag, linestatus) groups; averages consistent with sums
+    assert 1 <= len(rows) <= 6
+    for r in rows:
+        assert r.count_order > 0
+        assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-4
+        assert r.sum_disc_price <= r.sum_base_price  # discount <= 0 off
+        assert r.sum_charge >= r.sum_disc_price      # tax adds back
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), " \
+        in plan or "LessThanOrEqual(l_shipdate" in plan
+    # single-shuffle aggregation: partial + final HashAggregate pairs
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+
+
+def test_top_customers_plan_broadcasts_dims(spark):
+    df = top_customers_by_revenue(spark, SF, k=10)
+    rows = df.collect()
+    assert len(rows) == 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r.n_orders > 0 and r.nation for r in rows)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 2     # both dims broadcast
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan          # top-k, no global sort

@@ -21,7 +21,7 @@ STABLE_PARKED = {
     "corpus_decontaminate", "corpus_pack_sequences",
     "corpus_temperature_sample", "corpus_curate",
     "dedup_lsh_near_pairs", "dedup_clusters", "events_hourly",
-    "events_props_stats",
+    "events_props_stats", "profile_columns", "pii_scan_enabled_types",
 }
 
 
