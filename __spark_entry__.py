@@ -359,6 +359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": analytics.tpch_pricing_summary,
         # star join (broadcast dims) + TakeOrdered top-k
         "top_customers_by_revenue": analytics.top_customers_by_revenue,
+        # partition-bounded cumulative window over monthly revenue
+        "monthly_revenue_running": analytics.monthly_revenue_running,
+        # PIVOT as fixed-schema conditional aggregation
+        "orders_priority_pivot": analytics.orders_priority_pivot,
         # per-type z-score outliers (exact decimal moments, no window)
         "events_value_outliers": events_value_outliers,
         # cohort retention matrix (first-day cohorts x day offset)
@@ -375,8 +379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events_sessions,
         # the same session-window agg through a real writeStream drain
         "stream_events_sessions": stream_events_sessions,
-        # stateful streaming dedup (dropDuplicatesWithinWatermark drain)
-        "stream_dedup_events": stream_dedup_events,
         # corpus curation (training-data pipeline)
         # CCNet-style unigram LM doc scoring (decimal-exact reduction)
         "corpus_unigram_logprob": corpus.unigram_logprob,
@@ -397,7 +399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # corpus keep/drop verdict: cluster representative per doc
         "dedup_keep_list": dedup.dedup_keep_list,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # asymmetric containment: quote/subset pairs the symmetric
         # Jaccard join structurally misses
         "dedup_containment": dedup.containment_pairs,
@@ -449,6 +450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-equivalent tumbling window aggregation; its superset
         # stream_events_hourly (front) drains the same agg via writeStream
         "events_hourly": events_hourly,
+        # prefix-filtered exact jaccard join (brute-force differential in
+        # pytest; dedup_containment up front runs the same machinery)
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # stateful streaming dedup drain (fn untouched since r3-green)
+        "stream_dedup_events": stream_dedup_events,
         # column profiling stats (melt+rules code runs in the front scan
         # family every round)
         "profile_columns": lambda s, sf: profile_columns(
@@ -505,6 +511,10 @@ def oracle_sql() -> dict[str, str]:
             oracles.tables_melted_sql(SCAN_TABLES)),
         "tpch_pricing_summary": analytics.tpch_pricing_summary_oracle_sql(),
         "top_customers_by_revenue": analytics.top_customers_oracle_sql(),
+        "monthly_revenue_running":
+            analytics.monthly_revenue_running_oracle_sql(),
+        "orders_priority_pivot":
+            analytics.orders_priority_pivot_oracle_sql(),
         "profile_columns": profile_columns_oracle_sql(
             oracles.tables_melted_sql(SCAN_TABLES)),
         "athena_sample_capped": athena_sample_oracle_sql(

@@ -2,7 +2,7 @@
 analytical surface beyond the scanner (the reference samples these
 tables; a replacement engine must also ANALYZE them).
 
-Two canonical shapes, dual-dialect:
+Canonical shapes, dual-dialect:
 
 - ``tpch_pricing_summary``: the TPC-H Q1 shape — wide scan, pushed date
   predicate, one groupBy with many aggregates. The Spark plan is the
@@ -17,6 +17,9 @@ Two canonical shapes, dual-dialect:
   at 100 TB the dims remain broadcast-sized while orders stays
   shuffle-free through both joins; the top-k is TakeOrderedAndProject
   (per-partition heads + driver merge, never a global sort).
+- ``monthly_revenue_running``: partition-bounded cumulative window.
+- ``orders_priority_pivot``: PIVOT as fixed-schema conditional
+  aggregation (no distinct-values pre-job).
 
 Floating point: every emitted average divides two exact quantities
 (DECIMAL sum / BIGINT count) in doubles and rounds to 1e-6 — identical
@@ -128,4 +131,81 @@ JOIN customer c ON c.c_custkey = v.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 ORDER BY revenue DESC, custkey ASC
 LIMIT {k}
+"""
+
+
+def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer monthly revenue with a cumulative running total —
+    the canonical partition-bounded window (PARTITION BY custkey ORDER
+    BY month): state per task is one partial sum, and the shuffle is
+    keyed on the customer, so the window never sees more than one
+    customer's months in a frame. Money stays DECIMAL through both the
+    monthly sum and the running total; the cast to double happens once
+    at the output.
+
+    Output: custkey, month (ISO yyyy-MM-01 string), revenue,
+    running_revenue."""
+    from pyspark.sql import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = (orders.groupBy(
+                   F.col("o_custkey").cast("bigint").alias("custkey"),
+                   F.date_format(F.date_trunc("month", "o_orderdate"),
+                                 "yyyy-MM-dd").alias("month"))
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .alias("_rev")))
+    w = (Window.partitionBy("custkey").orderBy("month")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return monthly.select(
+        "custkey", "month",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("_rev").over(w).cast("double"), 2)
+        .alias("running_revenue"))
+
+
+def monthly_revenue_running_oracle_sql() -> str:
+    return """
+WITH monthly AS (
+  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT custkey, month,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(SUM(rev) OVER (PARTITION BY custkey ORDER BY month
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+         AS running_revenue
+FROM monthly
+"""
+
+
+#: Fixed pivot columns — explicit value lists keep the pivot a plain
+#: conditional aggregation (deterministic schema; Spark's inferring
+#: pivot would launch an extra distinct job at scale).
+ORDER_STATUSES = ("O", "F", "P")
+
+
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT shape: order counts per priority, one column per order
+    status. Rendered as conditional aggregation (SUM of CASE) rather
+    than the pivot API so the plan is ONE groupBy over the fact scan
+    with a fixed output schema — the same rows the SQL PIVOT produces,
+    without the extra distinct-values job.
+
+    Output: o_orderpriority, n_O, n_F, n_P, n_total."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    aggs = [F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+            .cast("bigint").alias(f"n_{s}") for s in ORDER_STATUSES]
+    return (orders.groupBy("o_orderpriority")
+            .agg(*aggs, F.count("*").cast("bigint").alias("n_total")))
+
+
+def orders_priority_pivot_oracle_sql() -> str:
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{s}" for s in ORDER_STATUSES)
+    return f"""
+SELECT o_orderpriority, {cols},
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM orders GROUP BY o_orderpriority
 """

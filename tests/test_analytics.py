@@ -45,3 +45,28 @@ def test_top_customers_plan_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") == 2     # both dims broadcast
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan          # top-k, no global sort
+
+
+def test_monthly_running_revenue_is_cumulative(spark):
+    from catalog_pii_scanner_spark.operators.analytics import (
+        monthly_revenue_running)
+    rows = monthly_revenue_running(spark, SF).collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    assert by_cust
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: r.month)
+        run = 0.0
+        for r in rs:
+            run += r.revenue
+            assert abs(r.running_revenue - run) < 0.02, (cust, r.month)
+
+
+def test_orders_pivot_columns_sum_to_total(spark):
+    from catalog_pii_scanner_spark.operators.analytics import (
+        orders_priority_pivot)
+    rows = orders_priority_pivot(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_O + r.n_F + r.n_P == r.n_total
