@@ -299,8 +299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S5 melt boundary + scan over real catalog tables
         "pii_scan_catalog_tables": lambda s, sf:
             findings_rollup(_tables_values(s, sf)),
-        # X1-X10 candidate detail (P2-P5 predicates, checksum validation)
-        "pii_candidates_scored": _candidates_detail,
         # §2.11 grouping sets: one-pass ROLLUP candidate summary
         "pii_candidates_rollup": lambda s, sf:
             candidates_rollup(_demo_candidates(s, sf)),
@@ -363,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_running": analytics.monthly_revenue_running,
         # PIVOT as fixed-schema conditional aggregation
         "orders_priority_pivot": analytics.orders_priority_pivot,
+        # LEFT ANTI (NOT EXISTS) churn report with broadcast dims
+        "churned_customers": analytics.churned_customers,
         # per-type z-score outliers (exact decimal moments, no window)
         "events_value_outliers": events_value_outliers,
         # cohort retention matrix (first-day cohorts x day offset)
@@ -450,6 +450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-equivalent tumbling window aggregation; its superset
         # stream_events_hourly (front) drains the same agg via writeStream
         "events_hourly": events_hourly,
+        # X1-X10 candidate detail (the same scored-candidate CTE feeds
+        # six front queries every round: features/redaction/ensemble/
+        # gated/full-pipeline/rollup)
+        "pii_candidates_scored": _candidates_detail,
         # prefix-filtered exact jaccard join (brute-force differential in
         # pytest; dedup_containment up front runs the same machinery)
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -515,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
             analytics.monthly_revenue_running_oracle_sql(),
         "orders_priority_pivot":
             analytics.orders_priority_pivot_oracle_sql(),
+        "churned_customers": analytics.churned_customers_oracle_sql(),
         "profile_columns": profile_columns_oracle_sql(
             oracles.tables_melted_sql(SCAN_TABLES)),
         "athena_sample_capped": athena_sample_oracle_sql(

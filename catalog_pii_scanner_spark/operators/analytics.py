@@ -209,3 +209,52 @@ SELECT o_orderpriority, {cols},
        CAST(COUNT(*) AS BIGINT) AS n_total
 FROM orders GROUP BY o_orderpriority
 """
+
+
+#: Churn cutoff inside the synthetic order range (orders span
+#: 1995..2001-08; ~40% of customers have no order after this date).
+CHURN_SINCE = "2001-01-01"
+
+
+def churned_customers(spark: SparkSession, sf_dir: str,
+                      since: str = CHURN_SINCE) -> DataFrame:
+    """Churn report: customers with NO order since the cutoff — the
+    LEFT ANTI join shape (Spark's NOT EXISTS). The anti-join's right
+    side is the distinct recent-customer set (already reduced before the
+    join, so AQE broadcasts it at any realistic recency window); the
+    last-order enrichment is a customer-keyed aggregate join and the
+    nation dim is broadcast.
+
+    Output: custkey, c_name, nation, last_order."""
+    cut = F.lit(since).cast("timestamp")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    recent = (orders.where(F.col("o_orderdate") >= cut)
+              .select("o_custkey").distinct())
+    last = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"))
+    return (cust
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+            .join(last, cust.c_custkey == last.o_custkey, "left")
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .select(F.col("c_custkey").cast("bigint").alias("custkey"),
+                    "c_name", F.col("n_name").alias("nation"),
+                    "last_order"))
+
+
+def churned_customers_oracle_sql(since: str = CHURN_SINCE) -> str:
+    return f"""
+SELECT CAST(c.c_custkey AS BIGINT) AS custkey, c.c_name,
+       n.n_name AS nation, l.last_order
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN (SELECT o_custkey, MAX(o_orderdate) AS last_order
+           FROM orders GROUP BY o_custkey) l
+  ON l.o_custkey = c.c_custkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{since} 00:00:00')
+"""

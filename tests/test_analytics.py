@@ -70,3 +70,17 @@ def test_orders_pivot_columns_sum_to_total(spark):
     assert rows
     for r in rows:
         assert r.n_O + r.n_F + r.n_P == r.n_total
+
+
+def test_churned_customers_anti_join(spark):
+    from catalog_pii_scanner_spark.operators.analytics import (
+        churned_customers)
+    df = churned_customers(spark, SF)
+    rows = df.collect()
+    assert rows
+    cut = __import__("datetime").datetime(2001, 1, 1)
+    # every churned customer's last order predates the cutoff
+    assert all(r.last_order is not None and r.last_order < cut
+               for r in rows)
+    plan = _plan(df)
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()

@@ -23,6 +23,7 @@ STABLE_PARKED = {
     "dedup_lsh_near_pairs", "dedup_clusters", "events_hourly",
     "events_props_stats", "profile_columns", "pii_scan_enabled_types",
     "dedup_ngram_jaccard", "stream_dedup_events",
+    "pii_candidates_scored",
 }
 
 
