@@ -61,6 +61,10 @@ def main() -> int:
         ("events_hourly_gapfill", "one-row bounds spine + keyed join"),
         ("corpus_split", "hash-range projection, zero shuffles"),
         ("corpus_char_entropy", "char explode + two keyed aggs"),
+        ("tpch_pricing_summary", "pushed date filter, one-shuffle agg"),
+        ("top_customers_by_revenue", "broadcast star join + TakeOrdered"),
+        ("monthly_revenue_running", "partition-bounded cumulative window"),
+        ("churned_customers", "LEFT ANTI + broadcast dims"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
