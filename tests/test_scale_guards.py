@@ -154,3 +154,42 @@ def test_matmul_query_collect_guard(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(simsearch, "MAX_QUERY_VECTORS", 3)
     with pytest.raises(ValueError, match="MAX_QUERY_VECTORS"):
         simsearch.cosine_topk_matmul(spark, sf_dir, k=2, query_mod=1)
+
+
+def test_results_invariant_under_parallelism(spark):
+    """Distributed determinism: the order-sensitive operators (global
+    prefix sums, iterative Lloyd, greedy span matching) return IDENTICAL
+    rows when the shuffle width changes 8 -> 3 — partitioning is an
+    execution detail, never a semantics input. (Each of these went
+    through a deliberate design for this: md5-bucketed prefix sums,
+    rounded-argmax ties, iterative commit loops.)"""
+    from catalog_pii_scanner_spark.operators import corpus, simsearch
+    from catalog_pii_scanner_spark.operators.llm import llm_budget_plan
+
+    sf = "/root/testdata/sf0.001"
+
+    def runs():
+        from catalog_pii_scanner_spark.operators.evaluate import (
+            eval_metrics)
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return {
+            "pack": corpus.pack_sequences(spark, sf),
+            "lloyd": simsearch.embed_kmeans_lloyd(spark, sf),
+            "budget": llm_budget_plan(docs),
+            "split": corpus.corpus_split(spark, sf),
+            "greedy": eval_metrics(spark, sf),
+        }
+
+    def snap(dfs):
+        return {k: sorted(map(tuple, df.collect()))
+                for k, df in dfs.items()}
+
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        a = snap(runs())
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = snap(runs())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+    for k in a:
+        assert a[k] == b[k], f"{k}: differs across shuffle widths"
