@@ -1,0 +1,67 @@
+"""Seeded random-events differential: the whole events analytics family
+(sessions, as-of, retention, funnel, gap-fill, hourly) compared against
+DuckDB on a corpus with deliberate nasties — duplicate timestamps for
+one user, single-event users, bursts straddling session boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import duckdb
+import pytest
+
+
+def _events(seed: int = 20260814, n: int = 2500):
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 3, 1)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    for i in range(n):
+        user = rng.randrange(40)
+        ts = t0 + dt.timedelta(seconds=rng.randrange(21 * 24 * 3600),
+                               microseconds=rng.randrange(1_000_000))
+        rows.append((i, ts, user, rng.choice(types),
+                     round(rng.uniform(0, 500), 2), "{}"))
+    # nasties: duplicate timestamp for one user; a lone user; an exact
+    # 30-minute gap pair (the session boundary)
+    base = dt.datetime(2024, 3, 25, 12, 0, 0)
+    rows += [
+        (n + 1, base, 900, "view", 1.0, "{}"),
+        (n + 2, base, 900, "click", 2.0, "{}"),        # same ts, same user
+        (n + 3, base + dt.timedelta(minutes=30), 900, "view", 3.0, "{}"),
+        (n + 4, base, 901, "purchase", 4.0, "{}"),     # lone single event
+    ]
+    return rows
+
+
+QUERIES = ["events_sessions", "events_asof_join", "events_retention",
+           "events_funnel", "events_hourly_gapfill", "events_hourly"]
+
+
+@pytest.mark.parametrize("qname", QUERIES)
+def test_fuzz_events_family_matches_oracle(spark, tmp_path_factory, qname):
+    import sys
+    sys.path.insert(0, ".")
+    import __spark_entry__ as E
+    from tools.selfcheck import frame_fingerprint
+
+    d = getattr(test_fuzz_events_family_matches_oracle, "_dir", None)
+    if d is None:
+        d = str(tmp_path_factory.mktemp("fuzzev"))
+        spark.createDataFrame(
+            _events(), "event_id bigint, ts timestamp, user_id bigint, "
+                       "event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        test_fuzz_events_family_matches_oracle._dir = d
+
+    sdf = E.queries()[qname](spark, d)
+    s_fp = frame_fingerprint(list(sdf.columns),
+                             [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet/*.parquet'")
+    cur = con.execute(E.oracle_sql()[qname])
+    o_fp = frame_fingerprint([c[0] for c in cur.description],
+                             cur.fetchall())
+    assert s_fp == o_fp, (qname, s_fp, o_fp)
