@@ -329,3 +329,50 @@ def test_containment_equals_bruteforce_on_random_corpus(spark, tmp_path):
                                             df_cap=cap).collect()}
     assert got == want
     assert want, "seeded corpus must produce at least one qualifying pair"
+
+
+def test_connected_components_random_graph_equals_union_find(spark):
+    """Label propagation on seeded random graphs must equal a classic
+    union-find: same components, same min-id representative — across
+    sparse, dense, chain-heavy, and singleton-rich shapes."""
+    import random
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical rep = min node id in the component
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        want = {}
+        for members in comp.values():
+            rep = min(members)
+            for m in members:
+                want[m] = rep
+        return want
+
+    from catalog_pii_scanner_spark.operators.dedup import (
+        connected_components)
+    rng = random.Random(7)
+    for trial, (n_nodes, n_edges) in enumerate(
+            [(50, 20), (60, 120), (80, 40), (30, 29)]):
+        nodes = list(range(0, 10 * n_nodes, 10))  # sparse ids
+        edges = [(rng.choice(nodes), rng.choice(nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges or [(0, 10)],
+                                   "doc_a bigint, doc_b bigint")
+        got = {r.doc_id: r.cluster_rep
+               for r in connected_components(df).collect()}
+        # engine only emits nodes that appear in an edge
+        touched = {x for e in (edges or [(0, 10)]) for x in e}
+        want = union_find(edges or [(0, 10)], sorted(touched))
+        assert got == want, f"trial {trial}"
