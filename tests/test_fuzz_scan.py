@@ -24,7 +24,11 @@ def _card(rng, valid: bool) -> str:
 def _rows(seed: int = 99, n: int = 120):
     rng = random.Random(seed)
     hostile = ["a(b", "c)d*", "x|y+", "[z]", "it's", 'say "hi"',
-               "back\\slash", "dot.dot", "q?mark", "^caret$"]
+               "back\\slash", "dot.dot", "q?mark", "^caret$",
+               # unicode: Java regex and DuckDB's RE2 agree on these
+               # (verified by this differential, not assumed)
+               "café münchen", "東京 2024", "naïve müller@straße.de",
+               "émoji 🙂 here"]
     rows = []
     for i in range(n):
         email = (f"user{i}@ex{i % 5}.com" if rng.random() < 0.5
