@@ -36,7 +36,10 @@ def _events(seed: int = 20260814, n: int = 2500):
 
 
 QUERIES = ["events_sessions", "events_asof_join", "events_retention",
-           "events_funnel", "events_hourly_gapfill", "events_hourly"]
+           "events_funnel", "events_hourly_gapfill", "events_hourly",
+           # true Structured Streaming drains: session/window state must
+           # merge across microbatches to the SAME rows on this corpus
+           "stream_events_sessions", "stream_events_hourly"]
 
 
 @pytest.mark.parametrize("qname", QUERIES)
