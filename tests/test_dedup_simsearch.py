@@ -376,3 +376,27 @@ def test_connected_components_random_graph_equals_union_find(spark):
         touched = {x for e in (edges or [(0, 10)]) for x in e}
         want = union_find(edges or [(0, 10)], sorted(touched))
         assert got == want, f"trial {trial}"
+
+
+def test_zero_norm_vectors_leave_the_cosine_universe(spark, tmp_path):
+    """A degenerate all-zero embedding must neither crash ANSI division
+    nor appear as a query or neighbor — in the declarative path AND the
+    BLAS twin (found by the degenerate-corpus sweep)."""
+    dims = simsearch.DIMS
+    vecs = []
+    for i in range(12):
+        v = [0.0] * dims
+        v[i % 3] = 1.0
+        vecs.append(v)
+    vecs.append([0.0] * dims)          # vec_id 12: zero norm
+    d = _write_vecs(spark, tmp_path, vecs)
+    decl = simsearch.cosine_topk(spark, d, k=3, query_mod=3).collect()
+    mm = simsearch.cosine_topk_matmul(spark, d, k=3, query_mod=3).collect()
+    for rows in (decl, mm):
+        assert rows
+        assert all(r.query_id != 12 and r.neighbor_id != 12 for r in rows)
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in decl}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in mm}
+    assert set(a) == set(b)
+    # query_mod=3 would select vec 12 as a query; it is excluded, and 0/3/6/9 remain
+    assert {q for q, _ in a} == {0, 3, 6, 9}
