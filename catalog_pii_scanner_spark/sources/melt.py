@@ -92,8 +92,14 @@ def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_timestamp_columns(path):
+        # integer `div`, NOT floor(x / 1000): `/` promotes the ns-epoch
+        # LONG (~1.7e18, far past 2^53) to DOUBLE, and the precision
+        # loss shifts timestamps by +/-1 us (caught by the randomized
+        # full-suite sweep, tools/edge_sweep.py fuzz). `div` truncates
+        # toward zero == floor for the post-1970 epochs this data model
+        # carries.
         df = df.withColumn(
-            c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -212,9 +212,10 @@ def _events_stream(spark: SparkSession, events_path: str,
         .parquet(events_path)
     )
     if nanos:
+        # integer `div` — floor(ts / 1000) loses precision on ns-epoch
+        # longs past 2^53 (see sources/melt.py)
         stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000)
-                                     .cast("long")))
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
 

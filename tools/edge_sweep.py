@@ -1,14 +1,19 @@
-"""Degenerate-input sweep: run EVERY queries()/oracle_sql() pair against
-an empty or near-empty corpus and compare engines, exactly like the
-driver's gate. Degenerate inputs (zero rows, empty/NULL text, zero-norm
-embeddings, single-event groups) are where engine semantics diverge
-(NULL vs NaN division, empty aggregations, sequences over NULL bounds) —
-at 100 TB every one of these shapes occurs somewhere in the data.
+"""Degenerate- and randomized-input sweeps: run EVERY
+queries()/oracle_sql() pair against a generated corpus and compare
+engines, exactly like the driver's gate.
 
-    python tools/edge_sweep.py empty|micro [query ...]
+- ``empty``: zero rows, real schemas — empty aggregations, NULL bounds.
+- ``micro``: 2 rows per table plus edge rows — empty/NULL text,
+  zero-norm embeddings, single-event stats groups.
+- ``fuzz``: a seeded RANDOM dataset — PII-dense documents (mixed
+  Luhn-valid/-invalid cards, NULL/empty/multi-lang rows), random events
+  with duplicate timestamps and session-boundary gaps, random
+  embeddings with exact duplicates and a zero vector. The whole suite,
+  differentially, on data the fixed corpora never contain.
 
-Generates /tmp/cpss_edge_<mode>/ from sf0.001 via DuckDB, then reuses
-selfcheck's comparison.
+    python tools/edge_sweep.py empty|micro|fuzz [query ...]
+
+Generates /tmp/cpss_edge_<mode>/, then reuses selfcheck's comparison.
 """
 
 from __future__ import annotations
@@ -65,10 +70,91 @@ COPY (
     return out
 
 
+def _fuzz_docs(rng):
+    words = [f"word{i}" for i in range(300)]
+    rows = []
+    for i in range(400):
+        parts = [rng.choice(words) for _ in range(rng.randint(2, 40))]
+        r = rng.random()
+        if r < 0.2:
+            parts.insert(rng.randrange(len(parts)),
+                         f"user{rng.randrange(999)}@mail{i % 9}.org")
+        elif r < 0.35:
+            parts.append(f"call 5{rng.randrange(10, 99)}-"
+                         f"{rng.randrange(100, 999)}-"
+                         f"{rng.randrange(1000, 9999)}")
+        elif r < 0.5:
+            digits = "".join(str(rng.randrange(10)) for _ in range(16))
+            parts.append(f"card {digits}")
+        lang = rng.choice(["en", "fr", "de", None])
+        src = rng.choice(["web", "books", "code"])
+        text = " ".join(parts)
+        rows.append((i, text, lang, src, len(text)))
+    rows += [(9001, "", "en", "edge", 0), (9002, None, "en", "edge", None),
+             (9003, "   ", None, "edge", 3)]
+    return rows
+
+
+def gen_fuzz(out: str) -> None:
+    import datetime as dt
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(20260814)
+    pd.DataFrame(_fuzz_docs(rng),
+                 columns=["doc_id", "text", "lang", "source", "n_chars"]) \
+        .astype({"doc_id": "int64", "n_chars": "Int64"}) \
+        .to_parquet(f"{out}/documents.parquet", index=False)
+
+    t0 = dt.datetime(2024, 3, 1)
+    ev = []
+    for i in range(3000):
+        ev.append((i, t0 + dt.timedelta(
+            seconds=rng.randrange(21 * 24 * 3600),
+            microseconds=rng.randrange(1_000_000)),
+            rng.randrange(50),
+            rng.choice(["view", "click", "purchase", "error", "signup"]),
+            round(rng.uniform(0, 500), 2), "{}"))
+    base = dt.datetime(2024, 3, 25, 12, 0, 0)
+    ev += [(4001, base, 900, "view", 1.0, "{}"),
+           (4002, base, 900, "click", 2.0, "{}"),     # duplicate ts
+           (4003, base + dt.timedelta(minutes=30), 900, "view", 3.0, "{}"),
+           (4004, base, 901, "lonely", 4.0, None)]    # 1-row stats group
+    pd.DataFrame(ev, columns=["event_id", "ts", "user_id", "event_type",
+                              "value", "props"])         .to_parquet(f"{out}/events.parquet", index=False)
+
+    npr = np.random.RandomState(42)
+    V = npr.randn(300, 64).astype(np.float32)
+    V[7] = V[3]                      # exact duplicate pair
+    V[11] = 0.0                      # zero-norm vector
+    emb = pd.DataFrame({
+        "vec_id": np.arange(300, dtype=np.int64),
+        "embedding": [v.tolist() for v in V],
+        "label": npr.randint(0, 4, 300).astype(np.int32),
+    })
+    emb.to_parquet(f"{out}/embeddings.parquet", index=False)
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "micro"
     queries = sys.argv[2:]
-    out = gen(mode)
+    if mode == "fuzz":
+        out = f"/tmp/cpss_edge_{mode}"
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        con = duckdb.connect()
+        # business tables come through whole: the scan/OLAP queries need
+        # their real variety, and randomizing them adds nothing
+        for t in TABLES:
+            if t not in ("documents", "events", "embeddings"):
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+                    f" TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        gen_fuzz(out)
+    else:
+        out = gen(mode)
     print(f"generated {out}", file=sys.stderr)
     return subprocess.call(
         [sys.executable, "tools/selfcheck.py", out, *queries])
