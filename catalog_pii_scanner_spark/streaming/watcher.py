@@ -550,7 +550,13 @@ def stream_doc_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # materialize, then drop the drain's scratch dirs — a long session
+    # calling this repeatedly must not accumulate spool directories
+    out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
