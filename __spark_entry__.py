@@ -23,7 +23,8 @@ from catalog_pii_scanner_spark.operators import (analytics, corpus,
 from catalog_pii_scanner_spark.operators.ensemble import (
     ensemble_oracle_sql, fuse_predictions)
 from catalog_pii_scanner_spark.operators.evaluate import (
-    eval_metrics, eval_metrics_oracle_sql)
+    eval_metrics, eval_metrics_oracle_sql, repeated_span_oracle_sql,
+    repeated_span_scan)
 from catalog_pii_scanner_spark.operators.features import (
     candidate_features, candidate_features_oracle_sql)
 from catalog_pii_scanner_spark.operators.findings import (
@@ -203,15 +204,14 @@ def _overlap_suppressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the eval corpus (whose PERSON-bigram false positives genuinely
     overlap the gold entity spans, so suppression does real work)."""
     from catalog_pii_scanner_spark.operators.evaluate import eval_texts
-    from catalog_pii_scanner_spark.operators.rules import extract_candidates
+    from catalog_pii_scanner_spark.operators.rules import (
+        extract_candidates_pdf)
     texts = eval_texts(spark, sf_dir)
-    cands = extract_candidates(texts, value_col="text",
-                               keep_cols=("text_id",))
-    preds = (
-        cands.withColumn("pstart", F.instr(F.col("text"),
-                                           F.col("match_text")))
-        .withColumn("pend", F.col("pstart") + F.length("match_text"))
-        .select("text_id", "pstart", "pend", "pii_type", "match_text"))
+    # position-exact offsets (oracle stays instr-derived: equal on this
+    # corpus since every entity string occurs once per text)
+    preds = extract_candidates_pdf(texts, value_col="text",
+                                   keep_cols=("text_id",)) \
+        .select("text_id", "pstart", "pend", "pii_type", "match_text")
     return suppress_and_redact(texts, preds)
 
 
@@ -328,6 +328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_doc_pii_density": stream_doc_pii_density,
         # corpus-wide R3 guarantee: scrubbed documents table
         "corpus_anonymize": pii_docs.corpus_anonymize,
+        # position-exact extraction over a corpus with REPEATED PII
+        # strings: offsets known by construction, oracle is pure
+        # arithmetic (no regex) — the Span-semantics parity gate
+        "pii_repeated_spans": repeated_span_scan,
         # J1/J2 greedy span match + A3-A5 metrics
         "eval_greedy_metrics": eval_metrics,
         # similarity search (declarative oracle-parity + BLAS serving path)
@@ -582,4 +586,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": multimodal.media_resize_oracle_sql(),
         "multimodal_audio_energy": multimodal.audio_energy_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
+        "pii_repeated_spans": repeated_span_oracle_sql(),
     }

@@ -17,8 +17,11 @@ GROUPING-SETS-shaped aggregations.
 The eval corpus is synthesized from ``customer`` like the demo CRM —
 every text carries PERSON/EMAIL/PHONE/SSN/DATE golds plus an ADDRESS gold
 no rule can hit (a guaranteed FN) and capitalized bigrams that force
-PERSON FPs, so tp/fp/fn paths are all exercised. Span offsets come from
-``instr`` (every entity string occurs exactly once per text).
+PERSON FPs, so tp/fp/fn paths are all exercised. Engine span offsets come
+from the position-exact extraction (`extract_candidates_pdf`); the DuckDB
+oracle derives them via ``instr``, equal here because every entity string
+occurs exactly once per text. The repeated-span corpus below drops that
+crutch: strings repeat and the oracle computes offsets arithmetically.
 """
 
 from __future__ import annotations
@@ -28,15 +31,16 @@ from pyspark.sql import functions as F
 
 from ..pii_types import ALL_PII_TYPES
 from ..sources.demo_catalog import FIRST_NAMES, LAST_NAMES, _case_pool
-from .rules import extract_candidates
+from .rules import extract_candidates_pdf
 
 
 # --- corpus -----------------------------------------------------------------
 
-def eval_entities_sql(dialect: str, customer_rel: str = "customer") -> str:
-    """CTE: per-customer entity strings + the assembled text."""
+def _entity_exprs(dialect: str, k: str = "c_custkey") -> dict[str, str]:
+    """Deterministic per-customer PII entity string expressions, rendered
+    identically for Spark SQL and DuckDB (the corpus generator both
+    dialects share)."""
     s = "STRING" if dialect == "spark" else "VARCHAR"
-    k = "c_custkey"
 
     def cs(e: str) -> str:
         return f"CAST({e} AS {s})"
@@ -44,17 +48,27 @@ def eval_entities_sql(dialect: str, customer_rel: str = "customer") -> str:
     def pad(e: str, n: int) -> str:
         return f"lpad({cs(e)}, {n}, '0')"
 
-    person = (_case_pool(k, 5, FIRST_NAMES) + " || ' ' || "
-              + _case_pool(k, 7, LAST_NAMES))
-    email = f"'user' || {cs(k)} || '@example.com'"
-    phone = (f"'(' || {pad(f'200 + {k} % 800', 3)} || ') ' || "
-             f"{pad(f'({k} * 7) % 1000', 3)} || '-' || "
-             f"{pad(f'({k} * 13) % 10000', 4)}")
-    ssn = (f"{pad(f'100 + ({k} * 7) % 900', 3)} || '-' || "
-           f"{pad(f'10 + ({k} * 13) % 89', 2)} || '-' || "
-           f"{pad(f'1000 + ({k} * 31) % 9000', 4)}")
-    iso_date = (f"'199' || {cs(f'{k} % 10')} || '-04-' || "
-                f"{pad(f'1 + {k} % 28', 2)}")
+    return {
+        "person": (_case_pool(k, 5, FIRST_NAMES) + " || ' ' || "
+                   + _case_pool(k, 7, LAST_NAMES)),
+        "email": f"'user' || {cs(k)} || '@example.com'",
+        "phone": (f"'(' || {pad(f'200 + {k} % 800', 3)} || ') ' || "
+                  f"{pad(f'({k} * 7) % 1000', 3)} || '-' || "
+                  f"{pad(f'({k} * 13) % 10000', 4)}"),
+        "ssn": (f"{pad(f'100 + ({k} * 7) % 900', 3)} || '-' || "
+                f"{pad(f'10 + ({k} * 13) % 89', 2)} || '-' || "
+                f"{pad(f'1000 + ({k} * 31) % 9000', 4)}"),
+        "iso_date": (f"'199' || {cs(f'{k} % 10')} || '-04-' || "
+                     f"{pad(f'1 + {k} % 28', 2)}"),
+    }
+
+
+def eval_entities_sql(dialect: str, customer_rel: str = "customer") -> str:
+    """CTE: per-customer entity strings + the assembled text."""
+    k = "c_custkey"
+    e = _entity_exprs(dialect, k)
+    person, email, phone = e["person"], e["email"], e["phone"]
+    ssn, iso_date = e["ssn"], e["iso_date"]
     return f"""
 entities AS (
   SELECT {k} AS text_id, {person} AS person, {email} AS email,
@@ -99,6 +113,132 @@ def eval_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + eval_entities_sql("spark", "cpss_customer")
         + " SELECT text_id, pii_type, gold_text, gstart, gend FROM gold")
+
+
+# --- repeated-span corpus (position-exact extraction gate) ------------------
+#
+# A corpus where every PII string occurs TWICE per text, with offsets known
+# by construction — the differential gate for `extract_candidates_pdf`
+# (reference Span semantics, rules.py:89-91): the instr first-occurrence
+# approximation provably collapses these, so the oracle's arithmetic
+# positions can only be matched by true finditer offsets. The second DATE
+# occurrence additionally sits OUTSIDE the +/-8-char dob window while the
+# first sits inside it, so the two occurrences of the *same string* carry
+# different confidences — inexpressible in the value-level boost.
+
+#: template: 'id '+ssn+' dup '+ssn+' mail '+email+' alt '+email
+#:           +' tel '+phone+' dob '+dt+' vs '+dt+' end'
+#: All filler is lowercase (no PERSON bigrams); the entity pieces cannot
+#: cross-match other families (digit-run/boundary analysis in
+#: tests/test_rules.py::test_repeated_corpus_exact_candidate_set).
+_REPEAT_POS = {
+    # 1-based starts; 'id ' is 3 chars, separators are 5/6/5/5/5/4 chars.
+    "ssn1": "4",
+    "ssn2": "(9 + length(ssn))",
+    "em1": "(15 + 2 * length(ssn))",
+    "em2": "(20 + 2 * length(ssn) + length(email))",
+    "ph": "(25 + 2 * length(ssn) + 2 * length(email))",
+    "dt1": "(30 + 2 * length(ssn) + 2 * length(email) + length(phone))",
+    "dt2": ("(34 + 2 * length(ssn) + 2 * length(email) + length(phone)"
+            " + length(dt))"),
+}
+
+
+def repeated_entities_sql(dialect: str, customer_rel: str = "customer") -> str:
+    """CTEs ``rents``/``rtexts``: the repeated-PII corpus (shared dialect)."""
+    e = _entity_exprs(dialect)
+    return f"""
+rents AS (
+  SELECT c_custkey AS text_id, {e['ssn']} AS ssn, {e['email']} AS email,
+         {e['phone']} AS phone, {e['iso_date']} AS dt
+  FROM {customer_rel}
+),
+rtexts AS (
+  SELECT text_id,
+         'id ' || ssn || ' dup ' || ssn || ' mail ' || email || ' alt '
+           || email || ' tel ' || phone || ' dob ' || dt || ' vs ' || dt
+           || ' end' AS text,
+         ssn, email, phone, dt
+  FROM rents
+)"""
+
+
+def repeated_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .createOrReplaceTempView("cpss_customer")
+    return spark.sql(
+        "WITH " + repeated_entities_sql("spark", "cpss_customer")
+        + " SELECT text_id, text FROM rtexts")
+
+
+def repeated_span_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query for position-exact extraction: every occurrence,
+    exact offsets, exact dob-context boost, plus the R4 context slice taken
+    at the true position inside the whole-text R2 redaction.
+
+    Shape: one Arrow extraction stage (no shuffle), one groupBy(text_id)
+    for the redaction fold, one join back to the spans — both keyed on
+    text_id, so at 100 TB this is a single co-partitioned exchange.
+    """
+    from .redaction import suppress_and_redact
+    texts = repeated_texts(spark, sf_dir)
+    spans = extract_candidates_pdf(texts, value_col="text",
+                                   keep_cols=("text_id",))
+    red = suppress_and_redact(texts, spans.select(
+        "text_id", "pstart", "pend", "pii_type", "match_text"))
+    ctx_len = F.col("pend") - F.col("pstart") + F.lit(96)
+    ctx_start = F.greatest(F.col("pstart") - F.lit(48), F.lit(1))
+    return (
+        spans.join(red.select("text_id", "redacted_text"), "text_id")
+        .select("text_id", "pii_type", "match_text",
+                F.col("pstart").cast("int").alias("pstart"),
+                F.col("pend").cast("int").alias("pend"),
+                F.round("rule_confidence", 6).alias("rule_confidence"),
+                "validated",
+                F.substring(F.col("redacted_text"), ctx_start,
+                            ctx_len).alias("context"))
+    )
+
+
+def repeated_span_oracle_sql(customer_rel: str = "customer") -> str:
+    """Pure-arithmetic oracle: positions, confidences, and contexts are
+    COMPUTED from the template layout (no regex anywhere) — an independent
+    derivation the engine can only match with true per-occurrence offsets.
+    """
+    from .redaction import mask_sql
+    m = {p: mask_sql(p, "duckdb") for p in ("ssn", "email", "phone", "dt")}
+    rows = [
+        ("ssn1", "SSN", "ssn", "0.9"),
+        ("ssn2", "SSN", "ssn", "0.9"),
+        ("em1", "EMAIL", "email", "0.95"),
+        ("em2", "EMAIL", "email", "0.95"),
+        ("ph", "PHONE_NUMBER", "phone", "0.85"),
+        ("dt1", "DATE", "dt", "0.8"),   # inside the +/-8 'dob' window
+        ("dt2", "DATE", "dt", "0.7"),   # outside it: base confidence
+    ]
+    selects = []
+    for key, ptype, piece, conf in rows:
+        p = _REPEAT_POS[key]
+        selects.append(
+            f"SELECT text_id, '{ptype}' AS pii_type, {piece} AS match_text,\n"
+            f"       CAST({p} AS INT) AS pstart,\n"
+            f"       CAST({p} + length({piece}) AS INT) AS pend,\n"
+            f"       CAST({conf} AS DOUBLE) AS rule_confidence,\n"
+            f"       false AS validated,\n"
+            f"       substr(redtext, greatest({p} - 48, 1),\n"
+            f"              length({piece}) + 96) AS context\n"
+            f"FROM rred")
+    return ("WITH " + repeated_entities_sql("duckdb", customer_rel).lstrip()
+            + f""",
+rred AS (
+  SELECT text_id, ssn, email, phone, dt,
+         'id ' || {m['ssn']} || ' dup ' || {m['ssn']} || ' mail '
+           || {m['email']} || ' alt ' || {m['email']} || ' tel '
+           || {m['phone']} || ' dob ' || {m['dt']} || ' vs ' || {m['dt']}
+           || ' end' AS redtext
+  FROM rtexts
+)
+""" + "\nUNION ALL ".join(selects))
 
 
 # --- match + metrics (engine) -----------------------------------------------
@@ -195,12 +335,13 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full eval job: corpus -> predictions -> greedy match -> metrics."""
     texts = eval_texts(spark, sf_dir)
     gold = eval_gold(spark, sf_dir)
-    cands = extract_candidates(texts, value_col="text",
-                               keep_cols=("text_id",))
+    # position-exact extraction (true finditer offsets, every occurrence).
+    # The DuckDB oracle derives positions via instr, which is equal on this
+    # corpus by construction (each entity string occurs once per text);
+    # on corpora with repeats only this path is correct.
     preds = (
-        cands.withColumn("pstart", F.instr(F.col("text"),
-                                           F.col("match_text")))
-        .withColumn("pend", F.col("pstart") + F.length("match_text"))
+        extract_candidates_pdf(texts, value_col="text",
+                               keep_cols=("text_id",))
         .select("text_id", "pii_type", "match_text", "pstart", "pend")
     )
     # preds/gold each feed the match AND a count aggregation. A plain

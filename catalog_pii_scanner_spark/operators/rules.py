@@ -16,11 +16,17 @@ input partitioning (no shuffle). Checksum validation is a post-explode
 filter, also pure column math.
 
 A position-aware pandas-UDF variant (`extract_candidates_pdf`) exists for
-the redaction/ensemble pipeline, which needs char offsets (Span.start/end).
+the redaction/ensemble pipeline, which needs char offsets (Span.start/end):
+it runs the SAME rule table through ``re.finditer`` in one Arrow-batched
+stage and emits every occurrence with its exact offsets — the reference's
+Span semantics (reference rules.py:89-91 ``find_regex``,
+pii_types.py:37-41), including the exact +/-8-char dob-context DATE boost
+(reference rules.py:154-161).
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import pandas as pd
@@ -32,7 +38,8 @@ from ..functions.checksums import luhn_ok, verhoeff_ok
 from ..plans.barrier import barrier_filter
 
 __all__ = ["Rule", "RULES", "DOB_BOOST", "W_RULE", "W_VALIDATION",
-           "extract_candidates", "candidate_score", "rules_for_types"]
+           "extract_candidates", "extract_candidates_pdf",
+           "candidate_score", "rules_for_types"]
 
 
 #: Value classes at the melt boundary: 'num' = stringified int/bigint/
@@ -230,6 +237,97 @@ def extract_candidates(
         .select(*keep_cols, value_col, "pii_type", "match_text",
                 "rule_confidence",
                 F.coalesce(F.col("checksum_ok"), F.lit(False)).alias("validated"))
+    )
+
+
+#: Struct emitted per occurrence by the position-exact extraction. pstart
+#: is 1-based (matching the engine's instr convention; reference
+#: Span.start = pstart - 1), pend is exclusive: pend = pstart +
+#: length(match_text).
+_SPAN_DDL = ("array<struct<pstart:int,pend:int,pii_type:string,"
+             "match_text:string,rule_confidence:double,validated:boolean>>")
+
+
+def _find_spans_factory(rules: tuple[Rule, ...]):
+    """Closure run inside the pandas UDF: text -> list of span tuples.
+
+    ``re.ASCII`` pins ``\\d``/``\\w``/``\\b`` to their Java-regex/RE2
+    meanings so the Python path and the ``regexp_extract_all`` path match
+    the identical candidate set (asserted by the differential test in
+    tests/test_rules.py)."""
+    compiled = [(r, re.compile(bounded_pattern(r), re.ASCII)) for r in rules]
+
+    def find_spans(text):
+        if text is None:
+            return []
+        out = []
+        for r, pat in compiled:
+            for m in pat.finditer(text):
+                match = m.group(0)
+                validated = False
+                if r.validator == "luhn":
+                    if not luhn_ok(match):
+                        continue
+                    validated = True
+                elif r.validator == "verhoeff12":
+                    if not verhoeff_ok(match):
+                        continue
+                    validated = True
+                conf = r.confidence
+                if r.pii_type == "DATE":
+                    # exact reference dob boost: +/-8 chars around the span
+                    # (reference rules.py:154-161), not the whole value.
+                    ctx = text[max(0, m.start() - 8):m.end() + 8].lower()
+                    if "dob" in ctx or "birth" in ctx:
+                        conf += DOB_BOOST
+                out.append((m.start() + 1, m.end() + 1, r.pii_type,
+                            match, conf, validated))
+        return out
+
+    return find_spans
+
+
+def extract_candidates_pdf(
+    df: DataFrame,
+    value_col: str = "value",
+    keep_cols: tuple[str, ...] = ("column_ref",),
+    rules: tuple[Rule, ...] = RULES,
+) -> DataFrame:
+    """Position-exact candidate extraction (reference Span semantics).
+
+    Same candidate set as :func:`extract_candidates` plus exact character
+    offsets for EVERY occurrence — a text containing the same PII string
+    twice yields two rows with distinct ``pstart``. This is the reference's
+    ``propose_candidates`` contract (reference rules.py:106-166 over
+    ``finditer`` spans, pii_types.py:37-41), which the JVM-side
+    array/instr path can only approximate (first occurrence).
+
+    Output: ``keep_cols..., value, pstart, pend, pii_type, match_text,
+    rule_confidence, validated`` — pstart 1-based, pend exclusive.
+
+    Scale shape: ONE Arrow-batched pandas-UDF projection (regex + checksum
+    + dob-context in a single Python round-trip), one explode, zero
+    shuffles; input partitioning preserved. Use this on the detection
+    pipeline where offsets matter; the pure-JVM
+    :func:`extract_candidates` remains the whole-stage-codegen scan path
+    for offset-free rollups and the SQL-renderable oracle queries.
+    """
+    find_spans = _find_spans_factory(rules)
+
+    @F.pandas_udf(_SPAN_DDL)
+    def _spans_udf(s: pd.Series) -> pd.Series:
+        return s.map(find_spans)
+
+    c = F.col("_span")
+    return (
+        df.select(*keep_cols, value_col,
+                  F.explode(_spans_udf(F.col(value_col))).alias("_span"))
+        .select(*keep_cols, value_col,
+                c["pstart"].alias("pstart"), c["pend"].alias("pend"),
+                c["pii_type"].alias("pii_type"),
+                c["match_text"].alias("match_text"),
+                c["rule_confidence"].alias("rule_confidence"),
+                c["validated"].alias("validated"))
     )
 
 

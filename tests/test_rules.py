@@ -116,3 +116,102 @@ def test_dedupe_spans_first_occurrence():
     assert dedupe_spans(["a@b.io", "x", "a@b.io", None, "", "y"]) == \
         ["a@b.io", "x", "y"]
     assert dedupe_spans(None) == []
+
+
+# --- position-exact extraction (extract_candidates_pdf) ----------------------
+# Ported reference Span semantics: true finditer char offsets, EVERY
+# occurrence (reference rules.py:89-91, pii_types.py:37-41), exact +/-8
+# dob-context boost (reference rules.py:154-161).
+
+def _pdf_rows(spark, texts):
+    from catalog_pii_scanner_spark.operators.rules import (
+        extract_candidates_pdf)
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "text_id bigint, value string")
+    return extract_candidates_pdf(df, keep_cols=("text_id",)).collect()
+
+
+def test_pdf_repeated_string_yields_distinct_offsets(spark):
+    text = "ssn 123-45-6789 again 123-45-6789 end"
+    rows = sorted((r.pstart, r.pend, r.pii_type, r.match_text)
+                  for r in _pdf_rows(spark, [text]))
+    assert rows == [
+        (5, 16, "SSN", "123-45-6789"),
+        (23, 34, "SSN", "123-45-6789"),
+    ]
+    # 1-based: text[pstart-1:pend-1] recovers the span (reference
+    # Span.start = pstart - 1)
+    for s, e, _, m in rows:
+        assert text[s - 1:e - 1] == m
+
+
+def test_pdf_dob_boost_is_per_occurrence(spark):
+    # same DATE string twice: first within 8 chars of 'dob', second not —
+    # the value-level boost cannot express this; the reference ctx can.
+    text = "dob 1990-03-14 then later on 1990-03-14"
+    rows = sorted((r.pstart, round(r.rule_confidence, 6))
+                  for r in _pdf_rows(spark, [text])
+                  if r.pii_type == "DATE")
+    assert rows == [(5, 0.8), (30, 0.7)]
+
+
+def test_pdf_checksum_gate_drops_invalid(spark):
+    rows = _pdf_rows(spark, ["card 4111 1111 1111 1112 bad",
+                             "card 4111 1111 1111 1111 ok"])
+    cc = [(r.text_id, r.validated) for r in rows
+          if r.pii_type == "CREDIT_CARD"]
+    assert cc == [(1, True)]
+
+
+def test_pdf_matches_array_path_on_eval_corpus(spark, sf_dir):
+    """Differential: the Python-finditer path and the JVM
+    regexp_extract_all path must propose the IDENTICAL candidate multiset
+    (positions aside) — re.ASCII pins \\d/\\b to Java semantics."""
+    from catalog_pii_scanner_spark.operators.evaluate import eval_texts
+    from catalog_pii_scanner_spark.operators.rules import (
+        extract_candidates, extract_candidates_pdf)
+    texts = eval_texts(spark, sf_dir)
+    arr = sorted(map(tuple, extract_candidates(
+        texts, value_col="text", keep_cols=("text_id",)
+    ).select("text_id", "pii_type", "match_text", "validated").collect()))
+    pdf = sorted(map(tuple, extract_candidates_pdf(
+        texts, value_col="text", keep_cols=("text_id",)
+    ).select("text_id", "pii_type", "match_text", "validated").collect()))
+    assert arr and arr == pdf
+
+
+def test_repeated_corpus_exact_candidate_set(spark, sf_dir):
+    """The repeated-span corpus emits EXACTLY 7 candidates per text (2 SSN,
+    2 EMAIL, 1 PHONE, 2 DATE) — no cross-family matches leak in, which is
+    what makes the arithmetic oracle complete."""
+    from catalog_pii_scanner_spark.operators.evaluate import (
+        repeated_span_scan, repeated_texts)
+    n_texts = repeated_texts(spark, sf_dir).count()
+    rows = repeated_span_scan(spark, sf_dir).collect()
+    assert len(rows) == 7 * n_texts
+    per_type = {}
+    for r in rows:
+        per_type[r.pii_type] = per_type.get(r.pii_type, 0) + 1
+    assert per_type == {"SSN": 2 * n_texts, "EMAIL": 2 * n_texts,
+                        "PHONE_NUMBER": n_texts, "DATE": 2 * n_texts}
+    # dob boost: each text has one 0.8 DATE (near 'dob') and one 0.7
+    confs = sorted(round(r.rule_confidence, 6) for r in rows
+                   if r.pii_type == "DATE")
+    assert confs == [0.7] * n_texts + [0.8] * n_texts
+
+
+def test_repeated_spans_redaction_masks_both_occurrences(spark):
+    """R2 over repeated spans (reference test_redaction contract: every
+    span is masked in place, shape-preserved)."""
+    from catalog_pii_scanner_spark.operators.redaction import (
+        suppress_and_redact)
+    from catalog_pii_scanner_spark.operators.rules import (
+        extract_candidates_pdf)
+    text = "a 123-45-6789 b 123-45-6789 c jane@x.io d"
+    texts = spark.createDataFrame([(1, text)], "text_id bigint, text string")
+    spans = extract_candidates_pdf(texts, value_col="text",
+                                   keep_cols=("text_id",)) \
+        .select("text_id", "pstart", "pend", "pii_type", "match_text")
+    row = suppress_and_redact(texts, spans).collect()[0]
+    assert row.n_spans == 3 and row.n_kept == 3
+    assert row.redacted_text == "a 000-00-0000 b 000-00-0000 c xxxx@x.xx d"
