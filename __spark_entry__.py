@@ -23,8 +23,8 @@ from catalog_pii_scanner_spark.operators import (analytics, corpus,
 from catalog_pii_scanner_spark.operators.ensemble import (
     ensemble_oracle_sql, fuse_predictions)
 from catalog_pii_scanner_spark.operators.evaluate import (
-    eval_metrics, eval_metrics_oracle_sql, repeated_span_oracle_sql,
-    repeated_span_scan)
+    eval_metrics, eval_metrics_oracle_sql, eval_trained_oracle_sql,
+    eval_trained_query, repeated_span_oracle_sql, repeated_span_scan)
 from catalog_pii_scanner_spark.operators.features import (
     candidate_features, candidate_features_oracle_sql)
 from catalog_pii_scanner_spark.operators.findings import (
@@ -143,7 +143,12 @@ def _scan_enabled_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ner_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vals = _demo_values(spark, sf_dir)
+    # The rules and NER branches both consume the melted demo values;
+    # localCheckpoint materializes the (small) melt ONCE so the two
+    # extraction jobs don't each re-derive — and re-codegen — its lineage
+    # (r4 bench: best-of-3 4.07 s with 5.3x spread; the shared-relation
+    # checkpoint is the same discipline eval_greedy_metrics uses).
+    vals = _demo_values(spark, sf_dir).localCheckpoint(eager=True)
     rule_cands = scan_values(vals)
     ner_spans = ner.detect_ner_spans(
         vals.where(F.col("value").isNotNull()).distinct())
@@ -278,136 +283,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate checks entries in dict
-    # order and r3 stopped at exactly 50, leaving everything past that
-    # position unverified by the driver. Queries whose code is NEW or
-    # CHANGED this round (the PII-over-corpus family, bigram/entropy/
-    # split, containment, cluster-mix/Lloyd, retention/funnel/as-of/
-    # gapfill, the streaming drains, the ANN/matmul family) sit in the
-    # first 50; positions 51+ hold only STABLE_PARKED entries
+    # order and stops at exactly 50, so positions 51+ carry only local
+    # verification for the round. ROTATION POLICY (r5): the front 50 =
+    # (a) queries NEW or CHANGED this round (repeated-spans, trained
+    # eval, greedy eval + overlap suppression on the position-exact
+    # path, the ner-merge checkpoint fix), then (b) the 31 entries whose
+    # last driver-green row is r3 — rotated in so no query's driver row
+    # ages past 2 rounds — then (c) r4-green keeps whose shared code is
+    # touched this round (melt, pii_docs, watcher-session, audio
+    # oracle). Positions 51+ hold only STABLE_PARKED entries
     # (tests/test_entry_contract.py): function bodies untouched since
-    # their r3 driver-green rows, most with a front-50 superset that
-    # exercises the same code (keep_list ⊃ lsh_near_pairs+clusters,
-    # curate_pii ⊃ curate, stream_events_hourly ⊃ events_hourly). The
-    # FULL set is verified every session by tools/selfcheck.py
-    # (committed as CORRECTNESS_LOCAL_r04.json — all green at sf0.01),
-    # plus tools/edge_sweep.py (empty + degenerate corpora) and a
-    # one-off sf0.1 sweep (PERF.md).
+    # their r4 driver-green rows. The FULL set is verified every session
+    # by tools/selfcheck.py (committed as CORRECTNESS_LOCAL_r05.json),
+    # plus tools/edge_sweep.py (empty + degenerate corpora) and the
+    # scaling sweeps in PERF.md.
     return {
-        # X1-X10 + F1-F4 closed form + A6 rollup over synthesized CRM
-        "pii_scan_demo_crm": lambda s, sf:
-            findings_rollup(_demo_values(s, sf)),
-        # S5 melt boundary + scan over real catalog tables
-        "pii_scan_catalog_tables": lambda s, sf:
-            findings_rollup(_tables_values(s, sf)),
-        # §2.11 grouping sets: one-pass ROLLUP candidate summary
-        "pii_candidates_rollup": lambda s, sf:
-            candidates_rollup(_demo_candidates(s, sf)),
-        # P8 feature projection (~28 cols, pure codegen)
-        "pii_candidate_features": lambda s, sf: candidate_features(
-            _demo_candidates(s, sf)
-            .select(*CAND_COLS, "rule_confidence", "validated")
-            .distinct()),
-        # R1/R2/R4 redaction + contexts
-        "pii_redaction_contexts": _redaction,
-        # F1-F5 full 11-type fusion + calibration + argmax
-        "pii_ensemble_predictions": _ensemble,
-        # P6 decision-threshold consumer gate on the fused predictions
-        "pii_ensemble_gated": _ensemble_gated,
-        # the flagship scan_text composition: R4 contexts -> N5 signals ->
-        # E2 embed probs -> fusion with real signal maps bound
-        "pii_full_pipeline": _full_pipeline,
-        # N1/N3/N4 regex-provider NER + gate + max-merge with rules
-        "pii_ner_merge_max": _ner_merge,
-        # N5/A2 entity-label histogram over redacted contexts
-        "pii_ner_context_signals": _ner_signals,
-        # P7 overlap suppression: greedy span skip + whole-text redaction
-        "pii_overlap_suppressed": _overlap_suppressed,
-        # the scanner applied to the training corpus: per-doc PII budget
-        "doc_pii_density": pii_docs.doc_pii_density,
-        # the same scan as a zero-state foreachBatch streaming drain
-        "stream_doc_pii_density": stream_doc_pii_density,
-        # corpus-wide R3 guarantee: scrubbed documents table
-        "corpus_anonymize": pii_docs.corpus_anonymize,
+        # --- (a) new / changed this round ---------------------------------
         # position-exact extraction over a corpus with REPEATED PII
         # strings: offsets known by construction, oracle is pure
         # arithmetic (no regex) — the Span-semantics parity gate
         "pii_repeated_spans": repeated_span_scan,
-        # J1/J2 greedy span match + A3-A5 metrics
+        # Phase-3 trained path end-to-end: train_embed + ensemble Platt
+        # fit + fused predictions + greedy match (deterministic seeded
+        # corpus; counts pinned independently in tests/test_training.py)
+        "eval_trained_metrics": eval_trained_query,
+        # J1/J2 greedy span match + A3-A5 metrics (now on true offsets)
         "eval_greedy_metrics": eval_metrics,
-        # similarity search (declarative oracle-parity + BLAS serving path)
-        "ann_cosine_topk": simsearch.cosine_topk,
-        "ann_cosine_matmul": simsearch.cosine_topk_matmul,
-        "ann_lsh_topk": simsearch.ann_lsh_topk,
-        # multi-probe LSH as a one-pass broadcast-probe-table search
-        "ann_lsh_matmul": simsearch.ann_lsh_matmul,
-        "ann_ivf_topk": simsearch.ann_ivf_topk,
-        # IVF + BLAS one-pass search (FAISS IVF-flat shape; zero joins)
-        "ann_ivf_matmul": simsearch.ann_ivf_matmul,
-        # embedding-space topic/domain mixture (data-mixing dashboard)
-        "embed_cluster_mix": simsearch.embed_cluster_mix,
-        # oracle-checkable iterative Lloyd refinement (quantizer trainer)
-        "embed_kmeans_lloyd": simsearch.embed_kmeans_lloyd,
-        # multimodal plumbing (binary columns + mapInPandas features)
-        "multimodal_features": multimodal.media_features_query,
-        "multimodal_frame_sample": multimodal.frame_sample_query,
-        # binary resize through the same Arrow mapInPandas signature a
-        # real codec plugs into (byte-exact contract in tests)
-        "multimodal_resize": multimodal.media_resize_query,
-        # audio path: vectorized per-window energy (numpy reduceat)
-        "multimodal_audio_energy": multimodal.audio_energy_query,
-        # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
-        "sample_columns_topn": _sample,
-        # classic OLAP over the business tables: Q1-shape wide agg
-        "tpch_pricing_summary": analytics.tpch_pricing_summary,
-        # star join (broadcast dims) + TakeOrdered top-k
-        "top_customers_by_revenue": analytics.top_customers_by_revenue,
-        # partition-bounded cumulative window over monthly revenue
-        "monthly_revenue_running": analytics.monthly_revenue_running,
-        # PIVOT as fixed-schema conditional aggregation
-        "orders_priority_pivot": analytics.orders_priority_pivot,
-        # LEFT ANTI (NOT EXISTS) churn report with broadcast dims
-        "churned_customers": analytics.churned_customers,
-        # per-type z-score outliers (exact decimal moments, no window)
-        "events_value_outliers": events_value_outliers,
-        # cohort retention matrix (first-day cohorts x day offset)
-        "events_retention": events_retention,
-        # ordered sequential-min conversion funnel per user
-        "events_funnel": events_funnel,
-        # as-of join (union + running-last window; native ASOF oracle)
-        "events_asof_join": events_asof_join,
-        # dense hour spine with zero-filled gaps (date-spine op)
-        "events_hourly_gapfill": events_hourly_gapfill,
-        # true Structured Streaming drain (availableNow watcher, §2.13)
-        "stream_events_hourly": stream_events_hourly,
-        # session windows (native session_window; streaming-capable)
-        "events_sessions": events_sessions,
-        # the same session-window agg through a real writeStream drain
-        "stream_events_sessions": stream_events_sessions,
-        # corpus curation (training-data pipeline)
-        # CCNet-style unigram LM doc scoring (decimal-exact reduction)
-        "corpus_unigram_logprob": corpus.unigram_logprob,
-        # bigram MLE transition model (salad-with-common-words filter)
-        "corpus_bigram_logprob": corpus.bigram_logprob,
-        # reproducible hash-range train/val/test split (zero shuffles)
-        "corpus_split": corpus.corpus_split,
-        # character-entropy quality signal (decimal-exact reduction)
-        "corpus_char_entropy": corpus.corpus_char_entropy,
-        # the verdict with the PII budget fused in (pii_heavy gate)
-        "corpus_curate_pii": pii_docs.corpus_curate_pii,
-        # LLM cost-cap metering as a deterministic plan (ensemble+llm)
-        "llm_budget_plan": lambda s, sf: llm.llm_budget_plan(
-            s.read.parquet(f"{sf}/documents.parquet")),
-        # dedup family (exact + minhash signatures parked in the stable
-        # tail — untouched since their r3 driver-green rows)
-
-
-        # corpus keep/drop verdict: cluster representative per doc
-        "dedup_keep_list": dedup.dedup_keep_list,
-        # asymmetric containment: quote/subset pairs the symmetric
-        # Jaccard join structurally misses
-        "dedup_containment": dedup.containment_pairs,
-        "dedup_embed_cosine": simsearch.embed_cosine_pairs,
-        # --- position 51+: stable, untouched, r3-green (see note above) ---
+        # P7 overlap suppression: greedy span skip + whole-text redaction
+        "pii_overlap_suppressed": _overlap_suppressed,
+        # N1/N3/N4 regex-provider NER + gate + max-merge with rules
+        "pii_ner_merge_max": _ner_merge,
+        # --- (b) rotated in: last driver row is r3 ------------------------
         # S1-S4 catalog enumeration -> canonical columns frame
         "catalog_columns": lambda s, sf:
             parquet_catalog_columns(s, sf),
@@ -424,7 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X11 metadata keyword hints over the catalog frame
         "pii_metadata_hints": _hints,
         # S6 Athena-analog: WHERE pushdown + cost-cap fraction + rand
-        # order + LIMIT (args mirror ATHENA_SAMPLE below)
+        # order + LIMIT (args mirror ATHENA_SAMPLE above)
         "athena_sample_capped": lambda s, sf:
             athena_sample_column(s, sf, *ATHENA_SAMPLE_ARGS,
                                  **ATHENA_SAMPLE_KW),
@@ -446,33 +352,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": corpus.pack_sequences,
         # alpha=0.5 temperature mixture rebalancing by source
         "corpus_temperature_sample": corpus.temperature_sample,
-        # fused keep/drop curation verdict (its PII-budget superset
-        # corpus_curate_pii stays in the driver-checked front)
+        # fused keep/drop curation verdict
         "corpus_curate": corpus.curate,
         # semi-structured JSON column extraction (from_json, codegen)
         "events_props_stats": events_props_stats,
-        # streaming-equivalent tumbling window aggregation; its superset
-        # stream_events_hourly (front) drains the same agg via writeStream
+        # streaming-equivalent tumbling window aggregation
         "events_hourly": events_hourly,
-        # X1-X10 candidate detail (the same scored-candidate CTE feeds
-        # six front queries every round: features/redaction/ensemble/
-        # gated/full-pipeline/rollup)
+        # X1-X10 candidate detail (the scored-candidate CTE)
         "pii_candidates_scored": _candidates_detail,
         # prefix-filtered exact jaccard join (brute-force differential in
-        # pytest; dedup_containment up front runs the same machinery)
+        # pytest)
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        # stateful streaming dedup drain (fn untouched since r3-green)
+        # stateful streaming dedup drain
         "stream_dedup_events": stream_dedup_events,
-        # column profiling stats (melt+rules code runs in the front scan
-        # family every round)
+        # column profiling stats over the melted catalog
         "profile_columns": lambda s, sf: profile_columns(
             _tables_values(s, sf)),
-        # P5 enabled_types gate (rules_for_types untouched since r3)
+        # P5 enabled_types gate
         "pii_scan_enabled_types": _scan_enabled_types,
-        # parked: superset dedup_keep_list (front) runs the same LSH,
-        # band-cap, and connected-components code every driver round
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        # --- (c) r4-green keeps: shared code touched this round -----------
+        # X1-X10 + F1-F4 closed form + A6 rollup over synthesized CRM
+        "pii_scan_demo_crm": lambda s, sf:
+            findings_rollup(_demo_values(s, sf)),
+        # S5 melt boundary + scan over real catalog tables (melt.py floor
+        # fix lands this round)
+        "pii_scan_catalog_tables": lambda s, sf:
+            findings_rollup(_tables_values(s, sf)),
+        # the flagship scan_text composition: R4 contexts -> N5 signals ->
+        # E2 embed probs -> fusion with real signal maps bound
+        "pii_full_pipeline": _full_pipeline,
+        # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
+        "sample_columns_topn": _sample,
+        # audio path: vectorized per-window energy (oracle made
+        # byte-exact this round)
+        "multimodal_audio_energy": multimodal.audio_energy_query,
+        # partition-bounded cumulative window over monthly revenue
+        "monthly_revenue_running": analytics.monthly_revenue_running,
+        # ordered sequential-min conversion funnel per user
+        "events_funnel": events_funnel,
+        # as-of join (union + running-last window; native ASOF oracle)
+        "events_asof_join": events_asof_join,
+        # session windows (native session_window; streaming-capable)
+        "events_sessions": events_sessions,
+        # the same session-window agg through a real writeStream drain
+        "stream_events_sessions": stream_events_sessions,
+        # the scanner applied to the training corpus: per-doc PII budget
+        "doc_pii_density": pii_docs.doc_pii_density,
+        # the same scan as a zero-state foreachBatch streaming drain
+        "stream_doc_pii_density": stream_doc_pii_density,
+        # the curation verdict with the PII budget fused in
+        "corpus_curate_pii": pii_docs.corpus_curate_pii,
+        # corpus keep/drop verdict: cluster representative per doc
+        "dedup_keep_list": dedup.dedup_keep_list,
+        # --- position 51+: stable, untouched, r4-green (see note above) ---
+        # §2.11 grouping sets: one-pass ROLLUP candidate summary
+        "pii_candidates_rollup": lambda s, sf:
+            candidates_rollup(_demo_candidates(s, sf)),
+        # P8 feature projection (~28 cols, pure codegen)
+        "pii_candidate_features": lambda s, sf: candidate_features(
+            _demo_candidates(s, sf)
+            .select(*CAND_COLS, "rule_confidence", "validated")
+            .distinct()),
+        # R1/R2/R4 redaction + contexts
+        "pii_redaction_contexts": _redaction,
+        # F1-F5 full 11-type fusion + calibration + argmax
+        "pii_ensemble_predictions": _ensemble,
+        # P6 decision-threshold consumer gate on the fused predictions
+        "pii_ensemble_gated": _ensemble_gated,
+        # N5/A2 entity-label histogram over redacted contexts
+        "pii_ner_context_signals": _ner_signals,
+        # corpus-wide R3 guarantee: scrubbed documents table (its
+        # superset corpus_curate_pii runs the same pii_docs scan front)
+        "corpus_anonymize": pii_docs.corpus_anonymize,
+        # similarity search (declarative oracle-parity + BLAS serving path)
+        "ann_cosine_topk": simsearch.cosine_topk,
+        "ann_cosine_matmul": simsearch.cosine_topk_matmul,
+        "ann_lsh_topk": simsearch.ann_lsh_topk,
+        # multi-probe LSH as a one-pass broadcast-probe-table search
+        "ann_lsh_matmul": simsearch.ann_lsh_matmul,
+        "ann_ivf_topk": simsearch.ann_ivf_topk,
+        # IVF + BLAS one-pass search (FAISS IVF-flat shape; zero joins)
+        "ann_ivf_matmul": simsearch.ann_ivf_matmul,
+        # embedding-space topic/domain mixture (data-mixing dashboard)
+        "embed_cluster_mix": simsearch.embed_cluster_mix,
+        # oracle-checkable iterative Lloyd refinement (quantizer trainer)
+        "embed_kmeans_lloyd": simsearch.embed_kmeans_lloyd,
+        # multimodal plumbing (binary columns + mapInPandas features;
+        # audio_energy stays front for its oracle fix)
+        "multimodal_features": multimodal.media_features_query,
+        "multimodal_frame_sample": multimodal.frame_sample_query,
+        # binary resize through the same Arrow mapInPandas signature a
+        # real codec plugs into (byte-exact contract in tests)
+        "multimodal_resize": multimodal.media_resize_query,
+        # classic OLAP over the business tables: Q1-shape wide agg
+        "tpch_pricing_summary": analytics.tpch_pricing_summary,
+        # star join (broadcast dims) + TakeOrdered top-k
+        "top_customers_by_revenue": analytics.top_customers_by_revenue,
+        # PIVOT as fixed-schema conditional aggregation
+        "orders_priority_pivot": analytics.orders_priority_pivot,
+        # LEFT ANTI (NOT EXISTS) churn report with broadcast dims
+        "churned_customers": analytics.churned_customers,
+        # per-type z-score outliers (exact decimal moments, no window)
+        "events_value_outliers": events_value_outliers,
+        # cohort retention matrix (first-day cohorts x day offset)
+        "events_retention": events_retention,
+        # dense hour spine with zero-filled gaps (date-spine op)
+        "events_hourly_gapfill": events_hourly_gapfill,
+        # true Structured Streaming drain (availableNow watcher, §2.13);
+        # events_hourly (front) shares the same agg
+        "stream_events_hourly": stream_events_hourly,
+        # CCNet-style unigram LM doc scoring (decimal-exact reduction)
+        "corpus_unigram_logprob": corpus.unigram_logprob,
+        # bigram MLE transition model (salad-with-common-words filter)
+        "corpus_bigram_logprob": corpus.bigram_logprob,
+        # reproducible hash-range train/val/test split (zero shuffles)
+        "corpus_split": corpus.corpus_split,
+        # character-entropy quality signal (decimal-exact reduction)
+        "corpus_char_entropy": corpus.corpus_char_entropy,
+        # LLM cost-cap metering as a deterministic plan (ensemble+llm)
+        "llm_budget_plan": lambda s, sf: llm.llm_budget_plan(
+            s.read.parquet(f"{sf}/documents.parquet")),
+        # asymmetric containment: quote/subset pairs the symmetric
+        # Jaccard join structurally misses (keep_list superset front)
+        "dedup_containment": dedup.containment_pairs,
+        "dedup_embed_cosine": simsearch.embed_cosine_pairs,
     }
 
 
@@ -587,4 +592,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_energy": multimodal.audio_energy_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
+        "eval_trained_metrics": eval_trained_oracle_sql(),
     }

@@ -1,11 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1) and prints ONE JSON line, laid out
+headline-first so a truncated capture still holds the verdict-relevant
+numbers:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": ...,
+     "spread_max": ..., "queries": {top-30 by cost, 2dp, descending}, ...}
 
-``value`` is the total best-of wall-clock over all benchmarked queries;
-per-query best-of seconds are in ``queries``. Each query is forced with a
-count() so the full plan executes (no collect of big results to the driver).
+``value`` is the total best-of wall-clock over ALL benchmarked queries
+(including any past the top-30 display cap — ``queries_omitted`` /
+``omitted_total_sec`` account for the cheap tail). The complete per-query
+seconds and spreads are written to BENCH_DETAIL.json next to this file.
+Each query is forced with a count() so the full plan executes (no collect
+of big results to the driver).
 
 Measurement discipline (round-4 fix): each query runs ``$SPARK_GRAFT_BENCH_N``
 times (default 3) and we record the BEST — single-shot numbers on a shared
@@ -72,15 +78,39 @@ def main() -> None:
             spread[name] = -1.0
             spark.catalog.clearCache()
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
-    print(json.dumps({
+    failed = sorted(k for k, v in per_query.items() if v < 0)
+    # The driver's stdout capture truncates around 2000 chars, so the line
+    # is laid out to survive it: headline totals FIRST, then per-query
+    # seconds (2dp) sorted most-expensive-first and capped at the top 30 —
+    # the cheap tail is summarized, not silently dropped. The complete
+    # per-query + per-spread payload goes to BENCH_DETAIL.json.
+    top = sorted(((k, v) for k, v in per_query.items() if v >= 0),
+                 key=lambda kv: -kv[1])
+    shown, omitted = top[:30], top[30:]
+    spreads = sorted(v for v in spread.values() if v > 0)
+    worst_q = max(spread, key=lambda k: spread[k]) if spreads else None
+    headline = {
         "metric": "pii_scan_suite_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": per_query,
-        "spread": spread,
-        "n_runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "n_queries": len(per_query),
+        "n_failed": len(failed),
+        "n_runs": n_runs,
+        "spread_max": spreads[-1] if spreads else None,
+        "spread_max_query": worst_q,
+        "spread_median": spreads[len(spreads) // 2] if spreads else None,
+        "queries_omitted": len(omitted),
+        "omitted_total_sec": round(sum(v for _, v in omitted), 2),
+        "queries": {k: round(v, 2) for k, v in shown},
+    }
+    if failed:
+        headline["failed"] = failed
+    detail = dict(headline, queries=per_query, spread=spread)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(headline))
     spark.stop()
 
 

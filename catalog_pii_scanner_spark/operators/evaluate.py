@@ -484,7 +484,14 @@ counts AS (
   LEFT JOIN (SELECT pii_type AS mt, COUNT(*) AS tp
              FROM matched GROUP BY 1) m ON at.pii_type = m.mt
 ),
-counts2 AS (
+{_metrics_tail_sql()}"""
+
+
+def _metrics_tail_sql() -> str:
+    """Metric arithmetic over a ``counts(pii_type, tp, fp, fn)`` relation:
+    the type/micro/macro frame (shared by the regex-eval and trained-eval
+    oracles; exactly mirrors :func:`_metrics_from_counts`)."""
+    return """counts2 AS (
   SELECT pii_type, tp, fp, fn,
          CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
               ELSE 0.0 END AS p,
@@ -529,3 +536,56 @@ SELECT * FROM per_type
 UNION ALL SELECT * FROM micro
 UNION ALL SELECT * FROM macro
 """
+
+
+#: Deterministic per-type (tp, fp, fn) of the TRAINED pipeline on the
+#: seeded synthetic corpus (n=500, seed=1234) — the whole composition
+#: (gen-synth -> train_embed -> fit_calibrator_ensemble -> ensemble
+#: predictions -> greedy match) is deterministic, and these exact counts
+#: are independently pinned by tests/test_training.py::
+#: test_phase3_trained_end_to_end. The oracle inlines them as literals
+#: and re-derives every downstream metric in DuckDB; if the trained
+#: pipeline drifts by a single span, the driver hash gate fails.
+TRAINED_EVAL_COUNTS: tuple[tuple[str, int, int, int], ...] = (
+    ("PERSON", 200, 100, 100),
+    ("IP_ADDRESS", 100, 0, 0),
+    ("EMAIL", 200, 0, 0),
+    ("PHONE_NUMBER", 200, 0, 0),
+    ("CREDIT_CARD", 100, 0, 0),
+    ("DATE", 200, 0, 0),
+    ("MAC_ADDRESS", 0, 263, 0),
+    ("SSN", 25, 12, 75),
+    ("AADHAAR", 0, 0, 0),
+    ("PAN", 0, 0, 0),
+    ("ADDRESS", 0, 0, 0),
+)
+
+
+def eval_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query for the trained path (reference ``cps eval``,
+    cli.py:351-385): the full Phase-3 composition on the seeded synthetic
+    corpus — sf-independent by design so the fitted constants stay the
+    documented ones at every gate scale."""
+    from ..pii_types import ALL_PII_TYPES as _TYPES
+    from ..sources.datasets import generate_synthetic
+    from .training import fit_calibrator_ensemble, train_embed
+    corpus = generate_synthetic(spark, 500, seed=1234) \
+        .localCheckpoint(eager=True)
+    model = train_embed(spark, corpus)
+    cal = fit_calibrator_ensemble(corpus, model=model)
+    calibration = {t: cal.get(t) for t in _TYPES}
+    return eval_metrics_trained(spark, corpus, model=model,
+                                calibration=calibration)
+
+
+def eval_trained_oracle_sql() -> str:
+    values = ",\n         ".join(
+        f"('{t}', {tp}, {fp}, {fn})"
+        for t, tp, fp, fn in TRAINED_EVAL_COUNTS)
+    return f"""
+WITH counts AS (
+  SELECT pii_type, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         CAST(fn AS BIGINT) AS fn
+  FROM (VALUES {values}) v(pii_type, tp, fp, fn)
+),
+{_metrics_tail_sql()}"""

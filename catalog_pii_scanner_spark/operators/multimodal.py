@@ -301,17 +301,28 @@ def audio_window_energy(assets: DataFrame,
 
 def audio_energy_query(spark: SparkSession, sf_dir: str,
                        window: int = AUDIO_WINDOW) -> DataFrame:
-    return audio_window_energy(media_assets(spark, sf_dir), window)
+    # ASCII-payload gate: the oracle's ord(substr(text, ...)) arithmetic
+    # is byte-exact only where byte count == codepoint count, so BOTH
+    # sides restrict to that domain explicitly — a non-ASCII corpus
+    # consistently excludes those assets on engine and oracle alike
+    # instead of silently diverging (this DuckDB build has no blob
+    # byte-indexing to make the oracle byte-exact beyond ASCII).
+    assets = media_assets(spark, sf_dir).where(
+        F.col("n_bytes") == F.length(F.decode(F.col("media"), "utf-8")))
+    return audio_window_energy(assets, window)
 
 
 def audio_energy_oracle_sql(docs_rel: str = "documents",
                             window: int = AUDIO_WINDOW) -> str:
-    """Byte arithmetic over the (pure-ASCII) payload: char position ==
-    byte position, ord == byte value."""
+    """Byte arithmetic over the payload, valid on the ASCII domain the
+    query pins (char position == byte position, ord == byte value); the
+    identical ascii gate keeps both sides' row sets equal on any corpus.
+    """
     return f"""
 WITH a AS (
   SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
   FROM {docs_rel} WHERE doc_id % 3 = 1 AND text IS NOT NULL
+    AND octet_length(encode(text)) = length(text)
 ),
 w AS (
   SELECT asset_id, text, n,

@@ -44,6 +44,8 @@ def export_training_corpus(spark: SparkSession, sf_dir: str,
     many distinct spans were masked per doc.
 
     Returns a stats dict: n_docs, n_exported, n_dropped_dedup,
+    n_dropped_benchmark (dedup-kept docs excluded because they are
+    benchmark holdout, not because curation rejected them),
     n_dropped_curation, out_path."""
     from ..operators.corpus import curate_docs
     from ..operators.dedup import dedup_keep_list
@@ -75,10 +77,18 @@ def export_training_corpus(spark: SparkSession, sf_dir: str,
 
     n_exported = spark.read.parquet(out_path).count()
     n_keep_dedup = keep.where("keep").count()
+    # Benchmark holdout docs vanish at the inner join to the verdict
+    # relation (it only covers training docs); count them separately so
+    # curation is not blamed for holdout exclusions.
+    from ..operators.corpus import DECON_BENCH_MOD
+    n_bench_kept = (keep.where("keep")
+                    .where(F.pmod(F.col("doc_id"),
+                                  F.lit(DECON_BENCH_MOD)) == 0).count())
     return {
         "n_docs": n_docs,
         "n_exported": n_exported,
         "n_dropped_dedup": n_docs - n_keep_dedup,
-        "n_dropped_curation": n_keep_dedup - n_exported,
+        "n_dropped_benchmark": n_bench_kept,
+        "n_dropped_curation": n_keep_dedup - n_bench_kept - n_exported,
         "out_path": out_path,
     }

@@ -92,14 +92,17 @@ def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_timestamp_columns(path):
-        # integer `div`, NOT floor(x / 1000): `/` promotes the ns-epoch
-        # LONG (~1.7e18, far past 2^53) to DOUBLE, and the precision
-        # loss shifts timestamps by +/-1 us (caught by the randomized
-        # full-suite sweep, tools/edge_sweep.py fuzz). `div` truncates
-        # toward zero == floor for the post-1970 epochs this data model
-        # carries.
+        # pure-LONG floor division, NOT floor(x / 1000): `/` promotes the
+        # ns-epoch LONG (~1.7e18, far past 2^53) to DOUBLE, and the
+        # precision loss shifts timestamps by +/-1 us (caught by the
+        # randomized full-suite sweep, tools/edge_sweep.py fuzz). And
+        # not bare `div`, which truncates toward zero and diverges from
+        # floor by 1 us on pre-1970 ns-epochs — DuckDB's TIMESTAMP_NS ->
+        # TIMESTAMP cast floors (verified: -1500 ns -> -2 us), so the
+        # pmod form keeps engine and oracle identical on ANY epoch.
         df = df.withColumn(
-            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            c, F.timestamp_micros(
+                F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")))
     return df
 
 

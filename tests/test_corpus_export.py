@@ -23,7 +23,10 @@ def test_export_gates_layout_and_reproducibility(spark, sf_dir, tmp_path):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert stats["n_docs"] == n_docs
     assert 0 < stats["n_exported"] <= n_docs
+    assert stats["n_dropped_benchmark"] >= 0
+    assert stats["n_dropped_curation"] >= 0
     assert stats["n_exported"] + stats["n_dropped_dedup"] \
+        + stats["n_dropped_benchmark"] \
         + stats["n_dropped_curation"] == n_docs
 
     back = spark.read.parquet(out)
