@@ -58,7 +58,8 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_hourly_gapfill, events_hourly_gapfill_oracle_sql,
     events_funnel, events_funnel_oracle_sql, events_retention,
     events_retention_oracle_sql,
-    events_sessions_oracle_sql, stream_dedup_events,
+    events_sessions_oracle_sql, events_sessions_salted,
+    stream_dedup_events,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
     stream_events_hourly, stream_events_hourly_oracle_sql,
     stream_events_sessions, stream_events_sessions_oracle_sql)
@@ -396,11 +397,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events_asof_join,
         # session windows (native session_window; streaming-capable)
         "events_sessions": events_sessions,
+        # skew-hardened twin: (user, day)-bucketed session fragments +
+        # boundary merge over sessions — same rows, no hot-key straggler
+        "events_sessions_salted": events_sessions_salted,
         # the same session-window agg through a real writeStream drain
         "stream_events_sessions": stream_events_sessions,
-        # the scanner applied to the training corpus: per-doc PII budget
-        "doc_pii_density": pii_docs.doc_pii_density,
-        # the same scan as a zero-state foreachBatch streaming drain
+        # the same pii_docs scan as a zero-state foreachBatch drain
+        # (its batch twin doc_pii_density parks r4-green)
         "stream_doc_pii_density": stream_doc_pii_density,
         # the curation verdict with the PII budget fused in
         "corpus_curate_pii": pii_docs.corpus_curate_pii,
@@ -426,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-wide R3 guarantee: scrubbed documents table (its
         # superset corpus_curate_pii runs the same pii_docs scan front)
         "corpus_anonymize": pii_docs.corpus_anonymize,
+        # the scanner applied to the training corpus: per-doc PII budget
+        # (corpus_curate_pii + the stream drain cover this code front)
+        "doc_pii_density": pii_docs.doc_pii_density,
         # similarity search (declarative oracle-parity + BLAS serving path)
         "ann_cosine_topk": simsearch.cosine_topk,
         "ann_cosine_matmul": simsearch.cosine_topk_matmul,
@@ -542,6 +548,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_gapfill": events_hourly_gapfill_oracle_sql(),
         "stream_events_hourly": stream_events_hourly_oracle_sql(),
         "events_sessions": events_sessions_oracle_sql(),
+        # execution-strategy twin: identical contract, same oracle
+        "events_sessions_salted": events_sessions_oracle_sql(),
         "stream_events_sessions": stream_events_sessions_oracle_sql(),
         "stream_dedup_events": stream_dedup_events_oracle_sql(),
         "doc_quality": textstats.doc_quality_sql("duckdb"),

@@ -88,6 +88,82 @@ class FakeHeavyProvider:
         return out
 
 
+class SpacyProvider:
+    """Real spaCy provider (reference ner.py:53-118 SpaCyProvider):
+    PERSON via model entities at 0.85; EMAIL/PHONE via the shared rule
+    regexes at the reference scores (the reference also runs regex for
+    those two families even with the model loaded). Same ``detect_batch``
+    contract as FakeHeavyProvider, so it plugs into the identical
+    mapInPandas stage. Import-gated: constructing without spaCy raises
+    ImportError (dispatch wraps it with guidance); a missing model
+    package degrades to a blank pipeline (no entities), exactly like the
+    reference's ``_load_spacy`` fallback."""
+
+    def __init__(self, model: str | None = None) -> None:
+        import re as _re
+
+        import spacy
+
+        try:
+            self._nlp = spacy.load(model or "en_core_web_sm")
+        except OSError:  # model data absent: blank pipeline, no ents
+            self._nlp = spacy.blank("en")
+        from .rules import bounded_pattern
+        self._regex = [(r.pii_type, _re.compile(bounded_pattern(r),
+                                                _re.ASCII),
+                        NER_SCORES[r.pii_type])
+                       for r in _NER_RULES if r.pii_type != "PERSON"]
+
+    def detect_batch(self, texts):
+        clean = ["" if t is None else t for t in texts]
+        disable = [c for c in ("tagger", "lemmatizer")
+                   if c in self._nlp.pipe_names]
+        out = []
+        for text, doc in zip(clean, self._nlp.pipe(clean,
+                                                   disable=disable)):
+            spans = [("PERSON", ent.text, NER_SCORES["PERSON"])
+                     for ent in (getattr(doc, "ents", []) or [])
+                     if ent.label_ == "PERSON"]
+            for t, pat, score in self._regex:
+                spans += [(t, m.group(0), score)
+                          for m in pat.finditer(text)]
+            out.append(spans)
+        return out
+
+
+#: Presidio entity-label -> engine label (reference ner.py:146-163).
+_PRESIDIO_LABELS = {
+    "PERSON": "PERSON", "PER": "PERSON",
+    "EMAIL": "EMAIL", "EMAIL_ADDRESS": "EMAIL",
+    "PHONE": "PHONE_NUMBER", "PHONE_NUMBER": "PHONE_NUMBER",
+    "PHONENUMBER": "PHONE_NUMBER",
+}
+
+
+class PresidioProvider:
+    """Real Presidio provider (reference ner.py:120-167): AnalyzerEngine
+    per worker, entity labels mapped through the reference's table,
+    other labels dropped; scores are the engine's own. Import-gated."""
+
+    def __init__(self) -> None:
+        from presidio_analyzer import AnalyzerEngine
+        self._engine = AnalyzerEngine()
+
+    def detect_batch(self, texts):
+        out = []
+        for text in texts:
+            spans = []
+            if text:
+                for r in self._engine.analyze(text=text, language="en"):
+                    label = _PRESIDIO_LABELS.get(
+                        str(getattr(r, "entity_type", "")).upper())
+                    if label is not None:
+                        spans.append((label, text[r.start:r.end],
+                                      float(r.score)))
+            out.append(spans)
+        return out
+
+
 def _get_provider(name: str, opts: dict | None = None):
     """Lazy once-per-worker provider construction. ``opts`` are provider
     constructor kwargs (e.g. the LLM provider's ``cache_ttl_minutes`` from
@@ -100,10 +176,15 @@ def _get_provider(name: str, opts: dict | None = None):
         elif name == "fake_llm":
             from .llm import FakeLLMProvider
             _PROVIDER_SINGLETONS[key] = FakeLLMProvider(**(opts or {}))
-        elif name in ("spacy", "presidio"):  # pragma: no cover - no models
-            raise ImportError(
-                f"NER provider '{name}' needs its model package, which is "
-                f"not installed; use provider='regex' or 'fake_heavy'")
+        elif name in ("spacy", "presidio"):
+            cls = SpacyProvider if name == "spacy" else PresidioProvider
+            try:
+                _PROVIDER_SINGLETONS[key] = cls(**(opts or {}))
+            except ImportError as e:  # pragma: no cover - pkg present/absent
+                raise ImportError(
+                    f"NER provider '{name}' needs its model package, "
+                    f"which is not installed; use provider='regex' or "
+                    f"'fake_heavy'") from e
         else:
             raise ValueError(f"unknown NER provider {name!r}")
     return _PROVIDER_SINGLETONS[key]

@@ -23,7 +23,7 @@ Delta path in production — here the sink is parquet/memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.rules import candidate_score, extract_candidates
@@ -369,6 +369,68 @@ SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
          AS sum_value
 FROM s GROUP BY user_id, sid
 """
+
+
+#: Coarse salt bucket for the skew-hardened sessionization: the per-user
+#: shuffle key becomes (user_id, day), so a power-law hot user splits
+#: across ~days tasks instead of pinning one straggler. Within a day,
+#: dense bot traffic COLLAPSES to few sessions (dense events = few
+#: sessions), so the boundary-merge pass runs over a relation orders of
+#: magnitude smaller than the events.
+SESSION_SALT_BUCKET = "day"  # date_trunc unit; "hour" for hotter keys
+
+
+def events_sessions_salted(spark: SparkSession, sf_dir: str,
+                           bucket: str = SESSION_SALT_BUCKET) -> DataFrame:
+    """Skew-hardened twin of :func:`events_sessions` — identical output
+    contract (shares its oracle; equality-tested in
+    tests/test_fuzz_events.py incl. a power-law hot-key corpus).
+
+    Why it exists: ``session_window`` shuffles on user_id alone, and AQE
+    splits skewed *joins*, not window/session aggregations — one
+    power-law user turns sessionization into a single straggler task at
+    1000-executor scale. Here the aggregation key is (user_id,
+    tumbling day), then fragments that touch a day boundary are merged
+    by a gaps-and-islands pass over the per-bucket SESSIONS (not
+    events): fragment f' merges into f iff f'.start <= f.end, where
+    ``session_window``'s end is last_event + gap — exactly the
+    closed-boundary break rule the global operator applies, so the
+    composition is semantics-preserving (no false merges within a
+    bucket: those fragments are > gap apart by construction).
+
+    The merge window is still user-keyed, but over <= sessions-per-user
+    rows — a hot user's millions of dense events become at most
+    ~day/gap fragments per day."""
+    from ..sources.melt import read_table
+    ev = read_table(spark, sf_dir, "events") \
+        .withColumn("ts", F.date_trunc("second", "ts"))
+    # plain date_trunc column, not F.window: Spark rejects a time-window
+    # and a session-window in one groupBy, and a day column is the same
+    # tumbling bucket.
+    frags = (
+        ev.withColumn("b", F.date_trunc(bucket, "ts"))
+        .groupBy("user_id", "b",
+                 F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"))
+        .select("user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"), "n_events", "sv")
+    )
+    mw = Window.partitionBy("user_id").orderBy("s")
+    merged = (
+        frags
+        .withColumn("new_s", F.when(
+            F.lag("e").over(mw).isNull()
+            | (F.col("s") > F.lag("e").over(mw)), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(
+            mw.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("s").alias("session_start"),
+             F.sum("n_events").alias("n_events"),
+             (F.round(F.sum("sv"), 2).cast("double")).alias("sum_value"))
+    )
+    return merged.select("user_id", "session_start", "n_events",
+                         "sum_value")
 
 
 def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

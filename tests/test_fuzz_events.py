@@ -68,3 +68,94 @@ def test_fuzz_events_family_matches_oracle(spark, tmp_path_factory, qname):
     o_fp = frame_fingerprint([c[0] for c in cur.description],
                              cur.fetchall())
     assert s_fp == o_fp, (qname, s_fp, o_fp)
+
+
+# --- power-law hot key (skew hardening) --------------------------------------
+# A bot-shaped corpus: one user owns ~60% of all events in dense bursts
+# (plus sparse stragglers that span session boundaries). Verifies (a) the
+# whole family stays oracle-correct under skew and (b) the salted
+# sessionization twin is row-identical to the global operator, so the
+# skew mitigation is pure execution strategy, never semantics.
+
+def _powerlaw_events(seed: int = 99, n: int = 4000):
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 3, 1)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.6:
+            user = 0  # the hot key
+            # dense bursts: many events seconds apart, occasionally
+            # jumping > the 30-min session gap and across midnight
+            ts = t0 + dt.timedelta(
+                hours=rng.randrange(24 * 21),
+                seconds=rng.randrange(120) if rng.random() < 0.9
+                else rng.randrange(3600 * 3))
+        else:
+            user = 1 + rng.randrange(25)
+            ts = t0 + dt.timedelta(seconds=rng.randrange(21 * 24 * 3600))
+        rows.append((i, ts, user, rng.choice(types),
+                     round(rng.uniform(0, 500), 2), "{}"))
+    # a hot-user session that straddles a day boundary exactly (the
+    # salted operator's merge path) and an exactly-30-min gap
+    base = dt.datetime(2024, 3, 10, 23, 50, 0)
+    rows += [(n + j, base + dt.timedelta(minutes=5 * j), 0, "view",
+              1.0, "{}") for j in range(6)]          # 23:50 .. 00:15
+    rows += [(n + 10, dt.datetime(2024, 3, 12, 1, 0, 0), 0, "view",
+              2.0, "{}"),
+             (n + 11, dt.datetime(2024, 3, 12, 1, 30, 0), 0, "view",
+              3.0, "{}")]                            # gap == 30 min: merges
+    return rows
+
+
+def _powerlaw_dir(spark, tmp_path_factory):
+    d = getattr(_powerlaw_dir, "_dir", None)
+    if d is None:
+        d = str(tmp_path_factory.mktemp("fuzzpl"))
+        spark.createDataFrame(
+            _powerlaw_events(),
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        _powerlaw_dir._dir = d
+    return d
+
+
+PL_QUERIES = ["events_sessions", "events_sessions_salted",
+              "events_asof_join", "events_funnel", "events_retention",
+              "events_hourly_gapfill"]
+
+
+@pytest.mark.parametrize("qname", PL_QUERIES)
+def test_powerlaw_hot_key_matches_oracle(spark, tmp_path_factory, qname):
+    import sys
+    sys.path.insert(0, ".")
+    import __spark_entry__ as E
+    from tools.selfcheck import frame_fingerprint
+
+    d = _powerlaw_dir(spark, tmp_path_factory)
+    sdf = E.queries()[qname](spark, d)
+    s_fp = frame_fingerprint(list(sdf.columns),
+                             [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet/*.parquet'")
+    cur = con.execute(E.oracle_sql()[qname])
+    o_fp = frame_fingerprint([c[0] for c in cur.description],
+                             cur.fetchall())
+    assert s_fp == o_fp, (qname, s_fp, o_fp)
+
+
+def test_salted_sessions_equal_global_rowwise(spark, tmp_path_factory):
+    """Strategy-equality twin discipline (same as the ANN matmul twins):
+    salted == global on BOTH fuzz corpora, row for row."""
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        events_sessions, events_sessions_salted)
+    for d in (_powerlaw_dir(spark, tmp_path_factory),
+              getattr(test_fuzz_events_family_matches_oracle, "_dir",
+                      None)):
+        if d is None:
+            continue
+        a = sorted(map(tuple, events_sessions(spark, d).collect()))
+        b = sorted(map(tuple, events_sessions_salted(spark, d).collect()))
+        assert a and a == b
