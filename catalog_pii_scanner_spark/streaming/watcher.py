@@ -400,7 +400,14 @@ def events_sessions_salted(spark: SparkSession, sf_dir: str,
 
     The merge window is still user-keyed, but over <= sessions-per-user
     rows — a hot user's millions of dense events become at most
-    ~day/gap fragments per day."""
+    ~day/gap fragments per day.
+
+    Deployment guidance (measured, PERF.md round 5): below ~a task's
+    worth of events per (user, gap-window) the global operator is
+    cheaper (the salt costs one extra shuffle + a session-level window);
+    switch to this twin — or tighten ``bucket`` to "hour" — when a
+    power-law key exceeds that, i.e. when one user's events no longer
+    fit one executor's task comfortably."""
     from ..sources.melt import read_table
     ev = read_table(spark, sf_dir, "events") \
         .withColumn("ts", F.date_trunc("second", "ts"))

@@ -34,6 +34,8 @@ def main() -> int:
         ("ann_ivf_topk", "IVF probe path"),
         ("ann_ivf_matmul", "IVF+BLAS one-pass search"),
         ("eval_greedy_metrics", "range join + windows"),
+        ("pii_repeated_spans", "position-exact Arrow extraction + fold"),
+        ("events_sessions_salted", "bucketed sessions + boundary merge"),
         ("events_hourly", "windowed aggregation"),
         ("corpus_decontaminate", "benchmark-gram broadcast join"),
         ("corpus_repetition", "gram window + reused partitioning"),

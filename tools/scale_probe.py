@@ -35,9 +35,10 @@ import time
 sys.path.insert(0, ".")
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-X10 = "/tmp/cpss_sfx10"
-SKEW = "/tmp/cpss_sfskew"
-K = 10
+K = int(os.environ.get("SPARK_GRAFT_PROBE_K", "10"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_N", "2"))
+X10 = f"/tmp/cpss_sfx{K}"
+SKEW = f"/tmp/cpss_sfskew{K}"
 
 #: (table, key columns to re-key)
 REKEY = {
@@ -108,7 +109,8 @@ def main() -> int:
     from catalog_pii_scanner_spark.session import get_spark
 
     spark = get_spark("scale_probe")
-    if rebuild or not os.path.exists(f"{X10}/documents.parquet"):
+    if rebuild or not os.path.exists(f"{X10}/documents.parquet") \
+            or not os.path.exists(f"{SKEW}/events.parquet"):
         t0 = time.time()
         build(spark)
         print(f"# built {X10} + {SKEW} in {time.time() - t0:.1f}s")
@@ -123,15 +125,16 @@ def main() -> int:
     runs += [(n, "sf1x_skew", SKEW) for n in names
              if n.startswith("events_sessions")]
     for name, label, d in runs:
-        best = None
-        for _ in range(2):  # warm best-of-2: planning noise dominates run 1
+        best, n_rows = None, None
+        for _ in range(N_RUNS):  # warm best-of: planning noise in run 1
             t0 = time.time()
-            q[name](spark, d).count()
+            n_rows = q[name](spark, d).count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
         results.setdefault(name, {})[label] = round(best, 2)
-        print(json.dumps({"query": name, "scale": label, "sec": round(best, 2)}),
+        print(json.dumps({"query": name, "scale": label,
+                          "sec": round(best, 2), "rows": n_rows}),
               flush=True)
     print("\n| query | sf0.1 s | 10x s | slope (x) |")
     print("|---|---|---|---|")
