@@ -59,7 +59,7 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_funnel, events_funnel_oracle_sql, events_retention,
     events_retention_oracle_sql,
     events_sessions_oracle_sql, events_sessions_salted,
-    stream_dedup_events,
+    stream_dedup_events, stream_dedup_keep_list,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
     stream_events_hourly, stream_events_hourly_oracle_sql,
     stream_events_sessions, stream_events_sessions_oracle_sql)
@@ -389,8 +389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio path: vectorized per-window energy (oracle made
         # byte-exact this round)
         "multimodal_audio_energy": multimodal.audio_energy_query,
-        # partition-bounded cumulative window over monthly revenue
-        "monthly_revenue_running": analytics.monthly_revenue_running,
         # ordered sequential-min conversion funnel per user
         "events_funnel": events_funnel,
         # as-of join (union + running-last window; native ASOF oracle)
@@ -409,6 +407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate_pii": pii_docs.corpus_curate_pii,
         # corpus keep/drop verdict: cluster representative per doc
         "dedup_keep_list": dedup.dedup_keep_list,
+        # the same verdict via a streaming drain: per-microbatch
+        # signature extraction + one compaction resolve (batch-identical
+        # by construction; shares the batch oracle)
+        "stream_dedup_keep_list": stream_dedup_keep_list,
         # --- position 51+: stable, untouched, r4-green (see note above) ---
         # §2.11 grouping sets: one-pass ROLLUP candidate summary
         "pii_candidates_rollup": lambda s, sf:
@@ -454,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal.media_resize_query,
         # classic OLAP over the business tables: Q1-shape wide agg
         "tpch_pricing_summary": analytics.tpch_pricing_summary,
+        # partition-bounded cumulative window over monthly revenue
+        "monthly_revenue_running": analytics.monthly_revenue_running,
         # star join (broadcast dims) + TakeOrdered top-k
         "top_customers_by_revenue": analytics.top_customers_by_revenue,
         # PIVOT as fixed-schema conditional aggregation
@@ -576,6 +580,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs_sql("duckdb"),
         "dedup_clusters": dedup.dedup_clusters_sql("duckdb"),
         "dedup_keep_list": dedup.dedup_keep_list_sql("duckdb"),
+        # streaming ingest must not change the verdict: batch oracle
+        "stream_dedup_keep_list": dedup.dedup_keep_list_sql("duckdb"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("duckdb"),
         "dedup_containment": dedup.containment_pairs_sql("duckdb"),
         "dedup_simhash": dedup.simhash_sql("duckdb"),

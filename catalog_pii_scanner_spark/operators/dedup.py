@@ -279,12 +279,21 @@ def lsh_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.5,
     localCheckpoint)."""
     shingles = doc_shingles_df(spark, sf_dir).persist()
     sigs = _signatures_from_shingles(shingles)
+    bands = band_keys(sigs).persist()
+    pairs = capped_band_pairs(bands, max_bucket)
+    out = _jaccard_verify(pairs, shingles, threshold)
+    return checkpoint_release(out, shingles, bands)
 
-    # ONE pass over the signature aggregation: the 4 band keys explode
-    # from an array projection. (The earlier union-of-4-selects re-ran
-    # the signature groupBy once per band, and the band relation feeds
-    # both the bucket-count filter and the self-join, so it persists —
-    # together measured 10.8 s -> 2.4 s at sf0.1.)
+
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """Signature rows -> (doc_id, band, band_key). ONE pass over the
+    signature aggregation: the 4 band keys explode from an array
+    projection. (The earlier union-of-4-selects re-ran the signature
+    groupBy once per band, and the band relation feeds both the
+    bucket-count filter and the self-join — together measured
+    10.8 s -> 2.4 s at sf0.1.) Doc-local, so it computes identically per
+    corpus slice — the property the incremental/streaming dedup drain
+    relies on (streaming/watcher.py stream_dedup_keep_list)."""
     keys = [
         F.struct(F.lit(b).alias("band"),
                  F.md5(F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
@@ -292,11 +301,17 @@ def lsh_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.5,
                  .alias("band_key"))
         for b in range(NUM_BANDS)
     ]
-    bands = (
-        sigs.select("doc_id", F.explode(F.array(*keys)).alias("bk"))
-        .select("doc_id", "bk.band", "bk.band_key")
-        .persist()
-    )
+    return (sigs.select("doc_id", F.explode(F.array(*keys)).alias("bk"))
+            .select("doc_id", "bk.band", "bk.band_key"))
+
+
+def capped_band_pairs(bands: DataFrame,
+                      max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+    """(doc_id, band, band_key) rows -> distinct candidate pairs, with
+    oversized buckets dropped whole (the recall-caveated cap documented
+    on lsh_near_dup_pairs). The bucket-size filter keys on the same
+    (band, band_key) as the self-join, so it adds no extra exchange
+    beyond its aggregation."""
     bands_ok = (
         bands.groupBy("band", "band_key")
         .agg(F.count("*").alias("_bn"))
@@ -306,7 +321,7 @@ def lsh_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.5,
     bands_capped = bands.join(bands_ok, ["band", "band_key"])
 
     a, b_ = bands_capped.alias("a"), bands_capped.alias("b")
-    pairs = (
+    return (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -314,9 +329,6 @@ def lsh_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.5,
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-
-    out = _jaccard_verify(pairs, shingles, threshold)
-    return checkpoint_release(out, shingles, bands)
 
 
 # --- n-gram Jaccard (prefix-filtered all-pairs, no LSH) ---------------------

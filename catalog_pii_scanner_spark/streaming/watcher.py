@@ -628,6 +628,77 @@ def stream_doc_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def stream_dedup_keep_list(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.5) -> DataFrame:
+    """Incremental near-dup dedup: the corpus keep/drop verdict computed
+    through a Structured Streaming drain — the production shape for
+    dedup over an unbounded document feed (streaming signature
+    extraction + periodic compaction, the way large-crawl pipelines
+    actually run MinHash dedup).
+
+    Per microbatch (foreachBatch): shingling + the 8 min-hash
+    aggregations + band-key derivation — the corpus-scan-bound stage —
+    runs on JUST the new documents (signatures are doc-local, so
+    per-slice computation is exact) and appends (doc_id, band, band_key)
+    rows to a band-state spool. State is 4 rows per document ever seen —
+    constant per doc, independent of doc length.
+
+    At drain end, resolution (the compaction job) runs ONCE over the
+    accumulated band state: bucket-cap filter, bucket self-join, exact
+    Jaccard verification against re-derived shingles of the candidate
+    docs, connected components, verdict join. Same signatures -> same
+    pairs -> same components, so the verdict is BATCH-IDENTICAL by
+    construction and the query shares ``dedup_keep_list``'s oracle.
+
+    Output: doc_id, cluster_rep, keep."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (MAX_BAND_BUCKET, _jaccard_verify,
+                                   _signatures_from_shingles, band_keys,
+                                   capped_band_pairs, connected_components,
+                                   doc_shingles_df, shingles_from_docs)
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    band_dir = tempfile.mkdtemp(prefix="cpss_stream_bands_")
+    ckpt = tempfile.mkdtemp(prefix="cpss_stream_bands_ckpt_")
+    src = _single_file_glob(path) if os.path.isfile(path) else path
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src))
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        sigs = _signatures_from_shingles(shingles_from_docs(bdf))
+        band_keys(sigs).write.mode("append").parquet(band_dir)
+
+    q = (stream.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    bands = spark.read.parquet(band_dir).localCheckpoint(eager=True)
+    shutil.rmtree(band_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # resolution / compaction over the accumulated state
+    pairs = capped_band_pairs(bands, MAX_BAND_BUCKET)
+    # verify needs shingles only for docs that appear in candidate pairs;
+    # the semi-join prunes the shingle re-derivation to that small set
+    cand_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+                .union(pairs.select("doc_b")).distinct())
+    shingles = (doc_shingles_df(spark, sf_dir)
+                .join(cand_ids, "doc_id", "left_semi")
+                .localCheckpoint(eager=True))
+    verified = _jaccard_verify(pairs, shingles, threshold)
+    clusters = connected_components(verified)
+    docs = spark.read.parquet(path).select("doc_id")
+    out = docs.join(clusters, "doc_id", "left")
+    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+    return out.select(
+        "doc_id", rep.alias("cluster_rep"),
+        (rep == F.col("doc_id")).alias("keep"))
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream: cohort = a user's
     first active calendar day; a (cohort, offset) cell counts users

@@ -22,6 +22,7 @@ STABLE_PARKED = {
     "embed_cluster_mix", "embed_kmeans_lloyd", "multimodal_features",
     "multimodal_frame_sample", "multimodal_resize",
     "tpch_pricing_summary", "top_customers_by_revenue",
+    "monthly_revenue_running",
     "orders_priority_pivot", "churned_customers", "events_value_outliers",
     "events_retention", "events_hourly_gapfill", "stream_events_hourly",
     "corpus_unigram_logprob", "corpus_bigram_logprob", "corpus_split",

@@ -342,3 +342,35 @@ def test_session_window_exact_gap_merges(spark, tmp_path):
     orows = sorted(con.execute(events_sessions_oracle_sql()).fetchall(),
                    key=lambda r: r[1])
     assert [(r[2], r[3]) for r in orows] == [(2, 208.02), (1, 1.0)]
+
+
+def test_stream_dedup_keep_list_matches_batch_across_microbatches(
+        spark, tmp_path, sf_dir):
+    """The incremental dedup drain must produce the BATCH-IDENTICAL
+    verdict even when near-dup cluster members arrive in different
+    microbatches: the corpus is split into 12 files (maxFilesPerTrigger=4
+    -> 3 microbatches) with doc_ids striped across files, so most
+    clusters span batches and resolution depends on the accumulated
+    band state, not any single batch."""
+    from catalog_pii_scanner_spark.operators.dedup import dedup_keep_list
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_dedup_keep_list)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = str(tmp_path)
+    # stripe by doc_id so sequential ids (the likeliest near-dups in the
+    # synthetic corpus) land in different files/batches
+    (docs.repartition(12, F.pmod(F.col("doc_id"), F.lit(12)))
+     .write.mode("overwrite").parquet(f"{d}/documents.parquet"))
+    import glob
+    n_files = len(glob.glob(f"{d}/documents.parquet/part-*"))
+    # AQE may coalesce the requested 12; >= 5 files at
+    # maxFilesPerTrigger=4 still forces >= 2 microbatches
+    assert n_files >= 5, n_files
+
+    batch = sorted(map(tuple, dedup_keep_list(spark, d).collect()))
+    stream = sorted(map(tuple, stream_dedup_keep_list(spark, d).collect()))
+    assert batch and batch == stream
+    # sanity: the corpus genuinely has near-dup clusters to resolve
+    assert any(not keep for _, _, keep in batch)
