@@ -389,8 +389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio path: vectorized per-window energy (oracle made
         # byte-exact this round)
         "multimodal_audio_energy": multimodal.audio_energy_query,
-        # ordered sequential-min conversion funnel per user
-        "events_funnel": events_funnel,
+        # cross-doc exact-substring duplication stats (Lee et al. span
+        # dedup signal: W-token windows shared across documents)
+        "corpus_substring_dedup": corpus.substring_dedup,
         # as-of join (union + running-last window; native ASOF oracle)
         "events_asof_join": events_asof_join,
         # session windows (native session_window; streaming-capable)
@@ -468,6 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": events_value_outliers,
         # cohort retention matrix (first-day cohorts x day offset)
         "events_retention": events_retention,
+        # ordered sequential-min conversion funnel per user (power-law
+        # fuzz-pinned this round; function untouched since r4-green)
+        "events_funnel": events_funnel,
         # dense hour spine with zero-filled gaps (date-spine op)
         "events_hourly_gapfill": events_hourly_gapfill,
         # true Structured Streaming drain (availableNow watcher, §2.13);
@@ -574,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": corpus.corpus_split_oracle_sql(),
         "corpus_char_entropy": corpus.char_entropy_oracle_sql(),
         "corpus_curate_pii": pii_docs.corpus_curate_pii_oracle_sql(),
+        "corpus_substring_dedup": corpus.substring_dedup_oracle_sql(),
         "llm_budget_plan": llm.llm_budget_plan_sql(),
         "dedup_exact": dedup.exact_dedup_sql("duckdb"),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql("duckdb"),

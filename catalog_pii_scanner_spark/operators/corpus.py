@@ -775,3 +775,127 @@ SELECT doc_id, MIN(n) AS n_chars_used, MIN(n_distinct) AS n_distinct_chars,
        round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
 FROM terms GROUP BY doc_id
 """
+
+
+# --- exact-substring duplication (Lee et al., Deduplicating Training Data
+# Makes Language Models Better — the cross-document complement to the
+# within-doc `repetition` stats and the whole-doc MinHash/Jaccard joins:
+# a W-token window occurring in MORE THAN ONE document marks boilerplate
+# or verbatim copying that document-level similarity misses entirely) ---
+
+#: Window length in tokens. The paper dedups 50-token spans over a
+#: crawl; the synthetic corpus's docs are shorter, so the default keeps
+#: the operator's output non-trivial while the semantics are identical
+#: at any W.
+SUBSTR_W = 8
+
+
+def doc_kgrams_pos(docs: DataFrame, k: int,
+                   cap: int = MAX_SHINGLE_TOKENS) -> DataFrame:
+    """(doc_id, pos, gram): like :func:`doc_kgrams` but keeping the
+    window's start-token position (needed for run merging)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " +")).alias("pos", "tok"))
+    toks = toks.where(F.col("pos") < cap)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, k)]
+    out = toks.select("doc_id", "pos", "tok", *leads)
+    if k > 1:
+        out = out.where(F.col(f"_t{k - 1}").isNotNull())
+    parts = [F.col("tok")] + [F.col(f"_t{i}") for i in range(1, k)]
+    return out.select("doc_id", "pos",
+                      F.concat_ws(" ", *parts).alias("gram"))
+
+
+def substring_dup_docs(docs: DataFrame, w: int = SUBSTR_W,
+                       cap: int = MAX_SHINGLE_TOKENS) -> DataFrame:
+    """Per-doc cross-document exact-substring stats: over all W-token
+    windows, count those whose text occurs in at least one OTHER
+    document, plus the longest consecutive duplicated run (in windows;
+    add W-1 for tokens).
+
+    Scale shape: windows shuffle ONCE keyed on md5(gram) (16-byte keys,
+    not raw text) for the distinct-doc frequency, join back (AQE picks
+    the strategy), then one doc-keyed aggregation with a doc-local
+    window for the run merge. Everything is linear in corpus tokens; the
+    per-gram bucket is a count, never a materialized doc list.
+
+    Output: doc_id, n_windows, n_dup_windows, dup_ratio, max_dup_run —
+    one row per doc with >= 1 window (docs shorter than W tokens have no
+    windows and carry no signal).
+    """
+    wnd = (doc_kgrams_pos(docs.where(F.col("text").isNotNull()), w, cap)
+           .select("doc_id", "pos", F.md5("gram").alias("g")))
+    dfreq = wnd.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("ndocs"))
+    flagged = (wnd.join(dfreq, "g")
+               .select("doc_id", "pos",
+                       (F.col("ndocs") > 1).alias("is_dup")))
+    stats = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.col("is_dup").cast("bigint")).alias("n_dup"))
+    # maximal consecutive runs of duplicated windows: classic
+    # pos - row_number islands over ONLY the duplicated windows
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (flagged.where("is_dup")
+            .withColumn("grp", F.col("pos") - F.row_number().over(dw))
+            .groupBy("doc_id", "grp").agg(F.count("*").alias("run")))
+    max_run = runs.groupBy("doc_id").agg(F.max("run").alias("max_run"))
+    return (stats.join(max_run, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_windows").cast("bigint").alias("n_windows"),
+                    F.col("n_dup").cast("bigint").alias("n_dup_windows"),
+                    F.round(F.col("n_dup").cast("double")
+                            / F.col("n_windows"), 6).alias("dup_ratio"),
+                    F.coalesce(F.col("max_run"), F.lit(0)).cast("bigint")
+                    .alias("max_dup_run")))
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_docs(_docs(spark, sf_dir))
+
+
+def substring_dedup_oracle_sql(docs_rel: str = "documents",
+                               w: int = SUBSTR_W,
+                               cap: int = MAX_SHINGLE_TOKENS) -> str:
+    gram = " || ' ' || ".join(
+        f"list_extract(t, CAST(pos + {j + 1} AS INT))" for j in range(w))
+    return f"""
+WITH base AS (
+  SELECT doc_id, (regexp_split_to_array(text, ' +'))[1:{cap}] AS t
+  FROM {docs_rel} WHERE text IS NOT NULL
+),
+wnd AS (
+  SELECT doc_id, pos, md5({gram}) AS g
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(0, greatest(len(t) - {w - 1}, 0))) AS pos
+    FROM base
+  )
+),
+dfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM wnd GROUP BY g),
+flagged AS (
+  SELECT w.doc_id, w.pos, (d.ndocs > 1) AS is_dup
+  FROM wnd w JOIN dfreq d ON d.g = w.g
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup
+  FROM flagged GROUP BY doc_id
+),
+runs AS (
+  SELECT doc_id, grp, COUNT(*) AS run
+  FROM (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS grp
+    FROM flagged WHERE is_dup
+  ) GROUP BY doc_id, grp
+),
+mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id)
+SELECT s.doc_id, CAST(s.n_windows AS BIGINT) AS n_windows,
+       CAST(s.n_dup AS BIGINT) AS n_dup_windows,
+       round(CAST(s.n_dup AS DOUBLE) / s.n_windows, 6) AS dup_ratio,
+       CAST(COALESCE(m.max_run, 0) AS BIGINT) AS max_dup_run
+FROM stats s LEFT JOIN mr m ON m.doc_id = s.doc_id
+"""

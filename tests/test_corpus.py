@@ -279,3 +279,28 @@ def test_char_entropy_hand_check(spark):
     t2 = round(0.5 * math.log(2), 6)
     assert got[3].entropy == round(2 * t2, 6)
     assert all(r.n_chars_used == 4 for r in got.values())
+
+
+def test_substring_dedup_hand_check(spark):
+    """Cross-doc W-token window dedup (Lee-et-al span signal): two docs
+    share an exact 10-token run; a third is unique. With W=8 the shared
+    run yields 3 windows per sharing doc, merged into one run of 3."""
+    from catalog_pii_scanner_spark.operators.corpus import (
+        substring_dup_docs)
+    shared = "a b c d e f g h i j"            # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, shared + " unique1 tail1"),
+         (2, "lead2 " + shared + " tail2"),
+         (3, "totally different words with no overlap at all here")],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in substring_dup_docs(docs, w=8).collect()}
+    # doc1: 12 tokens -> 5 windows; starts 0..2 lie inside the shared run
+    assert (rows[1].n_windows, rows[1].n_dup_windows,
+            rows[1].max_dup_run) == (5, 3, 3)
+    assert rows[1].dup_ratio == 0.6
+    # doc2: 12 tokens -> 5 windows; shared run starts at token 1 -> 1..3
+    assert (rows[2].n_windows, rows[2].n_dup_windows,
+            rows[2].max_dup_run) == (5, 3, 3)
+    # doc3: 9 tokens -> 2 windows, none duplicated
+    assert (rows[3].n_windows, rows[3].n_dup_windows,
+            rows[3].max_dup_run) == (2, 0, 0)

@@ -24,7 +24,8 @@ STABLE_PARKED = {
     "tpch_pricing_summary", "top_customers_by_revenue",
     "monthly_revenue_running",
     "orders_priority_pivot", "churned_customers", "events_value_outliers",
-    "events_retention", "events_hourly_gapfill", "stream_events_hourly",
+    "events_retention", "events_funnel", "events_hourly_gapfill",
+    "stream_events_hourly",
     "corpus_unigram_logprob", "corpus_bigram_logprob", "corpus_split",
     "corpus_char_entropy", "llm_budget_plan", "dedup_containment",
     "dedup_embed_cosine",
