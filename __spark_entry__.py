@@ -392,8 +392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-doc exact-substring duplication stats (Lee et al. span
         # dedup signal: W-token windows shared across documents)
         "corpus_substring_dedup": corpus.substring_dedup,
-        # as-of join (union + running-last window; native ASOF oracle)
-        "events_asof_join": events_asof_join,
+        # product quantization (Jegou ADC): declarative oracle-parity
+        # index + the LUT-gather serving twin
+        "ann_pq_topk": simsearch.ann_pq_topk,
+        "ann_pq_matmul": simsearch.ann_pq_matmul,
         # session windows (native session_window; streaming-capable)
         "events_sessions": events_sessions,
         # skew-hardened twin: (user, day)-bucketed session fragments +
@@ -401,9 +403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_salted": events_sessions_salted,
         # the same session-window agg through a real writeStream drain
         "stream_events_sessions": stream_events_sessions,
-        # the same pii_docs scan as a zero-state foreachBatch drain
-        # (its batch twin doc_pii_density parks r4-green)
-        "stream_doc_pii_density": stream_doc_pii_density,
         # the curation verdict with the PII budget fused in
         "corpus_curate_pii": pii_docs.corpus_curate_pii,
         # corpus keep/drop verdict: cluster representative per doc
@@ -433,8 +432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # superset corpus_curate_pii runs the same pii_docs scan front)
         "corpus_anonymize": pii_docs.corpus_anonymize,
         # the scanner applied to the training corpus: per-doc PII budget
-        # (corpus_curate_pii + the stream drain cover this code front)
+        # (corpus_curate_pii covers this code front)
         "doc_pii_density": pii_docs.doc_pii_density,
+        # the same pii_docs scan as a zero-state foreachBatch drain
+        "stream_doc_pii_density": stream_doc_pii_density,
+        # as-of join (union + running-last window; native ASOF oracle;
+        # power-law fuzz-pinned this round, function untouched since r4)
+        "events_asof_join": events_asof_join,
         # similarity search (declarative oracle-parity + BLAS serving path)
         "ann_cosine_topk": simsearch.cosine_topk,
         "ann_cosine_matmul": simsearch.cosine_topk_matmul,
@@ -603,6 +607,10 @@ def oracle_sql() -> dict[str, str]:
         # identical output contract to the declarative IVF (bitwise-equal
         # after the shared 1e-6 rounding), so it shares the oracle
         "ann_ivf_matmul": simsearch.ann_ivf_topk_sql("duckdb"),
+        "ann_pq_topk": simsearch.ann_pq_topk_sql("duckdb"),
+        # LUT-gather serving path shares the declarative oracle
+        # (bitwise-equal after the shared 1e-6 rounding)
+        "ann_pq_matmul": simsearch.ann_pq_topk_sql("duckdb"),
         "embed_cluster_mix": simsearch.embed_cluster_mix_sql("duckdb"),
         "embed_kmeans_lloyd": simsearch.kmeans_lloyd_sql("duckdb"),
         "multimodal_features": multimodal.media_features_oracle_sql(),

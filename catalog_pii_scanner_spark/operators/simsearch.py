@@ -1088,3 +1088,318 @@ def embed_kmeans_lloyd(spark, sf_dir: str,
     out = cents.join(sizes, "cid").select("cid", "pos", "cval",
                                           "n_assigned")
     return checkpoint_release(out, vecs)
+
+
+# --- product quantization (PQ / ADC — the Jégou-et-al sketch) ---------------
+#
+# The remaining classic ANN compression: vectors split into PQ_M
+# subspaces, each subvector replaced by the id of its nearest codebook
+# entry (PQ_CODES codes per subspace) — 64 floats become PQ_M small ints.
+# Search is asymmetric distance computation (ADC): the query stays exact,
+# the score against a candidate is the sum of per-subspace query-codeword
+# dots — a lookup-table gather, no candidate floats touched. The codebook
+# here is the same deterministic "prefix" quantizer the IVF path uses
+# (codewords = subvectors of the first PQ_CODES vec_ids), which keeps the
+# whole index + search SQL-renderable for the oracle; a production build
+# would train codebooks per subspace with k-means (kmeans_centroid_frames
+# shows the drop-in shape) — the query plan is unchanged.
+
+PQ_M = 16                      # subspaces (DIMS/PQ_M dims each)
+PQ_CODES = 128                 # codewords per subspace
+PQ_SUB = DIMS // PQ_M
+PQ_RERANK = 50                 # ADC shortlist size before exact re-rank
+
+
+def _pq_cte(dialect: str, rel: str, query_mod: int) -> str:
+    """Shared CTE chain: sub/cb/codes/cbn/rnorm/qlut over vecs+norms."""
+    return f"""
+sub AS (
+  -- floor() before the INT cast: DuckDB CAST(DOUBLE AS INT) ROUNDS
+  -- while Spark truncates, so a bare cast splits the subspaces
+  -- differently between the engines
+  SELECT vec_id, pos, val, CAST(floor((pos - 1) / {PQ_SUB}) AS INT) AS m
+  FROM vecs
+),
+cb AS (
+  SELECT vec_id AS code, m, pos, val FROM sub WHERE vec_id < {PQ_CODES}
+),
+enc AS (
+  SELECT s.vec_id, s.m, c.code,
+         SUM((s.val - c.val) * (s.val - c.val)) AS d2
+  FROM sub s JOIN cb c ON c.m = s.m AND c.pos = s.pos
+  GROUP BY s.vec_id, s.m, c.code
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY round(d2, 6), code) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+cbn AS (SELECT m, code, SUM(val * val) AS c2 FROM cb GROUP BY m, code),
+rnorm AS (
+  -- reconstructed norm; zero-reconstruction candidates leave the
+  -- universe (mirrors the zero-norm exclusion of the exact paths)
+  SELECT v.vec_id, sqrt(SUM(b.c2)) AS rn
+  FROM codes v JOIN cbn b ON b.m = v.m AND b.code = v.code
+  GROUP BY v.vec_id HAVING SUM(b.c2) > 0
+),
+qlut AS (
+  SELECT s.vec_id AS query_id, s.m, c.code, SUM(s.val * c.val) AS dot
+  FROM sub s JOIN cb c ON c.m = s.m AND c.pos = s.pos
+  WHERE s.vec_id % {query_mod} = 0
+  GROUP BY s.vec_id, s.m, c.code
+)"""
+
+
+def ann_pq_topk_sql(dialect: str, rel: str = "embeddings", k: int = 5,
+                    query_mod: int = 50, rerank: int = PQ_RERANK) -> str:
+    """PQ/ADC search with exact re-rank (the IVFADC+R recipe): the ADC
+    lookup-table scan shortlists the top-``rerank`` candidates per query
+    by approximate score, then ONLY those pairs get an exact cosine and
+    the final top-k. Output: query_id, neighbor_id, rank, cosine
+    (exact, rounded 1e-6 — directly comparable with the brute-force
+    ground truth; recall gate in tests/test_ann_recall.py)."""
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+{_pq_cte(dialect, rel, query_mod).lstrip()},
+adot AS (
+  SELECT l.query_id, x.vec_id AS neighbor_id, SUM(l.dot) AS dot
+  FROM codes x JOIN qlut l ON l.m = x.m AND l.code = x.code
+  WHERE x.vec_id <> l.query_id
+  GROUP BY l.query_id, x.vec_id
+),
+pqcos AS (
+  SELECT a.query_id, a.neighbor_id,
+         round(a.dot / (nq.norm * r.rn), 6) AS pq_cosine
+  FROM adot a
+  JOIN norms nq ON nq.vec_id = a.query_id
+  JOIN rnorm r ON r.vec_id = a.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY pq_cosine DESC, neighbor_id)
+             AS prank
+    FROM pqcos
+  ) WHERE prank <= {rerank}
+),
+rdots AS (
+  SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
+  FROM short s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id AND c.pos = q.pos
+  GROUP BY s.query_id, s.neighbor_id
+),
+rcos AS (
+  -- norms inner join: zero-TRUE-norm candidates (possible even with a
+  -- nonzero reconstruction) drop here, identically in both engines
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.norm * nc.norm), 6) AS cosine
+  FROM rdots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rcos
+) WHERE rank <= {k}
+"""
+
+
+def ann_pq_topk(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
+                rerank: int = PQ_RERANK) -> DataFrame:
+    """DataFrame-step implementation (oracle-parity twin of
+    ann_pq_topk_sql). Shuffle shape: encoding is a join against the
+    (tiny, PQ_CODES x DIMS) broadcast codebook + one (vec, m)-keyed
+    aggregation; the ADC join carries PQ_M rows per (query, candidate)
+    pair instead of DIMS, and the exact re-rank touches only
+    nq x rerank pairs. The serving path (ann_pq_matmul) replaces even
+    the ADC join with an in-batch LUT gather."""
+    vecs = _vecs_df(spark, sf_dir).persist()
+    norms = _norms_df(vecs)
+    sub = vecs.withColumn(
+        "m", F.floor((F.col("pos") - 1) / F.lit(PQ_SUB)).cast("int"))
+    cb = (sub.where(F.col("vec_id") < PQ_CODES)
+          .select(F.col("vec_id").alias("code"), "m", "pos",
+                  F.col("val").alias("cval")))
+    enc = (sub.join(F.broadcast(cb), ["m", "pos"])
+           .groupBy("vec_id", "m", "code")
+           .agg(F.sum((F.col("val") - F.col("cval"))
+                      * (F.col("val") - F.col("cval"))).alias("d2")))
+    wenc = Window.partitionBy("vec_id", "m") \
+        .orderBy(F.round("d2", 6), F.col("code"))
+    codes = (enc.withColumn("rn", F.row_number().over(wenc))
+             .where("rn = 1").select("vec_id", "m", "code")
+             .persist())
+    cbn = cb.groupBy("m", "code").agg(F.sum(F.col("cval") ** 2).alias("c2"))
+    rnorm = (codes.join(F.broadcast(cbn), ["m", "code"])
+             .groupBy("vec_id").agg(F.sum("c2").alias("s2"))
+             .where("s2 > 0")
+             .select("vec_id", F.sqrt("s2").alias("rn")))
+    qlut = (sub.where(F.col("vec_id") % query_mod == 0)
+            .join(F.broadcast(cb), ["m", "pos"])
+            .groupBy(F.col("vec_id").alias("query_id"), F.col("m"),
+                     F.col("code"))
+            .agg(F.sum(F.col("val") * F.col("cval")).alias("dot")))
+    adot = (codes.join(qlut, ["m", "code"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.sum("dot").alias("dot")))
+    pqcos = (adot
+             .join(norms.select(F.col("vec_id").alias("query_id"),
+                                F.col("norm").alias("qn")), "query_id")
+             .join(rnorm.select(F.col("vec_id").alias("neighbor_id"),
+                                "rn"), "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     F.round(F.col("dot") / (F.col("qn") * F.col("rn")),
+                             6).alias("pq_cosine")))
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id"))
+    short = (pqcos.withColumn("prank", F.row_number().over(wshort))
+             .where(F.col("prank") <= rerank)
+             .select("query_id", "neighbor_id"))
+    qv = vecs.select(F.col("vec_id").alias("query_id"), "pos",
+                     F.col("val").alias("qval"))
+    cv = vecs.select(F.col("vec_id").alias("neighbor_id"), "pos",
+                     F.col("val").alias("cval"))
+    rdots = (short.join(qv, "query_id").join(cv, ["neighbor_id", "pos"])
+             .groupBy("query_id", "neighbor_id")
+             .agg(F.sum(F.col("qval") * F.col("cval")).alias("dot")))
+    rcos = (rdots
+            .join(norms.select(F.col("vec_id").alias("query_id"),
+                               F.col("norm").alias("qn")), "query_id")
+            .join(norms.select(F.col("vec_id").alias("neighbor_id"),
+                               F.col("norm").alias("cn")), "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("dot") / (F.col("qn") * F.col("cn")),
+                            6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    out = (rcos.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("query_id", "neighbor_id", "rank", "cosine"))
+    return checkpoint_release(out, vecs, codes)
+
+
+def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
+                  rerank: int = PQ_RERANK) -> DataFrame:
+    """The PQ serving path — true ADC table scan with in-batch exact
+    re-rank: codebooks (PQ_CODES x DIMS floats, tiny) and the per-query
+    lookup tables LUT[q][m][code] = q_m . c_code (nq x PQ_M x PQ_CODES)
+    broadcast once; candidates stream through mapInPandas where encoding
+    is a small per-subspace distance matrix, ADC scoring is a pure LUT
+    gather, and each batch emits its ADC top-``rerank`` per query WITH
+    the exact cosine computed from the in-batch raw vectors. The merge
+    window takes the global ADC top-``rerank`` (identical shortlist to
+    the declarative twin), then ranks by exact cosine — so the shuffle
+    carries partitions x nq x rerank rows and no second pass over the
+    corpus is needed. Bitwise-equal to ann_pq_topk after the shared
+    1e-6 rounding (equality test in tests/test_dedup_simsearch.py)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    crows = (emb.where(F.col("vec_id") < PQ_CODES)
+             .select("vec_id", "embedding").collect())
+    CB = np.zeros((PQ_CODES, DIMS), dtype=np.float64)
+    for r in crows:
+        CB[r.vec_id] = np.asarray(list(r.embedding), dtype=np.float64)
+    present = np.array(sorted(r.vec_id for r in crows), dtype=np.int64)
+    CBm = [CB[:, m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)]
+    cb_norm2 = np.stack([np.sum(c * c, axis=1) for c in CBm])  # (M, K)
+
+    qrows = (emb.where(F.col("vec_id") % query_mod == 0)
+             .select("vec_id", "embedding")
+             .limit(MAX_QUERY_VECTORS + 1).collect())
+    if len(qrows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"query subset exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}")
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.embedding) for r in qrows],
+                 dtype=np.float64).reshape(len(qrows), DIMS)
+    q_norm = np.linalg.norm(Q, axis=1)
+    ok = q_norm > 0
+    q_ids, Q, q_norm = q_ids[ok], Q[ok], q_norm[ok]
+    LUT = [Q[:, m * PQ_SUB:(m + 1) * PQ_SUB] @ CBm[m].T
+           for m in range(PQ_M)]
+    bc = spark.sparkContext.broadcast(
+        (q_ids, Q, q_norm, LUT, CBm, cb_norm2, present))
+    kk, rr = k, rerank
+
+    def part_topk(batches):
+        import numpy as np
+        import pandas as pd
+        qi, qm, qn, lut, cbm, cn2, pres = bc.value
+        if qi.size == 0 or pres.size == 0:
+            return
+        absent = np.ones(cn2.shape[1], dtype=bool)
+        absent[pres] = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            x_ids = pdf["vec_id"].to_numpy(np.int64)
+            codes = np.empty((len(X), PQ_M), dtype=np.int64)
+            r2 = np.zeros(len(X))
+            for m in range(PQ_M):
+                xm = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                # direct (x - c)^2 sum, NOT the x^2 - 2xc + c^2 matmul
+                # expansion: the expansion's cancellation error (~1e-8)
+                # exceeds the shared 1e-6 rounding and flips argmin on
+                # borderline codes; the direct form's reorder error
+                # (~1e-13) is absorbed by the rounding
+                diff = xm[:, None, :] - cbm[m][None, :, :]
+                d2 = np.round(np.sum(diff * diff, axis=2), 6)
+                # codebook ids with no corpus vector (sparse vec_id < K)
+                # do not exist in the declarative index: mask them out
+                d2[:, absent] = np.inf
+                codes[:, m] = np.argmin(d2, axis=1)  # first min = code asc
+                r2 += cn2[m][codes[:, m]]
+            keep_r = r2 > 0
+            X, x_ids, codes, r2 = (X[keep_r], x_ids[keep_r],
+                                   codes[keep_r], r2[keep_r])
+            if not len(X):
+                continue
+            rn = np.sqrt(r2)
+            c_norm = np.linalg.norm(X, axis=1)
+            dots = np.zeros((len(X), qi.size))
+            for m in range(PQ_M):
+                dots += lut[m][:, codes[:, m]].T
+            pq = np.round(dots / (rn[:, None] * qn[None, :]), 6)
+            exact = np.round(
+                (X @ qm.T)
+                / np.where(c_norm[:, None] > 0, c_norm[:, None], np.nan)
+                / qn[None, :], 6)
+            out = {"query_id": [], "neighbor_id": [], "pq_cosine": [],
+                   "cosine": []}
+            for j in range(qi.size):
+                col = pq[:, j]
+                keep = x_ids != qi[j]
+                ids, vals, ex = x_ids[keep], col[keep], exact[keep, j]
+                order = np.lexsort((ids, -vals))[:rr]
+                out["query_id"].append(np.full(order.size, qi[j]))
+                out["neighbor_id"].append(ids[order])
+                out["pq_cosine"].append(vals[order])
+                out["cosine"].append(ex[order])
+            yield pd.DataFrame({
+                c: np.concatenate(v) for c, v in out.items()})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        part_topk, schema="query_id long, neighbor_id long, "
+                          "pq_cosine double, cosine double")
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id"))
+    # NaN (zero-true-norm candidate), not NULL: Arrow carries the numpy
+    # NaN through, and isNotNull() would pass it — drop via isnan
+    short = (cand.withColumn("prank", F.row_number().over(wshort))
+             .where((F.col("prank") <= rerank)
+                    & ~F.isnan(F.col("cosine"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (short.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))

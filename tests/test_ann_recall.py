@@ -66,3 +66,13 @@ def test_ivf_cosines_are_exact(spark, sf_dir):
     for r in simsearch.ann_ivf_topk(spark, sf_dir,
                                     quantizer="kmeans").collect():
         assert brute[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_pq_rerank_recall(spark, sf_dir, truth):
+    """PQ/ADC with exact re-rank (the IVFADC+R recipe): the shortlist
+    must recover essentially all true neighbors on the testdata vectors
+    (measured 1.0 at sf0.001 and sf0.01; the gate allows sketch slack).
+    Without the re-rank the raw ADC ranking sits near 0.5-0.7 recall —
+    the re-rank IS the production recipe, not a garnish."""
+    rows = simsearch.ann_pq_matmul(spark, sf_dir).collect()
+    assert _recall(rows, truth) >= 0.9

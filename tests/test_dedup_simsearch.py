@@ -400,3 +400,20 @@ def test_zero_norm_vectors_leave_the_cosine_universe(spark, tmp_path):
     assert set(a) == set(b)
     # query_mod=3 would select vec 12 as a query; it is excluded, and 0/3/6/9 remain
     assert {q for q, _ in a} == {0, 3, 6, 9}
+
+
+def test_ann_pq_matmul_equals_declarative(spark, sf_dir):
+    """The PQ LUT-gather serving path (in-batch ADC top-R + exact
+    re-rank) must return exactly the declarative PQ frame — identical
+    shortlist (rounded ADC score, id tie-break) and identical final
+    ranking by exact cosine."""
+    decl = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in simsearch.ann_pq_topk(spark, sf_dir, k=5,
+                                           query_mod=20).collect()}
+    mm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in simsearch.ann_pq_matmul(spark, sf_dir, k=5,
+                                           query_mod=20).collect()}
+    assert set(decl) == set(mm)
+    for key, (nid, cos) in decl.items():
+        assert mm[key][0] == nid, key
+        assert mm[key][1] == pytest.approx(cos, abs=2e-6)
