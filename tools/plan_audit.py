@@ -33,6 +33,10 @@ def main() -> int:
         ("ann_lsh_matmul", "LSH one-pass broadcast-probe search"),
         ("ann_ivf_topk", "IVF probe path"),
         ("ann_ivf_matmul", "IVF+BLAS one-pass search"),
+        ("ann_pq_topk", "PQ/ADC shortlist + exact re-rank"),
+        ("ann_pq_matmul", "PQ LUT-gather serving path"),
+        ("corpus_substring_dedup", "cross-doc window dedup"),
+        ("stream_dedup_keep_list", "streaming signatures + compaction"),
         ("eval_greedy_metrics", "range join + windows"),
         ("pii_repeated_spans", "position-exact Arrow extraction + fold"),
         ("events_sessions_salted", "bucketed sessions + boundary merge"),
