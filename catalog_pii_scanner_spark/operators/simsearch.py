@@ -1393,10 +1393,14 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
                           "pq_cosine double, cosine double")
     wshort = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id"))
-    # NaN (zero-true-norm candidate), not NULL: Arrow carries the numpy
-    # NaN through, and isNotNull() would pass it — drop via isnan
+    # zero-true-norm candidates carry no exact cosine. Depending on the
+    # Arrow conversion the numpy NaN arrives as NaN *or* NULL — and
+    # Spark's isnan(NULL) is false while isNotNull(NaN) is true, so BOTH
+    # guards are required (the micro edge-corpus sweep caught the
+    # NULL-only leak: a rank-2 row with cosine NULL)
     short = (cand.withColumn("prank", F.row_number().over(wshort))
              .where((F.col("prank") <= rerank)
+                    & F.col("cosine").isNotNull()
                     & ~F.isnan(F.col("cosine"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
