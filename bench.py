@@ -99,7 +99,9 @@ def main() -> None:
         "n_runs": n_runs,
         "spread_max": spreads[-1] if spreads else None,
         "spread_max_query": worst_q,
-        "spread_median": spreads[len(spreads) // 2] if spreads else None,
+        "spread_median": (round((spreads[(len(spreads) - 1) // 2]
+                                 + spreads[len(spreads) // 2]) / 2, 2)
+                          if spreads else None),
         "queries_omitted": len(omitted),
         "omitted_total_sec": round(sum(v for _, v in omitted), 2),
         "queries": {k: round(v, 2) for k, v in shown},

@@ -48,17 +48,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_kgrams(docs: DataFrame, k: int,
                cap: int = MAX_SHINGLE_TOKENS) -> DataFrame:
     """(doc_id, gram) word k-grams over the first ``cap`` tokens, via
-    posexplode + lead window (see module docstring for why not HOF)."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " +")).alias("pos", "tok"))
-    toks = toks.where(F.col("pos") < cap)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, k)]
-    out = toks.select("doc_id", "tok", *leads)
-    if k > 1:
-        out = out.where(F.col(f"_t{k - 1}").isNotNull())
-    parts = [F.col("tok")] + [F.col(f"_t{i}") for i in range(1, k)]
-    return out.select("doc_id", F.concat_ws(" ", *parts).alias("gram"))
+    posexplode + lead window (see module docstring for why not HOF).
+    Delegates to :func:`doc_kgrams_pos` (Catalyst prunes the unused pos
+    column) so the kgram semantics have a single definition."""
+    return doc_kgrams_pos(docs, k, cap).select("doc_id", "gram")
 
 
 def _kgram_sql_duckdb(k: int, text_col: str = "text",
@@ -792,8 +785,10 @@ SUBSTR_W = 8
 
 def doc_kgrams_pos(docs: DataFrame, k: int,
                    cap: int = MAX_SHINGLE_TOKENS) -> DataFrame:
-    """(doc_id, pos, gram): like :func:`doc_kgrams` but keeping the
-    window's start-token position (needed for run merging)."""
+    """(doc_id, pos, gram): the kgram construction with the window's
+    start-token position kept (needed for run merging).
+    :func:`doc_kgrams` delegates here so the tokenization/cap semantics
+    live in exactly one place."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " +")).alias("pos", "tok"))
     toks = toks.where(F.col("pos") < cap)
@@ -824,13 +819,20 @@ def substring_dup_docs(docs: DataFrame, w: int = SUBSTR_W,
     one row per doc with >= 1 window (docs shorter than W tokens have no
     windows and carry no signal).
     """
+    from ..plans.cache import checkpoint_release
+    # wnd feeds dfreq AND the join-back; flagged feeds stats AND the
+    # runs branch (whose pre-window filter defeats ReusedExchange) —
+    # persist both so the posexplode + lead-window derivation runs once
+    # (the dedup.py shingle/band discipline)
     wnd = (doc_kgrams_pos(docs.where(F.col("text").isNotNull()), w, cap)
-           .select("doc_id", "pos", F.md5("gram").alias("g")))
+           .select("doc_id", "pos", F.md5("gram").alias("g"))
+           .persist())
     dfreq = wnd.groupBy("g").agg(
         F.count_distinct("doc_id").alias("ndocs"))
     flagged = (wnd.join(dfreq, "g")
                .select("doc_id", "pos",
-                       (F.col("ndocs") > 1).alias("is_dup")))
+                       (F.col("ndocs") > 1).alias("is_dup"))
+               .persist())
     stats = flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_windows"),
         F.sum(F.col("is_dup").cast("bigint")).alias("n_dup"))
@@ -841,14 +843,15 @@ def substring_dup_docs(docs: DataFrame, w: int = SUBSTR_W,
             .withColumn("grp", F.col("pos") - F.row_number().over(dw))
             .groupBy("doc_id", "grp").agg(F.count("*").alias("run")))
     max_run = runs.groupBy("doc_id").agg(F.max("run").alias("max_run"))
-    return (stats.join(max_run, "doc_id", "left")
-            .select("doc_id",
-                    F.col("n_windows").cast("bigint").alias("n_windows"),
-                    F.col("n_dup").cast("bigint").alias("n_dup_windows"),
-                    F.round(F.col("n_dup").cast("double")
-                            / F.col("n_windows"), 6).alias("dup_ratio"),
-                    F.coalesce(F.col("max_run"), F.lit(0)).cast("bigint")
-                    .alias("max_dup_run")))
+    out = (stats.join(max_run, "doc_id", "left")
+           .select("doc_id",
+                   F.col("n_windows").cast("bigint").alias("n_windows"),
+                   F.col("n_dup").cast("bigint").alias("n_dup_windows"),
+                   F.round(F.col("n_dup").cast("double")
+                           / F.col("n_windows"), 6).alias("dup_ratio"),
+                   F.coalesce(F.col("max_run"), F.lit(0)).cast("bigint")
+                   .alias("max_dup_run")))
+    return checkpoint_release(out, wnd, flagged)
 
 
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1110,7 +1110,7 @@ PQ_SUB = DIMS // PQ_M
 PQ_RERANK = 50                 # ADC shortlist size before exact re-rank
 
 
-def _pq_cte(dialect: str, rel: str, query_mod: int) -> str:
+def _pq_cte(query_mod: int) -> str:
     """Shared CTE chain: sub/cb/codes/cbn/rnorm/qlut over vecs+norms."""
     return f"""
 sub AS (
@@ -1163,7 +1163,7 @@ def ann_pq_topk_sql(dialect: str, rel: str = "embeddings", k: int = 5,
     ground truth; recall gate in tests/test_ann_recall.py)."""
     return f"""
 WITH {_exploded_cte(dialect, rel)},
-{_pq_cte(dialect, rel, query_mod).lstrip()},
+{_pq_cte(query_mod).lstrip()},
 adot AS (
   SELECT l.query_id, x.vec_id AS neighbor_id, SUM(l.dot) AS dot
   FROM codes x JOIN qlut l ON l.m = x.m AND l.code = x.code
@@ -1328,7 +1328,7 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
            for m in range(PQ_M)]
     bc = spark.sparkContext.broadcast(
         (q_ids, Q, q_norm, LUT, CBm, cb_norm2, present))
-    kk, rr = k, rerank
+    rr = rerank
 
     def part_topk(batches):
         import numpy as np

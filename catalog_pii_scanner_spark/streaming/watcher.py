@@ -615,16 +615,18 @@ def stream_doc_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         (doc_pii_density_docs(augment_docs(bdf))
          .write.mode("append").parquet(out_dir))
 
-    q = (stream.writeStream.foreachBatch(_sink)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    # materialize, then drop the drain's scratch dirs — a long session
-    # calling this repeatedly must not accumulate spool directories
-    out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    # materialize, then drop the drain's scratch dirs (in a finally so a
+    # FAILED drain cannot accumulate spool directories either)
     import shutil
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
@@ -672,13 +674,17 @@ def stream_dedup_keep_list(spark: SparkSession, sf_dir: str,
         sigs = _signatures_from_shingles(shingles_from_docs(bdf))
         band_keys(sigs).write.mode("append").parquet(band_dir)
 
-    q = (stream.writeStream.foreachBatch(_sink)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    bands = spark.read.parquet(band_dir).localCheckpoint(eager=True)
-    shutil.rmtree(band_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # scratch dirs must not survive a FAILED drain either (the density
+    # drain's cleanup discipline): rmtree sits in a finally
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        bands = spark.read.parquet(band_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(band_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     # resolution / compaction over the accumulated state
     pairs = capped_band_pairs(bands, MAX_BAND_BUCKET)

@@ -84,6 +84,10 @@ def build(spark) -> None:
             copies.append(d)
         reduce(DataFrame.unionByName, copies).write \
             .mode("overwrite").parquet(f"{X10}/{t}.parquet")
+    # the `10 * id + c` scheme keeps copies 1..9 out of the `% 50 == 0`
+    # ANN query set and collision-free ONLY for K <= 10 — guard it
+    if K > 10:
+        raise ValueError("embeddings re-key scheme supports K <= 10")
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     copies = [emb]
     for c in range(1, K):
