@@ -42,6 +42,14 @@ def sample_columns(values_df: DataFrame, n: int = DEFAULT_SAMPLE_N,
     prunes within (column_ref, hash-salt) buckets — 64-way parallel per
     column, and the global top-n is provably contained in the union of
     per-bucket top-n — so the final per-column window sees <= 64*n rows.
+
+    Measured-and-rejected (r5): fusing the distinct + bucket-window pair
+    into one groupBy(column_ref, salt) with
+    slice(array_sort(collect_set(value)), 1, n) removes one full-data
+    exchange but runs 7.9 -> 12.1 s warm at sf0.1 — the per-bucket array
+    build/sort (~10k-element sets on the lineitem price columns) costs
+    more than the saved shuffle, and map-side partial collect_set barely
+    reduces high-cardinality columns. The window form stays.
     """
     vals = values_df.where(F.col("value").isNotNull()).distinct()
     order = F.col("value") if deterministic else F.rand(seed)
