@@ -3,11 +3,13 @@ pipeline surface.
 
 Media lives as opaque ``binary`` columns with typed metadata; the
 Spark-side machinery — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested. The actual codec work is STUBBED: the
-container ships no image/audio libraries, so ``decode_image`` raises
-``NotImplementedError`` unless a deterministic fake decoder is requested
-(the hermetic-test mode, mirroring the reference's CPS_OFFLINE model
-fallbacks).
+signatures — is real and tested. Decode is REAL for the dependency-free
+formats (netpbm PGM images and PCM16 WAV audio — numpy + stdlib only;
+see the real-decoders section below, exercised end-to-end in
+tests/test_multimodal.py), and STUBBED only for codec-library formats
+(png/jpeg/mp4): ``decode_image`` / ``real_features`` raise
+``NotImplementedError`` there, the loud PIL/librosa/ffmpeg integration
+point (mirroring the reference's CPS_OFFLINE model fallbacks).
 
 Operators:
 - ``media_assets``: build an assets frame (asset_id, media BINARY,
@@ -76,12 +78,15 @@ def decode_image(payload: bytes):  # pragma: no cover - real-codec path
 
 
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
-    """mapInPandas media -> feature vectors (Arrow-batched)."""
+    """mapInPandas media -> feature vectors (Arrow-batched). With
+    ``fake=False`` payloads are REALLY decoded: PGM images and PCM16 WAV
+    through the dependency-free decoders below; codec-library formats
+    raise through ``real_features`` (the loud integration point)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_features(m) if fake else decode_image(m)
+                _fake_features(m) if fake else real_features(bytes(m))
                 for m in pdf["media"]
             ]
             yield pd.DataFrame({
@@ -182,7 +187,10 @@ def resize_media(assets: DataFrame, target_bytes: int = 32,
             resized = []
             for m in pdf["media"]:
                 if not fake:
-                    decode_image(bytes(m))  # pragma: no cover - stub
+                    # REAL resize for the decodable formats (PGM pixels
+                    # / WAV samples); unknown formats raise loudly
+                    resized.append(resize_real(bytes(m), target_bytes))
+                    continue
                 b = bytes(m)
                 if len(b) > target_bytes:
                     stride = -(-len(b) // target_bytes)
@@ -347,3 +355,142 @@ SELECT asset_id, window_no, win_len,
              / (win_len * 255.0) * 1000000 + 0.5) / 1000000 AS energy
 FROM b GROUP BY asset_id, window_no, win_len
 """
+
+
+# --- REAL decoders for dependency-free formats ------------------------------
+# netpbm PGM (P2 ascii / P5 raw) images and PCM16 WAV audio decode with
+# numpy + the stdlib ONLY — so this environment exercises a genuinely
+# decoded media path end-to-end (parse -> pixels/samples -> features /
+# resize -> re-encode), not just the fake. Codec-library formats
+# (png/jpeg/mp4) remain the decode_image integration stub.
+
+def sniff_media(payload: bytes) -> str:
+    if payload[:2] in (b"P2", b"P5"):
+        return "pgm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def decode_pgm(payload: bytes):
+    """netpbm PGM -> (h, w) uint8 array. Handles P2 (ascii) and P5 (raw),
+    '#' comments, and maxval <= 255 (the netpbm spec's 1-byte range)."""
+    import numpy as np
+    if payload[:2] not in (b"P2", b"P5"):
+        raise ValueError("not a PGM payload")
+    # header: magic, width, height, maxval — whitespace-separated with
+    # optional comment lines; after maxval exactly ONE whitespace byte
+    # precedes the P5 raster
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        while i < n and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("multi-byte PGM maxval not supported")
+    if payload[:2] == b"P5":
+        raster = payload[i + 1:i + 1 + w * h]
+        img = np.frombuffer(raster, dtype=np.uint8, count=w * h)
+    else:
+        img = np.array(payload[i:].split()[:w * h], dtype=np.uint8)
+    return img.reshape(h, w)
+
+
+def encode_pgm(img) -> bytes:
+    """(h, w) uint8 array -> canonical P5 bytes."""
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def decode_wav_pcm16(payload: bytes):
+    """PCM16 WAV -> (samples int16 ndarray, sample_rate)."""
+    import io
+    import wave
+
+    import numpy as np
+    with wave.open(io.BytesIO(payload)) as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        rate = f.getframerate()
+        frames = f.readframes(f.getnframes())
+    return np.frombuffer(frames, dtype="<i2"), rate
+
+
+def encode_wav_pcm16(samples, rate: int) -> bytes:
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def real_features(payload: bytes) -> list[float]:
+    """N_FEATURES summary stats from a REALLY decoded payload. PGM:
+    [h, w, min, max, mean, std, p25, p75] (pixel stats / maxval); WAV:
+    [n_samples, rate, mean, std, min, max, rms, zero-cross rate]
+    (amplitudes / 32768). Unknown formats raise — that is the
+    codec-library integration point, kept loud."""
+    import numpy as np
+    kind = sniff_media(payload)
+    if kind == "pgm":
+        img = decode_pgm(payload).astype(np.float64)
+        h, w = img.shape
+        return [float(h), float(w), float(img.min()) / 255.0,
+                float(img.max()) / 255.0, float(img.mean()) / 255.0,
+                float(img.std()) / 255.0,
+                float(np.percentile(img, 25)) / 255.0,
+                float(np.percentile(img, 75)) / 255.0]
+    if kind == "wav":
+        s, rate = decode_wav_pcm16(payload)
+        a = s.astype(np.float64) / 32768.0
+        zcr = float(np.mean(np.signbit(a[1:]) != np.signbit(a[:-1]))) \
+            if len(a) > 1 else 0.0
+        return [float(len(s)), float(rate), float(a.mean()),
+                float(a.std()), float(a.min()), float(a.max()),
+                float(np.sqrt(np.mean(a * a))), zcr]
+    raise NotImplementedError(
+        "payload is neither PGM nor PCM WAV; codec formats need a "
+        "library not present in this environment")
+
+
+def resize_real(payload: bytes, target_bytes: int) -> bytes:
+    """Real resize for the decodable formats: PGM -> nearest-neighbor
+    downscale so the re-encoded raster fits target_bytes; WAV ->
+    stride-decimated samples fitting target_bytes. The same byte-budget
+    contract as the fake stride path, but through actual pixels/samples.
+    """
+    import numpy as np
+    kind = sniff_media(payload)
+    if kind == "pgm":
+        img = decode_pgm(payload)
+        h, w = img.shape
+        budget = max(target_bytes - 15, 1)       # ~header bytes
+        scale = min(1.0, (budget / float(h * w)) ** 0.5)
+        oh, ow = max(1, int(h * scale)), max(1, int(w * scale))
+        ri = (np.arange(oh) * h // oh)
+        ci = (np.arange(ow) * w // ow)
+        return encode_pgm(img[np.ix_(ri, ci)])
+    if kind == "wav":
+        s, rate = decode_wav_pcm16(payload)
+        n_out = max((target_bytes - 44) // 2, 1)  # 44-byte canonical hdr
+        if len(s) > n_out:
+            stride = -(-len(s) // n_out)
+            s = s[::stride]
+            rate = max(rate // stride, 1)
+        return encode_wav_pcm16(s, rate)
+    raise NotImplementedError(
+        "payload is neither PGM nor PCM WAV; codec formats need a "
+        "library not present in this environment")

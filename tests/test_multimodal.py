@@ -89,3 +89,91 @@ def test_audio_window_energy_hand_check(spark):
     import math
     for r, (s, n) in zip(rows, [(285, 4), (180, 4), (150, 2)]):
         assert r.energy == math.floor(s / (n * 255.0) * 1e6 + 0.5) / 1e6
+
+
+# --- REAL decode paths (dependency-free formats) -----------------------------
+
+def _gradient_pgm(h=6, w=4):
+    import numpy as np
+    img = (np.arange(h * w, dtype=np.uint8).reshape(h, w) * 7) % 256
+    from catalog_pii_scanner_spark.operators.multimodal import encode_pgm
+    return img.astype("uint8"), encode_pgm(img.astype("uint8"))
+
+
+def _sine_wav(n=200, rate=8000):
+    import numpy as np
+    t = np.arange(n)
+    s = (np.sin(2 * np.pi * t / 25) * 12000).astype("<i2")
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        encode_wav_pcm16)
+    return s, encode_wav_pcm16(s, rate)
+
+
+def test_pgm_roundtrip_and_ascii_variant():
+    import numpy as np
+    from catalog_pii_scanner_spark.operators.multimodal import decode_pgm
+    img, p5 = _gradient_pgm()
+    assert np.array_equal(decode_pgm(p5), img)
+    # P2 (ascii) with a comment line decodes to the same pixels
+    p2 = (b"P2\n# a comment\n4 6\n255\n"
+          + " ".join(str(int(v)) for v in img.flatten()).encode())
+    assert np.array_equal(decode_pgm(p2), img)
+
+
+def test_wav_roundtrip():
+    import numpy as np
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        decode_wav_pcm16)
+    s, wav = _sine_wav()
+    got, rate = decode_wav_pcm16(wav)
+    assert rate == 8000 and np.array_equal(got, s)
+
+
+def test_real_features_through_spark(spark):
+    """extract_features(fake=False) REALLY decodes PGM and WAV payloads
+    inside the mapInPandas stage; values match a direct numpy
+    derivation."""
+    import numpy as np
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        extract_features)
+    img, p5 = _gradient_pgm()
+    s, wav = _sine_wav()
+    assets = spark.createDataFrame(
+        [(1, bytearray(p5), "image/x-portable-graymap", len(p5)),
+         (2, bytearray(wav), "audio/wav", len(wav))],
+        "asset_id bigint, media binary, media_type string, n_bytes bigint")
+    rows = {r.asset_id: list(r.features)
+            for r in extract_features(assets, fake=False).collect()}
+    imgf = img.astype(float)
+    assert rows[1][:2] == [6.0, 4.0]
+    assert rows[1][4] == pytest.approx(imgf.mean() / 255.0)
+    assert rows[1][5] == pytest.approx(imgf.std() / 255.0)
+    a = s.astype(float) / 32768.0
+    assert rows[2][0] == float(len(s)) and rows[2][1] == 8000.0
+    assert rows[2][6] == pytest.approx(float(np.sqrt(np.mean(a * a))))
+
+
+def test_real_resize_pgm_is_true_nearest_neighbor(spark):
+    import numpy as np
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        decode_pgm, resize_media)
+    img, p5 = _gradient_pgm(h=16, w=16)
+    assets = spark.createDataFrame(
+        [(1, bytearray(p5), "image/x-portable-graymap", len(p5))],
+        "asset_id bigint, media binary, media_type string, n_bytes bigint")
+    row = resize_media(assets, target_bytes=80, fake=False).collect()[0]
+    assert row.resized_bytes <= 80
+    out = decode_pgm(bytes(row.resized))
+    oh, ow = out.shape
+    ri = (np.arange(oh) * 16 // oh)
+    ci = (np.arange(ow) * 16 // ow)
+    assert np.array_equal(out, img[np.ix_(ri, ci)])
+
+
+def test_real_decode_raises_loudly_for_codec_formats():
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        real_features, resize_real)
+    with pytest.raises(NotImplementedError):
+        real_features(b"\x89PNG\r\n\x1a\nfakepng")
+    with pytest.raises(NotImplementedError):
+        resize_real(b"\x00\x00\x00 ftypmp42", 32)
