@@ -389,6 +389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio path: vectorized per-window energy (oracle made
         # byte-exact this round)
         "multimodal_audio_energy": multimodal.audio_energy_query,
+        # REAL media decode, oracle-gated: P5 PGM payloads BUILT in
+        # Spark SQL, decoded for real in the Arrow stage; DuckDB derives
+        # the pixel stats arithmetically from the generator formula
+        "multimodal_real_pgm_features": multimodal.real_pgm_features_query,
         # cross-doc exact-substring duplication stats (Lee et al. span
         # dedup signal: W-token windows shared across documents)
         "corpus_substring_dedup": corpus.substring_dedup,
@@ -401,10 +405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew-hardened twin: (user, day)-bucketed session fragments +
         # boundary merge over sessions — same rows, no hot-key straggler
         "events_sessions_salted": events_sessions_salted,
-        # the same session-window agg through a real writeStream drain
-        "stream_events_sessions": stream_events_sessions,
-        # the curation verdict with the PII budget fused in
-        "corpus_curate_pii": pii_docs.corpus_curate_pii,
+        # the pii_docs scan as a zero-state foreachBatch drain (scratch
+        # cleanup moved into a finally this round -> driver-rechecked)
+        "stream_doc_pii_density": stream_doc_pii_density,
         # corpus keep/drop verdict: cluster representative per doc
         "dedup_keep_list": dedup.dedup_keep_list,
         # the same verdict via a streaming drain: per-microbatch
@@ -432,10 +435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # superset corpus_curate_pii runs the same pii_docs scan front)
         "corpus_anonymize": pii_docs.corpus_anonymize,
         # the scanner applied to the training corpus: per-doc PII budget
-        # (corpus_curate_pii covers this code front)
         "doc_pii_density": pii_docs.doc_pii_density,
-        # the same pii_docs scan as a zero-state foreachBatch drain
-        "stream_doc_pii_density": stream_doc_pii_density,
+        # the curation verdict with the PII budget fused in (r4-green,
+        # pii_docs untouched this round)
+        "corpus_curate_pii": pii_docs.corpus_curate_pii,
+        # the session-window agg through a writeStream drain (r4-green,
+        # function untouched; events_sessions + salted twin run front)
+        "stream_events_sessions": stream_events_sessions,
         # as-of join (union + running-last window; native ASOF oracle;
         # power-law fuzz-pinned this round, function untouched since r4)
         "events_asof_join": events_asof_join,
@@ -617,6 +623,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": multimodal.frame_sample_oracle_sql(),
         "multimodal_resize": multimodal.media_resize_oracle_sql(),
         "multimodal_audio_energy": multimodal.audio_energy_oracle_sql(),
+        "multimodal_real_pgm_features":
+            multimodal.real_pgm_features_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

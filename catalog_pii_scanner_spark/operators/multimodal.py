@@ -494,3 +494,87 @@ def resize_real(payload: bytes, target_bytes: int) -> bytes:
     raise NotImplementedError(
         "payload is neither PGM nor PCM WAV; codec formats need a "
         "library not present in this environment")
+
+
+# --- driver-gated REAL decode: SQL-built PGM corpus --------------------------
+# The repeated-spans trick applied to media: payloads are P5 PGMs BUILT
+# IN SPARK SQL from a per-doc pixel formula (pixels < 128, so chr() ->
+# UTF-8 encode is byte-identity), the engine REALLY decodes them in the
+# Arrow stage (header parse + raster frombuffer), and the DuckDB oracle
+# re-derives every feature arithmetically from the same formula without
+# ever touching bytes — decoder correctness is oracle-gated, not just
+# unit-tested.
+
+def synthetic_pgm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One real P5 payload per document id: w = 4 + k%5, h = 3 + k%7,
+    pixel(i) = (k*7 + i*13) % 128."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    k = F.col("doc_id")
+    w = (k % 5 + 4).cast("int")
+    h = (k % 7 + 3).cast("int")
+    payload = F.encode(F.concat(
+        F.lit("P5\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+        F.expr("array_join(transform(sequence(0, int((doc_id % 7 + 3) * "
+               "(doc_id % 5 + 4)) - 1), "
+               "i -> chr(int((doc_id * 7 + i * 13) % 128))), '')")),
+        "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("media"),
+        F.lit("image/x-portable-graymap").alias("media_type"),
+        F.octet_length(payload).alias("n_bytes"))
+
+
+def real_pgm_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(synthetic_pgm_assets(spark, sf_dir),
+                             fake=False)
+    cols = [F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(N_FEATURES)]
+    return feats.select("asset_id", "n_bytes", *cols)
+
+
+def real_pgm_features_oracle_sql(docs_rel: str = "documents") -> str:
+    """Pure-arithmetic oracle: pixel stats from the generator formula.
+    std is the two-pass sqrt(avg((p - mean)^2)) — numpy's algorithm —
+    not the cancellation-prone E[x^2]-E[x]^2 form; percentiles are
+    quantile_cont (numpy's linear interpolation)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 5 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 7 + 3 AS BIGINT) AS h
+  FROM {docs_rel}
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, h * w)) AS i FROM d
+),
+pv AS (
+  SELECT doc_id, w, h,
+         CAST((doc_id * 7 + i * 13) % 128 AS DOUBLE) AS p,
+         AVG(CAST((doc_id * 7 + i * 13) % 128 AS DOUBLE))
+           OVER (PARTITION BY doc_id) AS mp
+  FROM px
+),
+st AS (
+  SELECT doc_id, MAX(h) AS h, MAX(w) AS w,
+         MIN(p) AS mn, MAX(p) AS mx, AVG(p) AS mean,
+         sqrt(AVG((p - mp) * (p - mp))) AS sd,
+         quantile_cont(p, 0.25) AS q25, quantile_cont(p, 0.75) AS q75
+  FROM pv GROUP BY doc_id
+)
+SELECT s.doc_id AS asset_id,
+       -- header = 'P5\\n' (3) + w + ' ' (1) + h + '\\n255\\n' (5)
+       -- = 9 fixed chars + the digit widths, then h*w raster bytes
+       CAST(9 + length(CAST(s.w AS VARCHAR))
+              + length(CAST(s.h AS VARCHAR)) + s.h * s.w AS BIGINT)
+         AS n_bytes,
+       round(CAST(s.h AS DOUBLE), 6) AS f0,
+       round(CAST(s.w AS DOUBLE), 6) AS f1,
+       round(s.mn / 255.0, 6) AS f2,
+       round(s.mx / 255.0, 6) AS f3,
+       round(s.mean / 255.0, 6) AS f4,
+       round(s.sd / 255.0, 6) AS f5,
+       round(s.q25 / 255.0, 6) AS f6,
+       round(s.q75 / 255.0, 6) AS f7
+FROM st s
+"""
