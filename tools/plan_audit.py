@@ -36,6 +36,7 @@ def main() -> int:
         ("ann_pq_topk", "PQ/ADC shortlist + exact re-rank"),
         ("ann_pq_matmul", "PQ LUT-gather serving path"),
         ("corpus_substring_dedup", "cross-doc window dedup"),
+        ("multimodal_real_pgm_features", "SQL-built PGM + real decode"),
         ("stream_dedup_keep_list", "streaming signatures + compaction"),
         ("eval_greedy_metrics", "range join + windows"),
         ("pii_repeated_spans", "position-exact Arrow extraction + fold"),
