@@ -177,3 +177,55 @@ def test_real_decode_raises_loudly_for_codec_formats():
         real_features(b"\x89PNG\r\n\x1a\nfakepng")
     with pytest.raises(NotImplementedError):
         resize_real(b"\x00\x00\x00 ftypmp42", 32)
+
+
+# --- property tests for the dependency-free decoders -------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_pgm_roundtrip_property(h, w, seed):
+    import numpy as np
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        decode_pgm, encode_pgm)
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(decode_pgm(encode_pgm(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 500), st.sampled_from([8000, 16000, 44100]),
+       st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_property(n, rate, seed):
+    import numpy as np
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        decode_wav_pcm16, encode_wav_pcm16)
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n).astype("<i2")
+    got, grate = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+    assert grate == rate and np.array_equal(got, s)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(2, 48), st.integers(2, 48), st.integers(16, 200),
+       st.integers(0, 2**32 - 1))
+def test_resize_real_pgm_invariants(h, w, budget, seed):
+    """resize_real output always fits the byte budget (or is the 1x1
+    floor), stays decodable, and every output pixel is an input pixel
+    from the nearest-neighbor index map."""
+    import numpy as np
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        decode_pgm, encode_pgm, resize_real)
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out_bytes = resize_real(encode_pgm(img), budget)
+    out = decode_pgm(out_bytes)
+    oh, ow = out.shape
+    assert oh >= 1 and ow >= 1 and oh <= h and ow <= w
+    if oh * ow > 1:                    # 1x1 floor may exceed tiny budgets
+        assert len(out_bytes) <= budget + 18   # header slack bound
+    ri = (np.arange(oh) * h // oh)
+    ci = (np.arange(ow) * w // ow)
+    assert np.array_equal(out, img[np.ix_(ri, ci)])
