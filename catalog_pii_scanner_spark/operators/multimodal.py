@@ -372,9 +372,10 @@ def sniff_media(payload: bytes) -> str:
     return "unknown"
 
 
-def decode_pgm(payload: bytes):
-    """netpbm PGM -> (h, w) uint8 array. Handles P2 (ascii) and P5 (raw),
-    '#' comments, and maxval <= 255 (the netpbm spec's 1-byte range)."""
+def decode_pgm_full(payload: bytes):
+    """netpbm PGM -> ((h, w) uint8 array, maxval). Handles P2 (ascii)
+    and P5 (raw), '#' comments (header AND raster sections — the plain
+    spec allows them anywhere), and maxval <= 255 (the 1-byte range)."""
     import numpy as np
     if payload[:2] not in (b"P2", b"P5"):
         raise ValueError("not a PGM payload")
@@ -401,8 +402,18 @@ def decode_pgm(payload: bytes):
         raster = payload[i + 1:i + 1 + w * h]
         img = np.frombuffer(raster, dtype=np.uint8, count=w * h)
     else:
-        img = np.array(payload[i:].split()[:w * h], dtype=np.uint8)
-    return img.reshape(h, w)
+        # the plain-netpbm spec allows '#' comments ANYWHERE, including
+        # between raster samples — strip them before tokenizing
+        import re as _re
+        clean = _re.sub(rb"#[^\n]*", b"", payload[i:])
+        img = np.array(clean.split()[:w * h], dtype=np.uint8)
+    return img.reshape(h, w), maxval
+
+
+def decode_pgm(payload: bytes):
+    """netpbm PGM -> (h, w) uint8 array (see :func:`decode_pgm_full`
+    for the maxval-carrying form the feature path needs)."""
+    return decode_pgm_full(payload)[0]
 
 
 def encode_pgm(img) -> bytes:
@@ -418,8 +429,10 @@ def decode_wav_pcm16(payload: bytes):
 
     import numpy as np
     with wave.open(io.BytesIO(payload)) as f:
-        if f.getsampwidth() != 2:
-            raise ValueError("only PCM16 WAV supported")
+        if f.getsampwidth() != 2 or f.getnchannels() != 1:
+            # stereo decoded as pseudo-mono would silently interleave
+            # channels into every stat — reject loudly instead
+            raise ValueError("only mono PCM16 WAV supported")
         rate = f.getframerate()
         frames = f.readframes(f.getnframes())
     return np.frombuffer(frames, dtype="<i2"), rate
@@ -446,13 +459,16 @@ def real_features(payload: bytes) -> list[float]:
     import numpy as np
     kind = sniff_media(payload)
     if kind == "pgm":
-        img = decode_pgm(payload).astype(np.float64)
+        raw, maxval = decode_pgm_full(payload)
+        img = raw.astype(np.float64)
         h, w = img.shape
-        return [float(h), float(w), float(img.min()) / 255.0,
-                float(img.max()) / 255.0, float(img.mean()) / 255.0,
-                float(img.std()) / 255.0,
-                float(np.percentile(img, 25)) / 255.0,
-                float(np.percentile(img, 75)) / 255.0]
+        mv = float(maxval)  # normalize by the HEADER maxval, not 255:
+        # a maxval=15 all-white pixel is full intensity (1.0)
+        return [float(h), float(w), float(img.min()) / mv,
+                float(img.max()) / mv, float(img.mean()) / mv,
+                float(img.std()) / mv,
+                float(np.percentile(img, 25)) / mv,
+                float(np.percentile(img, 75)) / mv]
     if kind == "wav":
         s, rate = decode_wav_pcm16(payload)
         a = s.astype(np.float64) / 32768.0
@@ -477,9 +493,24 @@ def resize_real(payload: bytes, target_bytes: int) -> bytes:
     if kind == "pgm":
         img = decode_pgm(payload)
         h, w = img.shape
-        budget = max(target_bytes - 15, 1)       # ~header bytes
+        # isotropic first guess, then budget redistribution: a thin
+        # image clamps one dimension at 1 and the isotropic scale alone
+        # leaves the other 3x over budget (caught by review); the
+        # correction loop re-fits the free dimension against the EXACT
+        # header length. The 1x1 image is the floor — it may exceed a
+        # sub-13-byte target, which no PGM can meet.
+        budget = max(target_bytes - 15, 1)
         scale = min(1.0, (budget / float(h * w)) ** 0.5)
         oh, ow = max(1, int(h * scale)), max(1, int(w * scale))
+        for _ in range(4):
+            hdr = 9 + len(str(ow)) + len(str(oh))
+            room = max(target_bytes - hdr, 1)
+            if oh * ow <= room:
+                break
+            if ow >= oh:
+                ow = max(1, room // oh)
+            else:
+                oh = max(1, room // ow)
         ri = (np.arange(oh) * h // oh)
         ci = (np.arange(ow) * w // ow)
         return encode_pgm(img[np.ix_(ri, ci)])

@@ -225,7 +225,58 @@ def test_resize_real_pgm_invariants(h, w, budget, seed):
     oh, ow = out.shape
     assert oh >= 1 and ow >= 1 and oh <= h and ow <= w
     if oh * ow > 1:                    # 1x1 floor may exceed tiny budgets
-        assert len(out_bytes) <= budget + 18   # header slack bound
+        assert len(out_bytes) <= budget   # the HARD contract
     ri = (np.arange(oh) * h // oh)
     ci = (np.arange(ow) * w // ow)
     assert np.array_equal(out, img[np.ix_(ri, ci)])
+
+
+def test_resize_real_thin_image_respects_budget():
+    """Review regression: a 2x1000 image must not blow the byte budget
+    when the isotropic scale clamps one dimension at 1."""
+    import numpy as np
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        decode_pgm, encode_pgm, resize_real)
+    img = np.arange(2000, dtype=np.uint16).reshape(2, 1000) % 256
+    out = resize_real(encode_pgm(img.astype("uint8")), 40)
+    assert len(out) <= 40
+    assert decode_pgm(out).size >= 1
+
+
+def test_real_features_normalize_by_header_maxval():
+    """Review regression: maxval=15 full-intensity pixel is 1.0, not
+    15/255."""
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        real_features)
+    p2 = b"P2\n2 1\n15\n0 15\n"
+    f = real_features(p2)
+    assert f[:2] == [1.0, 2.0]
+    assert f[2] == 0.0 and f[3] == 1.0      # min, max
+
+
+def test_stereo_wav_rejected_loudly():
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        decode_wav_pcm16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(np.zeros(20, dtype="<i2").tobytes())
+    with _pytest.raises(ValueError, match="mono"):
+        decode_wav_pcm16(buf.getvalue())
+
+
+def test_p2_raster_comments_decode():
+    """Review regression: the plain spec allows '#' comments between
+    raster samples too."""
+    import numpy as np
+    from catalog_pii_scanner_spark.operators.multimodal import decode_pgm
+    p2 = b"P2\n2 2\n255\n1 2 # note\n3 4\n"
+    assert np.array_equal(decode_pgm(p2),
+                          np.array([[1, 2], [3, 4]], dtype=np.uint8))
