@@ -393,6 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spark SQL, decoded for real in the Arrow stage; DuckDB derives
         # the pixel stats arithmetically from the generator formula
         "multimodal_real_pgm_features": multimodal.real_pgm_features_query,
+        # the audio twin of the same discipline: SQL-built RIFF/PCM16
+        # payloads (unhex) decoded by the stdlib wave reader for real
+        "multimodal_real_wav_features": multimodal.real_wav_features_query,
         # cross-doc exact-substring duplication stats (Lee et al. span
         # dedup signal: W-token windows shared across documents)
         "corpus_substring_dedup": corpus.substring_dedup,
@@ -400,10 +403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index + the LUT-gather serving twin
         "ann_pq_topk": simsearch.ann_pq_topk,
         "ann_pq_matmul": simsearch.ann_pq_matmul,
-        # session windows (native session_window; streaming-capable)
-        "events_sessions": events_sessions,
-        # skew-hardened twin: (user, day)-bucketed session fragments +
-        # boundary merge over sessions — same rows, no hot-key straggler
+        # skew-hardened sessionization: (user, day)-bucketed fragments +
+        # boundary merge — row-identical to the global session_window
+        # operator (which parks r4-green; same oracle, twin pinned)
         "events_sessions_salted": events_sessions_salted,
         # the pii_docs scan as a zero-state foreachBatch drain (scratch
         # cleanup moved into a finally this round -> driver-rechecked)
@@ -439,8 +441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the curation verdict with the PII budget fused in (r4-green,
         # pii_docs untouched this round)
         "corpus_curate_pii": pii_docs.corpus_curate_pii,
+        # session windows (native session_window; r4-green untouched,
+        # power-law fuzz-pinned; the salted twin runs front)
+        "events_sessions": events_sessions,
         # the session-window agg through a writeStream drain (r4-green,
-        # function untouched; events_sessions + salted twin run front)
+        # function untouched; the salted twin runs front)
         "stream_events_sessions": stream_events_sessions,
         # as-of join (union + running-last window; native ASOF oracle;
         # power-law fuzz-pinned this round, function untouched since r4)
@@ -625,6 +630,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_energy": multimodal.audio_energy_oracle_sql(),
         "multimodal_real_pgm_features":
             multimodal.real_pgm_features_oracle_sql(),
+        "multimodal_real_wav_features":
+            multimodal.real_wav_features_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

@@ -609,3 +609,95 @@ SELECT s.doc_id AS asset_id,
        round(s.q75 / 255.0, 6) AS f7
 FROM st s
 """
+
+
+# --- driver-gated REAL WAV decode: SQL-built PCM16 corpus --------------------
+# Same discipline as the PGM gate, for audio: canonical 44-byte RIFF
+# PCM16 headers + little-endian samples are assembled IN SPARK SQL as a
+# hex string (unhex -> bytes), the engine REALLY parses them with the
+# stdlib wave reader inside the Arrow stage, and DuckDB re-derives every
+# stat from the sample formula s(i) = ((k*11 + i*17) % 241) - 120.
+
+WAV_RATE = 8000
+
+
+def _le_hex_sql(expr: str, n_bytes: int) -> str:
+    """Spark SQL hex string of ``expr`` as n_bytes little-endian."""
+    parts = [f"lpad(hex(pmod({expr} div {256 ** b}, 256)), 2, '0')"
+             for b in range(n_bytes)]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def synthetic_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One real mono PCM16 WAV per document id: n = 20 + k%13 samples at
+    WAV_RATE, sample(i) = ((k*11 + i*17) % 241) - 120."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    n = "(doc_id % 13 + 20)"
+    s = "(pmod(doc_id * 11 + i * 17, 241) - 120)"
+    sample_hex = (f"array_join(transform(sequence(0, int({n}) - 1), "
+                  f"i -> {_le_hex_sql(f'pmod({s}, 65536)', 2)}), '')")
+    header_hex = " , ".join([
+        "'52494646'",                        # RIFF
+        _le_hex_sql(f"36 + 2 * {n}", 4),     # chunk size
+        "'57415645666d7420'",                # WAVE + 'fmt '
+        "'10000000'", "'0100'", "'0100'",    # fmt len 16, PCM, mono
+        _le_hex_sql(str(WAV_RATE), 4),
+        _le_hex_sql(str(WAV_RATE * 2), 4),   # byte rate
+        "'0200'", "'1000'",                  # block align, 16 bits
+        "'64617461'",                        # data
+        _le_hex_sql(f"2 * {n}", 4),
+    ])
+    payload = F.expr(f"unhex(concat({header_hex}, {sample_hex}))")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("media"),
+        F.lit("audio/wav").alias("media_type"),
+        F.octet_length(payload).alias("n_bytes"))
+
+
+def real_wav_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(synthetic_wav_assets(spark, sf_dir),
+                             fake=False)
+    cols = [F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(N_FEATURES)]
+    return feats.select("asset_id", "n_bytes", *cols)
+
+
+def real_wav_features_oracle_sql(docs_rel: str = "documents") -> str:
+    """Arithmetic oracle for the WAV feature vector [n, rate, mean, std,
+    min, max, rms, zcr] over amplitudes s/32768 — std two-pass, zcr =
+    share of adjacent sign(bit) flips (negative-only, matching numpy
+    signbit on integer-derived floats)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 13 + 20 AS BIGINT) AS n FROM {docs_rel}
+),
+ix AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+sv AS (
+  SELECT doc_id, n, i,
+         CAST(((doc_id * 11 + i * 17) % 241) - 120 AS DOUBLE) / 32768.0
+           AS a
+  FROM ix
+),
+sv2 AS (
+  SELECT doc_id, n, i, a,
+         AVG(a) OVER (PARTITION BY doc_id) AS ma,
+         lag(a) OVER (PARTITION BY doc_id ORDER BY i) AS pa
+  FROM sv
+),
+st AS (
+  SELECT doc_id, MAX(n) AS n,
+         AVG(a) AS mean, sqrt(AVG((a - ma) * (a - ma))) AS sd,
+         MIN(a) AS mn, MAX(a) AS mx, sqrt(AVG(a * a)) AS rms,
+         AVG(CASE WHEN pa IS NULL THEN NULL
+                  WHEN (a < 0) <> (pa < 0) THEN 1.0 ELSE 0.0 END) AS zcr
+  FROM sv2 GROUP BY doc_id
+)
+SELECT doc_id AS asset_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       round(CAST(n AS DOUBLE), 6) AS f0,
+       round({float(WAV_RATE)}, 6) AS f1,
+       round(mean, 6) AS f2, round(sd, 6) AS f3,
+       round(mn, 6) AS f4, round(mx, 6) AS f5,
+       round(rms, 6) AS f6, round(zcr, 6) AS f7
+FROM st
+"""

@@ -17,7 +17,7 @@ STABLE_PARKED = {
     "pii_redaction_contexts", "pii_ensemble_predictions",
     "pii_ensemble_gated", "pii_ner_context_signals", "corpus_anonymize",
     "doc_pii_density", "corpus_curate_pii", "stream_events_sessions",
-    "events_asof_join",
+    "events_sessions", "events_asof_join",
     "ann_cosine_topk", "ann_cosine_matmul", "ann_lsh_topk",
     "ann_lsh_matmul", "ann_ivf_topk", "ann_ivf_matmul",
     "embed_cluster_mix", "embed_kmeans_lloyd", "multimodal_features",
