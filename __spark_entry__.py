@@ -374,18 +374,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         # --- (c) r4-green keeps: shared code touched this round -----------
-        # X1-X10 + F1-F4 closed form + A6 rollup over synthesized CRM
-        "pii_scan_demo_crm": lambda s, sf:
-            findings_rollup(_demo_values(s, sf)),
-        # S5 melt boundary + scan over real catalog tables (melt.py floor
-        # fix lands this round)
+        # S5 melt boundary + scan over ALL 9 catalog tables (melt.py
+        # floor fix lands this round; supersets the demo-CRM scan and
+        # the sampler's melt path, both parked r4-green)
         "pii_scan_catalog_tables": lambda s, sf:
             findings_rollup(_tables_values(s, sf)),
         # the flagship scan_text composition: R4 contexts -> N5 signals ->
         # E2 embed probs -> fusion with real signal maps bound
         "pii_full_pipeline": _full_pipeline,
-        # S5/P3/A7 deterministic sampler (distinct + per-column top-n)
-        "sample_columns_topn": _sample,
         # audio path: vectorized per-window energy (oracle made
         # byte-exact this round)
         "multimodal_audio_energy": multimodal.audio_energy_query,
@@ -403,6 +399,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index + the LUT-gather serving twin
         "ann_pq_topk": simsearch.ann_pq_topk,
         "ann_pq_matmul": simsearch.ann_pq_matmul,
+        # the full FAISS IVFADC composition: coarse cells -> PQ/ADC
+        # shortlist -> exact re-rank; dual-dialect template + LUT twin
+        "ann_ivfpq_topk": simsearch.ann_ivfpq_topk,
+        "ann_ivfpq_matmul": simsearch.ann_ivfpq_matmul,
         # skew-hardened sessionization: (user, day)-bucketed fragments +
         # boundary merge — row-identical to the global session_window
         # operator (which parks r4-green; same oracle, twin pinned)
@@ -417,6 +417,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by construction; shares the batch oracle)
         "stream_dedup_keep_list": stream_dedup_keep_list,
         # --- position 51+: stable, untouched, r4-green (see note above) ---
+        # X1-X10 + F1-F4 closed form + A6 rollup over synthesized CRM
+        # (pii_scan_catalog_tables supersets this scan machinery front)
+        "pii_scan_demo_crm": lambda s, sf:
+            findings_rollup(_demo_values(s, sf)),
+        # S5/P3/A7 deterministic sampler (comment-only change r5; the
+        # melt path runs front via catalog scan + profile_columns)
+        "sample_columns_topn": _sample,
         # §2.11 grouping sets: one-pass ROLLUP candidate summary
         "pii_candidates_rollup": lambda s, sf:
             candidates_rollup(_demo_candidates(s, sf)),
@@ -622,6 +629,9 @@ def oracle_sql() -> dict[str, str]:
         # LUT-gather serving path shares the declarative oracle
         # (bitwise-equal after the shared 1e-6 rounding)
         "ann_pq_matmul": simsearch.ann_pq_topk_sql("duckdb"),
+        "ann_ivfpq_topk": simsearch.ann_ivfpq_topk_sql("duckdb"),
+        # LUT-gather serving twin shares the declarative oracle
+        "ann_ivfpq_matmul": simsearch.ann_ivfpq_topk_sql("duckdb"),
         "embed_cluster_mix": simsearch.embed_cluster_mix_sql("duckdb"),
         "embed_kmeans_lloyd": simsearch.kmeans_lloyd_sql("duckdb"),
         "multimodal_features": multimodal.media_features_oracle_sql(),

@@ -1407,3 +1407,246 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     return (short.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+# --- IVF + PQ + re-rank (the FAISS IVFADC shape, complete) ------------------
+#
+# The production composition of the two indexes above: the coarse
+# quantizer restricts each query to its NPROBE nearest cells, PQ/ADC
+# scores ONLY the probed cells' members via lookup tables, and the exact
+# re-rank touches just the ADC shortlist. At 100 TB this is the serving
+# stack: cells bound the candidate volume, codes bound the bytes per
+# candidate, the re-rank bounds the float math — shuffle is
+# partitions x nq x rerank rows and nothing else.
+
+def ann_ivfpq_topk_sql(dialect: str, rel: str = "embeddings", k: int = 5,
+                       query_mod: int = 50,
+                       rerank: int = PQ_RERANK) -> str:
+    """Output: query_id, neighbor_id, rank, cosine (exact, rounded 1e-6
+    — comparable with brute force; recall gate in
+    tests/test_ann_recall.py)."""
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+cents AS (
+  SELECT vec_id AS cid, pos, val FROM vecs WHERE vec_id < {NUM_CENTROIDS}
+),
+cell_cos AS (
+  SELECT v.vec_id, c.cid, SUM(v.val * c.val) / (nv.norm * nc.norm) AS ccos
+  FROM vecs v
+  JOIN cents c ON c.pos = v.pos
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.cid
+  GROUP BY v.vec_id, c.cid, nv.norm, nc.norm
+),
+ranked_cells AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(ccos, 6) DESC, cid) AS crank
+  FROM cell_cos
+),
+assign AS (SELECT vec_id, cid FROM ranked_cells WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM ranked_cells
+  WHERE crank <= {NPROBE} AND vec_id % {query_mod} = 0
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+{_pq_cte(query_mod).lstrip()},
+adot AS (
+  SELECT c.query_id, c.neighbor_id, SUM(l.dot) AS dot
+  FROM cand c
+  JOIN codes x ON x.vec_id = c.neighbor_id
+  JOIN qlut l ON l.query_id = c.query_id AND l.m = x.m
+             AND l.code = x.code
+  GROUP BY c.query_id, c.neighbor_id
+),
+pqcos AS (
+  SELECT a.query_id, a.neighbor_id,
+         round(a.dot / (nq.norm * r.rn), 6) AS pq_cosine
+  FROM adot a
+  JOIN norms nq ON nq.vec_id = a.query_id
+  JOIN rnorm r ON r.vec_id = a.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY pq_cosine DESC, neighbor_id)
+             AS prank
+    FROM pqcos
+  ) WHERE prank <= {rerank}
+),
+rdots AS (
+  SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
+  FROM short s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id AND c.pos = q.pos
+  GROUP BY s.query_id, s.neighbor_id
+),
+rcos AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.norm * nc.norm), 6) AS cosine
+  FROM rdots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rcos
+) WHERE rank <= {k}
+"""
+
+
+def ann_ivfpq_topk(spark, sf_dir: str, k: int = 5,
+                   query_mod: int = 50,
+                   rerank: int = PQ_RERANK) -> DataFrame:
+    """Dual-dialect template execution (oracle-parity; the serving path
+    is ann_ivfpq_matmul)."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("cpss_embeddings")
+    return spark.sql(ann_ivfpq_topk_sql("spark", "cpss_embeddings", k,
+                                        query_mod, rerank))
+
+
+def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
+                     rerank: int = PQ_RERANK) -> DataFrame:
+    """IVFADC serving path: centroids, PQ codebooks, per-query probe
+    sets, and ADC lookup tables all broadcast; candidates stream through
+    ONE mapInPandas doing cell assignment (small matmul), probe-set
+    membership, PQ encode + LUT gather, and in-batch exact cosine for
+    the per-batch ADC top-R. One merge window -> global shortlist ->
+    exact rank. Bitwise-equal to ann_ivfpq_topk after the shared 1e-6
+    rounding (equality test in tests/test_dedup_simsearch.py)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # centroids (prefix quantizer), zero-norm excluded like the SQL
+    cent_rows = (emb.where(F.col("vec_id") < NUM_CENTROIDS)
+                 .select("vec_id", "embedding").collect())
+    c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = (np.array([list(r.embedding) for r in cent_rows], dtype=np.float64)
+         .reshape(len(cent_rows), DIMS)) if cent_rows else \
+        np.zeros((0, DIMS))
+    c_norm = np.linalg.norm(C, axis=1) if len(C) else np.zeros(0)
+    okc = c_norm > 0
+    c_ids, C, c_norm = c_ids[okc], C[okc], c_norm[okc]
+
+    # PQ codebooks (shared constants with the PQ paths)
+    crows = (emb.where(F.col("vec_id") < PQ_CODES)
+             .select("vec_id", "embedding").collect())
+    CB = np.zeros((PQ_CODES, DIMS), dtype=np.float64)
+    for r in crows:
+        CB[r.vec_id] = np.asarray(list(r.embedding), dtype=np.float64)
+    present = np.array(sorted(r.vec_id for r in crows), dtype=np.int64)
+    CBm = [CB[:, m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)]
+    cb_norm2 = np.stack([np.sum(c * c, axis=1) for c in CBm])
+
+    qrows = (emb.where(F.col("vec_id") % query_mod == 0)
+             .select("vec_id", "embedding")
+             .limit(MAX_QUERY_VECTORS + 1).collect())
+    if len(qrows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"query subset exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}")
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.embedding) for r in qrows],
+                 dtype=np.float64).reshape(len(qrows), DIMS)
+    q_norm = np.linalg.norm(Q, axis=1)
+    ok = q_norm > 0
+    q_ids, Q, q_norm = q_ids[ok], Q[ok], q_norm[ok]
+
+    def cells_of(M_, n_):
+        # rounded cosine DESC, cid ASC — the SQL ranked_cells order
+        if not len(C) or not len(M_):
+            return np.zeros((len(M_), 0), dtype=np.int64)
+        cc = np.round((M_ @ C.T) / (n_[:, None] * c_norm[None, :]), 6)
+        order = np.lexsort((np.broadcast_to(c_ids, cc.shape), -cc),
+                           axis=1)
+        return c_ids[order]
+
+    q_cells = cells_of(Q, q_norm)[:, :NPROBE]  # (nq, NPROBE)
+    probe_sets = [set(row.tolist()) for row in q_cells]
+    LUT = [Q[:, m * PQ_SUB:(m + 1) * PQ_SUB] @ CBm[m].T
+           for m in range(PQ_M)]
+    bc = spark.sparkContext.broadcast(
+        (q_ids, Q, q_norm, probe_sets, c_ids, C, c_norm, LUT, CBm,
+         cb_norm2, present))
+    rr = rerank
+
+    def part_topk(batches):
+        import numpy as np
+        import pandas as pd
+        (qi, qm, qn, probes, ci, cm, cn, lut, cbm, cn2,
+         pres) = bc.value
+        if qi.size == 0 or pres.size == 0 or ci.size == 0:
+            return
+        absent = np.ones(cn2.shape[1], dtype=bool)
+        absent[pres] = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            x_ids = pdf["vec_id"].to_numpy(np.int64)
+            xn = np.linalg.norm(X, axis=1)
+            okx = xn > 0            # zero-norm vecs have no cell (SQL)
+            X, x_ids, xn = X[okx], x_ids[okx], xn[okx]
+            if not len(X):
+                continue
+            cc = np.round((X @ cm.T) / (xn[:, None] * cn[None, :]), 6)
+            order = np.lexsort((np.broadcast_to(ci, cc.shape), -cc),
+                               axis=1)
+            x_cell = ci[order[:, 0]]
+            codes = np.empty((len(X), PQ_M), dtype=np.int64)
+            r2 = np.zeros(len(X))
+            for m in range(PQ_M):
+                xm = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                diff = xm[:, None, :] - cbm[m][None, :, :]
+                d2 = np.round(np.sum(diff * diff, axis=2), 6)
+                d2[:, absent] = np.inf
+                codes[:, m] = np.argmin(d2, axis=1)
+                r2 += cn2[m][codes[:, m]]
+            keep_r = r2 > 0
+            X, x_ids, x_cell, codes, r2, xn = (
+                X[keep_r], x_ids[keep_r], x_cell[keep_r], codes[keep_r],
+                r2[keep_r], xn[keep_r])
+            if not len(X):
+                continue
+            rn = np.sqrt(r2)
+            dots = np.zeros((len(X), qi.size))
+            for m in range(PQ_M):
+                dots += lut[m][:, codes[:, m]].T
+            pq = np.round(dots / (rn[:, None] * qn[None, :]), 6)
+            exact = np.round((X @ qm.T) / xn[:, None] / qn[None, :], 6)
+            out = {"query_id": [], "neighbor_id": [], "pq_cosine": [],
+                   "cosine": []}
+            for j in range(qi.size):
+                keep = (x_ids != qi[j]) & np.isin(x_cell,
+                                                  list(probes[j]))
+                ids, vals = x_ids[keep], pq[keep, j]
+                ex = exact[keep, j]
+                order_j = np.lexsort((ids, -vals))[:rr]
+                out["query_id"].append(np.full(order_j.size, qi[j]))
+                out["neighbor_id"].append(ids[order_j])
+                out["pq_cosine"].append(vals[order_j])
+                out["cosine"].append(ex[order_j])
+            yield pd.DataFrame({
+                c: np.concatenate(v) for c, v in out.items()})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        part_topk, schema="query_id long, neighbor_id long, "
+                          "pq_cosine double, cosine double")
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id"))
+    short = (cand.withColumn("prank", F.row_number().over(wshort))
+             .where((F.col("prank") <= rerank)
+                    & F.col("cosine").isNotNull()
+                    & ~F.isnan(F.col("cosine"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (short.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))

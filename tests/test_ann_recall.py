@@ -76,3 +76,23 @@ def test_pq_rerank_recall(spark, sf_dir, truth):
     the re-rank IS the production recipe, not a garnish."""
     rows = simsearch.ann_pq_matmul(spark, sf_dir).collect()
     assert _recall(rows, truth) >= 0.9
+
+
+def test_ivfpq_compression_costs_no_recall(spark, sf_dir, truth):
+    """IVFADC's defining property: within the probed cells, the PQ/ADC
+    shortlist + exact re-rank recovers the SAME neighbors exact scoring
+    would — recall is bounded only by the coarse quantizer (equal to
+    plain IVF's, measured 0.38/0.30 at the two test scales), never by
+    the compression."""
+    ivf = {q: set() for q in truth}
+    for r in simsearch.ann_ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pq = {q: set() for q in truth}
+    for r in simsearch.ann_ivfpq_matmul(spark, sf_dir).collect():
+        pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    r_ivf = sum(len(ivf[q] & t) / len(t) for q, t in truth.items()) \
+        / len(truth)
+    r_pq = sum(len(pq[q] & t) / len(t) for q, t in truth.items()) \
+        / len(truth)
+    assert r_pq >= r_ivf - 1e-9
+    assert r_pq >= 0.25          # floor for the prefix coarse quantizer

@@ -417,3 +417,19 @@ def test_ann_pq_matmul_equals_declarative(spark, sf_dir):
     for key, (nid, cos) in decl.items():
         assert mm[key][0] == nid, key
         assert mm[key][1] == pytest.approx(cos, abs=2e-6)
+
+
+def test_ann_ivfpq_matmul_equals_declarative(spark, sf_dir):
+    """The IVFADC serving path (cell assignment + PQ encode + LUT gather
+    + in-batch exact re-rank in ONE mapInPandas) must return exactly the
+    declarative template's frame."""
+    decl = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in simsearch.ann_ivfpq_topk(spark, sf_dir, k=5,
+                                              query_mod=20).collect()}
+    mm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in simsearch.ann_ivfpq_matmul(spark, sf_dir, k=5,
+                                              query_mod=20).collect()}
+    assert set(decl) == set(mm)
+    for key, (nid, cos) in decl.items():
+        assert mm[key][0] == nid, key
+        assert mm[key][1] == pytest.approx(cos, abs=2e-6)

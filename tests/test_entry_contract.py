@@ -13,6 +13,7 @@ import __spark_entry__ as E
 #: untouched since. Anything else appearing past position 50 would
 #: silently lose driver verification.
 STABLE_PARKED = {
+    "pii_scan_demo_crm", "sample_columns_topn",
     "pii_candidates_rollup", "pii_candidate_features",
     "pii_redaction_contexts", "pii_ensemble_predictions",
     "pii_ensemble_gated", "pii_ner_context_signals", "corpus_anonymize",
