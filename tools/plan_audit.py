@@ -35,6 +35,7 @@ def main() -> int:
         ("ann_ivf_matmul", "IVF+BLAS one-pass search"),
         ("ann_pq_topk", "PQ/ADC shortlist + exact re-rank"),
         ("ann_pq_matmul", "PQ LUT-gather serving path"),
+        ("ann_ivfpq_matmul", "IVFADC one-pass serving stack"),
         ("corpus_substring_dedup", "cross-doc window dedup"),
         ("multimodal_real_pgm_features", "SQL-built PGM + real decode"),
         ("stream_dedup_keep_list", "streaming signatures + compaction"),
