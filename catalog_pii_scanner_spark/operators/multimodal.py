@@ -622,8 +622,12 @@ WAV_RATE = 8000
 
 
 def _le_hex_sql(expr: str, n_bytes: int) -> str:
-    """Spark SQL hex string of ``expr`` as n_bytes little-endian."""
-    parts = [f"lpad(hex(pmod({expr} div {256 ** b}, 256)), 2, '0')"
+    """Spark SQL hex string of ``expr`` as n_bytes little-endian. The
+    expr is parenthesized: `div` binds at multiplicative precedence, so
+    an additive expr like '36 + 2*n' would otherwise parse as
+    '36 + ((2*n) div ...)' and corrupt the upper bytes (caught by
+    review: the RIFF chunk-size field read ~606 MB)."""
+    parts = [f"lpad(hex(pmod(({expr}) div {256 ** b}, 256)), 2, '0')"
              for b in range(n_bytes)]
     return "concat(" + ", ".join(parts) + ")"
 

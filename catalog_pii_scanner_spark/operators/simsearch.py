@@ -1286,23 +1286,12 @@ def ann_pq_topk(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     return checkpoint_release(out, vecs, codes)
 
 
-def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
-                  rerank: int = PQ_RERANK) -> DataFrame:
-    """The PQ serving path — true ADC table scan with in-batch exact
-    re-rank: codebooks (PQ_CODES x DIMS floats, tiny) and the per-query
-    lookup tables LUT[q][m][code] = q_m . c_code (nq x PQ_M x PQ_CODES)
-    broadcast once; candidates stream through mapInPandas where encoding
-    is a small per-subspace distance matrix, ADC scoring is a pure LUT
-    gather, and each batch emits its ADC top-``rerank`` per query WITH
-    the exact cosine computed from the in-batch raw vectors. The merge
-    window takes the global ADC top-``rerank`` (identical shortlist to
-    the declarative twin), then ranks by exact cosine — so the shuffle
-    carries partitions x nq x rerank rows and no second pass over the
-    corpus is needed. Bitwise-equal to ann_pq_topk after the shared
-    1e-6 rounding (equality test in tests/test_dedup_simsearch.py)."""
-    import numpy as np
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def _pq_codebooks(emb):
+    """Collect + slice the (tiny) prefix codebooks once on the driver:
+    (per-subspace codebook slices, per-(m,code) squared norms, the
+    PRESENT code ids — sparse vec_id < PQ_CODES corpora have gaps)."""
+    import numpy as np
     crows = (emb.where(F.col("vec_id") < PQ_CODES)
              .select("vec_id", "embedding").collect())
     CB = np.zeros((PQ_CODES, DIMS), dtype=np.float64)
@@ -1310,8 +1299,15 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
         CB[r.vec_id] = np.asarray(list(r.embedding), dtype=np.float64)
     present = np.array(sorted(r.vec_id for r in crows), dtype=np.int64)
     CBm = [CB[:, m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)]
-    cb_norm2 = np.stack([np.sum(c * c, axis=1) for c in CBm])  # (M, K)
+    cb_norm2 = np.stack([np.sum(c * c, axis=1) for c in CBm])
+    return CBm, cb_norm2, present
 
+
+def _collect_queries(emb, query_mod: int):
+    """Driver-collect the query subset under the MAX_QUERY_VECTORS
+    guard; zero-norm queries leave the universe (like the SQL norms
+    HAVING)."""
+    import numpy as np
     qrows = (emb.where(F.col("vec_id") % query_mod == 0)
              .select("vec_id", "embedding")
              .limit(MAX_QUERY_VECTORS + 1).collect())
@@ -1323,7 +1319,56 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
                  dtype=np.float64).reshape(len(qrows), DIMS)
     q_norm = np.linalg.norm(Q, axis=1)
     ok = q_norm > 0
-    q_ids, Q, q_norm = q_ids[ok], Q[ok], q_norm[ok]
+    return q_ids[ok], Q[ok], q_norm[ok]
+
+
+def _pq_encode(X, cbm, cn2, pres):
+    """Per-batch PQ encoding -> (codes (n, M), reconstructed-norm^2).
+
+    Distances use the direct (x - c)^2 sum, NOT the x^2 - 2xc + c^2
+    matmul expansion: the expansion's cancellation error (~1e-8)
+    exceeds the 1e-6 rounding the SQL twin and this path share,
+    flipping argmin on borderline codes (caught by the oracle gate);
+    the direct form's reorder error (~1e-13) is absorbed by the
+    rounding. Codebook ids with no corpus vector (sparse vec_id <
+    PQ_CODES) do not exist in the declarative index and are masked
+    out. np.argmin's first-minimum is the SQL window's code-asc
+    tie-break."""
+    import numpy as np
+    codes = np.empty((len(X), PQ_M), dtype=np.int64)
+    r2 = np.zeros(len(X))
+    absent = np.ones(cn2.shape[1], dtype=bool)
+    absent[pres] = False
+    for m in range(PQ_M):
+        xm = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        diff = xm[:, None, :] - cbm[m][None, :, :]
+        d2 = np.round(np.sum(diff * diff, axis=2), 6)
+        d2[:, absent] = np.inf
+        codes[:, m] = np.argmin(d2, axis=1)
+        r2 += cn2[m][codes[:, m]]
+    return codes, r2
+
+
+def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
+                  rerank: int = PQ_RERANK) -> DataFrame:
+    """The PQ serving path — true ADC table scan with in-batch exact
+    re-rank: codebooks (PQ_CODES x DIMS floats, tiny) and the per-query
+    lookup tables LUT[q][m][code] = q_m . c_code (nq x PQ_M x PQ_CODES)
+    broadcast once; candidates stream through mapInPandas where encoding
+    is a small per-subspace distance matrix (_pq_encode), ADC scoring is
+    a pure LUT gather, and each batch emits its ADC top-``rerank`` per
+    query WITH the exact cosine computed from the in-batch raw vectors.
+    The merge window takes the global ADC top-``rerank`` (identical
+    shortlist to the declarative twin), then ranks by exact cosine — so
+    the shuffle carries partitions x nq x rerank rows and no second pass
+    over the corpus is needed. Bitwise-equal to ann_pq_topk after the
+    shared 1e-6 rounding (equality test in tests/test_dedup_simsearch.py).
+    """
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    CBm, cb_norm2, present = _pq_codebooks(emb)
+    q_ids, Q, q_norm = _collect_queries(emb, query_mod)
     LUT = [Q[:, m * PQ_SUB:(m + 1) * PQ_SUB] @ CBm[m].T
            for m in range(PQ_M)]
     bc = spark.sparkContext.broadcast(
@@ -1336,29 +1381,12 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
         qi, qm, qn, lut, cbm, cn2, pres = bc.value
         if qi.size == 0 or pres.size == 0:
             return
-        absent = np.ones(cn2.shape[1], dtype=bool)
-        absent[pres] = False
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             x_ids = pdf["vec_id"].to_numpy(np.int64)
-            codes = np.empty((len(X), PQ_M), dtype=np.int64)
-            r2 = np.zeros(len(X))
-            for m in range(PQ_M):
-                xm = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
-                # direct (x - c)^2 sum, NOT the x^2 - 2xc + c^2 matmul
-                # expansion: the expansion's cancellation error (~1e-8)
-                # exceeds the shared 1e-6 rounding and flips argmin on
-                # borderline codes; the direct form's reorder error
-                # (~1e-13) is absorbed by the rounding
-                diff = xm[:, None, :] - cbm[m][None, :, :]
-                d2 = np.round(np.sum(diff * diff, axis=2), 6)
-                # codebook ids with no corpus vector (sparse vec_id < K)
-                # do not exist in the declarative index: mask them out
-                d2[:, absent] = np.inf
-                codes[:, m] = np.argmin(d2, axis=1)  # first min = code asc
-                r2 += cn2[m][codes[:, m]]
+            codes, r2 = _pq_encode(X, cbm, cn2, pres)
             keep_r = r2 > 0
             X, x_ids, codes, r2 = (X[keep_r], x_ids[keep_r],
                                    codes[keep_r], r2[keep_r])
@@ -1389,8 +1417,9 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
                 c: np.concatenate(v) for c, v in out.items()})
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
-        part_topk, schema="query_id long, neighbor_id long, "
-                          "pq_cosine double, cosine double")
+        part_topk,
+        schema="query_id long, neighbor_id long, "
+               "pq_cosine double, cosine double")
     wshort = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id"))
     # zero-true-norm candidates carry no exact cosine. Depending on the
@@ -1518,10 +1547,11 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     """IVFADC serving path: centroids, PQ codebooks, per-query probe
     sets, and ADC lookup tables all broadcast; candidates stream through
     ONE mapInPandas doing cell assignment (small matmul), probe-set
-    membership, PQ encode + LUT gather, and in-batch exact cosine for
-    the per-batch ADC top-R. One merge window -> global shortlist ->
-    exact rank. Bitwise-equal to ann_ivfpq_topk after the shared 1e-6
-    rounding (equality test in tests/test_dedup_simsearch.py)."""
+    membership, PQ encode (_pq_encode) + LUT gather, and in-batch exact
+    cosine for the per-batch ADC top-R. One merge window -> global
+    shortlist -> exact rank. Bitwise-equal to ann_ivfpq_topk after the
+    shared 1e-6 rounding (equality test in tests/test_dedup_simsearch.py).
+    """
     import numpy as np
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1529,35 +1559,15 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     cent_rows = (emb.where(F.col("vec_id") < NUM_CENTROIDS)
                  .select("vec_id", "embedding").collect())
     c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
-    C = (np.array([list(r.embedding) for r in cent_rows], dtype=np.float64)
-         .reshape(len(cent_rows), DIMS)) if cent_rows else \
-        np.zeros((0, DIMS))
+    C = (np.array([list(r.embedding) for r in cent_rows],
+                  dtype=np.float64).reshape(len(cent_rows), DIMS)
+         if cent_rows else np.zeros((0, DIMS)))
     c_norm = np.linalg.norm(C, axis=1) if len(C) else np.zeros(0)
     okc = c_norm > 0
     c_ids, C, c_norm = c_ids[okc], C[okc], c_norm[okc]
 
-    # PQ codebooks (shared constants with the PQ paths)
-    crows = (emb.where(F.col("vec_id") < PQ_CODES)
-             .select("vec_id", "embedding").collect())
-    CB = np.zeros((PQ_CODES, DIMS), dtype=np.float64)
-    for r in crows:
-        CB[r.vec_id] = np.asarray(list(r.embedding), dtype=np.float64)
-    present = np.array(sorted(r.vec_id for r in crows), dtype=np.int64)
-    CBm = [CB[:, m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)]
-    cb_norm2 = np.stack([np.sum(c * c, axis=1) for c in CBm])
-
-    qrows = (emb.where(F.col("vec_id") % query_mod == 0)
-             .select("vec_id", "embedding")
-             .limit(MAX_QUERY_VECTORS + 1).collect())
-    if len(qrows) > MAX_QUERY_VECTORS:
-        raise ValueError(
-            f"query subset exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}")
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([list(r.embedding) for r in qrows],
-                 dtype=np.float64).reshape(len(qrows), DIMS)
-    q_norm = np.linalg.norm(Q, axis=1)
-    ok = q_norm > 0
-    q_ids, Q, q_norm = q_ids[ok], Q[ok], q_norm[ok]
+    CBm, cb_norm2, present = _pq_codebooks(emb)
+    q_ids, Q, q_norm = _collect_queries(emb, query_mod)
 
     def cells_of(M_, n_):
         # rounded cosine DESC, cid ASC — the SQL ranked_cells order
@@ -1568,12 +1578,14 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
                            axis=1)
         return c_ids[order]
 
-    q_cells = cells_of(Q, q_norm)[:, :NPROBE]  # (nq, NPROBE)
-    probe_sets = [set(row.tolist()) for row in q_cells]
+    # per-query probed cells as small SORTED int arrays: np.isin
+    # consumes them directly in the batch loop (no per-(batch, query)
+    # set->list conversion)
+    probe_arrs = [np.sort(row[:NPROBE]) for row in cells_of(Q, q_norm)]
     LUT = [Q[:, m * PQ_SUB:(m + 1) * PQ_SUB] @ CBm[m].T
            for m in range(PQ_M)]
     bc = spark.sparkContext.broadcast(
-        (q_ids, Q, q_norm, probe_sets, c_ids, C, c_norm, LUT, CBm,
+        (q_ids, Q, q_norm, probe_arrs, c_ids, C, c_norm, LUT, CBm,
          cb_norm2, present))
     rr = rerank
 
@@ -1584,8 +1596,6 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
          pres) = bc.value
         if qi.size == 0 or pres.size == 0 or ci.size == 0:
             return
-        absent = np.ones(cn2.shape[1], dtype=bool)
-        absent[pres] = False
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1600,15 +1610,7 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
             order = np.lexsort((np.broadcast_to(ci, cc.shape), -cc),
                                axis=1)
             x_cell = ci[order[:, 0]]
-            codes = np.empty((len(X), PQ_M), dtype=np.int64)
-            r2 = np.zeros(len(X))
-            for m in range(PQ_M):
-                xm = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
-                diff = xm[:, None, :] - cbm[m][None, :, :]
-                d2 = np.round(np.sum(diff * diff, axis=2), 6)
-                d2[:, absent] = np.inf
-                codes[:, m] = np.argmin(d2, axis=1)
-                r2 += cn2[m][codes[:, m]]
+            codes, r2 = _pq_encode(X, cbm, cn2, pres)
             keep_r = r2 > 0
             X, x_ids, x_cell, codes, r2, xn = (
                 X[keep_r], x_ids[keep_r], x_cell[keep_r], codes[keep_r],
@@ -1620,12 +1622,12 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
             for m in range(PQ_M):
                 dots += lut[m][:, codes[:, m]].T
             pq = np.round(dots / (rn[:, None] * qn[None, :]), 6)
+            # xn > 0 by okx above, so exact is always finite here
             exact = np.round((X @ qm.T) / xn[:, None] / qn[None, :], 6)
             out = {"query_id": [], "neighbor_id": [], "pq_cosine": [],
                    "cosine": []}
             for j in range(qi.size):
-                keep = (x_ids != qi[j]) & np.isin(x_cell,
-                                                  list(probes[j]))
+                keep = (x_ids != qi[j]) & np.isin(x_cell, probes[j])
                 ids, vals = x_ids[keep], pq[keep, j]
                 ex = exact[keep, j]
                 order_j = np.lexsort((ids, -vals))[:rr]
@@ -1641,10 +1643,10 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
                           "pq_cosine double, cosine double")
     wshort = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id"))
+    # unlike ann_pq_matmul, every emitted cosine is finite (zero-norm
+    # candidates were dropped before scoring), so no NaN/NULL guard
     short = (cand.withColumn("prank", F.row_number().over(wshort))
-             .where((F.col("prank") <= rerank)
-                    & F.col("cosine").isNotNull()
-                    & ~F.isnan(F.col("cosine"))))
+             .where(F.col("prank") <= rerank))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (short.withColumn("rank", F.row_number().over(w))
