@@ -386,6 +386,8 @@ def decode_pgm_full(payload: bytes):
     while len(tokens) < 3 and i < n:
         while i < n and payload[i:i + 1].isspace():
             i += 1
+        if i >= n:      # trailing whitespace/comment, no token follows
+            break
         if payload[i:i + 1] == b"#":
             while i < n and payload[i] != 0x0A:
                 i += 1
@@ -395,6 +397,8 @@ def decode_pgm_full(payload: bytes):
             j += 1
         tokens.append(int(payload[i:j]))
         i = j
+    if len(tokens) != 3:
+        raise ValueError("truncated PGM header")
     w, h, maxval = tokens
     if maxval > 255:
         raise ValueError("multi-byte PGM maxval not supported")

@@ -1357,12 +1357,17 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     broadcast once; candidates stream through mapInPandas where encoding
     is a small per-subspace distance matrix (_pq_encode), ADC scoring is
     a pure LUT gather, and each batch emits its ADC top-``rerank`` per
-    query WITH the exact cosine computed from the in-batch raw vectors.
+    query WITH the exact cosine computed ONLY for those shortlist rows
+    (a per-query matvec over <= rerank in-batch raw vectors — the float
+    math is nq x rerank x DIMS per batch, not nq x batch x DIMS).
     The merge window takes the global ADC top-``rerank`` (identical
     shortlist to the declarative twin), then ranks by exact cosine — so
     the shuffle carries partitions x nq x rerank rows and no second pass
-    over the corpus is needed. Bitwise-equal to ann_pq_topk after the
-    shared 1e-6 rounding (equality test in tests/test_dedup_simsearch.py).
+    over the corpus is needed. Equal to ann_pq_topk up to 1e-6
+    rounding-boundary ties: both sides round(cos, 6) before comparison,
+    but SQL-vs-BLAS summation order can differ in the last ulp, so an
+    exact .5e-6 boundary could in principle flip a rounded value (the
+    equality test in tests/test_dedup_simsearch.py asserts abs=2e-6).
     """
     import numpy as np
 
@@ -1398,21 +1403,22 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
             for m in range(PQ_M):
                 dots += lut[m][:, codes[:, m]].T
             pq = np.round(dots / (rn[:, None] * qn[None, :]), 6)
-            exact = np.round(
-                (X @ qm.T)
-                / np.where(c_norm[:, None] > 0, c_norm[:, None], np.nan)
-                / qn[None, :], 6)
             out = {"query_id": [], "neighbor_id": [], "pq_cosine": [],
                    "cosine": []}
             for j in range(qi.size):
-                col = pq[:, j]
-                keep = x_ids != qi[j]
-                ids, vals, ex = x_ids[keep], col[keep], exact[keep, j]
+                keep_idx = np.flatnonzero(x_ids != qi[j])
+                ids, vals = x_ids[keep_idx], pq[keep_idx, j]
                 order = np.lexsort((ids, -vals))[:rr]
+                # exact cosine ONLY for the shortlist rows: a
+                # rerank x DIMS matvec, not the full batch matmul —
+                # this is what makes PQ serving cheaper than brute force
+                sel = keep_idx[order]
+                den = np.where(c_norm[sel] > 0, c_norm[sel], np.nan)
+                ex = np.round((X[sel] @ qm[j]) / den / qn[j], 6)
                 out["query_id"].append(np.full(order.size, qi[j]))
                 out["neighbor_id"].append(ids[order])
                 out["pq_cosine"].append(vals[order])
-                out["cosine"].append(ex[order])
+                out["cosine"].append(ex)
             yield pd.DataFrame({
                 c: np.concatenate(v) for c, v in out.items()})
 
@@ -1548,9 +1554,14 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     sets, and ADC lookup tables all broadcast; candidates stream through
     ONE mapInPandas doing cell assignment (small matmul), probe-set
     membership, PQ encode (_pq_encode) + LUT gather, and in-batch exact
-    cosine for the per-batch ADC top-R. One merge window -> global
-    shortlist -> exact rank. Bitwise-equal to ann_ivfpq_topk after the
-    shared 1e-6 rounding (equality test in tests/test_dedup_simsearch.py).
+    cosine computed ONLY for the per-batch ADC top-R shortlist (a
+    per-query matvec over <= rerank rows — the exact float math is
+    bounded by nq x rerank x DIMS per batch, as IVFADC promises). One
+    merge window -> global shortlist -> exact rank. Equal to
+    ann_ivfpq_topk up to 1e-6 rounding-boundary ties (SQL-vs-BLAS
+    summation order can differ in the last ulp at an exact .5e-6
+    boundary; the equality test in tests/test_dedup_simsearch.py
+    asserts abs=2e-6).
     """
     import numpy as np
 
@@ -1622,19 +1633,21 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
             for m in range(PQ_M):
                 dots += lut[m][:, codes[:, m]].T
             pq = np.round(dots / (rn[:, None] * qn[None, :]), 6)
-            # xn > 0 by okx above, so exact is always finite here
-            exact = np.round((X @ qm.T) / xn[:, None] / qn[None, :], 6)
             out = {"query_id": [], "neighbor_id": [], "pq_cosine": [],
                    "cosine": []}
             for j in range(qi.size):
-                keep = (x_ids != qi[j]) & np.isin(x_cell, probes[j])
-                ids, vals = x_ids[keep], pq[keep, j]
-                ex = exact[keep, j]
+                keep_idx = np.flatnonzero(
+                    (x_ids != qi[j]) & np.isin(x_cell, probes[j]))
+                ids, vals = x_ids[keep_idx], pq[keep_idx, j]
                 order_j = np.lexsort((ids, -vals))[:rr]
+                # exact cosine ONLY for shortlist rows (xn > 0 by okx
+                # above, so it is always finite here)
+                sel = keep_idx[order_j]
+                ex = np.round((X[sel] @ qm[j]) / xn[sel] / qn[j], 6)
                 out["query_id"].append(np.full(order_j.size, qi[j]))
                 out["neighbor_id"].append(ids[order_j])
                 out["pq_cosine"].append(vals[order_j])
-                out["cosine"].append(ex[order_j])
+                out["cosine"].append(ex)
             yield pd.DataFrame({
                 c: np.concatenate(v) for c, v in out.items()})
 

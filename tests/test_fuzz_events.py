@@ -42,22 +42,29 @@ QUERIES = ["events_sessions", "events_asof_join", "events_retention",
            "stream_events_sessions", "stream_events_hourly"]
 
 
+@pytest.fixture(scope="session")
+def fuzz_dir(spark, tmp_path_factory):
+    """Session-scoped nasty-corpus builder: both the per-query oracle
+    differential AND the salted-twin equality test consume this, so the
+    corpus is always built regardless of test ordering (ADVICE r5: the
+    old getattr-on-the-test-function plumbing silently skipped the
+    second corpus when tests ran in isolation)."""
+    d = str(tmp_path_factory.mktemp("fuzzev"))
+    spark.createDataFrame(
+        _events(), "event_id bigint, ts timestamp, user_id bigint, "
+                   "event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
 @pytest.mark.parametrize("qname", QUERIES)
-def test_fuzz_events_family_matches_oracle(spark, tmp_path_factory, qname):
+def test_fuzz_events_family_matches_oracle(spark, fuzz_dir, qname):
     import sys
     sys.path.insert(0, ".")
     import __spark_entry__ as E
     from tools.selfcheck import frame_fingerprint
 
-    d = getattr(test_fuzz_events_family_matches_oracle, "_dir", None)
-    if d is None:
-        d = str(tmp_path_factory.mktemp("fuzzev"))
-        spark.createDataFrame(
-            _events(), "event_id bigint, ts timestamp, user_id bigint, "
-                       "event_type string, value double, props string"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
-        test_fuzz_events_family_matches_oracle._dir = d
-
+    d = fuzz_dir
     sdf = E.queries()[qname](spark, d)
     s_fp = frame_fingerprint(list(sdf.columns),
                              [tuple(r) for r in sdf.collect()])
@@ -108,16 +115,14 @@ def _powerlaw_events(seed: int = 99, n: int = 4000):
     return rows
 
 
-def _powerlaw_dir(spark, tmp_path_factory):
-    d = getattr(_powerlaw_dir, "_dir", None)
-    if d is None:
-        d = str(tmp_path_factory.mktemp("fuzzpl"))
-        spark.createDataFrame(
-            _powerlaw_events(),
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
-        _powerlaw_dir._dir = d
+@pytest.fixture(scope="session")
+def powerlaw_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzzpl"))
+    spark.createDataFrame(
+        _powerlaw_events(),
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
     return d
 
 
@@ -127,13 +132,13 @@ PL_QUERIES = ["events_sessions", "events_sessions_salted",
 
 
 @pytest.mark.parametrize("qname", PL_QUERIES)
-def test_powerlaw_hot_key_matches_oracle(spark, tmp_path_factory, qname):
+def test_powerlaw_hot_key_matches_oracle(spark, powerlaw_dir, qname):
     import sys
     sys.path.insert(0, ".")
     import __spark_entry__ as E
     from tools.selfcheck import frame_fingerprint
 
-    d = _powerlaw_dir(spark, tmp_path_factory)
+    d = powerlaw_dir
     sdf = E.queries()[qname](spark, d)
     s_fp = frame_fingerprint(list(sdf.columns),
                              [tuple(r) for r in sdf.collect()])
@@ -146,16 +151,15 @@ def test_powerlaw_hot_key_matches_oracle(spark, tmp_path_factory, qname):
     assert s_fp == o_fp, (qname, s_fp, o_fp)
 
 
-def test_salted_sessions_equal_global_rowwise(spark, tmp_path_factory):
+def test_salted_sessions_equal_global_rowwise(spark, powerlaw_dir,
+                                              fuzz_dir):
     """Strategy-equality twin discipline (same as the ANN matmul twins):
-    salted == global on BOTH fuzz corpora, row for row."""
+    salted == global on BOTH fuzz corpora, row for row. Both corpora are
+    session fixtures, so both are ALWAYS exercised regardless of test
+    ordering (ADVICE r5)."""
     from catalog_pii_scanner_spark.streaming.watcher import (
         events_sessions, events_sessions_salted)
-    for d in (_powerlaw_dir(spark, tmp_path_factory),
-              getattr(test_fuzz_events_family_matches_oracle, "_dir",
-                      None)):
-        if d is None:
-            continue
+    for d in (powerlaw_dir, fuzz_dir):
         a = sorted(map(tuple, events_sessions(spark, d).collect()))
         b = sorted(map(tuple, events_sessions_salted(spark, d).collect()))
         assert a and a == b

@@ -179,6 +179,15 @@ def test_real_decode_raises_loudly_for_codec_formats():
         resize_real(b"\x00\x00\x00 ftypmp42", 32)
 
 
+def test_truncated_pgm_header_raises_descriptively():
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        decode_pgm_full)
+    with pytest.raises(ValueError, match="truncated PGM header"):
+        decode_pgm_full(b"P5 12 8")          # maxval missing
+    with pytest.raises(ValueError, match="truncated PGM header"):
+        decode_pgm_full(b"P2\n# only a comment\n")
+
+
 # --- property tests for the dependency-free decoders -------------------------
 
 from hypothesis import given, settings, strategies as st
