@@ -142,7 +142,9 @@ def calibration_pairs(labeled: DataFrame) -> DataFrame:
 
 def fit_calibrator_ensemble(labeled: DataFrame, model=None,
                             weights=None,
-                            ner_provider: str = "regex") -> Calibrator:
+                            ner_provider: str = "regex",
+                            precomputed_lc: DataFrame | None = None
+                            ) -> Calibrator:
     """The reference's calibration fit, faithfully (eval.py:80-103 +
     ensemble.py:170-189): per PII type t, a 1-D Platt scaler over the
     FULL raw ensemble score raw[t] of EVERY candidate (not just
@@ -157,10 +159,15 @@ def fit_calibrator_ensemble(labeled: DataFrame, model=None,
     real N5+E2 signal path."""
     from .pipeline import full_scan_raw_scores
 
-    lc = (labeled_candidates(labeled)
-          .select("text_id", "text", "pii_type", "match_text",
-                  "rule_confidence", "validated", "pstart", "pend")
-          .distinct().localCheckpoint(eager=True))
+    # the caller may hand over the already-checkpointed candidate
+    # relation (eval_trained_query shares ONE extraction between the
+    # calibrator fit and the trained eval — the relation is identical
+    # by construction: same projection + distinct over labeled)
+    lc = precomputed_lc if precomputed_lc is not None else (
+        labeled_candidates(labeled)
+        .select("text_id", "text", "pii_type", "match_text",
+                "rule_confidence", "validated", "pstart", "pend")
+        .distinct().localCheckpoint(eager=True))
     cands = lc.select(
         F.col("text_id").cast("string").alias("column_ref"),
         F.col("text").alias("value"),
