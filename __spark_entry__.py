@@ -625,13 +625,17 @@ def oracle_sql() -> dict[str, str]:
         # identical output contract to the declarative IVF (bitwise-equal
         # after the shared 1e-6 rounding), so it shares the oracle
         "ann_ivf_matmul": simsearch.ann_ivf_topk_sql("duckdb"),
+        # declarative parity twin gates on the PQ_TWIN_CORPUS_MOD
+        # candidate subset (its job is semantics, not scale)
         "ann_pq_topk": simsearch.ann_pq_topk_sql("duckdb"),
-        # LUT-gather serving path shares the declarative oracle
-        # (bitwise-equal after the shared 1e-6 rounding)
-        "ann_pq_matmul": simsearch.ann_pq_topk_sql("duckdb"),
+        # LUT-gather serving path runs the FULL corpus (corpus_mod=1);
+        # its oracle renders the same SQL at full corpus
+        "ann_pq_matmul": simsearch.ann_pq_topk_sql("duckdb",
+                                                   corpus_mod=1),
         "ann_ivfpq_topk": simsearch.ann_ivfpq_topk_sql("duckdb"),
-        # LUT-gather serving twin shares the declarative oracle
-        "ann_ivfpq_matmul": simsearch.ann_ivfpq_topk_sql("duckdb"),
+        # LUT-gather serving twin: full-corpus oracle
+        "ann_ivfpq_matmul": simsearch.ann_ivfpq_topk_sql("duckdb",
+                                                         corpus_mod=1),
         "embed_cluster_mix": simsearch.embed_cluster_mix_sql("duckdb"),
         "embed_kmeans_lloyd": simsearch.kmeans_lloyd_sql("duckdb"),
         "multimodal_features": multimodal.media_features_oracle_sql(),

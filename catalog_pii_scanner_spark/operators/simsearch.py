@@ -1108,10 +1108,23 @@ PQ_M = 16                      # subspaces (DIMS/PQ_M dims each)
 PQ_CODES = 128                 # codewords per subspace
 PQ_SUB = DIMS // PQ_M
 PQ_RERANK = 50                 # ADC shortlist size before exact re-rank
+#: Candidate-corpus modulus for the DECLARATIVE oracle-parity twins
+#: only: their job is to gate PQ semantics against DuckDB, and the
+#: exploded-relation encoding join (vecs x PQ_CODES rows) makes them
+#: the most expensive queries in the suite at full corpus. The twins
+#: gate on every 10th vector (queries are vec_id % 50 == 0, so the
+#: query set is untouched — 10 divides 50); the SERVING paths
+#: (ann_pq_matmul / ann_ivfpq_matmul) always run the FULL corpus
+#: (corpus_mod=1) and the strategy-equality tests pin both shapes on
+#: the same subset.
+PQ_TWIN_CORPUS_MOD = 10
 
 
-def _pq_cte(query_mod: int) -> str:
-    """Shared CTE chain: sub/cb/codes/cbn/rnorm/qlut over vecs+norms."""
+def _pq_cte(query_mod: int, corpus_mod: int = 1) -> str:
+    """Shared CTE chain: sub/cb/codes/cbn/rnorm/qlut over vecs+norms.
+    ``corpus_mod`` restricts the ENCODED candidate set (codes/rnorm);
+    queries (qlut) and the codebook prefix always come from the full
+    relation."""
     return f"""
 sub AS (
   -- floor() before the INT cast: DuckDB CAST(DOUBLE AS INT) ROUNDS
@@ -1127,6 +1140,7 @@ enc AS (
   SELECT s.vec_id, s.m, c.code,
          SUM((s.val - c.val) * (s.val - c.val)) AS d2
   FROM sub s JOIN cb c ON c.m = s.m AND c.pos = s.pos
+  WHERE s.vec_id % {corpus_mod} = 0
   GROUP BY s.vec_id, s.m, c.code
 ),
 codes AS (
@@ -1154,7 +1168,8 @@ qlut AS (
 
 
 def ann_pq_topk_sql(dialect: str, rel: str = "embeddings", k: int = 5,
-                    query_mod: int = 50, rerank: int = PQ_RERANK) -> str:
+                    query_mod: int = 50, rerank: int = PQ_RERANK,
+                    corpus_mod: int = PQ_TWIN_CORPUS_MOD) -> str:
     """PQ/ADC search with exact re-rank (the IVFADC+R recipe): the ADC
     lookup-table scan shortlists the top-``rerank`` candidates per query
     by approximate score, then ONLY those pairs get an exact cosine and
@@ -1163,7 +1178,7 @@ def ann_pq_topk_sql(dialect: str, rel: str = "embeddings", k: int = 5,
     ground truth; recall gate in tests/test_ann_recall.py)."""
     return f"""
 WITH {_exploded_cte(dialect, rel)},
-{_pq_cte(query_mod).lstrip()},
+{_pq_cte(query_mod, corpus_mod).lstrip()},
 adot AS (
   SELECT l.query_id, x.vec_id AS neighbor_id, SUM(l.dot) AS dot
   FROM codes x JOIN qlut l ON l.m = x.m AND l.code = x.code
@@ -1212,14 +1227,20 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 
 def ann_pq_topk(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
-                rerank: int = PQ_RERANK) -> DataFrame:
+                rerank: int = PQ_RERANK,
+                corpus_mod: int = PQ_TWIN_CORPUS_MOD) -> DataFrame:
     """DataFrame-step implementation (oracle-parity twin of
     ann_pq_topk_sql). Shuffle shape: encoding is a join against the
     (tiny, PQ_CODES x DIMS) broadcast codebook + one (vec, m)-keyed
     aggregation; the ADC join carries PQ_M rows per (query, candidate)
     pair instead of DIMS, and the exact re-rank touches only
     nq x rerank pairs. The serving path (ann_pq_matmul) replaces even
-    the ADC join with an in-batch LUT gather."""
+    the ADC join with an in-batch LUT gather.
+
+    ``corpus_mod`` (default PQ_TWIN_CORPUS_MOD) gates the parity twin
+    on a candidate subset — the semantics gate needs enough rows to
+    prove the algebra, not the full corpus; the serving path runs
+    corpus_mod=1."""
     vecs = _vecs_df(spark, sf_dir).persist()
     norms = _norms_df(vecs)
     sub = vecs.withColumn(
@@ -1227,7 +1248,8 @@ def ann_pq_topk(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     cb = (sub.where(F.col("vec_id") < PQ_CODES)
           .select(F.col("vec_id").alias("code"), "m", "pos",
                   F.col("val").alias("cval")))
-    enc = (sub.join(F.broadcast(cb), ["m", "pos"])
+    enc = (sub.where(F.col("vec_id") % corpus_mod == 0)
+           .join(F.broadcast(cb), ["m", "pos"])
            .groupBy("vec_id", "m", "code")
            .agg(F.sum((F.col("val") - F.col("cval"))
                       * (F.col("val") - F.col("cval"))).alias("d2")))
@@ -1350,7 +1372,8 @@ def _pq_encode(X, cbm, cn2, pres):
 
 
 def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
-                  rerank: int = PQ_RERANK) -> DataFrame:
+                  rerank: int = PQ_RERANK,
+                  corpus_mod: int = 1) -> DataFrame:
     """The PQ serving path — true ADC table scan with in-batch exact
     re-rank: codebooks (PQ_CODES x DIMS floats, tiny) and the per-query
     lookup tables LUT[q][m][code] = q_m . c_code (nq x PQ_M x PQ_CODES)
@@ -1422,10 +1445,11 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
             yield pd.DataFrame({
                 c: np.concatenate(v) for c, v in out.items()})
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(
+    cand = (emb.where(F.col("vec_id") % corpus_mod == 0)
+            .select("vec_id", "embedding").mapInPandas(
         part_topk,
         schema="query_id long, neighbor_id long, "
-               "pq_cosine double, cosine double")
+               "pq_cosine double, cosine double"))
     wshort = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id"))
     # zero-true-norm candidates carry no exact cosine. Depending on the
@@ -1456,7 +1480,8 @@ def ann_pq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
 
 def ann_ivfpq_topk_sql(dialect: str, rel: str = "embeddings", k: int = 5,
                        query_mod: int = 50,
-                       rerank: int = PQ_RERANK) -> str:
+                       rerank: int = PQ_RERANK,
+                       corpus_mod: int = PQ_TWIN_CORPUS_MOD) -> str:
     """Output: query_id, neighbor_id, rank, cosine (exact, rounded 1e-6
     — comparable with brute force; recall gate in
     tests/test_ann_recall.py)."""
@@ -1466,11 +1491,13 @@ cents AS (
   SELECT vec_id AS cid, pos, val FROM vecs WHERE vec_id < {NUM_CENTROIDS}
 ),
 cell_cos AS (
+  -- cells needed only for candidates (corpus_mod subset) and queries
   SELECT v.vec_id, c.cid, SUM(v.val * c.val) / (nv.norm * nc.norm) AS ccos
   FROM vecs v
   JOIN cents c ON c.pos = v.pos
   JOIN norms nv ON nv.vec_id = v.vec_id
   JOIN norms nc ON nc.vec_id = c.cid
+  WHERE v.vec_id % {corpus_mod} = 0 OR v.vec_id % {query_mod} = 0
   GROUP BY v.vec_id, c.cid, nv.norm, nc.norm
 ),
 ranked_cells AS (
@@ -1479,7 +1506,8 @@ ranked_cells AS (
                             ORDER BY round(ccos, 6) DESC, cid) AS crank
   FROM cell_cos
 ),
-assign AS (SELECT vec_id, cid FROM ranked_cells WHERE crank = 1),
+assign AS (SELECT vec_id, cid FROM ranked_cells
+           WHERE crank = 1 AND vec_id % {corpus_mod} = 0),
 probes AS (
   SELECT vec_id AS query_id, cid FROM ranked_cells
   WHERE crank <= {NPROBE} AND vec_id % {query_mod} = 0
@@ -1489,7 +1517,7 @@ cand AS (
   FROM probes p JOIN assign a ON a.cid = p.cid
   WHERE a.vec_id <> p.query_id
 ),
-{_pq_cte(query_mod).lstrip()},
+{_pq_cte(query_mod, corpus_mod).lstrip()},
 adot AS (
   SELECT c.query_id, c.neighbor_id, SUM(l.dot) AS dot
   FROM cand c
@@ -1539,17 +1567,20 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 def ann_ivfpq_topk(spark, sf_dir: str, k: int = 5,
                    query_mod: int = 50,
-                   rerank: int = PQ_RERANK) -> DataFrame:
+                   rerank: int = PQ_RERANK,
+                   corpus_mod: int = PQ_TWIN_CORPUS_MOD) -> DataFrame:
     """Dual-dialect template execution (oracle-parity; the serving path
-    is ann_ivfpq_matmul)."""
+    is ann_ivfpq_matmul, which runs the FULL corpus — see
+    PQ_TWIN_CORPUS_MOD)."""
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .createOrReplaceTempView("cpss_embeddings")
     return spark.sql(ann_ivfpq_topk_sql("spark", "cpss_embeddings", k,
-                                        query_mod, rerank))
+                                        query_mod, rerank, corpus_mod))
 
 
 def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
-                     rerank: int = PQ_RERANK) -> DataFrame:
+                     rerank: int = PQ_RERANK,
+                     corpus_mod: int = 1) -> DataFrame:
     """IVFADC serving path: centroids, PQ codebooks, per-query probe
     sets, and ADC lookup tables all broadcast; candidates stream through
     ONE mapInPandas doing cell assignment (small matmul), probe-set
@@ -1651,9 +1682,10 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
             yield pd.DataFrame({
                 c: np.concatenate(v) for c, v in out.items()})
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(
+    cand = (emb.where(F.col("vec_id") % corpus_mod == 0)
+            .select("vec_id", "embedding").mapInPandas(
         part_topk, schema="query_id long, neighbor_id long, "
-                          "pq_cosine double, cosine double")
+                          "pq_cosine double, cosine double"))
     wshort = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id"))
     # unlike ann_pq_matmul, every emitted cosine is finite (zero-norm

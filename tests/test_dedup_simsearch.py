@@ -410,9 +410,13 @@ def test_ann_pq_matmul_equals_declarative(spark, sf_dir):
     decl = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
             for r in simsearch.ann_pq_topk(spark, sf_dir, k=5,
                                            query_mod=20).collect()}
+    # same candidate subset as the declarative gate (the serving
+    # DEFAULT is corpus_mod=1 = full corpus; the driver oracle pins
+    # that shape, this test pins strategy equality on equal inputs)
     mm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
-          for r in simsearch.ann_pq_matmul(spark, sf_dir, k=5,
-                                           query_mod=20).collect()}
+          for r in simsearch.ann_pq_matmul(
+              spark, sf_dir, k=5, query_mod=20,
+              corpus_mod=simsearch.PQ_TWIN_CORPUS_MOD).collect()}
     assert set(decl) == set(mm)
     for key, (nid, cos) in decl.items():
         assert mm[key][0] == nid, key
@@ -427,8 +431,9 @@ def test_ann_ivfpq_matmul_equals_declarative(spark, sf_dir):
             for r in simsearch.ann_ivfpq_topk(spark, sf_dir, k=5,
                                               query_mod=20).collect()}
     mm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
-          for r in simsearch.ann_ivfpq_matmul(spark, sf_dir, k=5,
-                                              query_mod=20).collect()}
+          for r in simsearch.ann_ivfpq_matmul(
+              spark, sf_dir, k=5, query_mod=20,
+              corpus_mod=simsearch.PQ_TWIN_CORPUS_MOD).collect()}
     assert set(decl) == set(mm)
     for key, (nid, cos) in decl.items():
         assert mm[key][0] == nid, key
