@@ -902,3 +902,147 @@ SELECT s.doc_id, CAST(s.n_windows AS BIGINT) AS n_windows,
        CAST(COALESCE(m.max_run, 0) AS BIGINT) AS max_dup_run
 FROM stats s LEFT JOIN mr m ON m.doc_id = s.doc_id
 """
+
+
+# --- BM25 ranked retrieval (query-time top-k over the corpus) ---------------
+#
+# The operator LLM pipelines use for decontamination audits and eval-set
+# mining: given a small set of query strings, rank every document by
+# Okapi BM25 and keep the top-k per query. The reference has no ranked
+# retrieval (its scanner matches values, not documents); this is the
+# beyond-reference retrieval surface next to tfidf_keywords above.
+#
+# Scale shape (100 TB): the postings relation (tf per doc/token) comes
+# from ONE doc-keyed shuffle shared with tfidf; the query-term relation
+# is a literal handful of rows, so the postings join broadcasts it and
+# only matching postings survive; df and avgdl are one token-keyed and
+# one 1-row aggregate. The final per-query top-k is the skew hazard —
+# every matching document lands in ONE query partition — so the window
+# runs in two phases: a (query, salt)-partitioned partial top-k (each
+# global top-k row survives its salt's top-k by construction) and a
+# global top-k over the BM25_SALT x k survivors. Result-identical to the
+# single-window form; the oracle ranks globally.
+
+#: Okapi constants (the standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+#: Salt fan-out for the two-phase per-query top-k.
+BM25_SALT = 16
+#: Deterministic retrieval queries over the synthetic corpus vocabulary.
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "spark join table"),
+    (1, "hash scan value"),
+    (2, "window agg column"),
+    (3, "customer order data"),
+    (4, "slow query filter"),
+    (5, "batch merge line"),
+)
+
+
+def bm25_topk_docs(docs: DataFrame,
+                   queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+                   k: int = BM25_TOPK, k1: float = BM25_K1,
+                   b: float = BM25_B,
+                   salt: int = BM25_SALT) -> DataFrame:
+    """Top-k docs per query by BM25 (Lucene-style non-negative IDF:
+    ln(1 + (N - df + 0.5)/(df + 0.5))). Determinism across engines: each
+    term's contribution is rounded to 1e-6 and summed as DECIMAL(28,6)
+    (the unigram_logprob discipline), the final score is ranked on its
+    ROUNDED value, ties by doc_id asc. Query terms are SET semantics
+    (distinct tokens; none of the literal queries repeat a term).
+
+    Output: query_id, rank, doc_id, score.
+    """
+    spark = docs.sparkSession
+    toks = (docs.select("doc_id", F.explode(
+                F.split(F.lower(F.col("text")), " +")).alias("token"))
+            .where(F.col("token") != ""))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # corpus stats: one row; dl sums are exact LONG sums so avgdl is a
+    # single deterministic double division in both engines
+    stats = dl.agg(F.sum("dl").alias("dl_sum"),
+                   F.count("*").alias("n_docs"))
+    terms = spark.createDataFrame(
+        sorted({(qid, t) for qid, q in queries for t in q.split()}),
+        "query_id bigint, token string")
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("tf") + F.lit(k1)
+            * (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl")
+               / (F.col("dl_sum") / F.col("n_docs").cast("double"))))
+    contrib = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / norm, 6) \
+        .cast("decimal(28,6)")
+    scored = (
+        tf.join(F.broadcast(terms), "token")
+        .join(dfq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("s"))
+        .select("query_id", "doc_id",
+                F.round(F.col("s").cast("double"), 6).alias("score")))
+    # two-phase top-k: partial per (query, doc_id % salt), then global
+    wpart = Window.partitionBy("query_id",
+                               F.pmod(F.col("doc_id"), F.lit(salt))) \
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    part = (scored.withColumn("pr", F.row_number().over(wpart))
+            .where(F.col("pr") <= k).drop("pr"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (part.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk_docs(_docs(spark, sf_dir))
+
+
+def bm25_topk_oracle_sql(docs_rel: str = "documents",
+                         queries: tuple[tuple[int, str], ...]
+                         = BM25_QUERIES,
+                         k: int = BM25_TOPK, k1: float = BM25_K1,
+                         b: float = BM25_B) -> str:
+    terms = sorted({(qid, t) for qid, q in queries for t in q.split()})
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), ' +')) AS token
+  FROM {docs_rel}
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       WHERE token <> '' GROUP BY doc_id, token),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT SUM(dl) AS dl_sum, COUNT(*) AS n_docs FROM dl),
+terms AS (SELECT * FROM (VALUES {values}) v(query_id, token)),
+scored AS (
+  SELECT t.query_id, f.doc_id,
+         round(CAST(SUM(
+           CAST(round(
+             ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+             * f.tf * {k1 + 1.0}
+             / (f.tf + {k1} * ({1.0 - b} + {b} * d.dl
+                / (s.dl_sum / CAST(s.n_docs AS DOUBLE)))), 6)
+           AS DECIMAL(28,6))) AS DOUBLE), 6) AS score
+  FROM tf f
+  JOIN terms t USING (token)
+  JOIN dfq q USING (token)
+  JOIN dl d ON d.doc_id = f.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.query_id, f.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

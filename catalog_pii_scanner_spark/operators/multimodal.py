@@ -709,3 +709,216 @@ SELECT doc_id AS asset_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
        round(rms, 6) AS f6, round(zcr, 6) AS f7
 FROM st
 """
+
+
+# --- perceptual-hash image near-dup dedup (driver-gated REAL decode) --------
+# The multimodal-pipeline dedup operator: average-hash (aHash) over the
+# REAL-decoded pixels — 8x8 nearest-neighbor downsample, threshold at
+# the downsample mean, 64 bits packed into 4 x 16-bit bands — then
+# banded Hamming blocking: candidate pairs share at least one band
+# value (the dedup.py LSH discipline, bucket-capped), and survive iff
+# their full 64-bit Hamming distance <= PHASH_HAM_MAX.
+#
+# Oracle discipline = the real_pgm_features gate: payloads are P5 PGMs
+# BUILT IN SPARK SQL from a per-doc formula with NEAR-DUPLICATE classes
+# by construction (base = doc_id % PHASH_BASES fixes dims + base
+# raster; tweak = (doc_id div PHASH_BASES) % PHASH_TWEAKS shifts every
+# pixel by tweak*PHASH_TWEAK_STEP mod 128), the engine REALLY decodes
+# bytes in the Arrow stage, and DuckDB re-derives hash bits
+# arithmetically from the formula without touching bytes. The
+# downsample mean is an integer sum (<= 64 * 127 << 2^53) divided by
+# 64 — exactly representable — so the p > mean threshold can never
+# disagree between numpy and SQL.
+#
+# 100 TB shape: decode + hash is ONE mapInPandas pass (no shuffle);
+# banding explodes 4 rows/doc; the self-join keys on (band, val) with
+# oversized buckets dropped whole (cap mirrored in the oracle,
+# exclusions observable via phash_excluded_buckets); the Hamming
+# verify touches only candidate pairs. No quadratic join anywhere.
+
+PHASH_BASES = 64
+PHASH_TWEAKS = 3
+PHASH_TWEAK_STEP = 3
+PHASH_HAM_MAX = 8
+#: Band-bucket cap — higher than dedup.MAX_BAND_BUCKET because the
+#: synthetic corpus packs whole identical-image classes into single
+#: buckets by construction (~N/PHASH_BASES docs at any sf).
+PHASH_MAX_BUCKET = 400
+
+
+def synthetic_pgm_neardup_assets(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """One real P5 payload per doc with near-dup classes by
+    construction: w = 4 + base%5, h = 3 + base%7,
+    pixel(i) = (base*7 + i*13 + tweak*PHASH_TWEAK_STEP) % 128."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    base = F.col("doc_id") % PHASH_BASES
+    w = (base % 5 + 4).cast("int")
+    h = (base % 7 + 3).cast("int")
+    payload = F.encode(F.concat(
+        F.lit("P5\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+        F.expr(f"array_join(transform(sequence(0, "
+               f"int((doc_id % {PHASH_BASES} % 7 + 3) * "
+               f"(doc_id % {PHASH_BASES} % 5 + 4)) - 1), "
+               f"i -> chr(int((doc_id % {PHASH_BASES} * 7 + i * 13 + "
+               f"(doc_id div {PHASH_BASES}) % {PHASH_TWEAKS} * "
+               f"{PHASH_TWEAK_STEP}) % 128))), '')")),
+        "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("media"))
+
+
+def ahash_bands(assets: DataFrame) -> DataFrame:
+    """REAL decode -> aHash -> 4 x 16-bit band values, one Arrow pass.
+    Bit i (row-major r*8+c) belongs to band i//16 at shift i%16."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["media"]):
+                img, _maxval = decode_pgm_full(bytes(payload))
+                hh, ww = img.shape
+                ri = (np.arange(8) * hh) // 8
+                ci = (np.arange(8) * ww) // 8
+                g = img[np.ix_(ri, ci)].astype(np.float64)
+                m = g.mean()          # exact: int sum / 64
+                bits = (g > m).astype(np.int64).ravel()
+                vals = [int((bits[b * 16:(b + 1) * 16]
+                             << np.arange(16)).sum()) for b in range(4)]
+                out["asset_id"].append(aid)
+                for b in range(4):
+                    out[f"b{b}"].append(vals[b])
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run, schema="asset_id long, b0 int, b1 int, b2 int, b3 int")
+
+
+def phash_band_rows(hashes: DataFrame) -> DataFrame:
+    """(asset_id, b0..b3) -> (asset_id, band, val) long form."""
+    keys = [F.struct(F.lit(b).alias("band"),
+                     F.col(f"b{b}").alias("val")) for b in range(4)]
+    return (hashes.select("asset_id",
+                          F.explode(F.array(*keys)).alias("bk"))
+            .select("asset_id", "bk.band", "bk.val"))
+
+
+def phash_dedup_query(spark: SparkSession, sf_dir: str,
+                      ham_max: int = PHASH_HAM_MAX,
+                      max_bucket: int = PHASH_MAX_BUCKET) -> DataFrame:
+    """Banded aHash near-dup pairs over the SQL-built PGM corpus.
+    Output: doc_a, doc_b, hamming (doc_a < doc_b)."""
+    hashes = ahash_bands(
+        synthetic_pgm_neardup_assets(spark, sf_dir)).localCheckpoint()
+    bands = phash_band_rows(hashes)
+    bands_ok = (bands.groupBy("band", "val")
+                .agg(F.count("*").alias("_bn"))
+                .where(F.col("_bn") <= max_bucket)
+                .select("band", "val"))
+    capped = bands.join(bands_ok, ["band", "val"])
+    a, b_ = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.val") == F.col("b.val"))
+                    & (F.col("a.asset_id") < F.col("b.asset_id")))
+             .select(F.col("a.asset_id").alias("doc_a"),
+                     F.col("b.asset_id").alias("doc_b"))
+             .distinct())
+    ha = hashes.select(F.col("asset_id").alias("doc_a"),
+                       *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)])
+    hb = hashes.select(F.col("asset_id").alias("doc_b"),
+                       *[F.col(f"b{b}").alias(f"c{b}") for b in range(4)])
+    ham = sum(F.bit_count(F.expr(f"a{b} ^ c{b}")) for b in range(4))
+    return (pairs.join(ha, "doc_a").join(hb, "doc_b")
+            .select("doc_a", "doc_b",
+                    ham.cast("bigint").alias("hamming"))
+            .where(F.col("hamming") <= ham_max))
+
+
+def phash_excluded_buckets(spark: SparkSession, sf_dir: str,
+                           max_bucket: int = PHASH_MAX_BUCKET
+                           ) -> DataFrame:
+    """Observability twin: the (band, val, n_docs) buckets the cap
+    dropped (empty on the synthetic corpus at gate scales)."""
+    bands = phash_band_rows(ahash_bands(
+        synthetic_pgm_neardup_assets(spark, sf_dir)))
+    return (bands.groupBy("band", "val")
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") > max_bucket))
+
+
+def phash_dedup_oracle_sql(docs_rel: str = "documents",
+                           ham_max: int = PHASH_HAM_MAX,
+                           max_bucket: int = PHASH_MAX_BUCKET) -> str:
+    """Pure-arithmetic oracle: hash bits re-derived from the generator
+    formula (nearest-neighbor index r*h//8, c*w//8; exact mean)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {PHASH_BASES} AS base,
+         (doc_id // {PHASH_BASES}) % {PHASH_TWEAKS} AS tweak
+  FROM {docs_rel}
+),
+dim AS (
+  SELECT doc_id, base, tweak,
+         CAST(base % 5 + 4 AS BIGINT) AS w,
+         CAST(base % 7 + 3 AS BIGINT) AS h
+  FROM d
+),
+grid AS (
+  SELECT doc_id, base, tweak, w, h,
+         unnest(range(0, 64)) AS i
+  FROM dim
+),
+gp AS (
+  SELECT doc_id, i,
+         CAST((base * 7
+               + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 13
+               + tweak * {PHASH_TWEAK_STEP}) % 128 AS DOUBLE) AS p
+  FROM grid
+),
+gm AS (
+  SELECT doc_id, i, p, AVG(p) OVER (PARTITION BY doc_id) AS m FROM gp
+),
+bits AS (
+  SELECT doc_id, i, CASE WHEN p > m THEN 1 ELSE 0 END AS bit FROM gm
+),
+bands AS (
+  SELECT doc_id, CAST(i // 16 AS INT) AS band,
+         CAST(SUM(bit << (i % 16)) AS INT) AS val
+  FROM bits GROUP BY doc_id, i // 16
+),
+bands_ok AS (
+  SELECT band, val FROM bands GROUP BY band, val
+  HAVING COUNT(*) <= {max_bucket}
+),
+capped AS (SELECT b.* FROM bands b JOIN bands_ok USING (band, val)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+hx AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band = 0 THEN val END) AS b0,
+         MAX(CASE WHEN band = 1 THEN val END) AS b1,
+         MAX(CASE WHEN band = 2 THEN val END) AS b2,
+         MAX(CASE WHEN band = 3 THEN val END) AS b3
+  FROM bands GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(bit_count(CAST(xor(a.b0, c.b0) AS BIGINT))
+          + bit_count(CAST(xor(a.b1, c.b1) AS BIGINT))
+          + bit_count(CAST(xor(a.b2, c.b2) AS BIGINT))
+          + bit_count(CAST(xor(a.b3, c.b3) AS BIGINT)) AS BIGINT)
+         AS hamming
+FROM pairs p
+JOIN hx a ON a.doc_id = p.doc_a
+JOIN hx c ON c.doc_id = p.doc_b
+WHERE bit_count(CAST(xor(a.b0, c.b0) AS BIGINT))
+    + bit_count(CAST(xor(a.b1, c.b1) AS BIGINT))
+    + bit_count(CAST(xor(a.b2, c.b2) AS BIGINT))
+    + bit_count(CAST(xor(a.b3, c.b3) AS BIGINT)) <= {ham_max}
+"""

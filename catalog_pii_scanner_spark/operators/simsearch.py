@@ -1697,3 +1697,166 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     return (short.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+# --- trained-codebook PQ (per-subspace Lloyd k-means, the FAISS recipe) -----
+#
+# The prefix quantizer above is deterministic but untrained — the one
+# place the PQ family simplified the algorithm it names. This operator
+# closes that gap: codebooks are TRAINED per subspace with Lloyd
+# k-means under L2 (FAISS ProductQuantizer::train), then the search is
+# the same ADC + exact-re-rank pipeline. Training is expressed as a
+# fixed number of UNROLLED iterations in the dual-dialect SQL template
+# itself, so the DuckDB oracle runs the IDENTICAL training — no fitted
+# constants to pin, the eval_trained discipline without the literals.
+#
+# Determinism: assignments argmin on round(d2, 6) with code tie-break;
+# centroid updates sum integer micro-units (floor(val*1e6 + 0.5) as
+# BIGINT) so reduction order cannot move the mean — the
+# embed_kmeans_lloyd discipline per subspace. Codes that lose all
+# members simply drop out of the next codebook (both engines alike).
+#
+# 100 TB shape: each iteration is one (vec, m, code)-keyed distance agg
+# + one argmin window + one (code, m, pos)-keyed mean — the standard
+# distributed k-means shuffle pattern, looped a FIXED small number of
+# times; corpus_mod doubles as the training-sample knob (FAISS trains
+# codebooks on a corpus sample too, then encodes everything).
+
+PQT_CODES = 32                 # trained codewords per subspace
+PQT_ITERS = 2                  # unrolled Lloyd iterations
+
+
+def ann_pq_trained_topk_sql(dialect: str, rel: str = "embeddings",
+                            k: int = 5, query_mod: int = 50,
+                            rerank: int = PQ_RERANK,
+                            corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                            codes: int = PQT_CODES,
+                            iters: int = PQT_ITERS) -> str:
+    """Output: query_id, neighbor_id, rank, cosine (exact, rounded
+    1e-6). ``iters=0`` degrades to the prefix quantizer at ``codes``
+    codewords — the recall baseline the trained codebook must beat
+    (tests/test_ann_recall.py)."""
+    steps = []
+    prev = "cb0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+enc{i} AS (
+  SELECT s.vec_id, s.m, c.code,
+         SUM((s.val - c.cval) * (s.val - c.cval)) AS d2
+  FROM scand s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
+  GROUP BY s.vec_id, s.m, c.code
+),
+asg{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY round(d2, 6), code) AS rn
+    FROM enc{i}
+  ) WHERE rn = 1
+),
+cb{i} AS (
+  SELECT a.code, s.m, s.pos,
+         SUM(CAST(floor(s.val * 1000000 + 0.5) AS BIGINT))
+           / (COUNT(*) * 1000000.0) AS cval
+  FROM asg{i} a
+  JOIN scand s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.code, s.m, s.pos
+)""")
+        prev = f"cb{i}"
+    train = ",".join(steps)
+    train = f",{train}" if train else ""
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+sub AS (
+  SELECT vec_id, pos, val, CAST(floor((pos - 1) / {PQ_SUB}) AS INT) AS m
+  FROM vecs
+),
+scand AS (SELECT * FROM sub WHERE vec_id % {corpus_mod} = 0),
+cb0 AS (
+  SELECT vec_id AS code, m, pos, val AS cval FROM sub
+  WHERE vec_id < {codes}
+){train},
+encf AS (
+  SELECT s.vec_id, s.m, c.code,
+         SUM((s.val - c.cval) * (s.val - c.cval)) AS d2
+  FROM scand s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
+  GROUP BY s.vec_id, s.m, c.code
+),
+fcodes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY round(d2, 6), code) AS rn
+    FROM encf
+  ) WHERE rn = 1
+),
+cbn AS (SELECT m, code, SUM(cval * cval) AS c2 FROM {prev}
+        GROUP BY m, code),
+rnorm AS (
+  SELECT v.vec_id, sqrt(SUM(b.c2)) AS rn
+  FROM fcodes v JOIN cbn b ON b.m = v.m AND b.code = v.code
+  GROUP BY v.vec_id HAVING SUM(b.c2) > 0
+),
+qlut AS (
+  SELECT s.vec_id AS query_id, c.m, c.code, SUM(s.val * c.cval) AS dot
+  FROM sub s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
+  WHERE s.vec_id % {query_mod} = 0
+  GROUP BY s.vec_id, c.m, c.code
+),
+adot AS (
+  SELECT l.query_id, x.vec_id AS neighbor_id, SUM(l.dot) AS dot
+  FROM fcodes x JOIN qlut l ON l.m = x.m AND l.code = x.code
+  WHERE x.vec_id <> l.query_id
+  GROUP BY l.query_id, x.vec_id
+),
+pqcos AS (
+  SELECT a.query_id, a.neighbor_id,
+         round(a.dot / (nq.norm * r.rn), 6) AS pq_cosine
+  FROM adot a
+  JOIN norms nq ON nq.vec_id = a.query_id
+  JOIN rnorm r ON r.vec_id = a.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY pq_cosine DESC, neighbor_id)
+             AS prank
+    FROM pqcos
+  ) WHERE prank <= {rerank}
+),
+rdots AS (
+  SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
+  FROM short s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id AND c.pos = q.pos
+  GROUP BY s.query_id, s.neighbor_id
+),
+rcos AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.norm * nc.norm), 6) AS cosine
+  FROM rdots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rcos
+) WHERE rank <= {k}
+"""
+
+
+def ann_pq_trained_topk(spark, sf_dir: str, k: int = 5,
+                        query_mod: int = 50,
+                        rerank: int = PQ_RERANK,
+                        corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                        codes: int = PQT_CODES,
+                        iters: int = PQT_ITERS) -> DataFrame:
+    """Dual-dialect template execution of the trained-codebook PQ."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("cpss_embeddings")
+    return spark.sql(ann_pq_trained_topk_sql(
+        "spark", "cpss_embeddings", k, query_mod, rerank, corpus_mod,
+        codes, iters))

@@ -289,3 +289,41 @@ def test_p2_raster_comments_decode():
     p2 = b"P2\n2 2\n255\n1 2 # note\n3 4\n"
     assert np.array_equal(decode_pgm(p2),
                           np.array([[1, 2], [3, 4]], dtype=np.uint8))
+
+
+def test_phash_same_class_docs_hash_identically(spark):
+    """Docs with equal (base, tweak) decode to identical images, so
+    their aHash bands must be equal and their pair distance 0; a
+    different tweak on the same base shifts every pixel and must stay
+    within PHASH_HAM_MAX (the near-dup claim of the synthetic corpus)."""
+    import pyspark.sql.functions as F
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        PHASH_BASES, PHASH_HAM_MAX, ahash_bands, phash_dedup_query,
+        synthetic_pgm_neardup_assets)
+    sf = "/root/testdata/sf0.001"
+    hashes = {r.asset_id: (r.b0, r.b1, r.b2, r.b3)
+              for r in ahash_bands(
+                  synthetic_pgm_neardup_assets(spark, sf)).collect()}
+    # same class: doc_id and doc_id + 3*PHASH_BASES share base AND tweak
+    step = 3 * PHASH_BASES
+    same = [(a, a + step) for a in range(0, 40) if a + step in hashes]
+    assert same
+    for a, b in same:
+        assert hashes[a] == hashes[b], (a, b)
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in phash_dedup_query(spark, sf).collect()}
+    for a, b in same:
+        assert pairs.get((a, b)) == 0, (a, b)
+    # cross-tweak same-base neighbours are near (<= PHASH_HAM_MAX)
+    cross = [(a, a + PHASH_BASES) for a in range(0, 40)
+             if a + PHASH_BASES in hashes]
+    assert cross
+    near = sum(1 for a, b in cross if (a, b) in pairs)
+    assert near >= len(cross) * 0.8, (near, len(cross))
+
+
+def test_phash_no_buckets_excluded_at_gate_scale(spark):
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        phash_excluded_buckets)
+    assert phash_excluded_buckets(
+        spark, "/root/testdata/sf0.001").count() == 0
