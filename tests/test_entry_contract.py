@@ -8,29 +8,33 @@ from __future__ import annotations
 import __spark_entry__ as E
 
 #: The deliberately-parked tail (see the ordering note in queries()),
-#: rotated r5: every entry here was driver-green in ROUND 4 (the r3-aged
-#: tail rotated INTO the front 50 this round) and its function body is
-#: untouched since. Anything else appearing past position 50 would
-#: silently lose driver verification.
+#: rotated r6: every entry here was driver-green in ROUND 5 (the whole
+#: r4-aged 42-entry tail rotated INTO the front 50 this round) and its
+#: function body is untouched since — with ONE documented error-path
+#: exception: decode_pgm_full (used by multimodal_real_pgm_features)
+#: gained a truncated-header ValueError guard (r5 ADVICE item) that no
+#: wellformed payload can reach; the green path is byte-identical and
+#: the whole multimodal pytest suite re-verifies it. Anything else
+#: appearing past position 50 would silently lose driver verification.
 STABLE_PARKED = {
-    "pii_scan_demo_crm", "sample_columns_topn",
-    "pii_candidates_rollup", "pii_candidate_features",
-    "pii_redaction_contexts", "pii_ensemble_predictions",
-    "pii_ensemble_gated", "pii_ner_context_signals", "corpus_anonymize",
-    "doc_pii_density", "corpus_curate_pii", "stream_events_sessions",
-    "events_sessions", "events_asof_join",
-    "ann_cosine_topk", "ann_cosine_matmul", "ann_lsh_topk",
-    "ann_lsh_matmul", "ann_ivf_topk", "ann_ivf_matmul",
-    "embed_cluster_mix", "embed_kmeans_lloyd", "multimodal_features",
-    "multimodal_frame_sample", "multimodal_resize",
-    "tpch_pricing_summary", "top_customers_by_revenue",
-    "monthly_revenue_running",
-    "orders_priority_pivot", "churned_customers", "events_value_outliers",
-    "events_retention", "events_funnel", "events_hourly_gapfill",
-    "stream_events_hourly",
-    "corpus_unigram_logprob", "corpus_bigram_logprob", "corpus_split",
-    "corpus_char_entropy", "llm_budget_plan", "dedup_containment",
-    "dedup_embed_cosine",
+    "pii_repeated_spans", "eval_greedy_metrics",
+    "pii_overlap_suppressed", "pii_ner_merge_max", "catalog_columns",
+    "hms_columns", "unity_columns", "glue_columns",
+    "pii_metadata_hints", "athena_sample_capped", "doc_quality",
+    "doc_lang_id", "doc_token_counts", "doc_fingerprints",
+    "doc_length_quantiles", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_simhash", "corpus_vocab_topk", "corpus_tfidf_keywords",
+    "corpus_sample_stratified", "corpus_repetition",
+    "corpus_decontaminate", "corpus_pack_sequences",
+    "corpus_temperature_sample", "corpus_curate", "events_props_stats",
+    "events_hourly", "pii_candidates_scored", "dedup_ngram_jaccard",
+    "stream_dedup_events", "profile_columns", "pii_scan_enabled_types",
+    "dedup_lsh_near_pairs", "dedup_clusters", "pii_scan_catalog_tables",
+    "pii_full_pipeline", "multimodal_audio_energy",
+    "multimodal_real_pgm_features", "multimodal_real_wav_features",
+    "corpus_substring_dedup", "events_sessions_salted",
+    "stream_doc_pii_density", "dedup_keep_list",
+    "stream_dedup_keep_list",
 }
 
 
