@@ -38,6 +38,9 @@ def main() -> int:
         ("ann_ivfpq_matmul", "IVFADC one-pass serving stack"),
         ("corpus_substring_dedup", "cross-doc window dedup"),
         ("multimodal_real_pgm_features", "SQL-built PGM + real decode"),
+        ("ann_pq_trained_topk", "unrolled Lloyd train + ADC search"),
+        ("multimodal_phash_dedup", "aHash + banded Hamming blocking"),
+        ("corpus_bm25_topk", "broadcast terms + salted two-phase top-k"),
         ("stream_dedup_keep_list", "streaming signatures + compaction"),
         ("eval_greedy_metrics", "range join + windows"),
         ("pii_repeated_spans", "position-exact Arrow extraction + fold"),
