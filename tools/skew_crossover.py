@@ -24,7 +24,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-X10 = "/tmp/cpss_sf10x"
 N_RUNS = 3
 
 
@@ -34,9 +33,10 @@ def main() -> int:
     import __spark_entry__ as E
     from catalog_pii_scanner_spark.session import get_spark
 
+    from tools.scale_probe import X10, build
+
     spark = get_spark("skew_crossover")
     if not os.path.exists(f"{X10}/events.parquet"):
-        from tools.scale_probe import build
         build(spark)
 
     ev = spark.read.parquet(f"{X10}/events.parquet")
