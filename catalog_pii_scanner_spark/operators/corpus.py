@@ -958,7 +958,11 @@ def bm25_topk_docs(docs: DataFrame,
     toks = (docs.select("doc_id", F.explode(
                 F.split(F.lower(F.col("text")), " +")).alias("token"))
             .where(F.col("token") != ""))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # the postings relation feeds THREE consumers (dl, dfq, the scored
+    # join) — materialize it once so the explode + count doesn't
+    # re-derive per consumer (the localCheckpoint discipline, PERF.md)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf")) \
+        .localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
     # corpus stats: one row; dl sums are exact LONG sums so avgdl is a

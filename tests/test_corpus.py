@@ -3,6 +3,8 @@ sampling, vocabulary top-k (operators/corpus.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from catalog_pii_scanner_spark.operators.corpus import (
     decontaminate_docs, doc_kgrams, repetition_docs,
     stratified_sample_docs, vocab_topk_docs)
@@ -304,3 +306,47 @@ def test_substring_dedup_hand_check(spark):
     # doc3: 9 tokens -> 2 windows, none duplicated
     assert (rows[3].n_windows, rows[3].n_dup_windows,
             rows[3].max_dup_run) == (2, 0, 0)
+
+
+def test_bm25_hand_check(spark):
+    """BM25 on a 3-doc corpus matches a from-scratch numpy derivation
+    (independent of the DuckDB oracle): Lucene IDF, Robertson tf
+    saturation, length normalization, rounded-then-ranked."""
+    import math
+
+    from catalog_pii_scanner_spark.operators.corpus import (
+        BM25_B, BM25_K1, bm25_topk_docs)
+    docs = spark.createDataFrame(
+        [(0, "spark join spark", "en", "s", 16),
+         (1, "join table scan", "en", "s", 15),
+         (2, "value row line column agg window", "en", "s", 32)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    rows = {(r.query_id, r.doc_id): (r.rank, r.score)
+            for r in bm25_topk_docs(
+                docs, queries=((7, "spark join"),), k=3).collect()}
+
+    tf = {0: {"spark": 2, "join": 1},
+          1: {"join": 1, "table": 1, "scan": 1},
+          2: {w: 1 for w in "value row line column agg window".split()}}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    avgdl = sum(dl.values()) / 3
+    df = {"spark": 1, "join": 2}
+
+    def score(d):
+        s = 0.0
+        for t in ("spark", "join"):
+            f = tf[d].get(t, 0)
+            if not f:
+                continue
+            idf = math.log(1.0 + (3 - df[t] + 0.5) / (df[t] + 0.5))
+            contrib = idf * f * (BM25_K1 + 1) / (
+                f + BM25_K1 * (1 - BM25_B + BM25_B * dl[d] / avgdl))
+            s += round(contrib, 6)
+        return round(s, 6)
+
+    assert rows[(7, 0)][1] == pytest.approx(score(0), abs=1e-9)
+    assert rows[(7, 1)][1] == pytest.approx(score(1), abs=1e-9)
+    assert (7, 2) not in rows                     # no matching term
+    # doc 0 (spark x2 + join) outranks doc 1 (join only)
+    assert rows[(7, 0)][0] == 1 and rows[(7, 1)][0] == 2
