@@ -503,6 +503,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_list": dedup.dedup_keep_list,
         # the same verdict via a streaming drain (batch-identical)
         "stream_dedup_keep_list": stream_dedup_keep_list,
+        # --- NEW this round, registered past position 50 --------------
+        # The front 50 is exactly consumed by the rotation (42 aged
+        # entries + 8 new/changed), so these three carry LOCAL
+        # verification only this round (CORRECTNESS_LOCAL_r06, edge
+        # sweeps, pytest) and MUST front in r7 — declared as
+        # NEW_LOCAL_ONLY in tests/test_entry_contract.py so the gap is
+        # explicit, not silent.
+        # image-dedup product verdict: phash pairs -> connected
+        # components -> canonical keep/drop per corpus doc
+        "multimodal_phash_keep_list": multimodal.phash_keep_list_query,
+        # RAG/training chunk prep: overlapping token windows, zero
+        # shuffles, straggler-capped
+        "corpus_chunk_overlap": corpus.chunk_overlap,
+        # the FULLY-trained IVFADC (Lloyd coarse + Lloyd PQ codebooks,
+        # both unrolled in the dual-dialect template); recall gate in
+        # tests/test_ann_recall.py (0.30 -> 0.44 vs untrained)
+        "ann_ivfpq_trained_topk": simsearch.ann_ivfpq_trained_topk,
     }
 
 
@@ -644,6 +661,12 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_dedup": multimodal.phash_dedup_oracle_sql(),
         # BM25 top-k: literal query terms inlined as VALUES
         "corpus_bm25_topk": corpus.bm25_topk_oracle_sql(),
+        # keep-list over the phash pair graph (RECURSIVE min-reachable)
+        "multimodal_phash_keep_list":
+            multimodal.phash_keep_list_oracle_sql(),
+        "corpus_chunk_overlap": corpus.chunk_overlap_oracle_sql(),
+        "ann_ivfpq_trained_topk":
+            simsearch.ann_ivfpq_trained_topk_sql("duckdb"),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

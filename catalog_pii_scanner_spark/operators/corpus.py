@@ -1050,3 +1050,74 @@ FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --- overlapping chunking (RAG / training-sequence prep) --------------------
+#
+# The retrieval-indexing counterpart of pack_sequences: each document
+# splits into fixed-size token windows with stride overlap (the
+# standard RAG chunker; overlap preserves cross-boundary context).
+# Pure built-ins end to end: filter/sequence/slice/array_join on the
+# token array — no UDF, no shuffle at all (chunking is doc-local; the
+# explode is a Generate inside the scan stage). The MAX_SHINGLE_TOKENS
+# cap bounds the widest document (straggler guard, mirrored in the
+# oracle, same discipline as the k-gram family).
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_overlap_docs(docs: DataFrame, size: int = CHUNK_TOKENS,
+                       stride: int = CHUNK_STRIDE,
+                       cap: int = MAX_SHINGLE_TOKENS) -> DataFrame:
+    """(doc_id, chunk_no, n_tokens, chunk_text): token windows
+    [c*stride, c*stride + size) over the first ``cap`` whitespace
+    tokens; the last window may be short; empty/NULL docs emit no
+    chunks. chunk_no is 0-based."""
+    toks = F.slice(
+        F.filter(F.split(F.col("text"), " +"), lambda x: x != ""),
+        1, cap)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)),
+        F.lit(stride))
+    return (docs.where(F.col("text").isNotNull())
+            .select("doc_id", toks.alias("toks"))
+            .where(F.size("toks") > 0)
+            .select("doc_id", "toks",
+                    F.posexplode(starts).alias("chunk_no", "start"))
+            .where(F.col("start") < F.size("toks"))
+            .select(
+                "doc_id",
+                F.col("chunk_no").cast("bigint").alias("chunk_no"),
+                F.size(F.slice("toks", F.col("start") + 1, size))
+                 .cast("bigint").alias("n_tokens"),
+                F.array_join(F.slice("toks", F.col("start") + 1, size),
+                             " ").alias("chunk_text")))
+
+
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_overlap_docs(_docs(spark, sf_dir))
+
+
+def chunk_overlap_oracle_sql(docs_rel: str = "documents",
+                             size: int = CHUNK_TOKENS,
+                             stride: int = CHUNK_STRIDE,
+                             cap: int = MAX_SHINGLE_TOKENS) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         (list_filter(regexp_split_to_array(text, ' +'),
+                      x -> x <> ''))[1:{cap}] AS toks
+  FROM {docs_rel} WHERE text IS NOT NULL
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, n, {stride})) AS start
+  FROM nz
+)
+SELECT doc_id, CAST(start // {stride} AS BIGINT) AS chunk_no,
+       CAST(len(toks[start + 1:start + {size}]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1:start + {size}], ' ') AS chunk_text
+FROM starts WHERE start < n
+"""

@@ -922,3 +922,61 @@ WHERE bit_count(CAST(xor(a.b0, c.b0) AS BIGINT))
     + bit_count(CAST(xor(a.b2, c.b2) AS BIGINT))
     + bit_count(CAST(xor(a.b3, c.b3) AS BIGINT)) <= {ham_max}
 """
+
+
+def phash_keep_list_query(spark: SparkSession, sf_dir: str,
+                          ham_max: int = PHASH_HAM_MAX,
+                          max_bucket: int = PHASH_MAX_BUCKET
+                          ) -> DataFrame:
+    """The image-dedup product verdict (the dedup_keep_list shape for
+    the multimodal corpus): aHash near-dup pairs -> connected components
+    (min-label propagation, dedup.connected_components) -> one canonical
+    image per cluster (MIN doc_id); every corpus doc gets a keep/drop
+    row. Output: doc_id, cluster_rep, keep.
+
+    Scale shape: the pair relation is banded + bucket-capped upstream;
+    label propagation is one keyed shuffle per round with per-round
+    checkpoints; the verdict join broadcasts the (near-dup-bounded)
+    cluster relation under AQE — identical discipline to
+    dedup.dedup_keep_list."""
+    from .dedup import connected_components
+    pairs = phash_dedup_query(spark, sf_dir, ham_max, max_bucket) \
+        .select("doc_a", "doc_b")
+    clusters = connected_components(pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    out = docs.join(clusters, "doc_id", "left")
+    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+    return out.select(
+        "doc_id", rep.alias("cluster_rep"),
+        (rep == F.col("doc_id")).alias("keep"))
+
+
+def phash_keep_list_oracle_sql(docs_rel: str = "documents",
+                               ham_max: int = PHASH_HAM_MAX,
+                               max_bucket: int = PHASH_MAX_BUCKET
+                               ) -> str:
+    """Min reachable doc per node via a RECURSIVE CTE over the phash
+    pair graph (the dedup_keep_list_sql pattern)."""
+    pairs = phash_dedup_oracle_sql(docs_rel, ham_max, max_bucket).strip()
+    return f"""
+WITH RECURSIVE phash_pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM phash_pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM phash_pairs
+),
+reach(src, node) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_rep
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+       COALESCE(c.cluster_rep, d.doc_id) = d.doc_id AS keep
+FROM {docs_rel} d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+"""

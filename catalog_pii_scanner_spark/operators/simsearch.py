@@ -1860,3 +1860,230 @@ def ann_pq_trained_topk(spark, sf_dir: str, k: int = 5,
     return spark.sql(ann_pq_trained_topk_sql(
         "spark", "cpss_embeddings", k, query_mod, rerank, corpus_mod,
         codes, iters))
+
+
+def ann_ivfpq_trained_topk_sql(dialect: str, rel: str = "embeddings",
+                               k: int = 5, query_mod: int = 50,
+                               rerank: int = PQ_RERANK,
+                               corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                               codes: int = PQT_CODES,
+                               iters: int = PQT_ITERS,
+                               n_cells: int = NUM_CENTROIDS,
+                               nprobe: int = NPROBE,
+                               km_iters: int = LLOYD_ITERS) -> str:
+    """The FULLY-trained IVFADC stack (FAISS IndexIVFPQ::train): the
+    coarse quantizer is Lloyd-trained under cosine over full vectors
+    (the kmeans_lloyd_sql discipline — rounded assignment, integer
+    micro-unit means) AND the PQ codebooks are Lloyd-trained per
+    subspace under L2 (the ann_pq_trained_topk discipline), both
+    unrolled INSIDE the dual-dialect template so DuckDB trains
+    identically. Training runs on the corpus_mod sample (FAISS trains
+    on a sample too); search assigns candidates + queries to the
+    trained cells, probes ``nprobe`` cells per query, ADC-scores via
+    lookup tables, and exactly re-ranks the shortlist.
+
+    ``km_iters=0`` + ``iters=0`` degrades to the prefix-quantizer
+    ann_ivfpq shape at ``codes`` codewords — the recall baseline
+    (tests/test_ann_recall.py).
+
+    Output: query_id, neighbor_id, rank, cosine (exact, rounded 1e-6).
+    """
+    # --- coarse quantizer training (cosine k-means over full vectors)
+    coarse = [f"""
+cent0 AS (
+  SELECT vec_id AS cid, pos, val AS cval FROM vecs
+  WHERE vec_id < {n_cells}
+),
+cnorm0 AS (
+  SELECT cid, sqrt(SUM(cval * cval)) AS cnorm FROM cent0
+  GROUP BY cid HAVING SUM(cval * cval) > 0
+)"""]
+    for i in range(km_iters):
+        coarse.append(f"""
+kcc{i} AS (
+  SELECT v.vec_id, c.cid,
+         SUM(v.val * c.cval) / (nv.norm * nc.cnorm) AS ccos
+  FROM scand v
+  JOIN cent{i} c ON c.pos = v.pos
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN cnorm{i} nc ON nc.cid = c.cid
+  GROUP BY v.vec_id, c.cid, nv.norm, nc.cnorm
+),
+kasg{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(ccos, 6) DESC, cid) AS rk
+    FROM kcc{i}
+  ) _r WHERE rk = 1
+),
+cent{i + 1} AS (
+  SELECT a.cid, v.pos,
+         CAST(SUM(CAST(floor(v.val * 1000000 + 0.5) AS BIGINT))
+              AS DOUBLE) / (COUNT(*) * 1000000.0) AS cval
+  FROM kasg{i} a JOIN scand v ON v.vec_id = a.vec_id
+  GROUP BY a.cid, v.pos
+),
+cnorm{i + 1} AS (
+  SELECT cid, sqrt(SUM(cval * cval)) AS cnorm
+  FROM cent{i + 1} GROUP BY cid HAVING SUM(cval * cval) > 0
+)""")
+    km_last = km_iters
+    # --- PQ codebook training (L2 k-means per subspace)
+    pq = [f"""
+cb0 AS (
+  SELECT vec_id AS code, m, pos, val AS cval FROM sub
+  WHERE vec_id < {codes}
+)"""]
+    prev = "cb0"
+    for i in range(1, iters + 1):
+        pq.append(f"""
+penc{i} AS (
+  SELECT s.vec_id, s.m, c.code,
+         SUM((s.val - c.cval) * (s.val - c.cval)) AS d2
+  FROM subc s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
+  GROUP BY s.vec_id, s.m, c.code
+),
+pasg{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY round(d2, 6), code) AS rn
+    FROM penc{i}
+  ) WHERE rn = 1
+),
+cb{i} AS (
+  SELECT a.code, s.m, s.pos,
+         SUM(CAST(floor(s.val * 1000000 + 0.5) AS BIGINT))
+           / (COUNT(*) * 1000000.0) AS cval
+  FROM pasg{i} a
+  JOIN subc s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.code, s.m, s.pos
+)""")
+        prev = f"cb{i}"
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+scand AS (SELECT * FROM vecs WHERE vec_id % {corpus_mod} = 0),
+sub AS (
+  SELECT vec_id, pos, val, CAST(floor((pos - 1) / {PQ_SUB}) AS INT) AS m
+  FROM vecs
+),
+subc AS (SELECT * FROM sub WHERE vec_id % {corpus_mod} = 0),
+{','.join(coarse).lstrip()},
+{','.join(pq).lstrip()},
+cell_cos AS (
+  SELECT v.vec_id, c.cid,
+         SUM(v.val * c.cval) / (nv.norm * nc.cnorm) AS ccos
+  FROM vecs v
+  JOIN cent{km_last} c ON c.pos = v.pos
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN cnorm{km_last} nc ON nc.cid = c.cid
+  WHERE v.vec_id % {corpus_mod} = 0 OR v.vec_id % {query_mod} = 0
+  GROUP BY v.vec_id, c.cid, nv.norm, nc.cnorm
+),
+ranked_cells AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(ccos, 6) DESC, cid) AS crank
+  FROM cell_cos
+),
+assign AS (SELECT vec_id, cid FROM ranked_cells
+           WHERE crank = 1 AND vec_id % {corpus_mod} = 0),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM ranked_cells
+  WHERE crank <= {nprobe} AND vec_id % {query_mod} = 0
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+encf AS (
+  SELECT s.vec_id, s.m, c.code,
+         SUM((s.val - c.cval) * (s.val - c.cval)) AS d2
+  FROM subc s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
+  GROUP BY s.vec_id, s.m, c.code
+),
+fcodes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY round(d2, 6), code) AS rn
+    FROM encf
+  ) WHERE rn = 1
+),
+cbn AS (SELECT m, code, SUM(cval * cval) AS c2 FROM {prev}
+        GROUP BY m, code),
+rnorm AS (
+  SELECT v.vec_id, sqrt(SUM(b.c2)) AS rn
+  FROM fcodes v JOIN cbn b ON b.m = v.m AND b.code = v.code
+  GROUP BY v.vec_id HAVING SUM(b.c2) > 0
+),
+qlut AS (
+  SELECT s.vec_id AS query_id, c.m, c.code, SUM(s.val * c.cval) AS dot
+  FROM sub s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
+  WHERE s.vec_id % {query_mod} = 0
+  GROUP BY s.vec_id, c.m, c.code
+),
+adot AS (
+  SELECT c.query_id, c.neighbor_id, SUM(l.dot) AS dot
+  FROM cand c
+  JOIN fcodes x ON x.vec_id = c.neighbor_id
+  JOIN qlut l ON l.query_id = c.query_id AND l.m = x.m
+             AND l.code = x.code
+  GROUP BY c.query_id, c.neighbor_id
+),
+pqcos AS (
+  SELECT a.query_id, a.neighbor_id,
+         round(a.dot / (nq.norm * r.rn), 6) AS pq_cosine
+  FROM adot a
+  JOIN norms nq ON nq.vec_id = a.query_id
+  JOIN rnorm r ON r.vec_id = a.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY pq_cosine DESC, neighbor_id)
+             AS prank
+    FROM pqcos
+  ) WHERE prank <= {rerank}
+),
+rdots AS (
+  SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
+  FROM short s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id AND c.pos = q.pos
+  GROUP BY s.query_id, s.neighbor_id
+),
+rcos AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.norm * nc.norm), 6) AS cosine
+  FROM rdots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rcos
+) WHERE rank <= {k}
+"""
+
+
+def ann_ivfpq_trained_topk(spark, sf_dir: str, k: int = 5,
+                           query_mod: int = 50,
+                           rerank: int = PQ_RERANK,
+                           corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                           codes: int = PQT_CODES,
+                           iters: int = PQT_ITERS,
+                           n_cells: int = NUM_CENTROIDS,
+                           nprobe: int = NPROBE,
+                           km_iters: int = LLOYD_ITERS) -> DataFrame:
+    """Dual-dialect template execution of the fully-trained IVFADC."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("cpss_embeddings")
+    return spark.sql(ann_ivfpq_trained_topk_sql(
+        "spark", "cpss_embeddings", k, query_mod, rerank, corpus_mod,
+        codes, iters, n_cells, nprobe, km_iters))

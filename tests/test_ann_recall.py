@@ -111,3 +111,21 @@ def test_trained_pq_codebook_beats_prefix(spark, sf_dir, truth):
     r_prefix, r_trained = _recall(prefix, truth), _recall(trained, truth)
     assert r_trained > r_prefix
     assert r_trained >= 0.9
+
+
+def test_trained_ivfpq_beats_untrained(spark, sf_dir, truth):
+    """The fully-trained IVFADC (Lloyd-trained coarse quantizer +
+    Lloyd-trained PQ codebooks, both unrolled in the template) must
+    out-recall the untrained prefix composition at equal cells/codes/
+    probes/rerank (km_iters=0, iters=0 degrades the same template).
+    Measured 0.30 -> 0.44 at sf0.01: the coarse quantizer is the
+    recall lever (cells bound the candidate set); PQ training cannot
+    move IVF recall because the exact re-rank absorbs ADC error —
+    consistent with test_kmeans_quantizer_beats_prefix."""
+    untrained = simsearch.ann_ivfpq_trained_topk(
+        spark, sf_dir, corpus_mod=1, km_iters=0, iters=0).collect()
+    trained = simsearch.ann_ivfpq_trained_topk(
+        spark, sf_dir, corpus_mod=1).collect()
+    r_un, r_tr = _recall(untrained, truth), _recall(trained, truth)
+    assert r_tr > r_un
+    assert r_tr >= 0.4

@@ -350,3 +350,27 @@ def test_bm25_hand_check(spark):
     assert (7, 2) not in rows                     # no matching term
     # doc 0 (spark x2 + join) outranks doc 1 (join only)
     assert rows[(7, 0)][0] == 1 and rows[(7, 1)][0] == 2
+
+
+def test_chunk_overlap_hand_check(spark):
+    """Chunking math on a crafted doc: 10 tokens, size 4, stride 3 ->
+    starts 0,3,6,9; the last chunk is short; empty/NULL docs emit no
+    chunks; multi-space splits collapse."""
+    from catalog_pii_scanner_spark.operators.corpus import (
+        chunk_overlap_docs)
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, "  ".join(toks), "en", "s", 0),
+         (2, "", "en", "s", 0),
+         (3, None, "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    rows = sorted(
+        (r.doc_id, r.chunk_no, r.n_tokens, r.chunk_text)
+        for r in chunk_overlap_docs(docs, size=4, stride=3).collect())
+    assert rows == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (1, 3, 1, "t9"),
+    ]

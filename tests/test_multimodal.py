@@ -327,3 +327,25 @@ def test_phash_no_buckets_excluded_at_gate_scale(spark):
         phash_excluded_buckets)
     assert phash_excluded_buckets(
         spark, "/root/testdata/sf0.001").count() == 0
+
+
+def test_phash_keep_list_verdict_shape(spark):
+    """Every corpus doc gets exactly one verdict row; cluster
+    representatives are their cluster's MIN doc_id and are kept; every
+    non-representative clustered doc is dropped; reps are closed under
+    membership (a rep's own row points at itself)."""
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        phash_keep_list_query)
+    sf = "/root/testdata/sf0.001"
+    rows = {r.doc_id: (r.cluster_rep, r.keep)
+            for r in phash_keep_list_query(spark, sf).collect()}
+    import duckdb
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'").fetchone()[0]
+    assert len(rows) == n_docs
+    for doc, (rep, keep) in rows.items():
+        assert keep == (rep == doc)
+        assert rep <= doc
+        assert rows[rep][0] == rep      # rep maps to itself
+    # the synthetic corpus HAS clusters: some docs are dropped
+    assert any(not keep for _, keep in rows.values())
