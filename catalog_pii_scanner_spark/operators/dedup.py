@@ -645,6 +645,128 @@ def simhash(spark, sf_dir: str) -> DataFrame:
     return spark.sql(simhash_sql("spark", "cpss_documents"))
 
 
+# --- simhash near-dup pairs (banded Hamming-distance blocking) --------------
+#
+# The join the signature operator above exists for: pairs of documents
+# whose 32-bit SimHashes differ in at most HAMMING_T bits. Blocking is
+# the standard band decomposition (Manku et al., WWW'07 "Detecting
+# near-duplicates for web crawling"): split the hash into
+# SIMHASH_BANDS byte-bands and bucket-join on band equality. With
+# 4 bands over 32 bits and HAMMING_T = 3, the pigeonhole principle
+# makes the blocking COMPLETE, not approximate — any pair within
+# Hamming 3 agrees exactly on at least one band — so banding is purely
+# an optimization over the quadratic all-pairs join (differential test
+# pins this). The only recall loss is the explicit MAX_BAND_BUCKET cap
+# (boilerplate corpora collapse a band bucket; dropped whole,
+# observable via simhash_excluded_buckets).
+#
+# Scale shape (100 TB): signatures are one doc-keyed aggregation; the
+# band explode is doc-local (4 rows/doc); the candidate join shuffles
+# on (band, band_value) with the bucket cap bounding every task's pair
+# fan-out; the Hamming verify is two hash joins back to the tiny
+# signature relation plus a JVM bit_count — no Python, no windows.
+
+#: Number of byte-wide bands over the 32-bit simhash.
+SIMHASH_BANDS = 4
+#: Maximum Hamming distance for a near-dup verdict. 3 <= SIMHASH_BANDS
+#: keeps the band blocking complete (pigeonhole).
+HAMMING_T = 3
+
+
+def simhash_pairs_sql(dialect: str, docs_rel: str = "documents",
+                      hamming_t: int = HAMMING_T,
+                      max_bucket: int = MAX_BAND_BUCKET) -> str:
+    """Dual-dialect near-dup pairs over banded simhash blocking.
+
+    Output: doc_a, doc_b (doc_a < doc_b), hamming BIGINT. Dialect
+    splits: integer xor is ``xor()`` in DuckDB but ``^`` in Spark SQL
+    (where DuckDB's ``^`` means POWER); band extraction uses pure-LONG
+    shift+mask on the non-negative 32-bit hash in both.
+    """
+    xor = ("xor(sa.simhash, sb.simhash)" if dialect == "duckdb"
+           else "(sa.simhash ^ sb.simhash)")
+    shift = (lambda j: f"((sig.simhash >> {8 * j}) & 255)") \
+        if dialect == "duckdb" else \
+        (lambda j: f"(shiftright(sig.simhash, {8 * j}) & 255)")
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, {shift(j)} AS band_val FROM sig sig"
+        for j in range(SIMHASH_BANDS))
+    return f"""
+WITH sig AS ({simhash_sql(dialect, docs_rel)}),
+bands AS ({band_rows}),
+bands_ok AS (
+  SELECT band, band_val FROM bands GROUP BY band, band_val
+  HAVING COUNT(*) <= {max_bucket}
+),
+bands_capped AS (
+  SELECT b.* FROM bands b
+  JOIN bands_ok o ON o.band = b.band AND o.band_val = b.band_val
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_capped a JOIN bands_capped b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(bit_count({xor}) AS BIGINT) AS hamming
+FROM cand_pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+WHERE bit_count({xor}) <= {hamming_t}
+"""
+
+
+def simhash_pairs(spark, sf_dir: str, hamming_t: int = HAMMING_T,
+                  max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+    """DataFrame-step twin of :func:`simhash_pairs_sql` (the oracle).
+
+    The signature relation feeds three consumers (band explode + both
+    sides of the Hamming verify), so it is materialized once
+    (localCheckpoint discipline, PERF.md) instead of re-deriving the
+    token explode per consumer as the SQL template's CTE inlining
+    would. Reuses :func:`capped_band_pairs` for the bucket-capped
+    candidate join (band_val plays band_key)."""
+    sigs = simhash(spark, sf_dir).localCheckpoint(eager=True)
+    keys = [
+        F.struct(F.lit(j).alias("band"),
+                 F.shiftright("simhash", 8 * j).bitwiseAND(F.lit(255))
+                 .alias("band_key"))
+        for j in range(SIMHASH_BANDS)
+    ]
+    bands = (sigs.select("doc_id", F.explode(F.array(*keys)).alias("bk"))
+             .select("doc_id", "bk.band", "bk.band_key"))
+    pairs = capped_band_pairs(bands, max_bucket)
+    hamming = F.bit_count(
+        F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash")))
+    return (pairs
+            .join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .where(hamming <= hamming_t)
+            .select("doc_a", "doc_b",
+                    hamming.cast("bigint").alias("hamming")))
+
+
+def simhash_excluded_buckets(spark, sf_dir: str,
+                             max_bucket: int = MAX_BAND_BUCKET
+                             ) -> DataFrame:
+    """Observability twin (``lsh_excluded_buckets`` convention): the
+    (band, band_val) buckets the candidate join excludes, with doc
+    counts."""
+    sigs = simhash(spark, sf_dir)
+    keys = [
+        F.struct(F.lit(j).alias("band"),
+                 F.shiftright("simhash", 8 * j).bitwiseAND(F.lit(255))
+                 .alias("band_val"))
+        for j in range(SIMHASH_BANDS)
+    ]
+    return (sigs.select(F.explode(F.array(*keys)).alias("bk"))
+            .select("bk.band", "bk.band_val")
+            .groupBy("band", "band_val")
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") > max_bucket))
+
+
 # --- duplicate clusters (connected components over the near-dup graph) ------
 
 def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
