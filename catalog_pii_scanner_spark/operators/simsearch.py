@@ -2087,3 +2087,191 @@ def ann_ivfpq_trained_topk(spark, sf_dir: str, k: int = 5,
     return spark.sql(ann_ivfpq_trained_topk_sql(
         "spark", "cpss_embeddings", k, query_mod, rerank, corpus_mod,
         codes, iters, n_cells, nprobe, km_iters))
+
+
+# --- trained-codebook PQ SERVING twin (r6-verdict item #2) ------------------
+#
+# ann_pq_trained_topk proved the trained-codebook SEMANTICS (training
+# unrolled in the dual-dialect template so DuckDB trains identically);
+# this is the matching SERVING shape: fit once, broadcast the fitted
+# codebooks, stream the corpus through the one-pass mapInPandas
+# ADC-LUT gather + shortlist-only exact re-rank of ann_pq_matmul. At
+# 100 TB the training job is bounded (the corpus_mod sample), the
+# codebook artifact is tiny (codes x DIMS doubles), and the serving
+# job touches each candidate exactly once with no joins.
+
+def trained_pq_codebook_sql(dialect: str, rel: str = "embeddings",
+                            corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                            codes: int = PQT_CODES,
+                            iters: int = PQT_ITERS) -> str:
+    """JUST the per-subspace Lloyd training chain of
+    ann_pq_trained_topk_sql, projected to the fitted codebook
+    (m, code, pos, cval). The CTE text mirrors the trained template
+    byte-for-byte (same floor-micro-unit centroid means, same
+    round(d2, 6) + code-asc assignment tie-break) so the fitted
+    codebook is THE one the oracle-parity template trains — pinned
+    mechanically by tests/test_ann_recall.py::
+    test_trained_pq_serving_twin_equality."""
+    steps = []
+    prev = "cb0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+enc{i} AS (
+  SELECT s.vec_id, s.m, c.code,
+         SUM((s.val - c.cval) * (s.val - c.cval)) AS d2
+  FROM scand s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
+  GROUP BY s.vec_id, s.m, c.code
+),
+asg{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY round(d2, 6), code) AS rn
+    FROM enc{i}
+  ) WHERE rn = 1
+),
+cb{i} AS (
+  SELECT a.code, s.m, s.pos,
+         SUM(CAST(floor(s.val * 1000000 + 0.5) AS BIGINT))
+           / (COUNT(*) * 1000000.0) AS cval
+  FROM asg{i} a
+  JOIN scand s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.code, s.m, s.pos
+)""")
+        prev = f"cb{i}"
+    train = ",".join(steps)
+    train = f",{train}" if train else ""
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+sub AS (
+  SELECT vec_id, pos, val, CAST(floor((pos - 1) / {PQ_SUB}) AS INT) AS m
+  FROM vecs
+),
+scand AS (SELECT * FROM sub WHERE vec_id % {corpus_mod} = 0),
+cb0 AS (
+  SELECT vec_id AS code, m, pos, val AS cval FROM sub
+  WHERE vec_id < {codes}
+){train}
+SELECT m, code, pos, cval FROM {prev}
+"""
+
+
+def _trained_pq_codebooks(spark, rel: str,
+                          train_mod: int = PQ_TWIN_CORPUS_MOD,
+                          codes: int = PQT_CODES,
+                          iters: int = PQT_ITERS):
+    """Run the (bounded: train_mod sample) training job once and collect
+    the fitted codebook — codes x DIMS doubles, a few KB. Returns
+    (CBm list of (codes, PQ_SUB) arrays, cb_norm2 (PQ_M, codes),
+    present code-id array): the _pq_codebooks contract, so the serving
+    kernel is shared with the prefix-codebook path. Codewords that lose
+    every vector during an iteration drop out of the fitted codebook
+    exactly as in the SQL template (GROUP BY over assigned codes only);
+    absent ids are masked at encode time like sparse prefix ids."""
+    import numpy as np
+    rows = spark.sql(trained_pq_codebook_sql(
+        "spark", rel, train_mod, codes, iters)).collect()
+    CB = np.zeros((codes, DIMS), dtype=np.float64)
+    seen = set()
+    for r in rows:
+        CB[r.code, r.m * PQ_SUB + (r.pos - 1) % PQ_SUB] = r.cval
+        seen.add(r.code)
+    present = np.array(sorted(seen), dtype=np.int64)
+    CBm = [CB[:, m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)]
+    cb_norm2 = np.stack([np.sum(c * c, axis=1) for c in CBm])
+    return CBm, cb_norm2, present
+
+
+def ann_pq_trained_matmul(spark, sf_dir: str, k: int = 5,
+                          query_mod: int = 50,
+                          rerank: int = PQ_RERANK,
+                          corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                          train_mod: int | None = None,
+                          codes: int = PQT_CODES,
+                          iters: int = PQT_ITERS) -> DataFrame:
+    """Trained-codebook PQ serving path: the ann_pq_matmul one-pass
+    mapInPandas kernel (in-batch ADC-LUT gather, shortlist-only exact
+    re-rank, partitions x nq x rerank shuffle rows) fed by the
+    Lloyd-TRAINED codebooks instead of the vec_id-prefix ones.
+
+    Train/serve split: ``train_mod`` bounds the training sample
+    (default = ``corpus_mod``, matching ann_pq_trained_topk_sql where
+    ``scand`` is both the training sample and the candidate set, so the
+    registered entry shares that oracle verbatim); production serving
+    passes corpus_mod=1 to stream the FULL corpus against the same
+    fitted artifact — FAISS's train-on-a-sample, encode-everything
+    recipe. Equal to ann_pq_trained_topk up to the same 1e-6
+    rounding-boundary ties as the other matmul twins (abs=2e-6 in
+    tests/test_ann_recall.py)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.createOrReplaceTempView("cpss_embeddings")
+    if train_mod is None:
+        train_mod = corpus_mod
+    CBm, cb_norm2, present = _trained_pq_codebooks(
+        spark, "cpss_embeddings", train_mod, codes, iters)
+    q_ids, Q, q_norm = _collect_queries(emb, query_mod)
+    LUT = [Q[:, m * PQ_SUB:(m + 1) * PQ_SUB] @ CBm[m].T
+           for m in range(PQ_M)]
+    bc = spark.sparkContext.broadcast(
+        (q_ids, Q, q_norm, LUT, CBm, cb_norm2, present))
+    rr = rerank
+
+    def part_topk(batches):
+        import numpy as np
+        import pandas as pd
+        qi, qm, qn, lut, cbm, cn2, pres = bc.value
+        if qi.size == 0 or pres.size == 0:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            x_ids = pdf["vec_id"].to_numpy(np.int64)
+            pq_codes, r2 = _pq_encode(X, cbm, cn2, pres)
+            keep_r = r2 > 0
+            X, x_ids, pq_codes, r2 = (X[keep_r], x_ids[keep_r],
+                                      pq_codes[keep_r], r2[keep_r])
+            if not len(X):
+                continue
+            rn = np.sqrt(r2)
+            c_norm = np.linalg.norm(X, axis=1)
+            dots = np.zeros((len(X), qi.size))
+            for m in range(PQ_M):
+                dots += lut[m][:, pq_codes[:, m]].T
+            pq = np.round(dots / (rn[:, None] * qn[None, :]), 6)
+            out = {"query_id": [], "neighbor_id": [], "pq_cosine": [],
+                   "cosine": []}
+            for j in range(qi.size):
+                keep_idx = np.flatnonzero(x_ids != qi[j])
+                ids, vals = x_ids[keep_idx], pq[keep_idx, j]
+                order = np.lexsort((ids, -vals))[:rr]
+                sel = keep_idx[order]
+                den = np.where(c_norm[sel] > 0, c_norm[sel], np.nan)
+                ex = np.round((X[sel] @ qm[j]) / den / qn[j], 6)
+                out["query_id"].append(np.full(order.size, qi[j]))
+                out["neighbor_id"].append(ids[order])
+                out["pq_cosine"].append(vals[order])
+                out["cosine"].append(ex)
+            yield pd.DataFrame({
+                c: np.concatenate(v) for c, v in out.items()})
+
+    cand = (emb.where(F.col("vec_id") % corpus_mod == 0)
+            .select("vec_id", "embedding").mapInPandas(
+        part_topk,
+        schema="query_id long, neighbor_id long, "
+               "pq_cosine double, cosine double"))
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id"))
+    # zero-true-norm candidates: NaN may arrive as NaN OR NULL through
+    # Arrow; both guards required (see ann_pq_matmul)
+    short = (cand.withColumn("prank", F.row_number().over(wshort))
+             .where((F.col("prank") <= rerank)
+                    & F.col("cosine").isNotNull()
+                    & ~F.isnan(F.col("cosine"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (short.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))

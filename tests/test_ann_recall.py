@@ -129,3 +129,31 @@ def test_trained_ivfpq_beats_untrained(spark, sf_dir, truth):
     r_un, r_tr = _recall(untrained, truth), _recall(trained, truth)
     assert r_tr > r_un
     assert r_tr >= 0.4
+
+
+def test_trained_pq_serving_twin_equality(spark, sf_dir):
+    """The trained-codebook SERVING path (fit once -> broadcast ->
+    one-pass ADC-LUT gather + shortlist exact re-rank) must return
+    exactly the trained declarative template's frame on equal inputs —
+    this pins trained_pq_codebook_sql byte-for-byte to the training
+    chain inside ann_pq_trained_topk_sql."""
+    decl = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in simsearch.ann_pq_trained_topk(
+                spark, sf_dir, k=5, query_mod=20).collect()}
+    mm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in simsearch.ann_pq_trained_matmul(
+              spark, sf_dir, k=5, query_mod=20).collect()}
+    assert set(decl) == set(mm)
+    for key, (nid, cos) in decl.items():
+        assert mm[key][0] == nid, key
+        assert mm[key][1] == pytest.approx(cos, abs=2e-6)
+
+
+def test_trained_pq_serving_full_corpus_recall(spark, sf_dir, truth):
+    """Production shape: train on the corpus_mod sample, serve the FULL
+    corpus (train_mod=PQ_TWIN_CORPUS_MOD, corpus_mod=1). Must keep the
+    trained template's recall floor — the fitted artifact transfers."""
+    rows = simsearch.ann_pq_trained_matmul(
+        spark, sf_dir, corpus_mod=1,
+        train_mod=simsearch.PQ_TWIN_CORPUS_MOD).collect()
+    assert _recall(rows, truth) >= 0.9
