@@ -739,10 +739,24 @@ FROM st
 PHASH_BASES = 64
 PHASH_TWEAKS = 3
 PHASH_TWEAK_STEP = 3
+#: NOTE (r6 ADVICE): the 4x16-bit banded blocking below is LOSSY at
+#: this radius — pigeonhole guarantees a shared band only for pairs
+#: with hamming < 4 (the band count), so pairs whose <= 8 differing
+#: bits touch all four bands are structurally missed (the recall test
+#: floor of 0.8 is that admission made explicit; completeness at
+#: ham <= 8 would need >= 9 bands of ~7 bits, paying 9/4 the band-join
+#: volume). This is the standard banded-LSH recall/cost trade, shared
+#: verbatim by the oracle so the cross-engine gate pins the SAME lossy
+#: semantics; simhash_pairs (dedup.py) is the pigeonhole-COMPLETE
+#: counterpart at its smaller radius.
 PHASH_HAM_MAX = 8
 #: Band-bucket cap — higher than dedup.MAX_BAND_BUCKET because the
 #: synthetic corpus packs whole identical-image classes into single
-#: buckets by construction (~N/PHASH_BASES docs at any sf).
+#: buckets by construction (~N/PHASH_BASES docs at any sf). Docs whose
+#: pair input was truncated by the cap are observable two ways: the
+#: phash_excluded_buckets twin (bucket granularity) and the keep-list's
+#: per-doc in_capped_bucket flag (verdict granularity) — an all-keep
+#: verdict at scale is distinguishable from a dup-free corpus.
 PHASH_MAX_BUCKET = 400
 
 
@@ -753,6 +767,30 @@ def synthetic_pgm_neardup_assets(spark: SparkSession,
     pixel(i) = (base*7 + i*13 + tweak*PHASH_TWEAK_STEP) % 128."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id")
+    base = F.col("doc_id") % PHASH_BASES
+    w = (base % 5 + 4).cast("int")
+    h = (base % 7 + 3).cast("int")
+    payload = F.encode(F.concat(
+        F.lit("P5\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+        F.expr(f"array_join(transform(sequence(0, "
+               f"int((doc_id % {PHASH_BASES} % 7 + 3) * "
+               f"(doc_id % {PHASH_BASES} % 5 + 4)) - 1), "
+               f"i -> chr(int((doc_id % {PHASH_BASES} * 7 + i * 13 + "
+               f"(doc_id div {PHASH_BASES}) % {PHASH_TWEAKS} * "
+               f"{PHASH_TWEAK_STEP}) % 128))), '')")),
+        "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("media"))
+
+
+def pgm_neardup_assets_from_docs(docs: DataFrame) -> DataFrame:
+    """synthetic_pgm_neardup_assets for an ALREADY-LOADED docs slice —
+    the microbatch entry point of streaming.watcher.stream_phash_keep_
+    list (a streaming source cannot re-read its own sf_dir). The payload
+    expression is the SAME generator formula as
+    synthetic_pgm_neardup_assets (kept verbatim; the batch==stream
+    identity test in tests/test_streaming.py pins the two in sync)."""
     base = F.col("doc_id") % PHASH_BASES
     w = (base % 5 + 4).cast("int")
     h = (base % 7 + 3).cast("int")
@@ -924,32 +962,80 @@ WHERE bit_count(CAST(xor(a.b0, c.b0) AS BIGINT))
 """
 
 
+def _phash_resolve(spark: SparkSession, bands: DataFrame,
+                   docs: DataFrame, ham_max: int,
+                   max_bucket: int) -> DataFrame:
+    """Shared resolution/compaction over accumulated (asset_id, band,
+    val) rows — the single copy behind phash_keep_list_query (batch)
+    and streaming.watcher.stream_phash_keep_list (drain): bucket-cap
+    filter, banded self-join, hamming verification against hashes
+    re-pivoted FROM the band rows (exact ints, no re-decode), connected
+    components, verdict join, plus the per-doc in_capped_bucket flag
+    (r6 ADVICE: a doc whose pair input the cap truncated must be
+    distinguishable from a genuinely unique doc in the verdict itself).
+    Output: doc_id, cluster_rep, keep, in_capped_bucket."""
+    from .dedup import connected_components
+    bands = bands.localCheckpoint(eager=True)
+    bcnt = bands.groupBy("band", "val").agg(F.count("*").alias("_bn"))
+    bands_ok = bcnt.where(F.col("_bn") <= max_bucket) \
+        .select("band", "val")
+    capped = bands.join(bands_ok, ["band", "val"])
+    a, b_ = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.val") == F.col("b.val"))
+                    & (F.col("a.asset_id") < F.col("b.asset_id")))
+             .select(F.col("a.asset_id").alias("doc_a"),
+                     F.col("b.asset_id").alias("doc_b"))
+             .distinct())
+    hashes = (bands.groupBy("asset_id")
+              .agg(*[F.max(F.when(F.col("band") == b, F.col("val")))
+                     .alias(f"b{b}") for b in range(4)]))
+    ha = hashes.select(F.col("asset_id").alias("doc_a"),
+                       *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)])
+    hb = hashes.select(F.col("asset_id").alias("doc_b"),
+                       *[F.col(f"b{b}").alias(f"c{b}") for b in range(4)])
+    ham = sum(F.bit_count(F.expr(f"a{b} ^ c{b}")) for b in range(4))
+    verified = (pairs.join(ha, "doc_a").join(hb, "doc_b")
+                .where(ham.cast("bigint") <= ham_max)
+                .select("doc_a", "doc_b"))
+    clusters = connected_components(verified)
+    flagged = (bands.join(bcnt.where(F.col("_bn") > max_bucket)
+                          .select("band", "val"), ["band", "val"])
+               .select(F.col("asset_id").alias("doc_id")).distinct()
+               .withColumn("_capped", F.lit(True)))
+    out = (docs.select("doc_id")
+           .join(clusters, "doc_id", "left")
+           .join(flagged, "doc_id", "left"))
+    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+    return out.select(
+        "doc_id", rep.alias("cluster_rep"),
+        (rep == F.col("doc_id")).alias("keep"),
+        F.coalesce(F.col("_capped"), F.lit(False))
+        .alias("in_capped_bucket"))
+
+
 def phash_keep_list_query(spark: SparkSession, sf_dir: str,
                           ham_max: int = PHASH_HAM_MAX,
                           max_bucket: int = PHASH_MAX_BUCKET
                           ) -> DataFrame:
     """The image-dedup product verdict (the dedup_keep_list shape for
-    the multimodal corpus): aHash near-dup pairs -> connected components
-    (min-label propagation, dedup.connected_components) -> one canonical
-    image per cluster (MIN doc_id); every corpus doc gets a keep/drop
-    row. Output: doc_id, cluster_rep, keep.
+    the multimodal corpus): one decode pass -> aHash band rows ->
+    _phash_resolve (banded pairs, hamming verify, connected components
+    via min-label propagation, verdict join). Every corpus doc gets a
+    keep/drop row plus the in_capped_bucket observability flag.
+    Output: doc_id, cluster_rep, keep, in_capped_bucket.
 
-    Scale shape: the pair relation is banded + bucket-capped upstream;
-    label propagation is one keyed shuffle per round with per-round
-    checkpoints; the verdict join broadcasts the (near-dup-bounded)
-    cluster relation under AQE — identical discipline to
-    dedup.dedup_keep_list."""
-    from .dedup import connected_components
-    pairs = phash_dedup_query(spark, sf_dir, ham_max, max_bucket) \
-        .select("doc_a", "doc_b")
-    clusters = connected_components(pairs)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id")
-    out = docs.join(clusters, "doc_id", "left")
-    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
-    return out.select(
-        "doc_id", rep.alias("cluster_rep"),
-        (rep == F.col("doc_id")).alias("keep"))
+    Pair recall inherits the lossy 4-band blocking (see the
+    PHASH_HAM_MAX note); the oracle shares the blocking so the gate
+    pins identical semantics. Scale shape: the pair relation is banded
+    + bucket-capped upstream; label propagation is one keyed shuffle
+    per round with per-round checkpoints; the verdict join broadcasts
+    the (near-dup-bounded) cluster relation under AQE — identical
+    discipline to dedup.dedup_keep_list."""
+    bands = phash_band_rows(ahash_bands(
+        synthetic_pgm_neardup_assets(spark, sf_dir)))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _phash_resolve(spark, bands, docs, ham_max, max_bucket)
 
 
 def phash_keep_list_oracle_sql(docs_rel: str = "documents",
@@ -957,10 +1043,75 @@ def phash_keep_list_oracle_sql(docs_rel: str = "documents",
                                max_bucket: int = PHASH_MAX_BUCKET
                                ) -> str:
     """Min reachable doc per node via a RECURSIVE CTE over the phash
-    pair graph (the dedup_keep_list_sql pattern)."""
-    pairs = phash_dedup_oracle_sql(docs_rel, ham_max, max_bucket).strip()
+    pair graph (the dedup_keep_list_sql pattern), with the hash bits
+    re-derived arithmetically from the generator formula (the
+    phash_dedup_oracle_sql derivation, factored here so the bands CTE
+    also feeds the per-doc in_capped_bucket flag)."""
     return f"""
-WITH RECURSIVE phash_pairs AS ({pairs}),
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % {PHASH_BASES} AS base,
+         (doc_id // {PHASH_BASES}) % {PHASH_TWEAKS} AS tweak
+  FROM {docs_rel}
+),
+dim AS (
+  SELECT doc_id, base, tweak,
+         CAST(base % 5 + 4 AS BIGINT) AS w,
+         CAST(base % 7 + 3 AS BIGINT) AS h
+  FROM d
+),
+grid AS (
+  SELECT doc_id, base, tweak, w, h,
+         unnest(range(0, 64)) AS i
+  FROM dim
+),
+gp AS (
+  SELECT doc_id, i,
+         CAST((base * 7
+               + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 13
+               + tweak * {PHASH_TWEAK_STEP}) % 128 AS DOUBLE) AS p
+  FROM grid
+),
+gm AS (
+  SELECT doc_id, i, p, AVG(p) OVER (PARTITION BY doc_id) AS m FROM gp
+),
+bits AS (
+  SELECT doc_id, i, CASE WHEN p > m THEN 1 ELSE 0 END AS bit FROM gm
+),
+bands AS (
+  SELECT doc_id, CAST(i // 16 AS INT) AS band,
+         CAST(SUM(bit << (i % 16)) AS INT) AS val
+  FROM bits GROUP BY doc_id, i // 16
+),
+bcnt AS (
+  SELECT band, val, COUNT(*) AS _bn FROM bands GROUP BY band, val
+),
+capped AS (
+  SELECT b.* FROM bands b
+  JOIN bcnt USING (band, val) WHERE _bn <= {max_bucket}
+),
+pairs0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+hx AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band = 0 THEN val END) AS b0,
+         MAX(CASE WHEN band = 1 THEN val END) AS b1,
+         MAX(CASE WHEN band = 2 THEN val END) AS b2,
+         MAX(CASE WHEN band = 3 THEN val END) AS b3
+  FROM bands GROUP BY doc_id
+),
+phash_pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs0 p
+  JOIN hx a ON a.doc_id = p.doc_a
+  JOIN hx c ON c.doc_id = p.doc_b
+  WHERE bit_count(CAST(xor(a.b0, c.b0) AS BIGINT))
+      + bit_count(CAST(xor(a.b1, c.b1) AS BIGINT))
+      + bit_count(CAST(xor(a.b2, c.b2) AS BIGINT))
+      + bit_count(CAST(xor(a.b3, c.b3) AS BIGINT)) <= {ham_max}
+),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM phash_pairs
   UNION
@@ -974,9 +1125,16 @@ reach(src, node) AS (
 clusters AS (
   SELECT src AS doc_id, MIN(node) AS cluster_rep
   FROM reach GROUP BY src
+),
+flagged AS (
+  SELECT DISTINCT b.doc_id FROM bands b
+  JOIN bcnt USING (band, val) WHERE _bn > {max_bucket}
 )
 SELECT d.doc_id,
        COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
-       COALESCE(c.cluster_rep, d.doc_id) = d.doc_id AS keep
-FROM {docs_rel} d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+       COALESCE(c.cluster_rep, d.doc_id) = d.doc_id AS keep,
+       f.doc_id IS NOT NULL AS in_capped_bucket
+FROM {docs_rel} d
+LEFT JOIN clusters c ON c.doc_id = d.doc_id
+LEFT JOIN flagged f ON f.doc_id = d.doc_id
 """

@@ -705,6 +705,71 @@ def stream_dedup_keep_list(spark: SparkSession, sf_dir: str,
         (rep == F.col("doc_id")).alias("keep"))
 
 
+def stream_phash_keep_list(spark: SparkSession, sf_dir: str,
+                           ham_max: int | None = None,
+                           max_bucket: int | None = None) -> DataFrame:
+    """Incremental IMAGE dedup: the multimodal keep/drop verdict
+    computed through a Structured Streaming drain — the
+    stream_dedup_keep_list shape over perceptual hashes instead of
+    MinHash bands.
+
+    Per microbatch (foreachBatch): payload synthesis + the REAL PGM
+    decode + aHash + band derivation — the decode-bound stage — runs on
+    JUST the new documents (the hash is doc-local, so per-slice
+    computation is exact) and appends (asset_id, band, val) rows to a
+    band-state spool: 4 small integer rows per image ever seen,
+    independent of image size, and NO raw pixels retained.
+
+    At drain end, resolution runs ONCE over the accumulated band state
+    via the SAME _phash_resolve the batch query uses (bucket-cap
+    filter, banded self-join, hamming verification against hashes
+    re-pivoted from the spool — no second decode pass — connected
+    components, verdict join, in_capped_bucket flag). Same hashes ->
+    same pairs -> same components, so the verdict is BATCH-IDENTICAL
+    by construction and the query shares phash_keep_list's oracle.
+
+    Output: doc_id, cluster_rep, keep, in_capped_bucket."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.multimodal import (PHASH_HAM_MAX, PHASH_MAX_BUCKET,
+                                        _phash_resolve, ahash_bands,
+                                        pgm_neardup_assets_from_docs,
+                                        phash_band_rows)
+
+    if ham_max is None:
+        ham_max = PHASH_HAM_MAX
+    if max_bucket is None:
+        max_bucket = PHASH_MAX_BUCKET
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    band_dir = tempfile.mkdtemp(prefix="cpss_stream_phash_")
+    ckpt = tempfile.mkdtemp(prefix="cpss_stream_phash_ckpt_")
+    src = _single_file_glob(path) if os.path.isfile(path) else path
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src))
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        bands = phash_band_rows(ahash_bands(
+            pgm_neardup_assets_from_docs(bdf.select("doc_id"))))
+        bands.write.mode("append").parquet(band_dir)
+
+    # scratch dirs must not survive a FAILED drain (rmtree in finally)
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        bands = spark.read.parquet(band_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(band_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    docs = spark.read.parquet(path)
+    return _phash_resolve(spark, bands, docs, ham_max, max_bucket)
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream: cohort = a user's
     first active calendar day; a (cohort, offset) cell counts users

@@ -374,3 +374,31 @@ def test_stream_dedup_keep_list_matches_batch_across_microbatches(
     assert batch and batch == stream
     # sanity: the corpus genuinely has near-dup clusters to resolve
     assert any(not keep for _, _, keep in batch)
+
+
+def test_stream_phash_keep_list_matches_batch_across_microbatches(
+        spark, tmp_path, sf_dir):
+    """The incremental IMAGE dedup drain must produce the
+    BATCH-IDENTICAL verdict (including the in_capped_bucket flag) even
+    when phash cluster members arrive in different microbatches — the
+    stream_dedup_keep_list striping recipe over the multimodal path."""
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        phash_keep_list_query)
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_phash_keep_list)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = str(tmp_path)
+    # stripe by doc_id: phash classes are doc_id % 64, so class members
+    # are maximally separated across files/batches
+    (docs.repartition(12, F.pmod(F.col("doc_id"), F.lit(12)))
+     .write.mode("overwrite").parquet(f"{d}/documents.parquet"))
+    import glob
+    n_files = len(glob.glob(f"{d}/documents.parquet/part-*"))
+    assert n_files >= 5, n_files
+
+    batch = sorted(map(tuple, phash_keep_list_query(spark, d).collect()))
+    stream = sorted(map(tuple, stream_phash_keep_list(spark, d).collect()))
+    assert batch and batch == stream
+    assert any(not keep for _, _, keep, _ in batch)
