@@ -682,7 +682,15 @@ def simhash_pairs_sql(dialect: str, docs_rel: str = "documents",
     splits: integer xor is ``xor()`` in DuckDB but ``^`` in Spark SQL
     (where DuckDB's ``^`` means POWER); band extraction uses pure-LONG
     shift+mask on the non-negative 32-bit hash in both.
+
+    Completeness REQUIRES hamming_t < SIMHASH_BANDS (pigeonhole):
+    asserted here so a caller-raised radius cannot silently degrade the
+    advertised-exact blocking to approximate (r6 ADVICE).
     """
+    assert hamming_t < SIMHASH_BANDS, (
+        f"banded blocking is complete only for hamming_t <"
+        f" {SIMHASH_BANDS}; got {hamming_t} (raise SIMHASH_BANDS or use"
+        f" the lossy LSH family for larger radii)")
     xor = ("xor(sa.simhash, sb.simhash)" if dialect == "duckdb"
            else "(sa.simhash ^ sb.simhash)")
     shift = (lambda j: f"((sig.simhash >> {8 * j}) & 255)") \
@@ -726,7 +734,12 @@ def simhash_pairs(spark, sf_dir: str, hamming_t: int = HAMMING_T,
     (localCheckpoint discipline, PERF.md) instead of re-deriving the
     token explode per consumer as the SQL template's CTE inlining
     would. Reuses :func:`capped_band_pairs` for the bucket-capped
-    candidate join (band_val plays band_key)."""
+    candidate join (band_val plays band_key). Like the SQL twin,
+    asserts hamming_t < SIMHASH_BANDS — the pigeonhole completeness
+    precondition the docstring and differential test promise."""
+    assert hamming_t < SIMHASH_BANDS, (
+        f"banded blocking is complete only for hamming_t <"
+        f" {SIMHASH_BANDS}; got {hamming_t}")
     sigs = simhash(spark, sf_dir).localCheckpoint(eager=True)
     keys = [
         F.struct(F.lit(j).alias("band"),

@@ -1721,6 +1721,21 @@ def ann_ivfpq_matmul(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
 # distributed k-means shuffle pattern, looped a FIXED small number of
 # times; corpus_mod doubles as the training-sample knob (FAISS trains
 # codebooks on a corpus sample too, then encodes everything).
+#
+# Cross-engine boundary-tie caveat (r6 ADVICE): the iteration-i
+# assignment breaks ties on round(d2, 6) (and the IVFADC coarse loop on
+# round(ccos, 6)). The raw d2/ccos SUMs are floating-point, so a
+# last-ulp summation-order difference between engines at an EXACT
+# .5e-6 rounding boundary could flip one assignment — and unlike the
+# serving twins' 2e-6 output-tie window, a training-loop flip AMPLIFIES:
+# the flipped member shifts its two candidate centroids' means, which
+# can cascade through later iterations into visibly different
+# codebooks. The centroid UPDATE is already exact (integer micro-unit
+# sums); the assignment DISTANCE is the remaining float surface. The
+# gate has never observed a flip (driver hash-equality at every round
+# since r6), but the risk is structural and documented here rather
+# than silently absorbed; an integer-micro-unit d2 would close it at
+# the cost of changing the proven template's semantics.
 
 PQT_CODES = 32                 # trained codewords per subspace
 PQT_ITERS = 2                  # unrolled Lloyd iterations
