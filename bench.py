@@ -9,7 +9,10 @@ numbers:
 ``value`` is the total best-of wall-clock over ALL benchmarked queries
 (including any past the top-30 display cap — ``queries_omitted`` /
 ``omitted_total_sec`` account for the cheap tail). The complete per-query
-seconds and spreads are written to BENCH_DETAIL.json next to this file.
+seconds, spreads, and run-1 ("cold") times are written to
+BENCH_DETAIL.json next to this file; ``cold`` is the honest first-call
+cost for operators that legitimately memoize fitted state across runs
+(eval_trained_metrics' applicationId-keyed memo).
 Each query is forced with a count() so the full plan executes (no collect
 of big results to the driver).
 
@@ -53,6 +56,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     spread: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in E.queries().items():
         times: list[float] = []
         reps = n_runs if time.time() - bench_start < budget_s else 1
@@ -71,6 +75,10 @@ def main() -> None:
             spark.catalog.clearCache()
         if times:
             per_query[name] = round(min(times), 3)
+            # run-1 wall-clock: for operators that memoize fitted state
+            # across runs (eval_trained_metrics) this is the honest
+            # first-call cost; best-of-N alone would hide it (r6 verdict)
+            cold[name] = round(times[0], 3)
             # max/min over the warm runs: 1.0 = perfectly stable box
             spread[name] = round(max(times) / max(min(times), 1e-9), 2)
         else:
@@ -108,7 +116,7 @@ def main() -> None:
     }
     if failed:
         headline["failed"] = failed
-    detail = dict(headline, queries=per_query, spread=spread)
+    detail = dict(headline, queries=per_query, spread=spread, cold=cold)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
