@@ -60,7 +60,7 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_retention_oracle_sql,
     events_sessions_oracle_sql, events_sessions_salted,
     stream_dedup_events, stream_dedup_keep_list,
-    stream_phash_keep_list,
+    stream_phash_keep_list, stream_quality_classifier,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
     stream_events_hourly, stream_events_hourly_oracle_sql,
     stream_events_sessions, stream_events_sessions_oracle_sql)
@@ -573,6 +573,19 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW_LOCAL_ONLY this round (declared in
         # tests/test_entry_contract.py; fronts in r8).
         "stream_phash_keep_list": stream_phash_keep_list,
+        # content-defined chunking dedup (FastCDC shape): gram-hash
+        # boundaries realign after edits, one md5-keyed fingerprint
+        # shuffle; per-doc cross-corpus duplication verdict.
+        # NEW_LOCAL_ONLY (fronts in r8).
+        "corpus_cdc_dedup": corpus.cdc_dedup,
+        # SemDeDup (Abbas et al. 2023): within-cell semantic near-dup
+        # groups -> components -> keep-list with the capped-cell flag.
+        # NEW_LOCAL_ONLY (fronts in r8).
+        "embed_semdedup_keep_list": simsearch.semdedup_keep_list,
+        # the quality filter as a zero-state streaming drain
+        # (doc-local, batch-identical; shares the batch oracle).
+        # NEW_LOCAL_ONLY (fronts in r8).
+        "stream_quality_classifier": stream_quality_classifier,
     }
 
 
@@ -732,6 +745,15 @@ def oracle_sql() -> dict[str, str]:
         # batch-identical by construction -> shares the batch oracle
         "stream_phash_keep_list":
             multimodal.phash_keep_list_oracle_sql(),
+        "corpus_cdc_dedup": corpus.cdc_dedup_sql("duckdb"),
+        # component resolution is a RECURSIVE CTE oracle-side; Spark
+        # runs the same pair CTEs + bounded label propagation
+        "embed_semdedup_keep_list":
+            simsearch.semdedup_keep_list_sql("duckdb"),
+        # doc-local scoring -> the streaming drain shares the batch
+        # classifier's oracle verbatim
+        "stream_quality_classifier":
+            quality.quality_classifier_sql("duckdb"),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

@@ -1121,3 +1121,122 @@ SELECT doc_id, CAST(start // {stride} AS BIGINT) AS chunk_no,
        array_to_string(toks[start + 1:start + {size}], ' ') AS chunk_text
 FROM starts WHERE start < n
 """
+
+
+# --- content-defined chunking dedup (FastCDC-shape, r7) ---------------------
+#
+# The crawl-snapshot dedup primitive the fixed-stride chunker above
+# cannot provide: boundaries are chosen by CONTENT (a gram-hash
+# condition), so an insertion near the head of a re-crawled page shifts
+# only the chunk it lands in — downstream chunks re-align and their
+# fingerprints still match (fixed-size chunking loses every boundary
+# after the edit). Public shape: Muthitacharoen et al., LBFS (SOSP'01)
+# / FastCDC (ATC'16); hashing here is the md5-hex-digit arithmetic the
+# quality classifier uses, identical in both dialects.
+#
+# 100 TB shape: the position explode is doc-local and filtered to
+# boundary rows map-side (expected 1/CDC_DIVISOR survival) before the
+# per-doc window; chunk fingerprints take ONE md5-keyed shuffle; the
+# per-doc rollup is one doc-keyed agg. The CDC_CHAR_CAP straggler cap
+# bounds the explode exactly like MAX_SHINGLE_TOKENS does for tokens.
+
+#: Gram width for the boundary condition.
+CDC_W = 8
+#: Boundary divisor: P(boundary) = 1/CDC_DIVISOR -> expected chunk
+#: length ~CDC_DIVISOR chars.
+CDC_DIVISOR = 32
+#: Straggler cap on chunked chars per doc (the MAX_SHINGLE_TOKENS
+#: discipline; docs past the cap contribute their prefix only).
+CDC_CHAR_CAP = 20000
+
+
+def _cdc_bucket16(g: str) -> str:
+    """SQL for the 16-bit md5 bucket of expression ``g`` (dialect-free:
+    instr/substr/md5 behave identically in Spark SQL and DuckDB)."""
+    hexpos = f"instr('0123456789abcdef', substr(md5({g}), {{i}}, 1)) - 1"
+    return (f"((({hexpos.format(i=1)}) * 4096 + ({hexpos.format(i=2)})"
+            f" * 256 + ({hexpos.format(i=3)}) * 16 +"
+            f" ({hexpos.format(i=4)})))")
+
+
+def cdc_dedup_sql(dialect: str, docs_rel: str = "documents",
+                  w: int = CDC_W, divisor: int = CDC_DIVISOR,
+                  cap: int = CDC_CHAR_CAP) -> str:
+    """Per-doc cross-corpus duplication stats over content-defined
+    chunks.
+
+    Chunking: position p (1-based, p <= len-w+1) starts a new chunk iff
+    bucket16(md5(substr(text, p, w))) % divisor == 0; p = 1 always
+    starts chunk 0. Chunk text runs to the next boundary (or end of the
+    capped text); fingerprint = md5(chunk). A chunk is DUPLICATED when
+    its fingerprint occurs in >= 2 distinct docs.
+
+    Output: doc_id, n_chunks, n_dup_chunks, dup_chars, total_chars,
+    dup_ratio (rounded 1e-6; 0.0 for empty docs, which chunk to zero
+    rows but keep their verdict row via the left join)."""
+    if dialect == "duckdb":
+        pos = (f"SELECT doc_id, t, unnest(range(1, length(t) - {w} + 2))"
+               f" AS p FROM capped WHERE length(t) >= {w}")
+    else:
+        pos = (f"SELECT doc_id, t, explode(sequence(1, length(t) - {w}"
+               f" + 1)) AS p FROM capped WHERE length(t) >= {w}")
+    b16 = _cdc_bucket16(f"substr(t, p, {w})")
+    return f"""
+WITH capped AS (
+  SELECT doc_id, substr(text, 1, {cap}) AS t
+  FROM {docs_rel} WHERE text IS NOT NULL
+),
+pos AS ({pos}),
+starts AS (
+  SELECT DISTINCT doc_id, 1 AS start FROM capped WHERE length(t) >= 1
+  UNION
+  SELECT doc_id, p AS start FROM pos WHERE {b16} % {divisor} = 0
+),
+bounds AS (
+  SELECT s.doc_id, s.start,
+         lead(s.start) OVER (PARTITION BY s.doc_id ORDER BY s.start)
+           AS nxt,
+         length(c.t) AS tlen, c.t
+  FROM starts s JOIN capped c ON c.doc_id = s.doc_id
+),
+chunks AS (
+  SELECT doc_id, start,
+         substr(t, start,
+                COALESCE(nxt, tlen + 1) - start) AS chunk_text,
+         COALESCE(nxt, tlen + 1) - start AS clen
+  FROM bounds
+),
+fps AS (
+  SELECT doc_id, start, clen, md5(chunk_text) AS fp FROM chunks
+),
+dupfp AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT f.doc_id,
+         COUNT(*) AS n_chunks,
+         SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_dup_chunks,
+         SUM(CASE WHEN d.fp IS NOT NULL THEN f.clen ELSE 0 END)
+           AS dup_chars,
+         SUM(f.clen) AS total_chars
+  FROM fps f LEFT JOIN dupfp d ON d.fp = f.fp
+  GROUP BY f.doc_id
+)
+SELECT c.doc_id,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(p.total_chars, 0) AS BIGINT) AS total_chars,
+       round(CASE WHEN COALESCE(p.total_chars, 0) > 0
+                  THEN CAST(p.dup_chars AS DOUBLE) / p.total_chars
+                  ELSE 0.0 END, 6) AS dup_ratio
+FROM capped c LEFT JOIN per_doc p ON p.doc_id = c.doc_id
+"""
+
+
+def cdc_dedup(spark, sf_dir: str) -> DataFrame:
+    """Dual-dialect template execution of the CDC chunk-dedup stats."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(cdc_dedup_sql("spark", "cpss_documents"))

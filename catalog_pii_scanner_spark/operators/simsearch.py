@@ -2290,3 +2290,189 @@ def ann_pq_trained_matmul(spark, sf_dir: str, k: int = 5,
     return (short.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+# --- SemDeDup: semantic dedup keep-list over embeddings (r7) ----------------
+#
+# The embedding-space dedup verdict of Abbas et al. 2023 ("SemDeDup:
+# data-efficient learning at web-scale through semantic deduplication",
+# public arXiv 2303.09540): cluster the corpus in embedding space,
+# compare pairs ONLY within a cluster, and drop all but one member of
+# each semantic-duplicate group. Clustering reuses the deterministic
+# prefix coarse quantizer (embed_cluster_mix / IVF cells); the verdict
+# is connected components + MIN-id representative — the repo-wide
+# keep-list discipline (the paper keeps the member farthest from the
+# centroid; rep choice does not change WHICH groups collapse, and the
+# min-id rule is what every other keep-list here pins).
+#
+# 100 TB shape: within-cell pairing bounds the quadratic (SemDeDup runs
+# k ~ N/target so cells stay O(target^2) work); cells past
+# SEMDEDUP_MAX_CELL are excluded WHOLE and their members carry
+# in_capped_cell = true in the verdict (the r7 phash observability
+# rule: an all-keep verdict must be distinguishable from a truncated
+# pair input). Engine split: the oracle resolves components with a
+# RECURSIVE CTE; Spark 4 restricts recursive CTEs to UNION ALL (which
+# diverges on the cyclic pair graph), so the Spark side feeds the SAME
+# pair relation to dedup.connected_components — bounded label
+# propagation, one keyed shuffle per round.
+
+SEMDEDUP_T = COSINE_DUP_T
+SEMDEDUP_MAX_CELL = 2000
+
+
+def _semdedup_cells_cte(dialect: str, rel: str, n_cells: int) -> str:
+    """Shared CTE chain: vecs/norms/cents/assign/cell_n over ``rel``."""
+    return f"""
+{_exploded_cte(dialect, rel).lstrip()},
+cents AS (
+  SELECT vec_id AS cid, pos, val FROM vecs WHERE vec_id < {n_cells}
+),
+cell_cos AS (
+  SELECT v.vec_id, c.cid, SUM(v.val * c.val) / (nv.norm * nc.norm) AS ccos
+  FROM vecs v
+  JOIN cents c ON c.pos = v.pos
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.cid
+  GROUP BY v.vec_id, c.cid, nv.norm, nc.norm
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(ccos, 6) DESC, cid) AS crank
+    FROM cell_cos
+  ) _r WHERE crank = 1
+),
+cell_n AS (SELECT cid, COUNT(*) AS cn FROM assign GROUP BY cid)"""
+
+
+def semdedup_near_pairs_sql(dialect: str, rel: str = "embeddings",
+                            threshold: float = SEMDEDUP_T,
+                            n_cells: int = NUM_CENTROIDS,
+                            max_cell: int = SEMDEDUP_MAX_CELL) -> str:
+    """Within-cell semantic near-dup pairs. Output: vec_a, vec_b
+    (vec_a < vec_b)."""
+    return f"""
+WITH {_semdedup_cells_cte(dialect, rel, n_cells).lstrip()},
+assign_ok AS (
+  SELECT a.vec_id, a.cid FROM assign a
+  JOIN cell_n n ON n.cid = a.cid WHERE n.cn <= {max_cell}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assign_ok a JOIN assign_ok b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.vec_a, p.vec_b, SUM(q.val * c.val) AS dot
+  FROM pairs p
+  JOIN vecs q ON q.vec_id = p.vec_a
+  JOIN vecs c ON c.vec_id = p.vec_b AND c.pos = q.pos
+  GROUP BY p.vec_a, p.vec_b
+)
+SELECT d.vec_a, d.vec_b
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE round(d.dot / (na.norm * nb.norm), 6) >= {threshold}
+"""
+
+
+def _semdedup_flagged_sql(dialect: str, rel: str, n_cells: int,
+                          max_cell: int) -> str:
+    """vec_ids whose cell the cap excluded from pairing."""
+    return f"""
+WITH {_semdedup_cells_cte(dialect, rel, n_cells).lstrip()}
+SELECT a.vec_id FROM assign a
+JOIN cell_n n ON n.cid = a.cid WHERE n.cn > {max_cell}
+"""
+
+
+def semdedup_keep_list_sql(dialect: str, rel: str = "embeddings",
+                           threshold: float = SEMDEDUP_T,
+                           n_cells: int = NUM_CENTROIDS,
+                           max_cell: int = SEMDEDUP_MAX_CELL) -> str:
+    """The full verdict as ONE statement (the DuckDB oracle rendering;
+    component resolution via RECURSIVE CTE). Output: vec_id,
+    cluster_rep, keep, in_capped_cell. Zero-norm vectors have no cell
+    (no cosine) and keep themselves, like every other universe
+    exclusion in this module."""
+    return f"""
+WITH RECURSIVE {_semdedup_cells_cte(dialect, rel, n_cells).lstrip()},
+assign_ok AS (
+  SELECT a.vec_id, a.cid FROM assign a
+  JOIN cell_n n ON n.cid = a.cid WHERE n.cn <= {max_cell}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assign_ok a JOIN assign_ok b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.vec_a, p.vec_b, SUM(q.val * c.val) AS dot
+  FROM pairs p
+  JOIN vecs q ON q.vec_id = p.vec_a
+  JOIN vecs c ON c.vec_id = p.vec_b AND c.pos = q.pos
+  GROUP BY p.vec_a, p.vec_b
+),
+near AS (
+  SELECT d.vec_a, d.vec_b
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+  WHERE round(d.dot / (na.norm * nb.norm), 6) >= {threshold}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM near
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM near
+),
+reach(src, node) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT src AS vec_id, MIN(node) AS cluster_rep
+  FROM reach GROUP BY src
+),
+flagged AS (
+  SELECT a.vec_id FROM assign a
+  JOIN cell_n n ON n.cid = a.cid WHERE n.cn > {max_cell}
+),
+universe AS (SELECT DISTINCT vec_id FROM {rel})
+SELECT u.vec_id,
+       COALESCE(c.cluster_rep, u.vec_id) AS cluster_rep,
+       COALESCE(c.cluster_rep, u.vec_id) = u.vec_id AS keep,
+       f.vec_id IS NOT NULL AS in_capped_cell
+FROM universe u
+LEFT JOIN clusters c ON c.vec_id = u.vec_id
+LEFT JOIN flagged f ON f.vec_id = u.vec_id
+"""
+
+
+def semdedup_keep_list(spark, sf_dir: str,
+                       threshold: float = SEMDEDUP_T,
+                       n_cells: int = NUM_CENTROIDS,
+                       max_cell: int = SEMDEDUP_MAX_CELL) -> DataFrame:
+    """Spark execution: the shared pair/flag CTE text (dialect
+    "spark") + dedup.connected_components for the component resolution
+    (see the module-comment engine split) + the verdict join."""
+    from .dedup import connected_components
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.createOrReplaceTempView("cpss_embeddings")
+    pairs = spark.sql(semdedup_near_pairs_sql(
+        "spark", "cpss_embeddings", threshold, n_cells, max_cell))         .select(F.col("vec_a").alias("doc_a"),
+                F.col("vec_b").alias("doc_b"))
+    clusters = connected_components(pairs)         .select(F.col("doc_id").alias("vec_id"), "cluster_rep")
+    flagged = spark.sql(_semdedup_flagged_sql(
+        "spark", "cpss_embeddings", n_cells, max_cell))         .withColumn("_capped", F.lit(True))
+    out = (emb.select("vec_id").distinct()
+           .join(clusters, "vec_id", "left")
+           .join(flagged, "vec_id", "left"))
+    rep = F.coalesce(F.col("cluster_rep"), F.col("vec_id"))
+    return out.select(
+        "vec_id", rep.alias("cluster_rep"),
+        (rep == F.col("vec_id")).alias("keep"),
+        F.coalesce(F.col("_capped"), F.lit(False))
+        .alias("in_capped_cell"))

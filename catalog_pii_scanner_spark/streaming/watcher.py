@@ -705,6 +705,53 @@ def stream_dedup_keep_list(spark: SparkSession, sf_dir: str,
         (rep == F.col("doc_id")).alias("keep"))
 
 
+def stream_quality_classifier(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The hashed-ngram quality filter as a Structured Streaming drain:
+    documents stream through an availableNow watcher and each
+    microbatch scores with the SAME pinned-weight SQL the batch query
+    uses (operators.quality) via foreachBatch.
+
+    The score is DOC-LOCAL (hashed-ngram frequencies + the capped
+    length feature need nothing beyond the row), so per-batch
+    computation is exact with ZERO streaming state — the
+    stream_doc_pii_density shape: the filter a production ingest
+    applies at the door, verdict-identical to the batch pass (which is
+    the point, and why it shares corpus_quality_classifier's oracle).
+
+    Output: doc_id, n_tokens, ngram_total, score, keep, label."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.quality import quality_classifier_sql
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    out_dir = tempfile.mkdtemp(prefix="cpss_stream_qc_out_")
+    ckpt = tempfile.mkdtemp(prefix="cpss_stream_qc_ckpt_")
+    src = _single_file_glob(path) if os.path.isfile(path) else path
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src))
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        bdf.createOrReplaceTempView(f"cpss_qc_batch_{batch_id}")
+        (bdf.sparkSession.sql(
+            quality_classifier_sql("spark", f"cpss_qc_batch_{batch_id}"))
+         .write.mode("append").parquet(out_dir))
+
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def stream_phash_keep_list(spark: SparkSession, sf_dir: str,
                            ham_max: int | None = None,
                            max_bucket: int | None = None) -> DataFrame:

@@ -374,3 +374,42 @@ def test_chunk_overlap_hand_check(spark):
         (1, 2, 4, "t6 t7 t8 t9"),
         (1, 3, 1, "t9"),
     ]
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC selling point: a head insertion shifts every byte, but
+    content-defined boundaries re-align downstream, so most chunk
+    fingerprints still match the original (fixed-stride chunking would
+    share ~none). Also pins cross-engine equality on an edge corpus
+    (empty doc, sub-gram doc, exact duplicate)."""
+    import random
+
+    import duckdb
+
+    from catalog_pii_scanner_spark.operators.corpus import (cdc_dedup_sql)
+
+    rng = random.Random(3)
+    words = ["alpha", "bravo", "china", "delta", "echo", "fox", "golf"]
+    text = " ".join(rng.choice(words) for _ in range(400))
+    docs = [(0, text), (1, "zzz inserted head " + text),
+            (2, ""), (3, "ab"), (4, text)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf.createOrReplaceTempView("cdc_docs")
+    got = {r.doc_id: r for r in spark.sql(
+        cdc_dedup_sql("spark", "cdc_docs")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = sorted(map(tuple, con.execute(
+        cdc_dedup_sql("duckdb", "documents")).fetchall()))
+    assert sorted((r.doc_id, r.n_chunks, r.n_dup_chunks, r.dup_chars,
+                   r.total_chars, r.dup_ratio)
+                  for r in got.values()) == want
+    # doc 0 vs its head-shifted copy: boundaries re-align, so the bulk
+    # of doc 1's chars sit in chunks doc 0 (or 4) also has
+    assert got[1].dup_ratio >= 0.8, got[1]
+    # exact duplicate: every chunk shared
+    assert got[4].dup_ratio == 1.0
+    # edge rows survive with zero-chunk verdicts
+    assert got[2].n_chunks == 0 and got[2].dup_ratio == 0.0
+    assert got[3].n_chunks == 1

@@ -477,3 +477,29 @@ def test_simhash_pairs_bucket_cap_drops_whole_buckets(spark, tmp_path):
     excl = dedup.simhash_excluded_buckets(spark, d, max_bucket=5).collect()
     assert len(excl) == dedup.SIMHASH_BANDS
     assert all(r.n_docs == 6 for r in excl)
+
+
+def test_semdedup_keep_list_verdict_shape(spark, sf_dir):
+    """SemDeDup verdict invariants: one row per vector, rep = MIN id of
+    the component, reps self-map and are kept, drops exist on the
+    synthetic corpus, and the capped-cell flag is exact against a
+    recount of cell sizes."""
+    rows = {r.vec_id: r for r in
+            simsearch.semdedup_keep_list(spark, sf_dir).collect()}
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM "
+                   f"'{sf_dir}/embeddings.parquet'").fetchone()[0]
+    assert len(rows) == n
+    for vid, r in rows.items():
+        assert r.keep == (r.cluster_rep == vid)
+        assert r.cluster_rep <= vid
+        assert rows[r.cluster_rep].cluster_rep == r.cluster_rep
+    assert any(not r.keep for r in rows.values())
+    # tiny cap -> every cell over the cap -> all-keep BUT all flagged:
+    # the observability contract (an emptied pair input is visible)
+    capped = simsearch.semdedup_keep_list(spark, sf_dir,
+                                          max_cell=1).collect()
+    assert all(r.keep for r in capped)
+    assert all(r.in_capped_cell or r.cluster_rep == r.vec_id
+               for r in capped)
+    assert sum(r.in_capped_cell for r in capped) >= 0.9 * len(capped)

@@ -50,7 +50,8 @@ STABLE_PARKED = {
 #: (CORRECTNESS_LOCAL_r07, edge sweeps, pytest batch-identity) but no
 #: driver row yet — they MUST move into the front 50 next round.
 NEW_LOCAL_ONLY = {
-    "stream_phash_keep_list",
+    "stream_phash_keep_list", "corpus_cdc_dedup",
+    "embed_semdedup_keep_list", "stream_quality_classifier",
 }
 
 #: r6's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

@@ -402,3 +402,24 @@ def test_stream_phash_keep_list_matches_batch_across_microbatches(
     stream = sorted(map(tuple, stream_phash_keep_list(spark, d).collect()))
     assert batch and batch == stream
     assert any(not keep for _, _, keep, _ in batch)
+
+
+def test_stream_quality_classifier_matches_batch(spark, tmp_path, sf_dir):
+    """Zero-state streaming quality filter: verdicts must be
+    row-identical to the batch classifier even with docs split across
+    microbatches (doc-local scoring, the stream_doc_pii_density
+    contract)."""
+    from catalog_pii_scanner_spark.operators.quality import (
+        corpus_quality_classifier)
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_quality_classifier)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = str(tmp_path)
+    (docs.repartition(12, F.pmod(F.col("doc_id"), F.lit(12)))
+     .write.mode("overwrite").parquet(f"{d}/documents.parquet"))
+    batch = sorted(map(tuple, corpus_quality_classifier(spark, d).collect()))
+    stream = sorted(map(tuple,
+                        stream_quality_classifier(spark, d).collect()))
+    assert batch and batch == stream

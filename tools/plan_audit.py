@@ -76,6 +76,14 @@ def main() -> int:
         ("top_customers_by_revenue", "broadcast star join + TakeOrdered"),
         ("monthly_revenue_running", "partition-bounded cumulative window"),
         ("churned_customers", "LEFT ANTI + broadcast dims"),
+        ("ann_pq_trained_matmul", "trained-codebook one-pass ADC serve"),
+        ("corpus_quality_classifier",
+         "hashed-ngram scorer, broadcast weight map, no UDF"),
+        ("multimodal_phash_keep_list",
+         "banded pairs + components + capped-bucket flag"),
+        ("corpus_chunk_overlap", "posexplode windows, zero shuffles"),
+        ("stream_phash_keep_list",
+         "phash band spool drain + one compaction resolve"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
