@@ -84,6 +84,10 @@ def main() -> int:
         ("corpus_chunk_overlap", "posexplode windows, zero shuffles"),
         ("stream_phash_keep_list",
          "phash band spool drain + one compaction resolve"),
+        ("corpus_cdc_dedup",
+         "content-defined chunking, one md5-keyed fingerprint shuffle"),
+        ("embed_semdedup_keep_list",
+         "within-cell pairs + label propagation + cap flag"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
