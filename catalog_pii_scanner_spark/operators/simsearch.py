@@ -2318,6 +2318,14 @@ def ann_pq_trained_matmul(spark, sf_dir: str, k: int = 5,
 
 SEMDEDUP_T = COSINE_DUP_T
 SEMDEDUP_MAX_CELL = 2000
+#: SemDeDup's own scale recipe is k ~ N/target_cell_size (the paper
+#: runs 50k clusters on LAION); the within-cell pair volume is
+#: sum(cell^2)/2, so the CELL COUNT — not a cap — is the primary scale
+#: knob. 64 prefix cells keep sf0.1 cells ~30 vectors; a 10x corpus
+#: probe with the IVF's 16 cells measured a 33x wall-clock slope
+#: (PERF.md r7) — raising k restores the linear regime, and cells the
+#: cap still catches stay observable via in_capped_cell.
+SEMDEDUP_CELLS = 64
 
 
 def _semdedup_cells_cte(dialect: str, rel: str, n_cells: int) -> str:
@@ -2348,7 +2356,7 @@ cell_n AS (SELECT cid, COUNT(*) AS cn FROM assign GROUP BY cid)"""
 
 def semdedup_near_pairs_sql(dialect: str, rel: str = "embeddings",
                             threshold: float = SEMDEDUP_T,
-                            n_cells: int = NUM_CENTROIDS,
+                            n_cells: int = SEMDEDUP_CELLS,
                             max_cell: int = SEMDEDUP_MAX_CELL) -> str:
     """Within-cell semantic near-dup pairs. Output: vec_a, vec_b
     (vec_a < vec_b)."""
@@ -2390,7 +2398,7 @@ JOIN cell_n n ON n.cid = a.cid WHERE n.cn > {max_cell}
 
 def semdedup_keep_list_sql(dialect: str, rel: str = "embeddings",
                            threshold: float = SEMDEDUP_T,
-                           n_cells: int = NUM_CENTROIDS,
+                           n_cells: int = SEMDEDUP_CELLS,
                            max_cell: int = SEMDEDUP_MAX_CELL) -> str:
     """The full verdict as ONE statement (the DuckDB oracle rendering;
     component resolution via RECURSIVE CTE). Output: vec_id,
@@ -2453,20 +2461,55 @@ LEFT JOIN flagged f ON f.vec_id = u.vec_id
 
 def semdedup_keep_list(spark, sf_dir: str,
                        threshold: float = SEMDEDUP_T,
-                       n_cells: int = NUM_CENTROIDS,
+                       n_cells: int = SEMDEDUP_CELLS,
                        max_cell: int = SEMDEDUP_MAX_CELL) -> DataFrame:
-    """Spark execution: the shared pair/flag CTE text (dialect
-    "spark") + dedup.connected_components for the component resolution
-    (see the module-comment engine split) + the verdict join."""
+    """Spark execution. Engine split (see the module comment): the cell
+    ASSIGNMENT runs the shared CTE text once and is checkpointed (three
+    consumers: cell sizes, pairing, the capped flag — the PERF.md
+    shared-relation discipline); pair cosines fold the raw embedding
+    arrays with zip_with/aggregate — pure JVM, pairs-many rows, no 64x
+    position explode (summation-order differences vs the oracle's SUM
+    sit far inside the shared 1e-6 rounding); components resolve via
+    dedup.connected_components (bounded label propagation)."""
     from .dedup import connected_components
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb.createOrReplaceTempView("cpss_embeddings")
-    pairs = spark.sql(semdedup_near_pairs_sql(
-        "spark", "cpss_embeddings", threshold, n_cells, max_cell))         .select(F.col("vec_a").alias("doc_a"),
-                F.col("vec_b").alias("doc_b"))
-    clusters = connected_components(pairs)         .select(F.col("doc_id").alias("vec_id"), "cluster_rep")
-    flagged = spark.sql(_semdedup_flagged_sql(
-        "spark", "cpss_embeddings", n_cells, max_cell))         .withColumn("_capped", F.lit(True))
+    assign = spark.sql(
+        f"WITH {_semdedup_cells_cte('spark', 'cpss_embeddings', n_cells).lstrip()} "
+        f"SELECT vec_id, cid FROM assign").localCheckpoint(eager=True)
+    cell_n = assign.groupBy("cid").agg(F.count("*").alias("cn"))
+    assign_ok = (assign.join(cell_n.where(F.col("cn") <= max_cell)
+                             .select("cid"), "cid"))
+    pairs = (assign_ok.alias("a")
+             .join(assign_ok.alias("b"),
+                   (F.col("a.cid") == F.col("b.cid"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b")))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    va = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"))
+    near = (pairs.join(va, "vec_a").join(vb, "vec_b")
+            .withColumn("_na", F.sqrt(n2(F.col("ea"))))
+            .withColumn("_nb", F.sqrt(n2(F.col("eb"))))
+            .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+            .where(F.round(dot / (F.col("_na") * F.col("_nb")), 6)
+                   >= threshold)
+            .select(F.col("vec_a").alias("doc_a"),
+                    F.col("vec_b").alias("doc_b")))
+    clusters = connected_components(near) \
+        .select(F.col("doc_id").alias("vec_id"), "cluster_rep")
+    flagged = (assign.join(cell_n.where(F.col("cn") > max_cell)
+                           .select("cid"), "cid")
+               .select("vec_id").withColumn("_capped", F.lit(True)))
     out = (emb.select("vec_id").distinct()
            .join(clusters, "vec_id", "left")
            .join(flagged, "vec_id", "left"))
