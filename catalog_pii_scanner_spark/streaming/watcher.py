@@ -735,8 +735,18 @@ def stream_quality_classifier(spark: SparkSession,
               .option("maxFilesPerTrigger", 4).parquet(src))
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
-        bdf.createOrReplaceTempView(f"cpss_qc_batch_{batch_id}")
-        (bdf.sparkSession.sql(
+        # two measured fixes (sf0.1, PERF.md r7): a parquet microbatch
+        # arrives as ONE partition, so without the repartition the whole
+        # classifier runs single-threaded inside the sink (12-18 s); and
+        # the template scans its relation four ways (grams / tokens /
+        # ratios / verdict join), so the slice is materialized ONCE
+        # (shared-relation discipline) instead of re-planning the
+        # streaming source per consumer
+        n_parts = int(bdf.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        slice_ = bdf.repartition(n_parts).localCheckpoint(eager=True)
+        slice_.createOrReplaceTempView(f"cpss_qc_batch_{batch_id}")
+        (slice_.sparkSession.sql(
             quality_classifier_sql("spark", f"cpss_qc_batch_{batch_id}"))
          .write.mode("append").parquet(out_dir))
 
@@ -798,8 +808,14 @@ def stream_phash_keep_list(spark: SparkSession, sf_dir: str,
               .option("maxFilesPerTrigger", 4).parquet(src))
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
+        # a parquet microbatch arrives as ONE partition; spread the
+        # slice so the decode+hash Arrow stage runs on every core (the
+        # stream_quality_classifier fix, PERF.md r7)
+        n_parts = int(bdf.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
         bands = phash_band_rows(ahash_bands(
-            pgm_neardup_assets_from_docs(bdf.select("doc_id"))))
+            pgm_neardup_assets_from_docs(
+                bdf.select("doc_id").repartition(n_parts))))
         bands.write.mode("append").parquet(band_dir)
 
     # scratch dirs must not survive a FAILED drain (rmtree in finally)
