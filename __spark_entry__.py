@@ -293,9 +293,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: query's driver row ages past 2 rounds. Positions 51+ = the 50
 #: r6-driver-green entries (function bodies untouched this round; two
 #: documented non-behavioral exceptions pinned by
-#: tests/test_entry_contract.py) + stream_phash_keep_list, NEW this
-#: round and declared NEW_LOCAL_ONLY (full local verification, fronts
-#: in r8). The FULL set is verified every session by tools/selfcheck.py
+#: tests/test_entry_contract.py) + the FOUR queries added past the
+#: full front this round (stream_phash_keep_list, corpus_cdc_dedup,
+#: embed_semdedup_keep_list, stream_quality_classifier), declared
+#: NEW_LOCAL_ONLY (full local verification — gate + all three sweeps —
+#: and machine-checked to front in r8).
+#: The FULL set is verified every session by tools/selfcheck.py
 #: (committed as CORRECTNESS_LOCAL_r07.json), tools/edge_sweep.py, and
 #: the scaling sweeps in PERF.md.
 FRONT_50 = [
