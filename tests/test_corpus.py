@@ -413,3 +413,44 @@ def test_cdc_chunks_realign_after_insertion(spark):
     # edge rows survive with zero-chunk verdicts
     assert got[2].n_chunks == 0 and got[2].dup_ratio == 0.0
     assert got[3].n_chunks == 1
+
+
+def test_cdc_chunks_partition_the_text_exactly(spark):
+    """Brute-force differential: re-derive the chunking in plain Python
+    (md5 of every gram, boundary scan, sequential split) and assert the
+    SQL's per-doc chunk count and char totals match, and that chunks
+    partition the capped text exactly (no gap, no overlap)."""
+    import hashlib
+    import random
+
+    from catalog_pii_scanner_spark.operators.corpus import (
+        CDC_CHAR_CAP, CDC_DIVISOR, CDC_W, cdc_dedup_sql)
+
+    rng = random.Random(9)
+    words = ["kilo", "lima", "mike", "nov", "osc", "papa"]
+    docs = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(5, 300))))
+            for i in range(40)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf.createOrReplaceTempView("cdc_part_docs")
+    got = {r.doc_id: r for r in spark.sql(
+        cdc_dedup_sql("spark", "cdc_part_docs")).collect()}
+
+    def bucket16(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16)
+
+    for doc_id, text in docs:
+        t = text[:CDC_CHAR_CAP]
+        starts = [1] + [p for p in range(1, len(t) - CDC_W + 2)
+                        if p != 1
+                        and bucket16(t[p - 1:p - 1 + CDC_W])
+                        % CDC_DIVISOR == 0]
+        # p=1 may also satisfy the boundary condition; dedup like the SQL
+        starts = sorted(set(starts))
+        chunks = [t[s - 1:(starts[i + 1] - 1 if i + 1 < len(starts)
+                           else len(t))]
+                  for i, s in enumerate(starts)]
+        assert "".join(chunks) == t, doc_id          # exact partition
+        r = got[doc_id]
+        assert r.n_chunks == len(chunks), doc_id
+        assert r.total_chars == len(t), doc_id
