@@ -61,6 +61,7 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_sessions_oracle_sql, events_sessions_salted,
     stream_dedup_events, stream_dedup_keep_list,
     stream_phash_keep_list, stream_quality_classifier,
+    events_neighbor_window, events_neighbor_window_oracle_sql,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
     stream_events_hourly, stream_events_hourly_oracle_sql,
     stream_events_sessions, stream_events_sessions_oracle_sql)
@@ -589,6 +590,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (doc-local, batch-identical; shares the batch oracle).
         # NEW_LOCAL_ONLY (fronts in r8).
         "stream_quality_classifier": stream_quality_classifier,
+        # RANGE self-join via complete 3-bin blocking (the non-equi
+        # join scale rewrite); oracle is the plain inequality join, so
+        # the binning must be invisible. NEW_LOCAL_ONLY (fronts in r8).
+        "events_neighbor_window": events_neighbor_window,
     }
 
 
@@ -757,6 +762,9 @@ def oracle_sql() -> dict[str, str]:
         # classifier's oracle verbatim
         "stream_quality_classifier":
             quality.quality_classifier_sql("duckdb"),
+        # the oracle is the NAIVE inequality self-join: the 3-bin
+        # blocking must be invisible in the result
+        "events_neighbor_window": events_neighbor_window_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

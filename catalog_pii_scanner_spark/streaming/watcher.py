@@ -1051,3 +1051,73 @@ FROM grid g
 LEFT JOIN counts c
   ON c.window_start = g.window_start AND c.event_type = g.event_type
 """
+
+
+#: Range-join window (microseconds): neighbors = same-user events with
+#: |delta ts| <= 5 minutes.
+NEIGHBOR_WINDOW_US = 300_000_000
+
+
+def events_neighbor_window(spark: SparkSession, sf_dir: str,
+                           window_us: int = NEIGHBOR_WINDOW_US
+                           ) -> DataFrame:
+    """Per-event activity context via a RANGE self-join — the non-equi
+    join class Spark has no native optimization for (a naive
+    ``a.ts BETWEEN b.ts - W AND b.ts + W`` predicate joins every
+    same-user pair: quadratic in the hot user). The standard scale
+    rewrite, implemented here: bucket events into W-sized time bins,
+    probe each event against its own and both adjacent bins (3
+    bounded-fan-out probe rows per event — any |delta| <= W pair shares
+    or adjoins a bin, so the blocking is COMPLETE, not approximate),
+    then apply the exact range predicate inside the (user, bin) hash
+    join. Candidate volume is bin co-population instead of
+    user-population squared; the shuffle keys on (user_id, bin), so a
+    hot user's events spread across their time bins instead of one
+    task.
+
+    Timestamps compare in MICROSECOND-exact LONGs (unix_micros /
+    epoch_us — the events_asof_join discipline; double-epoch seconds
+    would quantize sub-second deltas differently per engine).
+
+    Output: event_id, user_id, n_neighbors (0-neighbor events kept via
+    the left verdict join). Oracle: the plain inequality self-join —
+    the binning must be invisible in the result."""
+    from ..sources.melt import read_table
+    ev = (read_table(spark, sf_dir, "events")
+          .select("event_id", "user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("us"))
+          .where(F.col("user_id").isNotNull() & F.col("us").isNotNull()))
+    w = F.lit(window_us)
+    binned = ev.withColumn("bin", F.expr(f"us DIV {window_us}"))
+    probes = binned.withColumn(
+        "probe_bin", F.explode(F.array(F.col("bin") - 1, F.col("bin"),
+                                       F.col("bin") + 1)))
+    cand = (probes.alias("a")
+            .join(binned.alias("b"),
+                  (F.col("a.user_id") == F.col("b.user_id"))
+                  & (F.col("a.probe_bin") == F.col("b.bin"))
+                  & (F.col("a.event_id") != F.col("b.event_id"))
+                  & (F.abs(F.col("a.us") - F.col("b.us")) <= w)))
+    counts = (cand.groupBy(F.col("a.event_id").alias("event_id"))
+              .agg(F.count("*").alias("n_neighbors")))
+    return (ev.join(counts, "event_id", "left")
+            .select("event_id", "user_id",
+                    F.coalesce(F.col("n_neighbors"), F.lit(0))
+                    .cast("bigint").alias("n_neighbors")))
+
+
+def events_neighbor_window_oracle_sql(events_rel: str = "events",
+                                      window_us: int = NEIGHBOR_WINDOW_US
+                                      ) -> str:
+    return f"""
+SELECT e.event_id, e.user_id,
+       CAST(COUNT(n.event_id) AS BIGINT) AS n_neighbors
+FROM {events_rel} e
+LEFT JOIN {events_rel} n
+  ON n.user_id = e.user_id
+ AND n.event_id <> e.event_id
+ AND abs(epoch_us(n.ts) - epoch_us(e.ts)) <= {window_us}
+WHERE e.user_id IS NOT NULL AND e.ts IS NOT NULL
+GROUP BY e.event_id, e.user_id
+"""

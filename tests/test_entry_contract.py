@@ -52,6 +52,7 @@ STABLE_PARKED = {
 NEW_LOCAL_ONLY = {
     "stream_phash_keep_list", "corpus_cdc_dedup",
     "embed_semdedup_keep_list", "stream_quality_classifier",
+    "events_neighbor_window",
 }
 
 #: r6's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

@@ -163,3 +163,50 @@ def test_salted_sessions_equal_global_rowwise(spark, powerlaw_dir,
         a = sorted(map(tuple, events_sessions(spark, d).collect()))
         b = sorted(map(tuple, events_sessions_salted(spark, d).collect()))
         assert a and a == b
+
+
+def test_neighbor_window_blocking_complete_at_boundaries(spark):
+    """The 3-bin blocking must be COMPLETE at exact window boundaries:
+    events exactly W apart (inclusive) and events straddling a bin edge
+    by 1 microsecond must count each other; events W+1us apart must
+    not. Compared against the naive inequality join in DuckDB."""
+    import duckdb
+
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        NEIGHBOR_WINDOW_US, events_neighbor_window,
+        events_neighbor_window_oracle_sql)
+
+    w = NEIGHBOR_WINDOW_US
+    base = 1_700_000_000_000_000  # us epoch
+    rows = []
+    eid = 0
+    # exact-boundary pair, off-by-one pair, bin-edge straddlers, a
+    # NULL-user row, and a lone event
+    for us_a, us_b in ((base, base + w), (base + 10 * w,
+                                          base + 11 * w + 1),
+                       (base + 20 * w - 1, base + 20 * w),
+                       (base + 30 * w, base + 31 * w - 1)):
+        rows += [(eid, us_a, 1), (eid + 1, us_b, 1)]
+        eid += 2
+    rows += [(eid, base, None), (eid + 1, base + 50 * w, 7)]
+    import datetime
+    to_ts = lambda us: datetime.datetime.utcfromtimestamp(us / 1e6)  # noqa: E731
+    data = [(i, to_ts(us), u, "t", 1.0, "{}") for i, us, u in rows]
+    sdf = spark.createDataFrame(
+        data, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile
+    d = tempfile.mkdtemp(prefix="cpss_nbr_")
+    sdf.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = sorted(map(tuple,
+                     events_neighbor_window(spark, d).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet/*.parquet'")
+    want = sorted(map(tuple, con.execute(
+        events_neighbor_window_oracle_sql()).fetchall()))
+    assert got == want
+    by_id = dict((r[0], r[2]) for r in got)
+    assert by_id[0] == 1 and by_id[1] == 1     # exactly W apart: in
+    assert by_id[2] == 0 and by_id[3] == 0     # W + 1us apart: out
+    assert by_id[4] == 1 and by_id[5] == 1     # straddle a bin edge
