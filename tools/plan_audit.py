@@ -88,6 +88,8 @@ def main() -> int:
          "content-defined chunking, one md5-keyed fingerprint shuffle"),
         ("embed_semdedup_keep_list",
          "within-cell pairs + label propagation + cap flag"),
+        ("events_neighbor_window",
+         "range self-join via complete 3-bin blocking"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
