@@ -50,6 +50,13 @@ from catalog_pii_scanner_spark.sources.unity import (
 from catalog_pii_scanner_spark.sources.sampler import (
     athena_sample_column, athena_sample_oracle_sql, sample_columns,
     sample_columns_oracle_sql)
+from catalog_pii_scanner_spark.operators.sketches import (
+    sketch_hll_distinct, sketch_hll_distinct_oracle_sql,
+    bloom_semijoin_filter, bloom_semijoin_oracle_sql)
+from catalog_pii_scanner_spark.operators.dq import (
+    dq_constraint_suite, dq_constraint_oracle_sql)
+from catalog_pii_scanner_spark.operators.layout import (
+    layout_zorder_stats, layout_zorder_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
     events_hourly, events_hourly_oracle_sql, events_props_stats,
     events_props_stats_oracle_sql, events_sessions,
@@ -594,6 +601,19 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join scale rewrite); oracle is the plain inequality join, so
         # the binning must be invisible. NEW_LOCAL_ONLY (fronts in r8).
         "events_neighbor_window": events_neighbor_window,
+        # deterministic HyperLogLog distinct sketch (no-ln, integer-Z
+        # design; see operators/sketches.py). NEW_LOCAL_ONLY (r8).
+        "sketch_hll_distinct": sketch_hll_distinct,
+        # Bloom runtime-filter accounting over the orders semi-join;
+        # n_missed = 0 is the no-false-negative invariant.
+        # NEW_LOCAL_ONLY (fronts in r8).
+        "bloom_semijoin_filter": bloom_semijoin_filter,
+        # Deequ-style constraint suite: one aggregation pass per
+        # table, stack-unpivoted. NEW_LOCAL_ONLY (fronts in r8).
+        "dq_constraint_suite": dq_constraint_suite,
+        # Z-order vs arrival-order zone-map skip accounting.
+        # NEW_LOCAL_ONLY (fronts in r8).
+        "layout_zorder_stats": layout_zorder_stats,
     }
 
 
@@ -765,6 +785,10 @@ def oracle_sql() -> dict[str, str]:
         # the oracle is the NAIVE inequality self-join: the 3-bin
         # blocking must be invisible in the result
         "events_neighbor_window": events_neighbor_window_oracle_sql(),
+        "sketch_hll_distinct": sketch_hll_distinct_oracle_sql(),
+        "bloom_semijoin_filter": bloom_semijoin_oracle_sql(),
+        "dq_constraint_suite": dq_constraint_oracle_sql(),
+        "layout_zorder_stats": layout_zorder_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

@@ -1,0 +1,148 @@
+"""Data-quality constraint suite — Deequ-style declarative checks
+(Schelter et al., "Automating Large-Scale Data Quality Verification",
+VLDB 2018) over the business + corpus tables, computed in ONE
+aggregation pass per table.
+
+Each constraint row reports ``(table_name, constraint, metric,
+passed)`` where metric is a 1e-6-rounded ratio (completeness /
+uniqueness / compliance) or a raw size, and ``passed`` compares the
+metric against the constraint's declared threshold. Because the
+metric is bit-identical across engines (exact integer counts divided
+in IEEE doubles, the repo-wide discipline), the pass verdict is too.
+
+Execution shape (the 100 TB story):
+
+- ONE full-scan aggregation per table — every completeness /
+  compliance count is a SUM(CASE ...) inside the same Aggregate, so
+  adding a constraint adds a column, not a pass. Uniqueness needs
+  COUNT(DISTINCT) (at most 2 per table here, one Expand); at real
+  scale you would swap those for the mergeable HLL registers of
+  ``sketch_hll_distinct`` (operators/sketches.py) and accept the
+  documented estimate error — the suite keeps the exact form because
+  it doubles as the oracle gate.
+- The per-table single-row aggregate is unpivoted to constraint rows
+  JVM-side via ``stack`` (no re-scan per constraint; the DuckDB
+  dialect renders UNION ALL over the one-row CTE instead, where
+  re-reference is free).
+- Empty tables pass ratio constraints vacuously (metric 1.0) and fail
+  only ``size_ge_1`` — the CASE guard avoids a cross-engine 0/0.
+
+Beyond-reference surface (the reference has no constraint checker);
+the reference's profile verb (reference profile.py) covers min/max/
+null counts, which ``profile_columns`` already mirrors — this suite
+adds the pass/fail contract layer a pipeline gates on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: constraint kinds: ("size",), ("ratio", NUM_AGG_SQL) — NUM/cnt.
+#: Spec rows: (constraint_name, kind, sql_num_expr, threshold_sql).
+#: All expressions are dialect-free portable SQL over the raw table.
+_N = lambda pred: f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)"
+_C = lambda col: _N(f"{col} IS NOT NULL")
+_U = lambda expr: f"COUNT(DISTINCT {expr})"
+
+DQ_SPECS: dict[str, list[tuple[str, str, str]]] = {
+    "orders": [
+        ("size_ge_1", "size", "1"),
+        ("completeness_o_custkey", _C("o_custkey"), "1.0"),
+        ("uniqueness_o_orderkey", _U("o_orderkey"), "1.0"),
+        ("compliance_totalprice_positive", _N("o_totalprice > 0"), "1.0"),
+        ("compliance_orderdate_1992_2002",
+         _N("o_orderdate >= TIMESTAMP '1992-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP '2002-01-01 00:00:00'"), "1.0"),
+    ],
+    "lineitem": [
+        ("size_ge_1", "size", "1"),
+        ("compliance_quantity_1_50",
+         _N("l_quantity >= 1 AND l_quantity <= 50"), "1.0"),
+        ("compliance_discount_0_1",
+         _N("l_discount >= 0 AND l_discount <= 1"), "1.0"),
+        # l_linenumber <= 7 in TPC-H shapes; *10 keeps the pair key
+        # collision-free without a dialect-split row constructor.
+        ("uniqueness_pk",
+         _U("l_orderkey * 10 + l_linenumber"), "1.0"),
+        ("completeness_l_shipdate", _C("l_shipdate"), "1.0"),
+    ],
+    "customer": [
+        ("size_ge_1", "size", "1"),
+        ("uniqueness_c_custkey", _U("c_custkey"), "1.0"),
+        ("completeness_c_acctbal", _C("c_acctbal"), "1.0"),
+        # Deliberately strict: negative balances exist, so this one
+        # FAILS — the suite must demonstrate failure detection, not
+        # only green rows.
+        ("compliance_acctbal_nonnegative", _N("c_acctbal >= 0"), "1.0"),
+    ],
+    "events": [
+        ("size_ge_1", "size", "1"),
+        ("completeness_ts", _C("ts"), "1.0"),
+        ("uniqueness_event_id", _U("event_id"), "1.0"),
+        ("compliance_value_positive", _N("value > 0"), "1.0"),
+    ],
+    "documents": [
+        ("size_ge_1", "size", "1"),
+        ("completeness_text", _C("text"), "1.0"),
+        ("compliance_nchars_eq_len", _N("n_chars = length(text)"), "1.0"),
+        ("compliance_lang_iso2", _N("length(lang) = 2"), "1.0"),
+    ],
+}
+
+
+def _metric_sql(kind: str, alias: str) -> str:
+    """Rounded metric from the agg row: raw count for size, else a
+    vacuously-passing ratio guarded against empty input."""
+    if kind == "size":
+        return "CAST(cnt AS DOUBLE)"
+    return (f"CASE WHEN cnt = 0 THEN CAST(1 AS DOUBLE) "
+            f"ELSE round(CAST({alias} AS DOUBLE) / CAST(cnt AS DOUBLE), 6)"
+            f" END")
+
+
+def dq_constraint_sql(dialect: str, rel_prefix: str = "") -> str:
+    """Dual-dialect template for the whole suite, ordered for the gate."""
+    blocks, rows = [], []
+    for table, specs in DQ_SPECS.items():
+        aggs = ["COUNT(*) AS cnt"]
+        for i, (_, kind, _) in enumerate(specs):
+            if kind != "size":
+                aggs.append(f"{kind} AS m_{i}")
+        blocks.append(f"agg_{table} AS (\n  SELECT {', '.join(aggs)}"
+                      f"\n  FROM {rel_prefix}{table}\n)")
+        if dialect == "duckdb":
+            for i, (name, kind, thr) in enumerate(specs):
+                metric = _metric_sql(kind, f"m_{i}")
+                rows.append(
+                    f"SELECT '{table}' AS table_name, '{name}' AS"
+                    f" constraint_name, {metric} AS metric,\n"
+                    f"       CASE WHEN {metric} >= {thr} THEN 1 ELSE 0"
+                    f" END AS passed\nFROM agg_{table}")
+        else:
+            triples = []
+            for i, (name, kind, thr) in enumerate(specs):
+                metric = _metric_sql(kind, f"m_{i}")
+                triples.append(
+                    f"'{name}', {metric}, CASE WHEN {metric} >= {thr}"
+                    f" THEN 1 ELSE 0 END")
+            rows.append(
+                f"SELECT '{table}' AS table_name, s.* FROM agg_{table}\n"
+                f"LATERAL VIEW stack({len(specs)}, {', '.join(triples)})"
+                f" s AS constraint_name, metric, passed")
+    body = "\nUNION ALL\n".join(rows)
+    ctes = ",\n".join(blocks)
+    return (f"WITH {ctes}\n"
+            f"SELECT * FROM ({body}) allrows"
+            f" ORDER BY table_name, constraint_name")
+
+
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the suite: one aggregation pass per table, stack-unpivoted."""
+    for table in DQ_SPECS:
+        spark.read.parquet(f"{sf_dir}/{table}.parquet") \
+            .createOrReplaceTempView(f"cpss_dq_{table}")
+    return spark.sql(dq_constraint_sql("spark", rel_prefix="cpss_dq_"))
+
+
+def dq_constraint_oracle_sql() -> str:
+    return dq_constraint_sql("duckdb")

@@ -1,0 +1,173 @@
+"""Data-layout optimization accounting — Z-order clustering vs
+arrival order, measured as file-skipping effectiveness.
+
+At 100 TB the dominant cost of a selective two-dimensional predicate
+(``l_partkey BETWEEN .. AND l_suppkey BETWEEN ..``) is how many
+parquet files the min/max zone map lets the scan SKIP. That is a
+LAYOUT property: files written in arrival order have near-full-range
+min/max on both columns (nothing skips), while files clustered by an
+interleaved Morton/Z-order key keep both ranges tight.
+``layout_zorder_stats`` models both layouts at once and reports, per
+probe rectangle, exactly how many "files" (buckets) each layout must
+read — the number a table-format OPTIMIZE ZORDER decision is based
+on (public technique: Morton 1966; widely documented for Delta/
+Iceberg table layout).
+
+Construction (all portable integer SQL, dual-dialect):
+
+- both dimensions are normalized to an 8-bit grid with exact
+  arithmetic: ``floor((x - min) * 256 / span)`` over IEEE doubles of
+  exact integers (deterministic cross-engine; global min/max come
+  from a one-row bounds relation every executor would get broadcast);
+- the Morton key interleaves the two 8-bit values with pure ``%``
+  arithmetic (``((x % 2^(b+1)) - (x % 2^b)) * 2^b`` is bit b shifted
+  to position 2b — no shift operators, no dialect split);
+- 256 equal Z-ranges form the Z-layout "files" (each an aligned
+  16x16 quadtree tile); 256 equal ``l_orderkey`` ranges form the
+  arrival-order files (orderkey is the synthetic arrival sequence —
+  deliberately NOT a global row_number, which would be a
+  single-partition window);
+- per bucket, the zone map (min/max of both dims + row count) for
+  BOTH layouts comes from one GROUPING SETS pass — a single fact
+  scan and one <= 512-group shuffle, not a two-arm UNION; probe
+  rectangles are a broadcast-sized 8-row literal relation, so the
+  scan accounting never shuffles the fact side again. The exact
+  ``rows_matched`` twin costs one further fact pass (an 8-way
+  conditional count a production run would skip — it exists for the
+  gate and the effectiveness report).
+
+Output: one row per (probe rectangle, layout): buckets scanned under
+the zone map, total buckets, rows scanned (sum of scanned-bucket
+sizes) and rows actually matching — all exact integers. The Z-order
+rows_scanned/rows_matched ratio approaching 1 while arrival-order
+reads ~everything is the whole optimization, made auditable.
+
+Beyond-reference surface (the reference engine has no layout
+optimizer); registered with the sketch/DQ family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Probe rectangles in the normalized 0..255 grid: two big quadrants,
+#: a thin x-stripe, a thin y-stripe, a mid block and three small tiles
+#: — the mix separates zone-map behavior (stripes favor one layout's
+#: clustering axis; tiles favor Z-order).
+ZORDER_QUERIES = (
+    ("q1_low_quadrant", 0, 63, 0, 63),
+    ("q2_high_quadrant", 192, 255, 192, 255),
+    ("q3_small_tile", 100, 115, 50, 65),
+    ("q4_y_stripe", 0, 255, 0, 15),
+    ("q5_x_stripe", 240, 255, 0, 255),
+    ("q6_mid_block", 64, 127, 64, 127),
+    ("q7_tiny_tile", 32, 47, 200, 215),
+    ("q8_x_band", 0, 31, 0, 255),
+)
+
+ZORDER_BUCKETS = 256
+
+
+def _norm8(col: str, mn: str, mx: str) -> str:
+    """Exact 0..255 normalization of an integer column."""
+    return (f"CAST(floor(CAST(({col} - {mn}) AS DOUBLE)"
+            f" * CAST(256 AS DOUBLE)"
+            f" / CAST(({mx} - {mn} + 1) AS DOUBLE)) AS INT)")
+
+
+def _morton16(xcol: str, ycol: str) -> str:
+    """Interleave two 8-bit ints into a 16-bit Morton key with pure
+    modular arithmetic (no shift operators)."""
+    terms = []
+    for b in range(8):
+        lo, hi, w = 1 << b, 1 << (b + 1), 1 << b
+        terms.append(f"(({xcol} % {hi}) - ({xcol} % {lo})) * {w}")
+        terms.append(f"(({ycol} % {hi}) - ({ycol} % {lo})) * {w} * 2")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_stats_sql(dialect: str, rel_prefix: str = "") -> str:
+    """Dual-dialect template: zone-map scan accounting, both layouts."""
+    del dialect  # fully portable — kept for the repo-wide signature
+    nb = ZORDER_BUCKETS
+    values = ",\n    ".join(
+        f"('{q}', {x0}, {x1}, {y0}, {y1})"
+        for q, x0, x1, y0, y1 in ZORDER_QUERIES)
+    morton = _morton16("px", "py")
+    return f"""
+WITH bounds AS (
+  SELECT MIN(l_partkey) AS minp, MAX(l_partkey) AS maxp,
+         MIN(l_suppkey) AS mins, MAX(l_suppkey) AS maxs,
+         MIN(l_orderkey) AS mino, MAX(l_orderkey) AS maxo
+  FROM {rel_prefix}lineitem
+),
+base AS (
+  SELECT {_norm8('l_partkey', 'b.minp', 'b.maxp')} AS px,
+         {_norm8('l_suppkey', 'b.mins', 'b.maxs')} AS py,
+         {_norm8('l_orderkey', 'b.mino', 'b.maxo')} AS arrival
+  FROM {rel_prefix}lineitem li CROSS JOIN bounds b
+),
+keyed AS (
+  SELECT px, py,
+         CAST(floor(CAST({morton} AS DOUBLE)
+                    / CAST({65536 // nb} AS DOUBLE)) AS INT) AS zbucket,
+         arrival AS linbucket
+  FROM base
+),
+buckets AS (
+  -- both bucketings in ONE fact pass (grouping sets, not a two-arm
+  -- UNION that would scan the fact side twice)
+  SELECT CASE WHEN GROUPING(zbucket) = 0 THEN 'zorder'
+              ELSE 'arrival' END AS layout,
+         CASE WHEN GROUPING(zbucket) = 0 THEN zbucket
+              ELSE linbucket END AS bucket,
+         MIN(px) AS minx, MAX(px) AS maxx,
+         MIN(py) AS miny, MAX(py) AS maxy, COUNT(*) AS cnt
+  FROM keyed GROUP BY GROUPING SETS ((zbucket), (linbucket))
+),
+totals AS (
+  SELECT layout, COUNT(*) AS buckets_total FROM buckets GROUP BY layout
+),
+probes(query_id, x0, x1, y0, y1) AS (
+  VALUES
+    {values}
+),
+scans AS (
+  SELECT q.query_id, b.layout,
+         COUNT(*) AS buckets_scanned,
+         SUM(b.cnt) AS rows_scanned
+  FROM probes q JOIN buckets b
+    ON b.maxx >= q.x0 AND b.minx <= q.x1
+   AND b.maxy >= q.y0 AND b.miny <= q.y1
+  GROUP BY q.query_id, b.layout
+),
+matched AS (
+  SELECT q.query_id, COUNT(*) AS rows_matched
+  FROM probes q JOIN keyed k
+    ON k.px >= q.x0 AND k.px <= q.x1
+   AND k.py >= q.y0 AND k.py <= q.y1
+  GROUP BY q.query_id
+)
+SELECT s.query_id, s.layout,
+       CAST(s.buckets_scanned AS BIGINT) AS buckets_scanned,
+       CAST(t.buckets_total AS BIGINT) AS buckets_total,
+       CAST(s.rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(COALESCE(m.rows_matched, 0) AS BIGINT) AS rows_matched
+FROM scans s
+JOIN totals t ON t.layout = s.layout
+LEFT JOIN matched m ON m.query_id = s.query_id
+ORDER BY s.query_id, s.layout
+"""
+
+
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skip accounting for Z-order vs arrival layout; see
+    zorder_stats_sql. One fact scan feeds both bucketings via a
+    two-arm UNION aggregate; probes/totals are broadcast joins."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .createOrReplaceTempView("cpss_zorder_lineitem")
+    return spark.sql(zorder_stats_sql("spark", rel_prefix="cpss_zorder_"))
+
+
+def layout_zorder_oracle_sql() -> str:
+    return zorder_stats_sql("duckdb")

@@ -1,0 +1,283 @@
+"""Mergeable cardinality sketches — the 100 TB distinct-count path.
+
+``sketch_hll_distinct`` is a deterministic HyperLogLog (Flajolet,
+Fusy, Gandouet, Meunier 2007) built entirely from portable integer
+SQL, so the SAME template runs on Spark and DuckDB and produces
+bit-identical registers and estimates:
+
+- hash = md5 of the value's decimal/text rendering (cross-engine
+  stable, the repo-wide ``instr('0123456789abcdef', ...)`` digit
+  arithmetic — see operators/corpus.py `_cdc_bucket16`);
+- register (m = 64, p = 6) = first two hex digits mod 64;
+- rho = leading-zero count of the 48-bit suffix + 1, computed without
+  any float log: the all-zero prefix length via an anchored
+  ``regexp_replace(suffix, '^0+', '')`` (identical single-match
+  semantics in both engines) plus a 4-way CASE on the first non-zero
+  nibble. rho is capped at 49 (all 48 suffix bits zero), the honest
+  limit of a 12-hex-digit suffix.
+- Z is kept EXACT as a BIGINT: sum of 2^(49-rho) over the registers
+  (shift-left, never ``pow``), with every unseen register
+  contributing 2^49 — max 64 * 2^49 = 2^55, no overflow.
+- the estimate divides exact integers in IEEE doubles with a fixed
+  association: ``floor((ALPHA_64 * m^2) * 2^49 / Z)``. +, *, / are
+  correctly rounded per IEEE-754, so the quotient is bit-identical
+  across engines; no transcendental (ln/pow) ever runs, which is why
+  the small-range linear-counting correction is deliberately OMITTED:
+  below ~2.5 m distinct the RAW estimate reads low and the emitted
+  ``v_zero``/``err_bp`` columns make that visible instead of a
+  cross-engine ln() boundary risk (the integer-micro-unit discipline
+  of operators/ensemble.py).
+
+Scale story: per column the plan is a pruned single-column scan, a
+map-side partial ``max(rho)`` per register, ONE shuffle of <= 64 rows
+per upstream partition, and a single-row reduce — the register table
+IS the mergeable sketch state (union two corpora = max per register),
+which is the whole point at 100 TB. The ``exact_distinct`` /
+``err_bp`` columns are the correctness twin for the oracle gate and
+the small-SF demo; a production 100 TB run would emit the sketch
+columns only (COUNT(DISTINCT) is exactly the full shuffle HLL
+avoids), as the docstring of dq_constraint_suite cross-references.
+
+Beyond-reference surface (the reference engine has no sketch family);
+public-knowledge only: the HLL paper + standard bit tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Register count m = 2^6. Chosen so the gate-scale cardinalities
+#: (150..2000 at sf0.01) sit at/above the ~2.5m raw-estimate knee;
+#: a 100 TB run would raise HLL_P (the template is parameterized).
+HLL_P = 6
+HLL_M = 1 << HLL_P
+#: 0.7213 / (1 + 1.079/m) for m = 64, as an exact double literal both
+#: engines parse identically.
+HLL_ALPHA_64 = "CAST(0.7093409548395029 AS DOUBLE)"
+#: 2^49 — the Z scale (rho <= 49 so the smallest term 2^(49-49) = 1).
+_Z_ONE = 1 << 49
+
+_HEX = "'0123456789abcdef'"
+
+#: (relation-suffix, column expression, NOT-NULL column, col_ref label)
+HLL_TRACKED = (
+    ("events", "CAST(user_id AS {STR})", "user_id", "events.user_id"),
+    ("orders", "CAST(o_custkey AS {STR})", "o_custkey",
+     "orders.o_custkey"),
+    ("lineitem", "CAST(l_partkey AS {STR})", "l_partkey",
+     "lineitem.l_partkey"),
+    ("documents", "text", "text", "documents.text"),
+)
+
+
+def _shift1(dialect: str, n_expr: str) -> str:
+    """BIGINT 1 << n in either dialect (never pow(): exact)."""
+    if dialect == "duckdb":
+        return f"(CAST(1 AS BIGINT) << ({n_expr}))"
+    return f"shiftleft(CAST(1 AS BIGINT), {n_expr})"
+
+
+def _str_type(dialect: str) -> str:
+    return "VARCHAR" if dialect == "duckdb" else "STRING"
+
+
+def _hll_col_block(dialect: str, tag: str, rel: str, colexpr: str,
+                   notnull: str, colref: str) -> tuple[str, str]:
+    """CTE block + final-row SELECT for one tracked column."""
+    m = HLL_M
+    hexd = lambda e: f"(instr({_HEX}, {e}) - 1)"
+    ctes = f"""
+{tag}_vals AS (
+  SELECT {colexpr} AS v FROM {rel} WHERE {notnull} IS NOT NULL
+),
+{tag}_d AS (
+  SELECT ({hexd(f"substr(md5(v), 1, 1)")} * 16
+          + {hexd(f"substr(md5(v), 2, 1)")}) % {m} AS register,
+         substr(md5(v), 3, 12) AS suf, v
+  FROM {tag}_vals
+),
+{tag}_r AS (
+  SELECT register,
+         CASE WHEN nz >= 12 THEN 49
+              ELSE 4 * nz
+                   + (CASE WHEN fd >= 8 THEN 0 WHEN fd >= 4 THEN 1
+                           WHEN fd >= 2 THEN 2 ELSE 3 END) + 1
+         END AS rho, v
+  FROM (SELECT register, nz,
+               CASE WHEN nz >= 12 THEN 0
+                    ELSE {hexd("substr(suf, nz + 1, 1)")} END AS fd, v
+        FROM (SELECT register,
+                     12 - length(regexp_replace(suf, '^0+', '')) AS nz,
+                     suf, v
+              FROM {tag}_d) z0) z1
+),
+{tag}_regs AS (
+  SELECT register, MAX(rho) AS mrho FROM {tag}_r GROUP BY register
+),
+{tag}_z AS (
+  SELECT COALESCE(SUM({_shift1(dialect, '49 - mrho')}), CAST(0 AS BIGINT))
+           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
+         COUNT(*) AS filled
+  FROM {tag}_regs
+),
+{tag}_ex AS (
+  SELECT COUNT(DISTINCT v) AS exact_d FROM {tag}_vals
+)"""
+    est = (f"CASE WHEN z.filled = 0 THEN CAST(0 AS BIGINT) "
+           f"ELSE CAST(floor((({HLL_ALPHA_64} * CAST({m * m} AS DOUBLE))"
+           f" * CAST({_Z_ONE} AS DOUBLE)) / CAST(z.z_scaled AS DOUBLE))"
+           f" AS BIGINT) END")
+    row = f"""
+SELECT '{colref}' AS col_ref, {m} AS m,
+       CAST({m} - z.filled AS BIGINT) AS v_zero,
+       z.z_scaled AS z_scaled,
+       {est} AS est_distinct,
+       CAST(x.exact_d AS BIGINT) AS exact_distinct,
+       CAST(floor(abs(CAST({est} AS DOUBLE)
+                      - CAST(x.exact_d AS DOUBLE)) * CAST(10000 AS DOUBLE)
+                  / greatest(CAST(x.exact_d AS DOUBLE), CAST(1 AS DOUBLE)))
+            AS BIGINT) AS err_bp
+FROM {tag}_z z CROSS JOIN {tag}_ex x"""
+    return ctes, row
+
+
+def hll_distinct_sql(dialect: str, rel_prefix: str = "") -> str:
+    """Full dual-dialect template: one sketch row per tracked column."""
+    str_t = _str_type(dialect)
+    ctes, rows = [], []
+    for suffix, colexpr, notnull, colref in HLL_TRACKED:
+        tag = f"h_{suffix}"
+        c, r = _hll_col_block(dialect, tag, rel_prefix + suffix,
+                              colexpr.format(STR=str_t), notnull, colref)
+        ctes.append(c)
+        rows.append(r)
+    body = "\nUNION ALL".join(rows)
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT * FROM ({body}) allrows ORDER BY col_ref")
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct sketch over four tracked columns.
+
+    One pruned scan + a <= 64-group partial-max shuffle per column; the
+    register relation is the mergeable sketch state. See module
+    docstring for the exactness/no-ln design and the raw-estimate bias
+    below ~2.5 m distinct (visible via v_zero / err_bp)."""
+    for suffix, _, _, _ in HLL_TRACKED:
+        spark.read.parquet(f"{sf_dir}/{suffix}.parquet") \
+            .createOrReplaceTempView(f"cpss_hll_{suffix}")
+    return spark.sql(hll_distinct_sql("spark", rel_prefix="cpss_hll_"))
+
+
+def sketch_hll_distinct_oracle_sql() -> str:
+    return hll_distinct_sql("duckdb")
+
+
+# --- Bloom-filter semi-join (runtime-filter accounting) ----------------------
+
+#: 4096-bit Bloom in 63-bit words (bit index <= 62: DuckDB raises on
+#: a signed 1 << 63 while Spark wraps silently — 63-bit words are the
+#: portable mask), k = 3 positions from disjoint md5 digit triplets.
+#: Sized so the gate scales exercise both regimes: a few false
+#: positives at sf0.01 and a visibly loaded filter at sf0.1 — the
+#: fp_rate column IS the saturation observability (a production run
+#: sizes nbits ~ 10 * n_keys and re-checks that column).
+BLOOM_BITS = 4096
+BLOOM_WORD_BITS = 63
+BLOOM_WORDS = -(-BLOOM_BITS // BLOOM_WORD_BITS)
+BLOOM_K = 3
+
+
+def _bloom_pos(i: int, hexpr: str) -> str:
+    """12-bit position i (0..2) from md5 hex digits 3i+1..3i+3."""
+    d = lambda j: f"(instr({_HEX}, substr({hexpr}, {j}, 1)) - 1)"
+    j = 3 * i + 1
+    return (f"({d(j)} * 256 + {d(j + 1)} * 16 + {d(j + 2)})")
+
+
+def bloom_semijoin_sql(dialect: str, rel_prefix: str = "") -> str:
+    """Build a Bloom filter over the delinquent-customer keys
+    (c_acctbal < 0), probe every orders row, and account exactly for
+    the filter's behavior against the true semi-join.
+
+    The invariant column ``n_missed`` (member rows the filter
+    rejected) must be 0 — a Bloom filter has no false negatives — and
+    is asserted in tests; ``n_false_pos`` / ``fp_rate`` quantify the
+    wasted probe-side rows a runtime filter would still scan."""
+    str_t = _str_type(dialect)
+    w = BLOOM_WORDS
+    key_h = f"md5(CAST(c_custkey AS {str_t}))"
+    probe_h = f"md5(CAST(o_custkey AS {str_t}))"
+    pos_rows = "\nUNION ALL\n".join(
+        f"  SELECT {_bloom_pos(i, 'h')} AS pos FROM keyh"
+        for i in range(BLOOM_K))
+    probe_cols = []
+    for i in range(BLOOM_K):
+        probe_cols.append(
+            f"CAST(({_bloom_pos(i, 'h')} - ({_bloom_pos(i, 'h')} % 63))"
+            f" / 63 AS INT) AS word_{i}")
+        probe_cols.append(f"({_bloom_pos(i, 'h')} % 63) AS bit_{i}")
+    bit_tests = " AND ".join(
+        f"(COALESCE(w{i}.bits, CAST(0 AS BIGINT))"
+        f" & {_shift1(dialect, f'p.bit_{i}')}) != 0"
+        for i in range(BLOOM_K))
+    word_joins = "\n".join(
+        f"  LEFT JOIN words w{i} ON w{i}.word = p.word_{i}"
+        for i in range(BLOOM_K))
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM {rel_prefix}customer
+  WHERE c_acctbal < 0
+),
+keyh AS (SELECT {key_h} AS h FROM keys),
+pos AS (
+{pos_rows}
+),
+words AS (
+  SELECT CAST((pos - (pos % 63)) / 63 AS INT) AS word,
+         BIT_OR({_shift1(dialect, 'pos % 63')}) AS bits
+  FROM pos GROUP BY CAST((pos - (pos % 63)) / 63 AS INT)
+),
+probes AS (
+  SELECT o_custkey, {', '.join(probe_cols)}
+  FROM (SELECT o_custkey, {probe_h} AS h
+        FROM {rel_prefix}orders WHERE o_custkey IS NOT NULL) oh
+),
+judged AS (
+  SELECT p.o_custkey,
+         CASE WHEN {bit_tests} THEN 1 ELSE 0 END AS bloom_pass,
+         CASE WHEN k.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS member
+  FROM probes p
+{word_joins}
+  LEFT JOIN keys k ON k.c_custkey = p.o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+       CAST(SUM(member) AS BIGINT) AS n_members,
+       CAST(SUM(bloom_pass) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN bloom_pass = 1 AND member = 0 THEN 1 ELSE 0
+                END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN bloom_pass = 0 AND member = 1 THEN 1 ELSE 0
+                END) AS BIGINT) AS n_missed,
+       CASE WHEN COUNT(*) - SUM(member) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(CAST(SUM(CASE WHEN bloom_pass = 1 AND member = 0
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) - SUM(member) AS DOUBLE), 6)
+       END AS fp_rate
+FROM judged
+"""
+
+
+def bloom_semijoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter accounting: the <= 64-row ``words``
+    relation is what a 1000-executor run broadcasts next to the probe
+    scan (all three word joins and the keys join are broadcast-hash);
+    the probe side never shuffles. See bloom_semijoin_sql."""
+    for table in ("customer", "orders"):
+        spark.read.parquet(f"{sf_dir}/{table}.parquet") \
+            .createOrReplaceTempView(f"cpss_bloom_{table}")
+    return spark.sql(bloom_semijoin_sql("spark", rel_prefix="cpss_bloom_"))
+
+
+def bloom_semijoin_oracle_sql() -> str:
+    return bloom_semijoin_sql("duckdb")

@@ -53,6 +53,8 @@ NEW_LOCAL_ONLY = {
     "stream_phash_keep_list", "corpus_cdc_dedup",
     "embed_semdedup_keep_list", "stream_quality_classifier",
     "events_neighbor_window",
+    "sketch_hll_distinct", "bloom_semijoin_filter",
+    "dq_constraint_suite", "layout_zorder_stats",
 }
 
 #: r6's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

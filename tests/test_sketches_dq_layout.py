@@ -1,0 +1,177 @@
+"""Semantic invariants for the sketch / DQ / layout family (the
+cross-engine hash gate lives in tools/selfcheck.py; these tests pin
+the MATH, not just Spark-vs-DuckDB agreement)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+from catalog_pii_scanner_spark.operators.dq import (
+    DQ_SPECS, dq_constraint_sql, dq_constraint_suite)
+from catalog_pii_scanner_spark.operators.layout import (
+    ZORDER_QUERIES, layout_zorder_stats, _morton16)
+from catalog_pii_scanner_spark.operators.sketches import (
+    HLL_M, bloom_semijoin_filter, hll_distinct_sql, sketch_hll_distinct)
+
+from conftest import SF_DIR
+
+
+def _duck_with_views(tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+# --- HLL --------------------------------------------------------------------
+
+def _python_hll(values):
+    """Independent reimplementation of the operator's exact spec."""
+    regs = [0] * HLL_M
+    for v in values:
+        h = hashlib.md5(v.encode()).hexdigest()
+        reg = (int(h[0], 16) * 16 + int(h[1], 16)) % HLL_M
+        suf = int(h[2:14], 16)
+        if suf == 0:
+            rho = 49
+        else:
+            bits = bin(suf)[2:].zfill(48)
+            rho = len(bits) - len(bits.lstrip("0")) + 1
+        regs[reg] = max(regs[reg], rho)
+    z = sum(1 << (49 - r) for r in regs)
+    est = math.floor((0.7093409548395029 * float(HLL_M * HLL_M))
+                     * float(1 << 49) / float(z))
+    return z, est, regs.count(0)
+
+
+def test_hll_oracle_matches_python_reference():
+    con = _duck_with_views(["events", "orders", "lineitem", "documents"])
+    rows = {r[0]: r for r in con.sql(hll_distinct_sql("duckdb")).fetchall()}
+    vals = [str(r[0]) for r in con.sql(
+        "SELECT DISTINCT o_custkey FROM orders"
+        " WHERE o_custkey IS NOT NULL").fetchall()]
+    z, est, v_zero = _python_hll(vals)
+    _, m, vz, zs, est_d, exact_d, _ = rows["orders.o_custkey"]
+    assert m == HLL_M
+    assert (vz, zs, est_d) == (v_zero, z, est)
+    assert exact_d == len(set(vals))
+
+
+def test_hll_spark_estimate_sane(spark):
+    rows = {r["col_ref"]: r.asDict()
+            for r in sketch_hll_distinct(spark, SF_DIR).collect()}
+    assert set(rows) == {"events.user_id", "orders.o_custkey",
+                         "lineitem.l_partkey", "documents.text"}
+    for r in rows.values():
+        assert r["est_distinct"] >= 0
+        assert r["v_zero"] + (HLL_M - r["v_zero"]) == HLL_M
+        # documented raw-estimate regime: above the ~2.5m knee the
+        # estimate must land within 5 standard errors (1.04/sqrt(m))
+        if r["exact_distinct"] >= int(2.5 * HLL_M):
+            rel = abs(r["est_distinct"] - r["exact_distinct"]) \
+                / r["exact_distinct"]
+            assert rel <= 5 * 1.04 / math.sqrt(HLL_M), r
+
+
+# --- Bloom ------------------------------------------------------------------
+
+def test_bloom_invariants(spark):
+    row = bloom_semijoin_filter(spark, SF_DIR).collect()[0].asDict()
+    # a Bloom filter never misses a member
+    assert row["n_missed"] == 0
+    # every member passes, so pass-count dominates member-count
+    assert row["n_pass"] >= row["n_members"]
+    assert row["n_false_pos"] == row["n_pass"] - row["n_members"]
+    assert row["n_probes"] > 0
+
+
+# --- DQ suite ---------------------------------------------------------------
+
+def test_dq_failure_detection(spark):
+    rows = {(r["table_name"], r["constraint_name"]): r.asDict()
+            for r in dq_constraint_suite(spark, SF_DIR).collect()}
+    n_specs = sum(len(v) for v in DQ_SPECS.values())
+    assert len(rows) == n_specs
+    # the deliberately-strict check fails on real negative balances
+    assert rows[("customer", "compliance_acctbal_nonnegative")]["passed"] == 0
+    # physically-guaranteed checks pass
+    for key in [("orders", "completeness_o_custkey"),
+                ("lineitem", "compliance_quantity_1_50"),
+                ("documents", "completeness_text")]:
+        assert rows[key]["passed"] == 1, key
+    for r in rows.values():
+        assert 0.0 <= r["metric"] <= max(r["metric"], 1.0)
+
+
+def test_dq_empty_tables_vacuous():
+    con = duckdb.connect()
+    for t, specs in DQ_SPECS.items():
+        cols = {
+            "orders": "1 AS o_orderkey, 1 AS o_custkey, 1.0 AS o_totalprice,"
+                      " TIMESTAMP '1995-01-01 00:00:00' AS o_orderdate",
+            "lineitem": "1 AS l_orderkey, 1 AS l_linenumber, 1.0 AS"
+                        " l_quantity, 0.0 AS l_discount,"
+                        " TIMESTAMP '1995-01-01 00:00:00' AS l_shipdate",
+            "customer": "1 AS c_custkey, 1.0 AS c_acctbal",
+            "events": "1 AS event_id, TIMESTAMP '1995-01-01 00:00:00' AS ts,"
+                      " 1.0 AS value",
+            "documents": "1 AS doc_id, 'x' AS text, 1 AS n_chars,"
+                         " 'en' AS lang",
+        }[t]
+        con.sql(f"CREATE VIEW {t} AS SELECT {cols} WHERE 1 = 0")
+    for tname, cname, metric, passed in \
+            con.sql(dq_constraint_sql("duckdb")).fetchall():
+        if cname == "size_ge_1":
+            assert (metric, passed) == (0.0, 0), (tname, cname)
+        else:
+            # ratio constraints pass vacuously on empty input
+            assert (metric, passed) == (1.0, 1), (tname, cname)
+
+
+# --- Z-order layout ---------------------------------------------------------
+
+def test_morton_expression_is_true_interleave():
+    con = duckdb.connect()
+    expr = _morton16("px", "py")
+    for px, py in [(0, 0), (255, 255), (1, 0), (0, 1), (170, 85), (200, 3)]:
+        got = con.sql(f"SELECT {expr} FROM (SELECT {px} AS px,"
+                      f" {py} AS py) t").fetchone()[0]
+        want = 0
+        for b in range(8):
+            want |= ((px >> b) & 1) << (2 * b)
+            want |= ((py >> b) & 1) << (2 * b + 1)
+        assert got == want, (px, py, got, want)
+
+
+def test_zorder_skips_more_than_arrival(spark):
+    rows = layout_zorder_stats(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["layout"]] = r.asDict()
+    assert len(by_q) == len(ZORDER_QUERIES)
+    for q, layouts in by_q.items():
+        z, a = layouts["zorder"], layouts["arrival"]
+        # totals count OCCUPIED buckets (empty files don't exist), so
+        # they may differ between layouts at sparse SF; compare scan
+        # FRACTIONS and absolute rows read instead.
+        assert z["buckets_scanned"] <= z["buckets_total"]
+        assert a["buckets_scanned"] <= a["buckets_total"]
+        # the zone map can never read fewer rows than actually match
+        assert z["rows_scanned"] >= z["rows_matched"]
+        assert a["rows_scanned"] >= a["rows_matched"]
+        assert z["rows_matched"] == a["rows_matched"], q
+        # the clustering claim itself: Z-order never reads more rows
+        assert z["rows_scanned"] <= a["rows_scanned"], q
+        z_frac = z["buckets_scanned"] / z["buckets_total"]
+        a_frac = a["buckets_scanned"] / a["buckets_total"]
+        assert z_frac <= a_frac + 1e-9, q
+    tile_qs = [q for q, *_ in ZORDER_QUERIES if "tile" in q]
+    assert any(
+        by_q[q]["zorder"]["buckets_scanned"]
+        < by_q[q]["arrival"]["buckets_scanned"]
+        for q in tile_qs if q in by_q), "Z-order never beat arrival"

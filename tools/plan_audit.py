@@ -90,6 +90,14 @@ def main() -> int:
          "within-cell pairs + label propagation + cap flag"),
         ("events_neighbor_window",
          "range self-join via complete 3-bin blocking"),
+        ("sketch_hll_distinct",
+         "per-column 64-register partial-max shuffle, integer Z"),
+        ("bloom_semijoin_filter",
+         "63-bit-word Bloom build + broadcast word probes"),
+        ("dq_constraint_suite",
+         "one aggregation pass per table, stack unpivot"),
+        ("layout_zorder_stats",
+         "morton bucketing, one fact shuffle, broadcast probes"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
