@@ -614,6 +614,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Z-order vs arrival-order zone-map skip accounting.
         # NEW_LOCAL_ONLY (fronts in r8).
         "layout_zorder_stats": layout_zorder_stats,
+        # JL +-1 projection (64 -> 32 dims) -> shortlist -> exact
+        # re-rank, with the in_exact recall audit column.
+        # NEW_LOCAL_ONLY (fronts in r8).
+        "embed_jl_topk": simsearch.embed_jl_topk,
     }
 
 
@@ -789,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_filter": bloom_semijoin_oracle_sql(),
         "dq_constraint_suite": dq_constraint_oracle_sql(),
         "layout_zorder_stats": layout_zorder_oracle_sql(),
+        "embed_jl_topk": simsearch.jl_topk_sql("duckdb"),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

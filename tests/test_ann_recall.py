@@ -157,3 +157,35 @@ def test_trained_pq_serving_full_corpus_recall(spark, sf_dir, truth):
         spark, sf_dir, corpus_mod=1,
         train_mod=simsearch.PQ_TWIN_CORPUS_MOD).collect()
     assert _recall(rows, truth) >= 0.9
+
+
+def test_jl_projection_signs_match_reference(spark):
+    """The +-1 matrix is the declared md5-parity function — pinned
+    against an independent hashlib reimplementation."""
+    import hashlib
+    df = spark.sql("SELECT * FROM (" + simsearch._jl_proj_cte("spark")
+                   .strip().removeprefix("proj AS (").rstrip(")")
+                   + ") p ORDER BY kk, pos")
+    rows = df.collect()
+    assert len(rows) == simsearch.JL_DIMS * simsearch.DIMS
+    for r in rows[:200]:
+        h = hashlib.md5(f"jl:{r.kk * 1000 + r.pos}".encode()).hexdigest()
+        want = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+        assert r.s == want, (r.kk, r.pos)
+
+
+def test_jl_two_stage_recall_floor(spark, sf_dir):
+    """The shortlist+re-rank shape must recover a majority of the
+    exact top-5 on the near-isotropic synthetic corpus (the hard case
+    for coarse projections — see the module comment); the in_exact
+    column IS the measurement."""
+    rows = simsearch.embed_jl_topk(spark, sf_dir).collect()
+    assert rows, "no JL results"
+    recall = sum(r.in_exact for r in rows) / len(rows)
+    assert 0.5 <= recall <= 1.0, recall
+    # ranks are dense 1..5 per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q

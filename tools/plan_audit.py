@@ -98,6 +98,8 @@ def main() -> int:
          "one aggregation pass per table, stack unpivot"),
         ("layout_zorder_stats",
          "morton bucketing, one fact shuffle, broadcast probes"),
+        ("embed_jl_topk",
+         "JL projection shortlist + shortlist-only exact re-rank"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
