@@ -52,7 +52,8 @@ from catalog_pii_scanner_spark.sources.sampler import (
     sample_columns_oracle_sql)
 from catalog_pii_scanner_spark.operators.sketches import (
     sketch_hll_distinct, sketch_hll_distinct_oracle_sql,
-    bloom_semijoin_filter, bloom_semijoin_oracle_sql)
+    bloom_semijoin_filter, bloom_semijoin_oracle_sql,
+    sketch_histogram_quantiles, sketch_histogram_quantiles_oracle_sql)
 from catalog_pii_scanner_spark.operators.dq import (
     dq_constraint_suite, dq_constraint_oracle_sql)
 from catalog_pii_scanner_spark.operators.layout import (
@@ -618,6 +619,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-rank, with the in_exact recall audit column.
         # NEW_LOCAL_ONLY (fronts in r8).
         "embed_jl_topk": simsearch.embed_jl_topk,
+        # 1024-bucket mergeable quantile histogram with per-row
+        # err_span_bp audit vs the exact disc quantile.
+        # NEW_LOCAL_ONLY (fronts in r8).
+        "sketch_histogram_quantiles": sketch_histogram_quantiles,
     }
 
 
@@ -794,6 +799,8 @@ def oracle_sql() -> dict[str, str]:
         "dq_constraint_suite": dq_constraint_oracle_sql(),
         "layout_zorder_stats": layout_zorder_oracle_sql(),
         "embed_jl_topk": simsearch.jl_topk_sql("duckdb"),
+        "sketch_histogram_quantiles":
+            sketch_histogram_quantiles_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

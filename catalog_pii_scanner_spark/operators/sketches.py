@@ -281,3 +281,125 @@ def bloom_semijoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bloom_semijoin_oracle_sql() -> str:
     return bloom_semijoin_sql("duckdb")
+
+
+# --- Histogram quantile sketch ----------------------------------------------
+
+#: Fixed equi-width bucket count. 1024 buckets bound the estimate
+#: error at span/1024 regardless of input size — the mergeable-state
+#: property (per-partition histograms sum) that makes this the
+#: quantile path at 100 TB, where the exact disc quantile's global
+#: sort is the thing being avoided.
+QHIST_BUCKETS = 1024
+QHIST_QS = (25, 50, 75, 90, 99)
+
+#: (relation, value column, col_ref label)
+QHIST_TRACKED = (
+    ("lineitem", "l_extendedprice", "lineitem.l_extendedprice"),
+    ("orders", "o_totalprice", "orders.o_totalprice"),
+    ("events", "value", "events.value"),
+)
+
+
+def _qhist_col_block(tag: str, rel: str, col: str,
+                     colref: str) -> tuple[str, str]:
+    nb = QHIST_BUCKETS
+    width = f"(b.mx - b.mn) / CAST({nb} AS DOUBLE)"
+    ctes = f"""
+{tag}_vals AS (
+  SELECT CAST({col} AS DOUBLE) AS v FROM {rel} WHERE {col} IS NOT NULL
+),
+{tag}_bounds AS (
+  SELECT MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM {tag}_vals
+),
+{tag}_bvals AS (
+  SELECT v.v,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE least({nb - 1},
+                         CAST(floor((v.v - b.mn) / ({width})) AS INT))
+         END AS bucket
+  FROM {tag}_vals v CROSS JOIN {tag}_bounds b
+),
+{tag}_cum AS (
+  SELECT bucket, cnt, SUM(cnt) OVER (ORDER BY bucket) AS cum
+  FROM (SELECT bucket, COUNT(*) AS cnt FROM {tag}_bvals
+        GROUP BY bucket) _h
+),
+{tag}_qpos AS (
+  SELECT q.q,
+         CAST(ceiling(CAST(q.q AS DOUBLE) * b.n
+                      / CAST(100 AS DOUBLE)) AS BIGINT) AS pos,
+         b.mn, b.mx, b.n
+  FROM (SELECT {' AS q UNION ALL SELECT '.join(str(q) for q in QHIST_QS)}
+          AS q) q
+  CROSS JOIN {tag}_bounds b WHERE b.n > 0
+),
+{tag}_locate AS (
+  -- the target bucket: histogram cumsum brackets the rank position
+  SELECT p.q, p.pos, p.n, p.mn, p.mx, c.bucket,
+         c.cum - c.cnt AS cprev
+  FROM {tag}_qpos p
+  JOIN {tag}_cum c ON c.cum >= p.pos AND c.cum - c.cnt < p.pos
+),
+{tag}_ranked AS (
+  -- exact disc quantile AUDIT TWIN, distributed: the bucket function
+  -- is monotone in v, so global rank = bucket-prefix count + rank
+  -- WITHIN the bucket — per-bucket windows (<= {nb} partitions), not
+  -- a single-partition global sort
+  SELECT v, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY v) AS brn
+  FROM {tag}_bvals
+),
+{tag}_exact AS (
+  SELECT l.q, r.v AS exact_v
+  FROM {tag}_locate l
+  JOIN {tag}_ranked r ON r.bucket = l.bucket
+                     AND r.brn = l.pos - l.cprev
+)"""
+    est_v = (f"(e.mn + CAST(e.bucket AS DOUBLE)"
+             f" * ((e.mx - e.mn) / CAST({nb} AS DOUBLE)))")
+    row = f"""
+SELECT '{colref}' AS col_ref, e.q AS q,
+       CAST(e.n AS BIGINT) AS n_rows,
+       round({est_v}, 6) AS est,
+       round(x.exact_v, 6) AS exact,
+       CAST(CASE WHEN e.mx = e.mn THEN 0
+                 ELSE floor(abs({est_v} - x.exact_v)
+                            * CAST(10000 AS DOUBLE) / (e.mx - e.mn))
+            END AS BIGINT) AS err_span_bp
+FROM {tag}_locate e JOIN {tag}_exact x ON x.q = e.q"""
+    return ctes, row
+
+
+def qhist_quantiles_sql(dialect: str, rel_prefix: str = "") -> str:
+    """Dual-dialect template: 5 quantile rows per tracked column.
+
+    The histogram path is one <= 1024-group shuffle per column plus a
+    1024-row cumulative window; per-partition histograms SUM, so the
+    state merges exactly like the HLL registers. est error is bounded
+    by span/1024 and audited per row in err_span_bp against the exact
+    disc quantile (whose global sort exists only for this audit)."""
+    del dialect  # fully portable
+    ctes, rows = [], []
+    for rel, col, colref in QHIST_TRACKED:
+        tag = f"qh_{rel}"
+        c, r = _qhist_col_block(tag, rel_prefix + rel, col, colref)
+        ctes.append(c)
+        rows.append(r)
+    body = "\nUNION ALL".join(rows)
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT * FROM ({body}) allrows ORDER BY col_ref, q")
+
+
+def sketch_histogram_quantiles(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """1024-bucket equi-width quantile sketch with exact audit twin;
+    see qhist_quantiles_sql."""
+    for rel, _, _ in QHIST_TRACKED:
+        spark.read.parquet(f"{sf_dir}/{rel}.parquet") \
+            .createOrReplaceTempView(f"cpss_qh_{rel}")
+    return spark.sql(qhist_quantiles_sql("spark", rel_prefix="cpss_qh_"))
+
+
+def sketch_histogram_quantiles_oracle_sql() -> str:
+    return qhist_quantiles_sql("duckdb")

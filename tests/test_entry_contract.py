@@ -55,7 +55,7 @@ NEW_LOCAL_ONLY = {
     "events_neighbor_window",
     "sketch_hll_distinct", "bloom_semijoin_filter",
     "dq_constraint_suite", "layout_zorder_stats",
-    "embed_jl_topk",
+    "embed_jl_topk", "sketch_histogram_quantiles",
 }
 
 #: r6's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

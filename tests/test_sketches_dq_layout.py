@@ -175,3 +175,21 @@ def test_zorder_skips_more_than_arrival(spark):
         by_q[q]["zorder"]["buckets_scanned"]
         < by_q[q]["arrival"]["buckets_scanned"]
         for q in tile_qs if q in by_q), "Z-order never beat arrival"
+
+
+# --- Histogram quantile sketch ----------------------------------------------
+
+def test_qhist_error_bound(spark):
+    from catalog_pii_scanner_spark.operators.sketches import (
+        QHIST_BUCKETS, QHIST_QS, QHIST_TRACKED,
+        sketch_histogram_quantiles)
+    rows = [r.asDict()
+            for r in sketch_histogram_quantiles(spark, SF_DIR).collect()]
+    assert len(rows) == len(QHIST_TRACKED) * len(QHIST_QS)
+    max_bp = 10000 // QHIST_BUCKETS + 1
+    for r in rows:
+        # the bucket lower bound can never exceed the true quantile,
+        # and the error is bounded by one bucket width (span/1024)
+        assert r["est"] <= r["exact"] + 1e-6, r
+        assert 0 <= r["err_span_bp"] <= max_bp, r
+        assert r["n_rows"] > 0

@@ -100,6 +100,8 @@ def main() -> int:
          "morton bucketing, one fact shuffle, broadcast probes"),
         ("embed_jl_topk",
          "JL projection shortlist + shortlist-only exact re-rank"),
+        ("sketch_histogram_quantiles",
+         "1024-bucket mergeable histogram + tiny cumulative window"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
