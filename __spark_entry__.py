@@ -53,7 +53,12 @@ from catalog_pii_scanner_spark.sources.sampler import (
 from catalog_pii_scanner_spark.operators.sketches import (
     sketch_hll_distinct, sketch_hll_distinct_oracle_sql,
     bloom_semijoin_filter, bloom_semijoin_oracle_sql,
-    sketch_histogram_quantiles, sketch_histogram_quantiles_oracle_sql)
+    sketch_histogram_quantiles, sketch_histogram_quantiles_oracle_sql,
+    hll_sketch_only_sql)
+
+
+def sketches_hll_sketch_only_oracle() -> str:
+    return hll_sketch_only_sql("duckdb")
 from catalog_pii_scanner_spark.operators.dq import (
     dq_constraint_suite, dq_constraint_oracle_sql)
 from catalog_pii_scanner_spark.operators.layout import (
@@ -69,6 +74,7 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_sessions_oracle_sql, events_sessions_salted,
     stream_dedup_events, stream_dedup_keep_list,
     stream_phash_keep_list, stream_quality_classifier,
+    stream_hll_distinct,
     events_neighbor_window, events_neighbor_window_oracle_sql,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
     stream_events_hourly, stream_events_hourly_oracle_sql,
@@ -623,6 +629,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # err_span_bp audit vs the exact disc quantile.
         # NEW_LOCAL_ONLY (fronts in r8).
         "sketch_histogram_quantiles": sketch_histogram_quantiles,
+        # the HLL sketch as a streaming drain: per-batch register
+        # spool + one MAX-merge compaction, bit-identical to batch.
+        # NEW_LOCAL_ONLY (fronts in r8).
+        "stream_hll_distinct": stream_hll_distinct,
     }
 
 
@@ -801,6 +811,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_jl_topk": simsearch.jl_topk_sql("duckdb"),
         "sketch_histogram_quantiles":
             sketch_histogram_quantiles_oracle_sql(),
+        # the streaming drain's oracle is the batch sketch-only
+        # template (no exact twin: the stream never spools values)
+        "stream_hll_distinct": sketches_hll_sketch_only_oracle(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

@@ -81,12 +81,25 @@ def _str_type(dialect: str) -> str:
     return "VARCHAR" if dialect == "duckdb" else "STRING"
 
 
-def _hll_col_block(dialect: str, tag: str, rel: str, colexpr: str,
-                   notnull: str, colref: str) -> tuple[str, str]:
-    """CTE block + final-row SELECT for one tracked column."""
+def _hll_est_expr(z_alias: str) -> str:
+    """The shared raw-HLL estimator over a (z_scaled, filled) row —
+    ONE definition so the batch sketch, the sketch-only template and
+    the streaming compaction finalize bit-identically."""
+    m = HLL_M
+    return (f"CASE WHEN {z_alias}.filled = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(floor((({HLL_ALPHA_64} * CAST({m * m} AS DOUBLE))"
+            f" * CAST({_Z_ONE} AS DOUBLE))"
+            f" / CAST({z_alias}.z_scaled AS DOUBLE))"
+            f" AS BIGINT) END")
+
+
+def _hll_reg_ctes(tag: str, rel: str, colexpr: str,
+                  notnull: str) -> str:
+    """vals -> digit split -> rho -> per-register max, shared by the
+    batch template and the streaming per-batch extraction."""
     m = HLL_M
     hexd = lambda e: f"(instr({_HEX}, {e}) - 1)"
-    ctes = f"""
+    return f"""
 {tag}_vals AS (
   SELECT {colexpr} AS v FROM {rel} WHERE {notnull} IS NOT NULL
 ),
@@ -113,7 +126,14 @@ def _hll_col_block(dialect: str, tag: str, rel: str, colexpr: str,
 ),
 {tag}_regs AS (
   SELECT register, MAX(rho) AS mrho FROM {tag}_r GROUP BY register
-),
+)"""
+
+
+def _hll_col_block(dialect: str, tag: str, rel: str, colexpr: str,
+                   notnull: str, colref: str) -> tuple[str, str]:
+    """CTE block + final-row SELECT for one tracked column."""
+    m = HLL_M
+    ctes = f"""{_hll_reg_ctes(tag, rel, colexpr, notnull)},
 {tag}_z AS (
   SELECT COALESCE(SUM({_shift1(dialect, '49 - mrho')}), CAST(0 AS BIGINT))
            + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
@@ -123,10 +143,7 @@ def _hll_col_block(dialect: str, tag: str, rel: str, colexpr: str,
 {tag}_ex AS (
   SELECT COUNT(DISTINCT v) AS exact_d FROM {tag}_vals
 )"""
-    est = (f"CASE WHEN z.filled = 0 THEN CAST(0 AS BIGINT) "
-           f"ELSE CAST(floor((({HLL_ALPHA_64} * CAST({m * m} AS DOUBLE))"
-           f" * CAST({_Z_ONE} AS DOUBLE)) / CAST(z.z_scaled AS DOUBLE))"
-           f" AS BIGINT) END")
+    est = _hll_est_expr("z")
     row = f"""
 SELECT '{colref}' AS col_ref, {m} AS m,
        CAST({m} - z.filled AS BIGINT) AS v_zero,
@@ -403,3 +420,87 @@ def sketch_histogram_quantiles(spark: SparkSession,
 
 def sketch_histogram_quantiles_oracle_sql() -> str:
     return qhist_quantiles_sql("duckdb")
+
+
+# --- Streaming HLL support ---------------------------------------------------
+
+#: The streaming drain tracks two events columns (one high-cardinality
+#: key per row, one mid-cardinality dimension) — a single-table stream
+#: with both estimate regimes visible.
+HLL_STREAM_TRACKED = (
+    ("events", "CAST(event_id AS {STR})", "event_id",
+     "events.event_id"),
+    ("events", "CAST(user_id AS {STR})", "user_id", "events.user_id"),
+)
+
+
+def hll_register_rows_sql(dialect: str, rel: str,
+                          tracked=HLL_STREAM_TRACKED) -> str:
+    """(col_ref, register, mrho) rows for one slice of ``rel`` — the
+    per-microbatch spool extraction. MAX(rho) is associative and
+    commutative, so spooled slices merge to exactly the batch
+    registers regardless of how files split into microbatches."""
+    str_t = _str_type(dialect)
+    ctes, rows = [], []
+    for i, (_, colexpr, notnull, colref) in enumerate(tracked):
+        tag = f"s{i}"
+        ctes.append(_hll_reg_ctes(tag, rel, colexpr.format(STR=str_t),
+                                  notnull))
+        rows.append(f"SELECT '{colref}' AS col_ref, register, mrho"
+                    f" FROM {tag}_regs")
+    body = "\nUNION ALL\n".join(rows)
+    return f"WITH {','.join(ctes)}\n{body}"
+
+
+def hll_finalize_sql(dialect: str, regs_rel: str,
+                     tracked=HLL_STREAM_TRACKED) -> str:
+    """Merged registers -> one sketch row per col_ref: the compaction
+    finalize. Uses the SAME estimator expression as the batch
+    template, so a drained stream is bit-identical to the batch
+    sketch."""
+    del dialect
+    m = HLL_M
+    refs = ", ".join(f"'{colref}'" for _, _, _, colref in tracked)
+    return f"""
+WITH merged AS (
+  SELECT col_ref, register, MAX(mrho) AS mrho
+  FROM {regs_rel} GROUP BY col_ref, register
+),
+z AS (
+  SELECT col_ref,
+         COALESCE(SUM({{shift}}), CAST(0 AS BIGINT))
+           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
+         COUNT(*) AS filled
+  FROM merged GROUP BY col_ref
+)
+SELECT z.col_ref, {m} AS m,
+       CAST({m} - z.filled AS BIGINT) AS v_zero,
+       z.z_scaled AS z_scaled,
+       {{est}} AS est_distinct
+FROM z WHERE z.col_ref IN ({refs})
+ORDER BY z.col_ref
+"""
+
+
+def hll_finalize_rendered(dialect: str, regs_rel: str,
+                          tracked=HLL_STREAM_TRACKED) -> str:
+    tmpl = hll_finalize_sql(dialect, regs_rel, tracked)
+    return tmpl.format(shift=_shift1(dialect, "49 - mrho"),
+                       est=_hll_est_expr("z"))
+
+
+def hll_sketch_only_sql(dialect: str, rel_prefix: str = "",
+                        tracked=HLL_STREAM_TRACKED,
+                        rel: str | None = None) -> str:
+    """Batch oracle for the STREAMING drain: the sketch columns only
+    (no exact twin — the stream never spools raw values, which is the
+    whole point of a mergeable sketch), composed from the same
+    register extraction + finalize the drain runs."""
+    if rel is None:
+        rel = rel_prefix + tracked[0][0]
+    inner = hll_register_rows_sql(dialect, rel, tracked)
+    fin = hll_finalize_rendered(dialect, "regs_all", tracked).lstrip("\n")
+    assert fin.startswith("WITH merged")
+    # splice the extraction in as the first CTE of the finalize query
+    return fin.replace("WITH merged",
+                       f"WITH regs_all AS (\n{inner}\n), merged", 1)

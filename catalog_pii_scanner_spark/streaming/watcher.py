@@ -1121,3 +1121,59 @@ LEFT JOIN {events_rel} n
 WHERE e.user_id IS NOT NULL AND e.ts IS NOT NULL
 GROUP BY e.event_id, e.user_id
 """
+
+
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL distinct sketch as a Structured Streaming drain: each
+    events microbatch extracts its own (col_ref, register, mrho) rows
+    — the per-slice sketch — into a spool, and ONE compaction merges
+    registers by MAX and finalizes with the exact estimator expression
+    the batch template uses (operators.sketches._hll_est_expr).
+
+    MAX over registers is associative, commutative and idempotent, so
+    the drained result is BIT-identical to the batch sketch no matter
+    how the files split into microbatches (asserted in
+    tests/test_streaming.py) — this is the mergeable-sketch property
+    that lets a 100 TB ingest keep running distinct counts without
+    ever spooling raw values: per-batch state is <= 64 rows per
+    column, and the compaction shuffles only registers.
+
+    Shares ``hll_sketch_only_sql``'s oracle (sketch columns, no exact
+    twin — the stream never sees the full value set, by design).
+
+    Output: col_ref, m, v_zero, z_scaled, est_distinct."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import (hll_finalize_rendered,
+                                      hll_register_rows_sql)
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    spool = tempfile.mkdtemp(prefix="cpss_stream_hll_spool_")
+    ckpt = tempfile.mkdtemp(prefix="cpss_stream_hll_ckpt_")
+    src = _single_file_glob(path) if os.path.isfile(path) else path
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src))
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        view = f"cpss_hll_batch_{batch_id}"
+        bdf.createOrReplaceTempView(view)
+        (bdf.sparkSession.sql(hll_register_rows_sql("spark", view))
+         .write.mode("append").parquet(spool))
+
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        spark.read.parquet(spool) \
+            .createOrReplaceTempView("cpss_hll_spool")
+        out = spark.sql(
+            hll_finalize_rendered("spark", "cpss_hll_spool")) \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

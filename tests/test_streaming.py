@@ -423,3 +423,32 @@ def test_stream_quality_classifier_matches_batch(spark, tmp_path, sf_dir):
     stream = sorted(map(tuple,
                         stream_quality_classifier(spark, d).collect()))
     assert batch and batch == stream
+
+
+def test_stream_hll_distinct_matches_batch_across_microbatches(
+        spark, tmp_path, sf_dir):
+    """The streaming HLL drain must be BIT-identical to the batch
+    sketch regardless of how rows split into microbatches (register
+    MAX is associative/commutative/idempotent): the events table is
+    striped into 12 files (maxFilesPerTrigger=4 -> >= 2 microbatches)
+    so every register accumulates across batches."""
+    from catalog_pii_scanner_spark.operators.sketches import (
+        hll_sketch_only_sql)
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_hll_distinct)
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = str(tmp_path)
+    (events.repartition(12, F.pmod(F.col("event_id"), F.lit(12)))
+     .write.mode("overwrite").parquet(f"{d}/events.parquet"))
+    import glob
+    assert len(glob.glob(f"{d}/events.parquet/part-*")) >= 5
+
+    spark.read.parquet(f"{d}/events.parquet") \
+        .createOrReplaceTempView("cpss_hll_batch_twin")
+    batch = sorted(map(tuple, spark.sql(
+        hll_sketch_only_sql("spark", rel="cpss_hll_batch_twin")
+    ).collect()))
+    stream = sorted(map(tuple, stream_hll_distinct(spark, d).collect()))
+    assert batch and batch == stream

@@ -102,6 +102,8 @@ def main() -> int:
          "JL projection shortlist + shortlist-only exact re-rank"),
         ("sketch_histogram_quantiles",
          "1024-bucket mergeable histogram + tiny cumulative window"),
+        ("stream_hll_distinct",
+         "per-batch register spool + MAX-merge compaction"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
