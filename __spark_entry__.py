@@ -60,7 +60,8 @@ from catalog_pii_scanner_spark.operators.sketches import (
 def sketches_hll_sketch_only_oracle() -> str:
     return hll_sketch_only_sql("duckdb")
 from catalog_pii_scanner_spark.operators.dq import (
-    dq_constraint_suite, dq_constraint_oracle_sql)
+    dq_constraint_suite, dq_constraint_oracle_sql,
+    dq_anomaly_days, dq_anomaly_oracle_sql)
 from catalog_pii_scanner_spark.operators.layout import (
     layout_zorder_stats, layout_zorder_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
@@ -308,11 +309,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: query's driver row ages past 2 rounds. Positions 51+ = the 50
 #: r6-driver-green entries (function bodies untouched this round; two
 #: documented non-behavioral exceptions pinned by
-#: tests/test_entry_contract.py) + the FOUR queries added past the
+#: tests/test_entry_contract.py) + the TWELVE queries added past the
 #: full front this round (stream_phash_keep_list, corpus_cdc_dedup,
-#: embed_semdedup_keep_list, stream_quality_classifier), declared
-#: NEW_LOCAL_ONLY (full local verification — gate + all three sweeps —
-#: and machine-checked to front in r8).
+#: embed_semdedup_keep_list, stream_quality_classifier,
+#: events_neighbor_window, then the sketch/DQ/layout family:
+#: sketch_hll_distinct, sketch_histogram_quantiles,
+#: bloom_semijoin_filter, dq_constraint_suite, layout_zorder_stats,
+#: embed_jl_topk, stream_hll_distinct), declared NEW_LOCAL_ONLY (full
+#: local verification — gate + all three sweeps — and machine-checked
+#: to front in r8).
 #: The FULL set is verified every session by tools/selfcheck.py
 #: (committed as CORRECTNESS_LOCAL_r07.json), tools/edge_sweep.py, and
 #: the scaling sweeps in PERF.md.
@@ -633,6 +638,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spool + one MAX-merge compaction, bit-identical to batch.
         # NEW_LOCAL_ONLY (fronts in r8).
         "stream_hll_distinct": stream_hll_distinct,
+        # per-day drift report vs the global baseline (the Deequ
+        # anomaly analog; detection proven by an injected-drift
+        # test). NEW_LOCAL_ONLY (fronts in r8).
+        "dq_anomaly_days": dq_anomaly_days,
     }
 
 
@@ -814,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming drain's oracle is the batch sketch-only
         # template (no exact twin: the stream never spools values)
         "stream_hll_distinct": sketches_hll_sketch_only_oracle(),
+        "dq_anomaly_days": dq_anomaly_oracle_sql(),
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),

@@ -146,3 +146,79 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dq_constraint_oracle_sql() -> str:
     return dq_constraint_sql("duckdb")
+
+
+# --- Anomaly detection vs baseline (the Deequ anomaly analog) ---------------
+
+#: z-score threshold for flagging a day's mean against the global
+#: baseline (standard-error scaled: |dmean - gmean| * sqrt(dn) > 3 *
+#: gstd flags a day whose mean is implausible under the global
+#: distribution at its own sample size).
+DQ_ANOMALY_Z = 3
+
+
+def dq_anomaly_days_sql(dialect: str, rel_prefix: str = "") -> str:
+    """Per-day drift detection over events.value: daily mean vs the
+    global baseline, z-scored by the day's standard error.
+
+    All moments accumulate in DECIMAL (exact; the events_hourly
+    discipline), converted to doubles only for the final mean /
+    variance / sqrt — IEEE correctly-rounded ops on identical
+    operands, so the z column and the flag agree across engines (the
+    acknowledged 1e-6 rounding-boundary caveat applies to z's 6-digit
+    rounding only, never the flag, which compares unrounded doubles
+    computed identically).
+
+    Scale shape: ONE keyed aggregation (day grain — bounded by the
+    calendar, not the data), a one-row global reduce over the daily
+    relation, and a broadcast join back. Output: day, n, mean_value,
+    z, flagged."""
+    del dialect  # portable
+    dec = "CAST(value AS DECIMAL(18,2))"
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n,
+         SUM({dec}) AS s,
+         SUM({dec} * {dec}) AS ss
+  FROM {rel_prefix}events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+),
+gstats AS (
+  SELECT SUM(n) AS gn, SUM(s) AS gs, SUM(ss) AS gss FROM daily
+),
+scored AS (
+  SELECT d.day, d.n,
+         CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE) AS dmean,
+         CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE) AS gmean,
+         (CAST(g.gss AS DOUBLE) / CAST(g.gn AS DOUBLE))
+           - (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE))
+             * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)) AS gvar
+  FROM daily d CROSS JOIN gstats g
+)
+SELECT day, CAST(n AS BIGINT) AS n,
+       round(dmean, 6) AS mean_value,
+       CASE WHEN gvar <= 0 THEN CAST(0 AS DOUBLE)
+            ELSE round((dmean - gmean) / sqrt(gvar / CAST(n AS DOUBLE)), 6)
+       END AS z,
+       CASE WHEN gvar > 0 AND
+                 abs(dmean - gmean) > {DQ_ANOMALY_Z} *
+                 sqrt(gvar / CAST(n AS DOUBLE))
+            THEN 1 ELSE 0 END AS flagged
+FROM scored
+ORDER BY day
+"""
+
+
+def dq_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily drift report; see dq_anomaly_days_sql."""
+    from ..sources.melt import read_table
+    read_table(spark, sf_dir, "events") \
+        .createOrReplaceTempView("cpss_dq_anom_events")
+    return spark.sql(dq_anomaly_days_sql("spark",
+                                         rel_prefix="cpss_dq_anom_"))
+
+
+def dq_anomaly_oracle_sql() -> str:
+    return dq_anomaly_days_sql("duckdb")

@@ -56,7 +56,7 @@ NEW_LOCAL_ONLY = {
     "sketch_hll_distinct", "bloom_semijoin_filter",
     "dq_constraint_suite", "layout_zorder_stats",
     "embed_jl_topk", "sketch_histogram_quantiles",
-    "stream_hll_distinct",
+    "stream_hll_distinct", "dq_anomaly_days",
 }
 
 #: r6's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

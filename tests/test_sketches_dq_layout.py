@@ -193,3 +193,30 @@ def test_qhist_error_bound(spark):
         assert r["est"] <= r["exact"] + 1e-6, r
         assert 0 <= r["err_span_bp"] <= max_bp, r
         assert r["n_rows"] > 0
+
+
+# --- Daily anomaly detection -------------------------------------------------
+
+def test_dq_anomaly_fires_on_injected_drift(spark, tmp_path, sf_dir):
+    """The stationary synthetic corpus flags nothing (asserted), and a
+    3x value drift injected into one day MUST fire — detection proven,
+    not assumed."""
+    from pyspark.sql import functions as F
+    from catalog_pii_scanner_spark.operators.dq import dq_anomaly_days
+
+    base = dq_anomaly_days(spark, sf_dir).collect()
+    assert base and all(r.flagged == 0 for r in base)
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    drift_day = base[3].day
+    (events.withColumn(
+        "value",
+        F.when(F.date_trunc("day", F.col("ts")) == F.lit(drift_day),
+               F.col("value") * 3).otherwise(F.col("value")))
+     .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet"))
+    drifted = {r.day: r for r in
+               dq_anomaly_days(spark, str(tmp_path)).collect()}
+    assert drifted[drift_day].flagged == 1, drifted[drift_day]
+    # the drifted day is the outlier, not a global false-alarm storm
+    n_flagged = sum(r.flagged for r in drifted.values())
+    assert n_flagged <= max(1, len(drifted) // 10)

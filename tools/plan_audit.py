@@ -104,6 +104,8 @@ def main() -> int:
          "1024-bucket mergeable histogram + tiny cumulative window"),
         ("stream_hll_distinct",
          "per-batch register spool + MAX-merge compaction"),
+        ("dq_anomaly_days",
+         "day-grain agg + one-row baseline broadcast"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
