@@ -309,15 +309,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: query's driver row ages past 2 rounds. Positions 51+ = the 50
 #: r6-driver-green entries (function bodies untouched this round; two
 #: documented non-behavioral exceptions pinned by
-#: tests/test_entry_contract.py) + the TWELVE queries added past the
+#: tests/test_entry_contract.py) + the THIRTEEN queries added past the
 #: full front this round (stream_phash_keep_list, corpus_cdc_dedup,
 #: embed_semdedup_keep_list, stream_quality_classifier,
 #: events_neighbor_window, then the sketch/DQ/layout family:
 #: sketch_hll_distinct, sketch_histogram_quantiles,
-#: bloom_semijoin_filter, dq_constraint_suite, layout_zorder_stats,
-#: embed_jl_topk, stream_hll_distinct), declared NEW_LOCAL_ONLY (full
-#: local verification — gate + all three sweeps — and machine-checked
-#: to front in r8).
+#: bloom_semijoin_filter, dq_constraint_suite, dq_anomaly_days,
+#: layout_zorder_stats, embed_jl_topk, stream_hll_distinct), declared
+#: NEW_LOCAL_ONLY (full local verification — gate + all three sweeps —
+#: and machine-checked to front in r8).
 #: The FULL set is verified every session by tools/selfcheck.py
 #: (committed as CORRECTNESS_LOCAL_r07.json), tools/edge_sweep.py, and
 #: the scaling sweeps in PERF.md.
