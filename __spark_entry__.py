@@ -54,7 +54,9 @@ from catalog_pii_scanner_spark.operators.sketches import (
     sketch_hll_distinct, sketch_hll_distinct_oracle_sql,
     bloom_semijoin_filter, bloom_semijoin_oracle_sql,
     sketch_histogram_quantiles, sketch_histogram_quantiles_oracle_sql,
-    hll_sketch_only_sql)
+    hll_sketch_only_sql,
+    sketch_cms_heavy_hitters, sketch_cms_oracle_sql, cms_counters_sql,
+    sketch_hll_union, sketch_hll_union_oracle_sql)
 
 
 def sketches_hll_sketch_only_oracle() -> str:
@@ -63,7 +65,8 @@ from catalog_pii_scanner_spark.operators.dq import (
     dq_constraint_suite, dq_constraint_oracle_sql,
     dq_anomaly_days, dq_anomaly_oracle_sql)
 from catalog_pii_scanner_spark.operators.layout import (
-    layout_zorder_stats, layout_zorder_oracle_sql)
+    layout_zorder_stats, layout_zorder_oracle_sql,
+    layout_compaction_plan, layout_compaction_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
     events_hourly, events_hourly_oracle_sql, events_props_stats,
     events_props_stats_oracle_sql, events_sessions,
@@ -75,7 +78,7 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_sessions_oracle_sql, events_sessions_salted,
     stream_dedup_events, stream_dedup_keep_list,
     stream_phash_keep_list, stream_quality_classifier,
-    stream_hll_distinct,
+    stream_hll_distinct, stream_cms_counters,
     events_neighbor_window, events_neighbor_window_oracle_sql,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
     stream_events_hourly, stream_events_hourly_oracle_sql,
@@ -646,6 +649,31 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anomaly analog; detection proven by an injected-drift
         # test). NEW_LOCAL_ONLY (fronts in r8).
         "dq_anomaly_days": dq_anomaly_days,
+        # --- NEW in r8, registered past position 50 --------------------
+        # The front 50 was exactly consumed by the rotation (13 promised
+        # NEW_LOCAL_ONLY + 37 r6-aged), so these carry LOCAL verification
+        # only this round (CORRECTNESS_LOCAL_r08, edge sweeps, pytest)
+        # and MUST front in r9 — declared in tests/test_entry_contract.py.
+        # CCNet-style boilerplate removal: segment hash -> corpus-wide
+        # doc frequency -> keep-first verdict, one md5-keyed shuffle.
+        "corpus_line_dedup": corpus.line_dedup,
+        # fuzzy (MinHash-LSH) benchmark decontamination: the dedup band
+        # machinery pointed across train/bench instead of at itself;
+        # bench side broadcasts, no train self-join anywhere.
+        "corpus_minhash_decontaminate": corpus.minhash_decontaminate,
+        # Count-Min heavy hitters with the exact audit twin: fixed
+        # 4x1024 SUM-mergeable counter state, the frequency analog of
+        # the HLL register table.
+        "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+        # the CMS counter state as a streaming drain: per-batch partial
+        # counters + one SUM-merge compaction, bit-identical to batch.
+        "stream_cms_counters": stream_cms_counters,
+        # disjoint-slice HLL sketches merged by register MAX — the
+        # never-rescan union property, with exact audit per part.
+        "sketch_hll_union": sketch_hll_union,
+        # next-fit small-file compaction planner: one window pass over
+        # the per-partition file inventory, the OPTIMIZE-planning shape.
+        "layout_compaction_plan": layout_compaction_plan,
     }
 
 
@@ -831,4 +859,14 @@ def oracle_sql() -> dict[str, str]:
         "eval_greedy_metrics": eval_metrics_oracle_sql(),
         "pii_repeated_spans": repeated_span_oracle_sql(),
         "eval_trained_metrics": eval_trained_oracle_sql(),
+        # --- r8 NEW_LOCAL_ONLY ------------------------------------------
+        "corpus_line_dedup": corpus.line_dedup_oracle_sql(),
+        "corpus_minhash_decontaminate":
+            corpus.minhash_decontaminate_oracle_sql(),
+        "sketch_cms_heavy_hitters": sketch_cms_oracle_sql(),
+        # the streaming drain's oracle is the batch counter state (no
+        # candidate probe: the stream never sees an exact vocabulary)
+        "stream_cms_counters": cms_counters_sql("duckdb"),
+        "sketch_hll_union": sketch_hll_union_oracle_sql(),
+        "layout_compaction_plan": layout_compaction_oracle_sql(),
     }

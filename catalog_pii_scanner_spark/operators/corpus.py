@@ -1240,3 +1240,259 @@ def cdc_dedup(spark, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("cpss_documents")
     return spark.sql(cdc_dedup_sql("spark", "cpss_documents"))
+
+
+# --- line-level (segment) dedup: CCNet-style boilerplate removal ------------
+#
+# CCNet (Wenzek et al. 2020) dedups at PARAGRAPH granularity: hash each
+# paragraph, count how many documents carry it corpus-wide, and drop
+# repeated paragraphs everywhere but their first occurrence. The
+# synthetic corpus has no newlines, so the "line" here is a fixed
+# non-overlapping LINE_SEG_TOKENS-token segment — the same plumbing
+# (segment hash -> corpus-wide document frequency -> keep-first
+# verdict) over the only segmentation this corpus admits; a real crawl
+# corpus would swap the segmenter for split-on-newline and change
+# nothing else.
+#
+# 100 TB shape: segmentation is doc-local (the zero-shuffle chunker
+# above with stride == size); the document-frequency pass is ONE
+# md5-keyed shuffle with map-side partial aggregation; the verdict
+# joins segments back on the same segment-hash key (no extra exchange
+# past the join) and the per-doc rollup keys on doc_id. The
+# MAX_SHINGLE_TOKENS cap bounds the widest document in every stage.
+
+#: Non-overlapping segment width (the pseudo-"line").
+LINE_SEG_TOKENS = 16
+#: A segment is boilerplate when >= this many DISTINCT documents carry
+#: it; the min-doc_id carrier keeps its copy (keep-first semantics).
+LINE_DUP_MIN_DOCS = 2
+#: Segments shorter than this are never dropped: a short trailing
+#: segment ("query") collides across documents by chance, not by
+#: boilerplate — the analog of CCNet's minimum paragraph length.
+LINE_SEG_MIN_TOKENS = 8
+
+
+def line_dedup_docs(docs: DataFrame, seg: int = LINE_SEG_TOKENS,
+                    min_docs: int = LINE_DUP_MIN_DOCS,
+                    min_tokens: int = LINE_SEG_MIN_TOKENS) -> DataFrame:
+    """Per-document line-dedup verdict: (doc_id, n_segments, n_dropped,
+    kept_tokens, dropped_tokens). A segment occurrence is dropped when
+    it has >= ``min_tokens`` tokens (short-trailing-segment chance
+    collisions are not boilerplate), its hash appears in >=
+    ``min_docs`` distinct documents, AND this doc is not the
+    minimum-doc_id carrier (keep-first). Verdicts are at doc
+    granularity: a segment repeated WITHIN one document is kept or
+    dropped as a whole (no within-doc position tiebreak — vanishingly
+    rare at 16-token width and irrelevant to the cross-doc boilerplate
+    this operator targets). Docs that emit no segments (NULL/empty
+    text) report all-zero counts."""
+    segs = (chunk_overlap_docs(docs, size=seg, stride=seg)
+            .select("doc_id", "n_tokens",
+                    F.md5("chunk_text").alias("seg_hash")))
+    freq = (segs.select("doc_id", "seg_hash").distinct()
+            .groupBy("seg_hash")
+            .agg(F.count("*").alias("df"),
+                 F.min("doc_id").alias("keeper")))
+    judged = (segs.join(freq, "seg_hash")
+              .withColumn("dropped",
+                          (F.col("n_tokens") >= min_tokens)
+                          & (F.col("df") >= min_docs)
+                          & (F.col("doc_id") != F.col("keeper"))))
+    per_doc = (judged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
+        F.sum(F.when(~F.col("dropped"), F.col("n_tokens"))
+              .otherwise(F.lit(0))).alias("kept_tokens"),
+        F.sum(F.when(F.col("dropped"), F.col("n_tokens"))
+              .otherwise(F.lit(0))).alias("dropped_tokens")))
+    z = F.lit(0).cast("bigint")
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_segments", z).alias("n_segments"),
+                    F.coalesce("n_dropped", z).alias("n_dropped"),
+                    F.coalesce("kept_tokens", z).alias("kept_tokens"),
+                    F.coalesce("dropped_tokens", z)
+                    .alias("dropped_tokens")))
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup_docs(_docs(spark, sf_dir))
+
+
+def line_dedup_oracle_sql(docs_rel: str = "documents",
+                          seg: int = LINE_SEG_TOKENS,
+                          min_docs: int = LINE_DUP_MIN_DOCS,
+                          min_tokens: int = LINE_SEG_MIN_TOKENS) -> str:
+    chunks = chunk_overlap_oracle_sql(docs_rel, size=seg, stride=seg)
+    return f"""
+WITH segs AS (
+  SELECT doc_id, n_tokens, md5(chunk_text) AS seg_hash
+  FROM ({chunks}) _c
+),
+freq AS (
+  SELECT seg_hash, COUNT(*) AS df, MIN(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, seg_hash FROM segs) _d
+  GROUP BY seg_hash
+),
+judged AS (
+  SELECT s.doc_id, s.n_tokens,
+         (s.n_tokens >= {min_tokens} AND f.df >= {min_docs}
+          AND s.doc_id <> f.keeper) AS dropped
+  FROM segs s JOIN freq f USING (seg_hash)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_segments,
+         SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped,
+         SUM(CASE WHEN dropped THEN 0 ELSE n_tokens END) AS kept_tokens,
+         SUM(CASE WHEN dropped THEN n_tokens ELSE 0 END)
+           AS dropped_tokens
+  FROM judged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(p.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(COALESCE(p.dropped_tokens, 0) AS BIGINT) AS dropped_tokens
+FROM {docs_rel} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+# --- fuzzy (MinHash) benchmark decontamination -------------------------------
+#
+# The exact 13-gram pass above misses PARAPHRASED leakage: an eval item
+# lightly reworded into the training set shares no 13-gram but keeps
+# high shingle-set Jaccard. This is the standard MinHash-LSH
+# decontamination sweep (the dedup.py machinery pointed across two
+# corpora instead of at itself): signatures and band keys are doc-local
+# and computed once; candidates come from banded collisions between
+# TRAINING docs and the benchmark set; exact Jaccard verifies.
+#
+# 100 TB shape: the benchmark side (a fixed eval suite) is tiny and
+# static at any corpus scale, so its band rows broadcast — candidate
+# volume per band key is |train bucket| x |bench bucket|, LINEAR in the
+# corpus because the bench factor is bounded; there is no train-side
+# self-join anywhere. The verify join touches only candidate docs'
+# shingles.
+
+#: Exact-Jaccard threshold for a contaminated verdict (shares the LSH
+#: family's 0.5 near-dup operating point).
+MINHASH_DECON_T = 0.5
+
+
+def minhash_decontaminate_docs(docs: DataFrame,
+                               bench_mod: int = DECON_BENCH_MOD,
+                               threshold: float = MINHASH_DECON_T
+                               ) -> DataFrame:
+    """Per-TRAINING-doc fuzzy-contamination verdict: (doc_id,
+    n_bench_hits, max_jaccard, contaminated). n_bench_hits counts
+    benchmark docs with verified Jaccard >= threshold; max_jaccard is
+    0.0 for clean docs (rounded 1e-6 after the max, exact integer
+    division in IEEE doubles before it — cross-engine stable)."""
+    from .dedup import (_signatures_from_shingles, band_keys,
+                        shingles_from_docs)
+    from ..plans.cache import checkpoint_release
+
+    shingles = shingles_from_docs(docs).persist()
+    bands = band_keys(_signatures_from_shingles(shingles))
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    cand = (bands.where(~is_bench).alias("t")
+            .join(F.broadcast(bands.where(is_bench).alias("b")),
+                  ["band", "band_key"])
+            .select(F.col("t.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("bench_id"))
+            .distinct())
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (cand.alias("c")
+             .join(shingles.alias("sa"),
+                   F.col("sa.doc_id") == F.col("c.doc_id"))
+             .join(shingles.alias("sb"),
+                   (F.col("sb.doc_id") == F.col("c.bench_id"))
+                   & (F.col("sb.shingle") == F.col("sa.shingle")))
+             .groupBy(F.col("c.doc_id").alias("doc_id"),
+                      F.col("c.bench_id").alias("bench_id"))
+             .agg(F.count("*").alias("n_common")))
+    jac = (inter.alias("i")
+           .join(sizes.alias("za"),
+                 F.col("za.doc_id") == F.col("i.doc_id"))
+           .join(sizes.alias("zb"),
+                 F.col("zb.doc_id") == F.col("i.bench_id"))
+           .select(F.col("i.doc_id").alias("doc_id"),
+                   (F.col("i.n_common")
+                    / (F.col("za.n") + F.col("zb.n")
+                       - F.col("i.n_common")).cast("double"))
+                   .alias("jaccard"))
+           .where(F.col("jaccard") >= threshold))
+    hits = (jac.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bench_hits"),
+                 F.round(F.max("jaccard"), 6).alias("max_jaccard")))
+    z = F.lit(0).cast("bigint")
+    out = (docs.where(~is_bench).select("doc_id")
+           .join(hits, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_bench_hits", z).alias("n_bench_hits"),
+                   F.coalesce("max_jaccard", F.lit(0.0))
+                   .alias("max_jaccard"),
+                   (F.coalesce("n_bench_hits", z) > 0)
+                   .alias("contaminated")))
+    return checkpoint_release(out, shingles)
+
+
+def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_decontaminate_docs(_docs(spark, sf_dir))
+
+
+def minhash_decontaminate_oracle_sql(docs_rel: str = "documents",
+                                     bench_mod: int = DECON_BENCH_MOD,
+                                     threshold: float = MINHASH_DECON_T
+                                     ) -> str:
+    from .dedup import (NUM_BANDS, NUM_HASHES, ROWS_PER_BAND,
+                        _doc_shingles_cte)
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs"
+        .format(b=b, key=" || ".join(
+            f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)))
+        for b in range(NUM_BANDS))
+    mins = ", ".join(f"MIN(md5('{h}:' || shingle)) AS mh{h}"
+                     for h in range(NUM_HASHES))
+    return f"""
+WITH {_doc_shingles_cte("duckdb", docs_rel)},
+sigs AS (
+  SELECT doc_id, {mins} FROM doc_shingles GROUP BY doc_id
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+  FROM bands t JOIN bands b
+    ON t.band = b.band AND t.band_key = b.band_key
+  WHERE t.doc_id % {bench_mod} <> 0 AND b.doc_id % {bench_mod} = 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id, c.bench_id, COUNT(*) AS n_common
+  FROM cand c
+  JOIN doc_shingles sa ON sa.doc_id = c.doc_id
+  JOIN doc_shingles sb ON sb.doc_id = c.bench_id
+                      AND sb.shingle = sa.shingle
+  GROUP BY c.doc_id, c.bench_id
+),
+jac AS (
+  SELECT i.doc_id,
+         i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_id
+  JOIN sizes zb ON zb.doc_id = i.bench_id
+  WHERE i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE)
+        >= {threshold}
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_bench_hits,
+         round(MAX(jaccard), 6) AS max_jaccard
+  FROM jac GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+       COALESCE(h.max_jaccard, 0.0) AS max_jaccard,
+       COALESCE(h.n_bench_hits, 0) > 0 AS contaminated
+FROM {docs_rel} d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {bench_mod} <> 0
+"""

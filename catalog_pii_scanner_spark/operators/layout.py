@@ -171,3 +171,83 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def layout_zorder_oracle_sql() -> str:
     return zorder_stats_sql("duckdb")
+
+
+# --- small-file compaction planner -------------------------------------------
+#
+# The other half of the layout story: a 100 TB table accumulates
+# millions of small files (streaming ingest, per-executor writes), and
+# a table-format OPTIMIZE/compaction job first PLANS — group input
+# files into output bins of ~target size, per table partition — before
+# any data moves. The plan itself is pure metadata arithmetic over the
+# file inventory (path, partition, bytes), which at scale is millions
+# of rows, not bytes of data: exactly a window-function job.
+#
+# Bin assignment is deterministic next-fit over the partition's files
+# in file-id order: a file joins bin floor(cum_bytes_before / target).
+# A file straddling a boundary lands in the bin its first byte falls
+# in, so a bin can overflow by at most one file — the standard
+# streaming-pack property (no bin re-ordering, one pass, mergeable by
+# partition). First-fit-decreasing would pack ~11% tighter but needs
+# a size sort AND loses prefix-sum parallelism; next-fit is what keeps
+# the planner one window pass at metadata scale.
+#
+# The demo inventory treats each documents row as one small file
+# (bytes = n_chars) partitioned by source — the shape of a per-record
+# streaming sink gone unchecked.
+#
+# 100 TB shape: ONE shuffle on the table-partition key, then a
+# per-partition running-sum window (the sequential constraint IS
+# next-fit's semantics; partitions plan independently and in
+# parallel, and a production planner runs per-partition anyway). The
+# rollup re-aggregates on the same (partition, bin) key.
+
+#: Target output file size for the plan (bytes). Small enough that the
+#: gate-scale inventory (~500 files, ~250 B mean) yields multi-file
+#: bins with visible fill variance.
+COMPACT_TARGET_BYTES = 4096
+
+
+def compaction_plan_sql(dialect: str, docs_rel: str = "documents",
+                        target: int = COMPACT_TARGET_BYTES) -> str:
+    """Dual-dialect plan rollup: one row per (source, bin_id) with
+    n_files, total_bytes, and fill_bp = floor(total_bytes * 10000 /
+    target) — >= 10000 flags the one-file overflow bins.
+
+    Output: source, bin_id, n_files, total_bytes, fill_bp."""
+    del dialect  # portable as-is
+    return f"""
+WITH inv AS (
+  SELECT source, doc_id AS file_id, n_chars AS bytes
+  FROM {docs_rel} WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+planned AS (
+  SELECT source, file_id, bytes,
+         CAST(floor((SUM(bytes) OVER (PARTITION BY source
+                                      ORDER BY file_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - bytes)
+                    / CAST({target} AS DOUBLE)) AS BIGINT) AS bin_id
+  FROM inv
+)
+SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(floor(SUM(bytes) * CAST(10000 AS DOUBLE)
+                  / CAST({target} AS DOUBLE)) AS BIGINT) AS fill_bp
+FROM planned GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
+def layout_compaction_plan(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Next-fit compaction plan over the simulated small-file
+    inventory; see compaction_plan_sql."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_compact_documents")
+    return spark.sql(
+        compaction_plan_sql("spark", "cpss_compact_documents"))
+
+
+def layout_compaction_oracle_sql() -> str:
+    return compaction_plan_sql("duckdb")

@@ -504,3 +504,232 @@ def hll_sketch_only_sql(dialect: str, rel_prefix: str = "",
     # splice the extraction in as the first CTE of the finalize query
     return fin.replace("WITH merged",
                        f"WITH regs_all AS (\n{inner}\n), merged", 1)
+
+
+# --- Count-Min heavy hitters --------------------------------------------------
+
+#: Count-Min sketch geometry (Cormode & Muthukrishnan 2005): CMS_D
+#: independent hash rows x CMS_W counters. State is CMS_D * CMS_W
+#: BIGINTs regardless of input size, and counters merge by SUM — the
+#: frequency-sketch analog of the HLL register table above. 4 x 1024
+#: keeps the gate-scale vocabulary (~hundreds of tokens) readable in
+#: the over_bp audit column while still colliding visibly at sf0.1.
+CMS_D = 4
+CMS_W = 1024
+#: Heavy-hitter report size (exact-audit candidates, see below).
+CMS_TOPK = 20
+
+
+def _cms_tokens_cte(dialect: str, docs_rel: str) -> str:
+    unnest = "unnest" if dialect == "duckdb" else "explode"
+    split = ("regexp_split_to_array(text, ' +')" if dialect == "duckdb"
+             else "split(text, ' +')")
+    return f"""
+cms_toks AS (
+  SELECT tok FROM (
+    SELECT {unnest}({split}) AS tok FROM {docs_rel}
+  ) _e WHERE tok <> ''
+),
+cms_tc AS (SELECT tok, COUNT(*) AS c FROM cms_toks GROUP BY tok)"""
+
+
+def _cms_bucket_expr(j: int, tok_expr: str) -> str:
+    """Row-j bucket: first three md5 hex digits of ('j:' || tok) as a
+    12-bit integer, mod CMS_W. 4096 % 1024 == 0, so the fold is exactly
+    uniform over the digit space."""
+    h = f"md5('{j}:' || {tok_expr})"
+    d = lambda i: f"(instr({_HEX}, substr({h}, {i}, 1)) - 1)"
+    return f"(({d(1)} * 256 + {d(2)} * 16 + {d(3)}) % {CMS_W})"
+
+
+def _cms_probes_cte(dialect: str) -> str:
+    del dialect
+    rows = " UNION ALL ".join(
+        f"SELECT tok, c, {j} AS rj, {_cms_bucket_expr(j, 'tok')} AS bucket"
+        f" FROM cms_tc" for j in range(CMS_D))
+    return f"""
+cms_probes AS ({rows}),
+cms_sketch AS (
+  SELECT rj, bucket, SUM(c) AS total FROM cms_probes GROUP BY rj, bucket
+)"""
+
+
+def cms_heavy_hitters_sql(dialect: str, docs_rel: str = "documents",
+                          topk: int = CMS_TOPK) -> str:
+    """Dual-dialect CMS point-query demo with the exact audit twin:
+    the top-``topk`` tokens by EXACT count (ties broken by token) are
+    probed against the sketch; ``cms_est >= exact_count`` is the CMS
+    one-sided error guarantee (asserted in tests), ``over_bp`` makes
+    the collision overestimate visible.
+
+    Output: token, exact_count, cms_est, over_bp."""
+    return f"""
+WITH {_cms_tokens_cte(dialect, docs_rel).lstrip()},
+{_cms_probes_cte(dialect).lstrip()},
+cms_cand AS (
+  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn
+  FROM cms_tc
+),
+cms_top AS (SELECT tok, c FROM cms_cand WHERE rn <= {topk}),
+cms_est AS (
+  SELECT t.tok, t.c, MIN(s.total) AS est
+  FROM cms_top t
+  JOIN cms_probes p ON p.tok = t.tok
+  JOIN cms_sketch s ON s.rj = p.rj AND s.bucket = p.bucket
+  GROUP BY t.tok, t.c
+)
+SELECT tok AS token, CAST(c AS BIGINT) AS exact_count,
+       CAST(est AS BIGINT) AS cms_est,
+       CAST(floor((CAST(est AS DOUBLE) - CAST(c AS DOUBLE))
+                  * CAST(10000 AS DOUBLE) / CAST(c AS DOUBLE)) AS BIGINT)
+         AS over_bp
+FROM cms_est ORDER BY exact_count DESC, token
+"""
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the document token stream.
+
+    Scale shape: the sketch side is ONE token-keyed partial-aggregated
+    shuffle into <= CMS_D * CMS_W counter groups — fixed-size mergeable
+    state, the 100 TB frequency path (the counter relation is what a
+    1000-executor ingest keeps, exactly like the HLL register table).
+    The exact-count candidate list (and its global row_number over the
+    aggregated vocabulary) is the small-SF AUDIT TWIN: a production run
+    keeps per-partition local top-k candidates + the sketch for global
+    estimates and never materializes an exact global vocabulary sort.
+    See cms_heavy_hitters_sql."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_cms_documents")
+    return spark.sql(cms_heavy_hitters_sql("spark", "cpss_cms_documents"))
+
+
+def sketch_cms_oracle_sql() -> str:
+    return cms_heavy_hitters_sql("duckdb")
+
+
+def cms_counter_rows_sql(dialect: str, rel: str) -> str:
+    """(rj, bucket, total) counter rows for one slice of ``rel`` — the
+    per-microbatch spool extraction for the streaming drain. SUM is
+    associative and commutative, so spooled slices merge to exactly
+    the batch counters regardless of how files split into
+    microbatches."""
+    return (f"WITH {_cms_tokens_cte(dialect, rel).lstrip()},"
+            f"{_cms_probes_cte(dialect).lstrip()}\n"
+            f"SELECT rj, bucket, total FROM cms_sketch")
+
+
+def cms_counters_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """Batch oracle for the streaming CMS drain: the merged nonzero
+    counter state itself (no candidate probe — the stream never sees
+    an exact global vocabulary, which is the point of the sketch)."""
+    return f"""
+WITH {_cms_tokens_cte(dialect, docs_rel).lstrip()},
+{_cms_probes_cte(dialect).lstrip()}
+SELECT CAST(rj AS BIGINT) AS rj, CAST(bucket AS BIGINT) AS bucket,
+       CAST(total AS BIGINT) AS total
+FROM cms_sketch WHERE total > 0 ORDER BY rj, bucket
+"""
+
+
+# --- HLL union (mergeability demo) -------------------------------------------
+
+#: (relation, split key, value expr, NOT-NULL col, col_ref label) for
+#: the union sketch: the table is split into two disjoint halves by
+#: the VALUE key's parity (so the two halves carry disjoint value
+#: sets and the union estimate visibly exceeds each part — splitting
+#: on the row key would put every hot value in both halves and make
+#: the three sketches identical) and each half is sketched
+#: independently.
+HLL_UNION_TRACKED = (
+    ("events", "user_id", "CAST(user_id AS {STR})", "user_id",
+     "events.user_id"),
+    ("orders", "o_custkey", "CAST(o_custkey AS {STR})", "o_custkey",
+     "orders.o_custkey"),
+)
+
+
+def hll_union_sql(dialect: str, rel_prefix: str = "") -> str:
+    """Register MAX-merge across two disjoint slices — the property
+    that makes HLL the 100 TB distinct path: each half is sketched
+    independently (as two clusters, two days, or two tables would be)
+    and the union sketch is a <= m-row MAX, never a re-scan. Three
+    rows per tracked column (part = 'even' / 'odd' / 'union'), each
+    with the exact-distinct audit twin; the union estimate is
+    BIT-identical to sketching the whole table directly (same
+    registers, same estimator — asserted in tests)."""
+    str_t = _str_type(dialect)
+    m = HLL_M
+    ctes, rows = [], []
+    for rel_suffix, key, colexpr, notnull, colref in HLL_UNION_TRACKED:
+        rel = rel_prefix + rel_suffix
+        ce = colexpr.format(STR=str_t)
+        tagbase = f"u_{rel_suffix}"
+        for part, pred in (("even", f"{key} % 2 = 0"),
+                           ("odd", f"{key} % 2 = 1")):
+            tag = f"{tagbase}_{part}"
+            sub = f"(SELECT * FROM {rel} WHERE {pred}) {tag}_src"
+            ctes.append(_hll_reg_ctes(tag, sub, ce, notnull).lstrip())
+            ctes.append(f"""
+{tag}_z AS (
+  SELECT COALESCE(SUM({_shift1(dialect, '49 - mrho')}),
+                  CAST(0 AS BIGINT))
+           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
+         COUNT(*) AS filled
+  FROM {tag}_regs
+),
+{tag}_ex AS (SELECT COUNT(DISTINCT v) AS exact_d FROM {tag}_vals)""")
+        ctes.append(f"""
+{tagbase}_merged AS (
+  SELECT register, MAX(mrho) AS mrho FROM (
+    SELECT register, mrho FROM {tagbase}_even_regs
+    UNION ALL
+    SELECT register, mrho FROM {tagbase}_odd_regs
+  ) _u GROUP BY register
+),
+{tagbase}_union_z AS (
+  SELECT COALESCE(SUM({_shift1(dialect, '49 - mrho')}),
+                  CAST(0 AS BIGINT))
+           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
+         COUNT(*) AS filled
+  FROM {tagbase}_merged
+),
+{tagbase}_union_ex AS (
+  SELECT COUNT(DISTINCT v) AS exact_d FROM (
+    SELECT v FROM {tagbase}_even_vals
+    UNION ALL SELECT v FROM {tagbase}_odd_vals
+  ) _a
+)""")
+        for part in ("even", "odd", "union"):
+            ztag = (f"{tagbase}_{part}_z" if part != "union"
+                    else f"{tagbase}_union_z")
+            xtag = (f"{tagbase}_{part}_ex" if part != "union"
+                    else f"{tagbase}_union_ex")
+            est = _hll_est_expr("z")
+            rows.append(f"""
+SELECT '{colref}' AS col_ref, '{part}' AS part, {m} AS m,
+       CAST({m} - z.filled AS BIGINT) AS v_zero,
+       z.z_scaled AS z_scaled,
+       {est} AS est_distinct,
+       CAST(x.exact_d AS BIGINT) AS exact_distinct
+FROM {ztag} z CROSS JOIN {xtag} x""")
+    body = "\nUNION ALL".join(rows)
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT * FROM ({body}) allrows ORDER BY col_ref, part")
+
+
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint-slice HLL sketches merged by register MAX; see
+    hll_union_sql. Per tracked column the plan is two pruned scans of
+    the same file (one per parity slice — a production merge starts
+    from ALREADY-sketched register tables and touches no raw data),
+    two <= 64-group partial-max shuffles, and a <= 128-row MAX merge."""
+    for rel_suffix, _, _, _, _ in HLL_UNION_TRACKED:
+        spark.read.parquet(f"{sf_dir}/{rel_suffix}.parquet") \
+            .createOrReplaceTempView(f"cpss_hllu_{rel_suffix}")
+    return spark.sql(hll_union_sql("spark", rel_prefix="cpss_hllu_"))
+
+
+def sketch_hll_union_oracle_sql() -> str:
+    return hll_union_sql("duckdb")

@@ -1177,3 +1177,66 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min frequency sketch as a Structured Streaming drain:
+    each documents microbatch extracts its own (rj, bucket, total)
+    counter rows — the per-slice sketch — into a spool, and ONE
+    compaction merges counters by SUM (associative and commutative, so
+    the drained state is BIT-identical to the batch sketch no matter
+    how the files split into microbatches; asserted in
+    tests/test_streaming.py).
+
+    This is the stream_hll_distinct shape for FREQUENCIES: a 100 TB
+    ingest keeps running token counts in CMS_D * CMS_W BIGINTs of
+    state, never spooling raw tokens; heavy-hitter point reads happen
+    downstream against the merged counter table (the batch operator
+    sketch_cms_heavy_hitters demonstrates that read with its exact
+    audit twin — the stream cannot, because an exact global vocabulary
+    is exactly what the sketch exists to avoid, so its oracle is the
+    counter state itself: operators.sketches.cms_counters_sql).
+
+    Output: rj, bucket, total (nonzero counters only)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import cms_counter_rows_sql
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    spool = tempfile.mkdtemp(prefix="cpss_stream_cms_spool_")
+    ckpt = tempfile.mkdtemp(prefix="cpss_stream_cms_ckpt_")
+    src = _single_file_glob(path) if os.path.isfile(path) else path
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src))
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        # parquet microbatches arrive as ONE partition (see
+        # stream_quality_classifier's measured note) — spread the
+        # token explode before the counter aggregation
+        n_parts = int(bdf.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        view = f"cpss_cms_batch_{batch_id}"
+        bdf.repartition(n_parts).createOrReplaceTempView(view)
+        (bdf.sparkSession.sql(cms_counter_rows_sql("spark", view))
+         .write.mode("append").parquet(spool))
+
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = (spark.read.parquet(spool)
+               .groupBy("rj", "bucket")
+               .agg(F.sum("total").alias("total"))
+               .where(F.col("total") > 0)
+               .select(F.col("rj").cast("bigint").alias("rj"),
+                       F.col("bucket").cast("bigint").alias("bucket"),
+                       F.col("total").cast("bigint").alias("total"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -70,7 +70,7 @@ AGED_PARKED = {
 #: they MUST move into the front 50 next round.
 NEW_LOCAL_ONLY = {
     "corpus_line_dedup", "sketch_cms_heavy_hitters",
-    "stream_cms_heavy_hitters", "corpus_minhash_decontaminate",
+    "stream_cms_counters", "corpus_minhash_decontaminate",
     "layout_compaction_plan", "sketch_hll_union",
 }
 
