@@ -533,22 +533,29 @@ cms_toks AS (
 cms_tc AS (SELECT tok, COUNT(*) AS c FROM cms_toks GROUP BY tok)"""
 
 
-def _cms_bucket_expr(j: int, tok_expr: str) -> str:
-    """Row-j bucket: first three md5 hex digits of ('j:' || tok) as a
-    12-bit integer, mod CMS_W. 4096 % 1024 == 0, so the fold is exactly
-    uniform over the digit space."""
-    h = f"md5('{j}:' || {tok_expr})"
+def _cms_bucket_expr(rj_expr: str, tok_expr: str, dialect: str) -> str:
+    """Bucket for hash row ``rj_expr``: first three md5 hex digits of
+    (rj || ':' || tok) as a 12-bit integer, mod CMS_W. 4096 % 1024 ==
+    0, so the fold is exactly uniform over the digit space."""
+    h = (f"md5(CAST({rj_expr} AS {_str_type(dialect)})"
+         f" || ':' || {tok_expr})")
     d = lambda i: f"(instr({_HEX}, substr({h}, {i}, 1)) - 1)"
     return f"(({d(1)} * 256 + {d(2)} * 16 + {d(3)}) % {CMS_W})"
 
 
 def _cms_probes_cte(dialect: str) -> str:
-    del dialect
-    rows = " UNION ALL ".join(
-        f"SELECT tok, c, {j} AS rj, {_cms_bucket_expr(j, 'tok')} AS bucket"
-        f" FROM cms_tc" for j in range(CMS_D))
+    """One pass over the aggregated token counts: the CMS_D hash rows
+    explode from a cross join with a literal rj relation (a 4-way
+    UNION ALL of the counts CTE would re-run the token aggregation —
+    and its corpus scan — once per hash row when the CTE re-inlines)."""
+    rjs = " UNION ALL ".join(f"SELECT {j} AS rj" for j in range(CMS_D))
+    bucket = _cms_bucket_expr("rj", "tok", dialect)
     return f"""
-cms_probes AS ({rows}),
+cms_rows AS ({rjs}),
+cms_probes AS (
+  SELECT tok, c, rj, {bucket} AS bucket
+  FROM cms_tc CROSS JOIN cms_rows
+),
 cms_sketch AS (
   SELECT rj, bucket, SUM(c) AS total FROM cms_probes GROUP BY rj, bucket
 )"""
@@ -589,20 +596,49 @@ FROM cms_est ORDER BY exact_count DESC, token
 
 def sketch_cms_heavy_hitters(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    """Count-Min heavy hitters over the document token stream.
+    """Count-Min heavy hitters over the document token stream;
+    semantics identical to cms_heavy_hitters_sql (the oracle), which
+    feeds FOUR consumers from the token-count CTE — as DataFrame steps
+    the aggregated vocabulary is materialized ONCE (the shared-relation
+    discipline; the SQL rendering re-inlines the CTE into 6 corpus
+    scans) and the top-k is a TakeOrdered limit, not a global
+    row_number sort.
 
-    Scale shape: the sketch side is ONE token-keyed partial-aggregated
-    shuffle into <= CMS_D * CMS_W counter groups — fixed-size mergeable
-    state, the 100 TB frequency path (the counter relation is what a
-    1000-executor ingest keeps, exactly like the HLL register table).
-    The exact-count candidate list (and its global row_number over the
-    aggregated vocabulary) is the small-SF AUDIT TWIN: a production run
-    keeps per-partition local top-k candidates + the sketch for global
-    estimates and never materializes an exact global vocabulary sort.
-    See cms_heavy_hitters_sql."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("cpss_cms_documents")
-    return spark.sql(cms_heavy_hitters_sql("spark", "cpss_cms_documents"))
+    Scale shape: ONE corpus scan, one token-keyed partial-aggregated
+    shuffle, then <= CMS_D * CMS_W counter groups — fixed-size
+    mergeable state, the 100 TB frequency path (the counter relation is
+    what a 1000-executor ingest keeps, exactly like the HLL register
+    table). The exact-count candidate list is the small-SF AUDIT TWIN:
+    a production run keeps per-partition local top-k candidates + the
+    sketch for global estimates and never materializes an exact global
+    vocabulary."""
+    from pyspark.sql import functions as F
+
+    from ..plans.cache import checkpoint_release
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select(F.explode(F.split("text", " +")).alias("tok"))
+            .where(F.col("tok") != ""))
+    tc = (toks.groupBy("tok").agg(F.count("*").alias("c"))
+          .persist())
+    rjs = spark.range(CMS_D).select(F.col("id").cast("int").alias("rj"))
+    probes = tc.crossJoin(F.broadcast(rjs)).withColumn(
+        "bucket", F.expr(_cms_bucket_expr("rj", "tok", "spark")))
+    sketch = probes.groupBy("rj", "bucket").agg(
+        F.sum("c").alias("total"))
+    top = tc.orderBy(F.col("c").desc(), "tok").limit(CMS_TOPK)
+    est = (top.join(probes.select("tok", "rj", "bucket"), "tok")
+           .join(sketch, ["rj", "bucket"])
+           .groupBy("tok", "c").agg(F.min("total").alias("est")))
+    out = est.select(
+        F.col("tok").alias("token"),
+        F.col("c").cast("bigint").alias("exact_count"),
+        F.col("est").cast("bigint").alias("cms_est"),
+        F.floor((F.col("est").cast("double") - F.col("c").cast("double"))
+                * F.lit(10000.0) / F.col("c").cast("double"))
+        .cast("bigint").alias("over_bp")
+    ).orderBy(F.col("exact_count").desc(), "token")
+    return checkpoint_release(out, tc)
 
 
 def sketch_cms_oracle_sql() -> str:

@@ -106,6 +106,18 @@ def main() -> int:
          "per-batch register spool + MAX-merge compaction"),
         ("dq_anomaly_days",
          "day-grain agg + one-row baseline broadcast"),
+        ("corpus_line_dedup",
+         "segment hash df + keep-first verdict join"),
+        ("corpus_minhash_decontaminate",
+         "banded train x broadcast bench, no self-join"),
+        ("sketch_cms_heavy_hitters",
+         "fixed 4x1024 counter shuffle + audit probe"),
+        ("stream_cms_counters",
+         "per-batch counter spool + SUM-merge compaction"),
+        ("sketch_hll_union",
+         "two slice sketches + <=128-row MAX merge"),
+        ("layout_compaction_plan",
+         "partition-keyed next-fit window, one shuffle"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
