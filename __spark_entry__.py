@@ -674,6 +674,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next-fit small-file compaction planner: one window pass over
         # the per-partition file inventory, the OPTIMIZE-planning shape.
         "layout_compaction_plan": layout_compaction_plan,
+        # hard-negative mining for contrastive embedding training
+        # (DPR recipe): cosine top-k restricted to other-label
+        # neighbors; parity gate of the cosine_topk family.
+        "embed_hard_negatives": simsearch.embed_hard_negatives,
     }
 
 
@@ -869,4 +873,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms_counters": cms_counters_sql("duckdb"),
         "sketch_hll_union": sketch_hll_union_oracle_sql(),
         "layout_compaction_plan": layout_compaction_oracle_sql(),
+        "embed_hard_negatives": simsearch.hard_negatives_sql("duckdb"),
     }

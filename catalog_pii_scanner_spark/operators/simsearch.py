@@ -2680,3 +2680,61 @@ def embed_jl_topk(spark, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .createOrReplaceTempView("cpss_jl_embeddings")
     return spark.sql(jl_topk_sql("spark", rel="cpss_jl_embeddings"))
+
+
+# --- hard-negative mining (contrastive embedding training, r8) ---------------
+
+def hard_negatives_sql(dialect: str, rel: str = "embeddings",
+                       k: int = 5, query_mod: int = 50) -> str:
+    """Top-k most-similar OTHER-LABEL neighbors per query vector — the
+    hard negatives an embedding-training pipeline mines for contrastive
+    loss (in-batch negatives are easy; the valuable ones are near the
+    query but labeled differently; public recipe: DPR, Karpukhin et al.
+    2020). Same declarative shape as cosine_topk_sql with the label
+    inequality pushed into the candidate join, so the parity gate and
+    the tie discipline (round 1e-6, neighbor_id tiebreak) carry over
+    unchanged; the 100 TB serving story is the matmul twin's one-pass
+    BLAS shape with the label filter applied to the per-batch top-k
+    universe (cosine_topk_matmul) — mining is a batch job over the
+    SAME corpus layout.
+
+    Output: query_id, query_label, neighbor_id, neighbor_label, rank,
+    cosine (rounded 1e-6)."""
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+lab AS (SELECT vec_id, label FROM {rel}),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.val * c.val) AS dot
+  FROM vecs q JOIN vecs c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+  GROUP BY q.vec_id, c.vec_id
+),
+cos AS (
+  SELECT d.query_id, lq.label AS query_label,
+         d.neighbor_id, lc.label AS neighbor_label,
+         round(d.dot / (nq.norm * nc.norm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+  JOIN lab lq ON lq.vec_id = d.query_id
+  JOIN lab lc ON lc.vec_id = d.neighbor_id
+  WHERE lq.label <> lc.label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine
+FROM (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cos
+) _r WHERE rank <= {k}
+"""
+
+
+def embed_hard_negatives(spark, sf_dir: str, k: int = 5,
+                         query_mod: int = 50) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("cpss_hardneg_embeddings")
+    return spark.sql(hard_negatives_sql("spark",
+                                        "cpss_hardneg_embeddings",
+                                        k, query_mod))

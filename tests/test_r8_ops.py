@@ -235,3 +235,29 @@ def test_stream_cms_counters_matches_batch_across_microbatches(
         cms_counters_sql("spark", "cpss_cms_batch_twin")).collect()))
     stream = sorted(map(tuple, stream_cms_counters(spark, d).collect()))
     assert batch and batch == stream
+
+
+# --- hard-negative mining ------------------------------------------------------
+
+def test_hard_negatives_are_label_mismatched_topk():
+    from catalog_pii_scanner_spark.operators.simsearch import (
+        cosine_topk_sql, hard_negatives_sql)
+    con = _duck_with_views(["embeddings"])
+    rows = con.sql(hard_negatives_sql("duckdb")).fetchall()
+    assert rows
+    for qid, ql, nid, nl, rank, cosine in rows:
+        assert ql != nl
+        assert 1 <= rank <= 5
+    # consistency with the unfiltered family: for each query, the
+    # hard-negative list equals the other-label subsequence of a
+    # deep unfiltered top-k (k large enough to cover the corpus)
+    deep = con.sql(cosine_topk_sql("duckdb", k=10**6)).fetchall()
+    labels = dict(con.sql(
+        "SELECT vec_id, label FROM embeddings").fetchall())
+    by_q = {}
+    for qid, nid, rank, cosine in deep:
+        if labels[nid] != labels[qid]:
+            by_q.setdefault(qid, []).append((nid, cosine))
+    for qid, ql, nid, nl, rank, cosine in rows:
+        exp_nid, exp_cos = by_q[qid][rank - 1]
+        assert (nid, cosine) == (exp_nid, exp_cos), (qid, rank)
