@@ -118,6 +118,8 @@ def main() -> int:
          "two slice sketches + <=128-row MAX merge"),
         ("layout_compaction_plan",
          "partition-keyed next-fit window, one shuffle"),
+        ("embed_hard_negatives",
+         "other-label cosine top-k parity gate"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
