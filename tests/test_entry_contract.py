@@ -97,6 +97,9 @@ def test_only_designated_stable_queries_past_position_50():
     tail = list(E.queries())[50:]
     allowed = STABLE_PARKED | AGED_PARKED | NEW_LOCAL_ONLY
     assert set(tail) <= allowed, set(tail) - allowed
+    # and every declared name must actually be registered — a typo in
+    # a declaration set must not silently weaken the tail check
+    assert allowed <= set(E.queries()), allowed - set(E.queries())
 
 
 def test_front_promises_kept():
