@@ -63,7 +63,8 @@ def sketches_hll_sketch_only_oracle() -> str:
     return hll_sketch_only_sql("duckdb")
 from catalog_pii_scanner_spark.operators.dq import (
     dq_constraint_suite, dq_constraint_oracle_sql,
-    dq_anomaly_days, dq_anomaly_oracle_sql)
+    dq_anomaly_days, dq_anomaly_oracle_sql,
+    dq_referential_suite, dq_referential_oracle_sql)
 from catalog_pii_scanner_spark.operators.layout import (
     layout_zorder_stats, layout_zorder_oracle_sql,
     layout_compaction_plan, layout_compaction_oracle_sql)
@@ -678,6 +679,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (DPR recipe): cosine top-k restricted to other-label
         # neighbors; parity gate of the cosine_topk family.
         "embed_hard_negatives": simsearch.embed_hard_negatives,
+        # FK orphan accounting over the star schema (Deequ
+        # isContainedIn): one anti-join-shaped count per edge,
+        # broadcast dims, injected-orphan detection proven in tests.
+        "dq_referential_suite": dq_referential_suite,
     }
 
 
@@ -874,4 +879,5 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_union": sketch_hll_union_oracle_sql(),
         "layout_compaction_plan": layout_compaction_oracle_sql(),
         "embed_hard_negatives": simsearch.hard_negatives_sql("duckdb"),
+        "dq_referential_suite": dq_referential_oracle_sql(),
     }

@@ -222,3 +222,77 @@ def dq_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dq_anomaly_oracle_sql() -> str:
     return dq_anomaly_days_sql("duckdb")
+
+
+# --- referential-integrity suite (r8) ----------------------------------------
+#
+# The constraint suite above checks per-table invariants; this one
+# checks the CROSS-table contracts a star schema lives on: every
+# foreign key resolves to a parent row (Deequ's isContainedIn; the FK
+# edges are the TPC-H-documented ones). An orphaned FK at 100 TB means
+# a broken ingest partition or an out-of-order backfill — the earlier
+# it surfaces, the cheaper it is.
+#
+# Execution shape: per edge, one LEFT ANTI-shaped count (child LEFT
+# JOIN parent keyed on the FK, counting unmatched non-NULL rows) plus
+# one child-side aggregate for row/NULL totals. Dimension parents
+# (region/nation/customer/part/supplier) broadcast; the one fact-fact
+# edge (lineitem -> orders) shuffles on its join key exactly once.
+# Adding an edge adds one bounded join, never a re-scan of unrelated
+# tables.
+
+#: (child rel suffix, fk column, parent rel suffix, pk column)
+FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def dq_referential_sql(dialect: str, rel_prefix: str = "",
+                       edges=FK_EDGES) -> str:
+    """One row per FK edge: fk_ref, n_child_rows, n_null_fk,
+    n_orphans (non-NULL FK with no parent row), orphan_bp
+    (floor(n_orphans * 10000 / non-NULL rows); 0 when vacuous), passed
+    (n_orphans == 0). Identical SQL text in both dialects."""
+    del dialect
+    rows = []
+    for child, fk, parent, pk in edges:
+        c, p = rel_prefix + child, rel_prefix + parent
+        ref = f"{child}.{fk} -> {parent}.{pk}"
+        rows.append(f"""
+SELECT '{ref}' AS fk_ref,
+       CAST(a.n_rows AS BIGINT) AS n_child_rows,
+       CAST(a.n_null AS BIGINT) AS n_null_fk,
+       CAST(b.n_orphans AS BIGINT) AS n_orphans,
+       CAST(CASE WHEN a.n_rows - a.n_null = 0 THEN 0
+                 ELSE floor(b.n_orphans * CAST(10000 AS DOUBLE)
+                            / CAST(a.n_rows - a.n_null AS DOUBLE))
+            END AS BIGINT) AS orphan_bp,
+       b.n_orphans = 0 AS passed
+FROM (SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS n_null
+      FROM {c}) a
+CROSS JOIN (SELECT COUNT(*) AS n_orphans
+            FROM {c} ch LEFT JOIN {p} pa ON ch.{fk} = pa.{pk}
+            WHERE ch.{fk} IS NOT NULL AND pa.{pk} IS NULL) b""")
+    body = "\nUNION ALL".join(rows)
+    return (f"SELECT * FROM ({body}) allrows ORDER BY fk_ref")
+
+
+def dq_referential_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan accounting over the star schema; see
+    dq_referential_sql."""
+    tables = {t for e in FK_EDGES for t in (e[0], e[2])}
+    for t in sorted(tables):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+            .createOrReplaceTempView(f"cpss_ref_{t}")
+    return spark.sql(dq_referential_sql("spark", rel_prefix="cpss_ref_"))
+
+
+def dq_referential_oracle_sql() -> str:
+    return dq_referential_sql("duckdb")

@@ -72,7 +72,7 @@ NEW_LOCAL_ONLY = {
     "corpus_line_dedup", "sketch_cms_heavy_hitters",
     "stream_cms_counters", "corpus_minhash_decontaminate",
     "layout_compaction_plan", "sketch_hll_union",
-    "embed_hard_negatives",
+    "embed_hard_negatives", "dq_referential_suite",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

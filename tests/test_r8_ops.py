@@ -261,3 +261,28 @@ def test_hard_negatives_are_label_mismatched_topk():
     for qid, ql, nid, nl, rank, cosine in rows:
         exp_nid, exp_cos = by_q[qid][rank - 1]
         assert (nid, cosine) == (exp_nid, exp_cos), (qid, rank)
+
+
+# --- referential-integrity suite -------------------------------------------------
+
+def test_dq_referential_detects_injected_orphans():
+    from catalog_pii_scanner_spark.operators.dq import (
+        dq_referential_sql)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW parent AS SELECT * FROM (VALUES (1), (2)) _p(pk)")
+    con.sql("CREATE VIEW child AS SELECT * FROM (VALUES "
+            "(10, 1), (11, 2), (12, 99), (13, NULL)) _c(id, fk)")
+    edges = (("child", "fk", "parent", "pk"),)
+    row = con.sql(dq_referential_sql("duckdb", edges=edges)).fetchone()
+    # 4 rows, 1 NULL fk, 1 orphan (fk=99), 1/3 non-NULL -> 3333 bp
+    assert row == ("child.fk -> parent.pk", 4, 1, 1, 3333, False)
+
+
+def test_dq_referential_all_edges_pass_on_clean_data():
+    from catalog_pii_scanner_spark.operators.dq import (
+        FK_EDGES, dq_referential_sql)
+    con = _duck_with_views(sorted({t for e in FK_EDGES
+                                   for t in (e[0], e[2])}))
+    rows = con.sql(dq_referential_sql("duckdb")).fetchall()
+    assert len(rows) == len(FK_EDGES)
+    assert all(r[5] for r in rows), rows
