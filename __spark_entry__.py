@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from catalog_pii_scanner_spark import oracles
-from catalog_pii_scanner_spark.operators import (analytics, corpus,
+from catalog_pii_scanner_spark.operators import (analytics, bpe, corpus,
                                                  dedup, llm,
                                                  metadata_rules, multimodal,
                                                  ner, pii_docs, quality,
@@ -683,6 +683,12 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # isContainedIn): one anti-join-shaped count per edge,
         # broadcast dims, injected-orphan detection proven in tests.
         "dq_referential_suite": dq_referential_suite,
+        # BPE tokenizer training (Sennrich 2016): first 6 merge rules
+        # learned from the corpus — one corpus scan into the bounded
+        # vocabulary, then driver-looped distributed pair counts with
+        # one-row collects (the embed_kmeans_lloyd discipline); the
+        # oracle unrolls the same iterations as CTEs.
+        "corpus_bpe_merges": bpe.corpus_bpe_merges,
     }
 
 
@@ -880,4 +886,5 @@ def oracle_sql() -> dict[str, str]:
         "layout_compaction_plan": layout_compaction_oracle_sql(),
         "embed_hard_negatives": simsearch.hard_negatives_sql("duckdb"),
         "dq_referential_suite": dq_referential_oracle_sql(),
+        "corpus_bpe_merges": bpe.bpe_merges_sql("duckdb"),
     }

@@ -73,6 +73,7 @@ NEW_LOCAL_ONLY = {
     "stream_cms_counters", "corpus_minhash_decontaminate",
     "layout_compaction_plan", "sketch_hll_union",
     "embed_hard_negatives", "dq_referential_suite",
+    "corpus_bpe_merges",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

@@ -286,3 +286,66 @@ def test_dq_referential_all_edges_pass_on_clean_data():
     rows = con.sql(dq_referential_sql("duckdb")).fetchall()
     assert len(rows) == len(FK_EDGES)
     assert all(r[5] for r in rows), rows
+
+
+# --- BPE merge training ----------------------------------------------------------
+
+def _python_bpe(token_counts, n_merges):
+    """Independent reference with the operator's exact spec: pairs
+    weighted by token count, best = (count DESC, pair ASC), merge via
+    str.replace (leftmost non-overlapping) on the padded string."""
+    from catalog_pii_scanner_spark.operators.bpe import (
+        BPE_EOW, BPE_MAX_TOKEN_CHARS)
+    vocab = {}
+    for tok, c in token_counts.items():
+        s = " ".join(tok[:BPE_MAX_TOKEN_CHARS]) + f" {BPE_EOW}"
+        vocab[s] = vocab.get(s, 0) + c
+    rules = []
+    for it in range(1, n_merges + 1):
+        pairs = {}
+        for s, c in vocab.items():
+            a = s.split(" ")
+            for i in range(len(a) - 1):
+                pairs[(a[i], a[i + 1])] = pairs.get((a[i], a[i + 1]),
+                                                    0) + c
+        if not pairs:
+            break
+        (pa, pb), cnt = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+        rules.append((it, pa, pb, pa + pb, cnt))
+        vocab = {
+            (" " + s + " ").replace(f" {pa} {pb} ",
+                                    f" {pa}{pb} ").strip(): c
+            for s, c in vocab.items()}
+    return rules
+
+
+def test_bpe_oracle_matches_python_reference():
+    from catalog_pii_scanner_spark.operators.bpe import bpe_merges_sql
+    con = _duck_with_views(["documents"])
+    got = con.sql(bpe_merges_sql("duckdb")).fetchall()
+    counts = dict(con.sql(
+        "SELECT tok, COUNT(*) FROM (SELECT unnest("
+        "regexp_split_to_array(text, ' +')) AS tok FROM documents) _e"
+        " WHERE tok <> '' AND regexp_matches(tok, '^[a-z0-9]+$')"
+        " GROUP BY tok").fetchall())
+    want = _python_bpe(counts, 6)
+    assert [tuple(r) for r in got] == want
+    # merges must compound: at least one later rule uses an earlier
+    # merged symbol (otherwise this is just unigram pair counting)
+    merged = {r[3] for r in got}
+    assert any(r[1] in merged or r[2] in merged for r in got[1:])
+
+
+def test_bpe_vocab_merge_collision_semantics():
+    """The leftmost-non-overlapping replace: a self-overlapping run
+    merges exactly like str.replace in BOTH the dual-dialect template
+    and the reference (the documented divergence from re-scanning
+    greedy BPE)."""
+    from catalog_pii_scanner_spark.operators.bpe import bpe_merges_sql
+    rows = [(1, "aaaaa"), (2, "aaaaa"), (3, "aaaaa")]
+    con = _duck_docs(rows)
+    got = con.sql(bpe_merges_sql("duckdb", n_merges=2)).fetchall()
+    counts = {"aaaaa": 3}
+    want = _python_bpe(counts, 2)
+    assert [tuple(r) for r in got] == want
