@@ -120,6 +120,10 @@ def main() -> int:
          "partition-keyed next-fit window, one shuffle"),
         ("embed_hard_negatives",
          "other-label cosine top-k parity gate"),
+        ("dq_referential_suite",
+         "per-edge anti-join counts, broadcast dims"),
+        ("corpus_bpe_merges",
+         "one corpus scan + driver-looped vocab iterations"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
