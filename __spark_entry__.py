@@ -80,6 +80,7 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     stream_dedup_events, stream_dedup_keep_list,
     stream_phash_keep_list, stream_quality_classifier,
     stream_hll_distinct, stream_cms_counters,
+    stream_events_recent_score, events_recent_score_oracle_sql,
     events_neighbor_window, events_neighbor_window_oracle_sql,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
     stream_events_hourly, stream_events_hourly_oracle_sql,
@@ -689,6 +690,13 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-row collects (the embed_kmeans_lloyd discipline); the
         # oracle unrolls the same iterations as CTEs.
         "corpus_bpe_merges": bpe.corpus_bpe_merges,
+        # ARBITRARY-stateful streaming (applyInPandasWithState): each
+        # user's state is their top-K events by (ts, event_id) — a
+        # merge-correct total-order top-K, so the drained result is
+        # split-invariant; exact dyadic-weight integer score, shared
+        # batch oracle. The §2.13/2.14 surface the spool drains
+        # deliberately avoid.
+        "stream_events_recent_score": stream_events_recent_score,
     }
 
 
@@ -887,4 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_hard_negatives": simsearch.hard_negatives_sql("duckdb"),
         "dq_referential_suite": dq_referential_oracle_sql(),
         "corpus_bpe_merges": bpe.bpe_merges_sql("duckdb"),
+        # the stateful drain shares the batch ranking oracle: the
+        # state machinery must be invisible in the result
+        "stream_events_recent_score": events_recent_score_oracle_sql(),
     }

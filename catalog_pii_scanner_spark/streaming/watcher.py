@@ -1240,3 +1240,150 @@ def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+#: Recent-activity score: top-RECENT_K events per user by (ts,
+#: event_id), newest weighted 2^(RECENT_K-1) down to 2^0 — the exact
+#: integer numerator of a truncated alpha=1/2 EWMA (dyadic weights, so
+#: no float pow anywhere; the r6-verdict integer-micro-unit
+#: discipline applied to stateful streaming).
+RECENT_K = 20
+#: Micro-unit clamp: |floor(value * 1e6 + 0.5)| is capped here so the
+#: worst-case weighted sum (CLAMP * 2^19 * 20 ~ 5.5e18) stays inside
+#: BIGINT. Mirrored in the oracle.
+RECENT_CLAMP = 1 << 39
+
+
+def stream_events_recent_score(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ARBITRARY-stateful streaming via ``applyInPandasWithState`` —
+    the surface the spool-drain family deliberately avoids (their
+    state is mergeable rows; here the state is a per-user STRUCTURE
+    the built-in stateful ops cannot express): each user's state is
+    their top-RECENT_K events by (ts, event_id) plus a total count,
+    carried across microbatches in the state store.
+
+    Split-invariance argument (asserted across microbatch splits in
+    tests/test_streaming_r8.py): top-K under a TOTAL order is
+    merge-correct — top-K(top-K(A) ∪ B) = top-K(A ∪ B), because an
+    element evicted from A's top-K is dominated by K surviving
+    elements that remain candidates forever — so the final state does
+    not depend on how files split into batches, and (ts, event_id) is
+    a total order because event_id is unique. Every update emits the
+    user's running (n_events, recent_score); the final row per user is
+    the one with the maximum n_events (strictly increasing per
+    emission), selected after the drain.
+
+    Output: user_id, n_events, recent_score — recent_score =
+    SUM over the i-th newest retained event of
+    clamp(floor(value * 1e6 + 0.5)) * 2^(RECENT_K - i), an exact
+    BIGINT in both engines (shares the batch oracle
+    events_recent_score_oracle_sql)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    k, clamp = RECENT_K, RECENT_CLAMP
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, ts, ids, xs = state.get
+            top = list(zip(ts, ids, xs))
+        else:
+            n, top = 0, []
+        for pdf in pdfs:
+            pdf = pdf[pdf["value"].notna() & pdf["user_id"].notna()]
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            # datetime64[ns] and raw int64-ns sources both order
+            # identically under astype(int64) — full precision, no
+            # truncation (the ns-epoch fuzz case)
+            tsv = pdf["ts"].astype("int64")
+            for t, e, v in zip(tsv, pdf["event_id"], pdf["value"]):
+                import math
+                x = int(math.floor(float(v) * 1_000_000 + 0.5))
+                x = max(-clamp, min(clamp, x))
+                top.append((int(t), int(e), x))
+        # total order (ts, event_id) DESC; keep the global top-k
+        top.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        top = top[:k]
+        state.update((n, [r[0] for r in top], [r[1] for r in top],
+                      [r[2] for r in top]))
+        score = sum(x << (k - i) for i, (_, _, x)
+                    in enumerate(top, start=1))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "recent_score": [score]})
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = _single_file_glob(path) if os.path.isfile(path) else path
+    spool = tempfile.mkdtemp(prefix="cpss_recent_spool_")
+    ckpt = tempfile.mkdtemp(prefix="cpss_recent_ckpt_")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src)
+              .where(F.col("user_id").isNotNull()
+                     & F.col("value").isNotNull()))
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("user_id bigint, n_events bigint, "
+                          "recent_score bigint"),
+        stateStructType=("n bigint, ts array<bigint>, "
+                         "ids array<bigint>, xs array<bigint>"),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(spool)
+
+    try:
+        q = (updates.writeStream.foreachBatch(_sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        emitted = spark.read.parquet(spool)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("n_events").desc())
+        out = (emitted.withColumn("_rk", F.row_number().over(w))
+               .where(F.col("_rk") == 1)
+               .select("user_id", "n_events", "recent_score")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def events_recent_score_oracle_sql(events_rel: str = "events",
+                                   k: int = RECENT_K,
+                                   clamp: int = RECENT_CLAMP) -> str:
+    """Batch oracle for the stateful drain: rank each user's events by
+    (ts, event_id) DESC and sum the clamped micro-unit values weighted
+    by the recency power of two — identical integer arithmetic, no
+    float pow (the weights are a generated literal CASE map, portable
+    to both engines)."""
+    x = "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
+    cx = (f"greatest(CAST(-{clamp} AS BIGINT), "
+          f"least(CAST({clamp} AS BIGINT), {x}))")
+    weight = ("CASE rk " + " ".join(
+        f"WHEN {r} THEN {1 << (k - r)}" for r in range(1, k + 1))
+        + " ELSE 0 END")
+    return f"""
+WITH ranked AS (
+  SELECT user_id, {cx} AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM {events_rel}
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(x * CAST({weight} AS BIGINT)) AS BIGINT)
+         AS recent_score
+FROM ranked GROUP BY user_id
+"""

@@ -73,7 +73,7 @@ NEW_LOCAL_ONLY = {
     "stream_cms_counters", "corpus_minhash_decontaminate",
     "layout_compaction_plan", "sketch_hll_union",
     "embed_hard_negatives", "dq_referential_suite",
-    "corpus_bpe_merges",
+    "corpus_bpe_merges", "stream_events_recent_score",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

@@ -1,0 +1,75 @@
+"""Split-invariance of the r8 arbitrary-stateful streaming operator:
+the per-user top-K state must evolve to the same final value no matter
+how files split into microbatches (top-K under a total order is
+merge-correct), and the emitted score must equal the batch oracle's
+exact integer arithmetic."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from catalog_pii_scanner_spark.streaming.watcher import (
+    events_recent_score_oracle_sql, stream_events_recent_score)
+
+
+def _oracle_rows(parquet_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{parquet_dir}/events.parquet/*.parquet')")
+    return sorted(map(tuple,
+                      con.sql(events_recent_score_oracle_sql())
+                      .fetchall()))
+
+
+def test_recent_score_split_invariant_and_matches_oracle(
+        spark, tmp_path, sf_dir):
+    """Stripe events into 12 files by event_id parity classes —
+    microbatches then interleave event TIMES arbitrarily, the case
+    where a naive keep-last-K accumulator diverges — and require the
+    drain to equal the batch oracle exactly."""
+    import glob
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = str(tmp_path)
+    (events.repartition(12, F.pmod(F.col("event_id"), F.lit(12)))
+     .write.mode("overwrite").parquet(f"{d}/events.parquet"))
+    assert len(glob.glob(f"{d}/events.parquet/part-*")) >= 5
+
+    got = sorted(map(tuple,
+                     stream_events_recent_score(spark, d).collect()))
+    want = _oracle_rows(d)
+    assert got and got == want
+
+
+def test_recent_score_clamp_and_ties(spark, tmp_path):
+    """Clamped extremes and exact-duplicate timestamps (event_id
+    tiebreak) through the stateful path vs the oracle."""
+    base = 1_700_000_000
+    rows = [
+        # same-ts pair: event_id breaks the tie
+        (1, base, 1, "a", 10.0, ""),
+        (2, base, 1, "a", 20.0, ""),
+        # a clamped monster value and a NULL (skipped)
+        (3, base + 1, 1, "a", 1.0e12, ""),
+        (4, base + 2, 1, "a", None, ""),
+        (5, base + 3, 2, "a", -1.0e12, ""),
+    ]
+    cols = ("event_id bigint, tsl bigint, user_id bigint, "
+            "event_type string, value double, props string")
+    d = str(tmp_path)
+    (spark.createDataFrame(rows, cols)
+     .selectExpr("event_id", "timestamp_seconds(tsl) AS ts", "user_id",
+                 "event_type", "value", "props")
+     .repartition(3).write.mode("overwrite")
+     .parquet(f"{d}/events.parquet"))
+    got = sorted(map(tuple,
+                     stream_events_recent_score(spark, d).collect()))
+    want = _oracle_rows(d)
+    assert got == want
+    by_user = {r[0]: r for r in got}
+    assert by_user[1][1] == 3          # NULL value row not counted
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        RECENT_CLAMP, RECENT_K)
+    # user 2: one clamped negative event at the newest slot
+    assert by_user[2] == (2, 1, -RECENT_CLAMP * (1 << (RECENT_K - 1)))

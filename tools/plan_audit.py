@@ -124,6 +124,8 @@ def main() -> int:
          "per-edge anti-join counts, broadcast dims"),
         ("corpus_bpe_merges",
          "one corpus scan + driver-looped vocab iterations"),
+        ("stream_events_recent_score",
+         "stateful drain + final per-user argmax window"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
