@@ -1393,7 +1393,10 @@ def minhash_decontaminate_docs(docs: DataFrame,
     from ..plans.cache import checkpoint_release
 
     shingles = shingles_from_docs(docs).persist()
-    bands = band_keys(_signatures_from_shingles(shingles))
+    # the band relation feeds BOTH sides of the candidate join —
+    # persist it or the signature aggregation runs twice (the
+    # dedup.band_keys lesson)
+    bands = band_keys(_signatures_from_shingles(shingles)).persist()
     is_bench = (F.col("doc_id") % bench_mod) == 0
     cand = (bands.where(~is_bench).alias("t")
             .join(F.broadcast(bands.where(is_bench).alias("b")),
@@ -1434,7 +1437,7 @@ def minhash_decontaminate_docs(docs: DataFrame,
                    .alias("max_jaccard"),
                    (F.coalesce("n_bench_hits", z) > 0)
                    .alias("contaminated")))
-    return checkpoint_release(out, shingles)
+    return checkpoint_release(out, shingles, bands)
 
 
 def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -275,7 +275,8 @@ SELECT '{ref}' AS fk_ref,
             END AS BIGINT) AS orphan_bp,
        b.n_orphans = 0 AS passed
 FROM (SELECT COUNT(*) AS n_rows,
-             SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS n_null
+             COALESCE(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END),
+                      0) AS n_null
       FROM {c}) a
 CROSS JOIN (SELECT COUNT(*) AS n_orphans
             FROM {c} ch LEFT JOIN {p} pa ON ch.{fk} = pa.{pk}

@@ -702,8 +702,11 @@ def hll_union_sql(dialect: str, rel_prefix: str = "") -> str:
         rel = rel_prefix + rel_suffix
         ce = colexpr.format(STR=str_t)
         tagbase = f"u_{rel_suffix}"
+        # odd slice is "% 2 <> 0", not "= 1": both engines return -1
+        # for negative % 2, and "= 1" would silently drop negative
+        # keys from the union (breaking the bit-identity contract)
         for part, pred in (("even", f"{key} % 2 = 0"),
-                           ("odd", f"{key} % 2 = 1")):
+                           ("odd", f"{key} % 2 <> 0")):
             tag = f"{tagbase}_{part}"
             sub = f"(SELECT * FROM {rel} WHERE {pred}) {tag}_src"
             ctes.append(_hll_reg_ctes(tag, sub, ce, notnull).lstrip())

@@ -1295,8 +1295,10 @@ def stream_events_recent_score(spark: SparkSession,
             top = list(zip(ts, ids, xs))
         else:
             n, top = 0, []
+        import math
         for pdf in pdfs:
-            pdf = pdf[pdf["value"].notna() & pdf["user_id"].notna()]
+            pdf = pdf[pdf["value"].notna() & pdf["user_id"].notna()
+                      & pdf["ts"].notna()]
             if not len(pdf):
                 continue
             n += len(pdf)
@@ -1305,7 +1307,6 @@ def stream_events_recent_score(spark: SparkSession,
             # truncation (the ns-epoch fuzz case)
             tsv = pdf["ts"].astype("int64")
             for t, e, v in zip(tsv, pdf["event_id"], pdf["value"]):
-                import math
                 x = int(math.floor(float(v) * 1_000_000 + 0.5))
                 x = max(-clamp, min(clamp, x))
                 top.append((int(t), int(e), x))
@@ -1324,10 +1325,17 @@ def stream_events_recent_score(spark: SparkSession,
     src = _single_file_glob(path) if os.path.isfile(path) else path
     spool = tempfile.mkdtemp(prefix="cpss_recent_spool_")
     ckpt = tempfile.mkdtemp(prefix="cpss_recent_ckpt_")
+    # NULL ts rows are excluded (they have no recency rank — mirrored
+    # in the oracle; NULL-ordering defaults differ across engines) and
+    # NaN values are excluded explicitly: NaN passes isNotNull in
+    # Spark but pandas notna() drops it, and the oracle's floor(NaN)
+    # errors — the filter is the shared semantics, in both engines.
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 4).parquet(src)
               .where(F.col("user_id").isNotNull()
-                     & F.col("value").isNotNull()))
+                     & F.col("ts").isNotNull()
+                     & F.col("value").isNotNull()
+                     & ~F.isnan(F.col("value"))))
     updates = stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=("user_id bigint, n_events bigint, "
@@ -1380,7 +1388,8 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rk
   FROM {events_rel}
-  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL AND NOT isnan(value)
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(x * CAST({weight} AS BIGINT)) AS BIGINT)

@@ -349,3 +349,34 @@ def test_bpe_vocab_merge_collision_semantics():
     counts = {"aaaaa": 3}
     want = _python_bpe(counts, 2)
     assert [tuple(r) for r in got] == want
+
+
+def test_hll_union_includes_negative_keys():
+    """The odd parity slice is % 2 <> 0 (both engines give -1 for
+    negative % 2): negative keys must land in exactly one slice and
+    survive into the union — the r8 review regression."""
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM (VALUES "
+            "(1, TIMESTAMP '2024-01-01', -3), "
+            "(2, TIMESTAMP '2024-01-01', -4), "
+            "(3, TIMESTAMP '2024-01-01', 5)) _v(event_id, ts, user_id)")
+    con.sql("CREATE VIEW orders AS SELECT * FROM (VALUES (1, 1))"
+            " _o(o_orderkey, o_custkey)")
+    rows = {(r[0], r[1]): r for r in
+            con.sql(hll_union_sql("duckdb")).fetchall()}
+    u = rows[("events.user_id", "union")]
+    assert u[6] == 3                          # all three users counted
+    assert (rows[("events.user_id", "even")][6]
+            + rows[("events.user_id", "odd")][6]) == 3
+
+
+def test_dq_referential_empty_child_counts_are_zero_not_null():
+    from catalog_pii_scanner_spark.operators.dq import (
+        dq_referential_sql)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW parent AS SELECT * FROM (VALUES (1)) _p(pk)")
+    con.sql("CREATE VIEW child AS SELECT * FROM (VALUES (1, 1)) _c"
+            "(id, fk) WHERE 1 = 0")
+    edges = (("child", "fk", "parent", "pk"),)
+    row = con.sql(dq_referential_sql("duckdb", edges=edges)).fetchone()
+    assert row == ("child.fk -> parent.pk", 0, 0, 0, 0, True)

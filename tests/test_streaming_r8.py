@@ -73,3 +73,29 @@ def test_recent_score_clamp_and_ties(spark, tmp_path):
         RECENT_CLAMP, RECENT_K)
     # user 2: one clamped negative event at the newest slot
     assert by_user[2] == (2, 1, -RECENT_CLAMP * (1 << (RECENT_K - 1)))
+
+
+def test_recent_score_null_ts_and_nan_value_rows(spark, tmp_path):
+    """NULL-ts rows (no recency rank) and NaN values (pass isNotNull,
+    break floor()) are excluded by the SHARED filter in both the
+    stateful stream and the oracle — the r8 review regressions."""
+    base = 1_700_000_000
+    rows = [
+        (1, base, 1, "a", 10.0, ""),
+        (2, None, 1, "a", 99.0, ""),           # NULL ts: excluded
+        (3, base + 1, 1, "a", float("nan"), ""),  # NaN value: excluded
+        (4, base + 2, 2, "a", 7.0, ""),
+    ]
+    cols = ("event_id bigint, tsl bigint, user_id bigint, "
+            "event_type string, value double, props string")
+    d = str(tmp_path)
+    (spark.createDataFrame(rows, cols)
+     .selectExpr("event_id", "timestamp_seconds(tsl) AS ts", "user_id",
+                 "event_type", "value", "props")
+     .repartition(2).write.mode("overwrite")
+     .parquet(f"{d}/events.parquet"))
+    got = sorted(map(tuple,
+                     stream_events_recent_score(spark, d).collect()))
+    want = _oracle_rows(d)
+    assert got == want
+    assert {r[0]: r[1] for r in got} == {1: 1, 2: 1}
