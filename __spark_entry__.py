@@ -328,6 +328,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The FULL set is verified every session by tools/selfcheck.py
 #: (committed as CORRECTNESS_LOCAL_r08.json), tools/edge_sweep.py, and
 #: the scaling sweeps in PERF.md.
+#:
+#: r9 NOTE on rotation timing: the driver restarted its round 7 before
+#: consuming the r8 rotation (no CORRECTNESS_r07 artifact exists), so
+#: the FRONT_50 below is kept byte-identical this round — THIS round's
+#: driver gate is the one that finally produces its driver rows.
+#: Every must-front promise therefore shifts by exactly one round:
+#: AGED_PARKED and the r8 NEW_LOCAL_ONLY front at the NEXT rotation,
+#: immediately after this window's rows land. Exceptions this round
+#: (declared in tests/test_entry_contract.py NEW_LOCAL_ONLY):
+#: ann_pq_trained_matmul / ann_ivfpq_trained_topk changed bodies — the
+#: per-subspace codeword-presence fix (the r8 sf0.1 shortlist flip's
+#: true root cause) and the oracle-mirrored 1.5e-6 ADC shortlist slack
+#: cut; ann_pq_trained_topk shares the fixed template from INSIDE the
+#: front 50, so its fix is driver-gated this round.
 FRONT_50 = [
     # (a) the 13 r7 NEW_LOCAL_ONLY — the fronting promise kept
     "stream_phash_keep_list", "corpus_cdc_dedup",

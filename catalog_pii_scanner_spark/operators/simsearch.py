@@ -1192,14 +1192,28 @@ pqcos AS (
   JOIN norms nq ON nq.vec_id = a.query_id
   JOIN rnorm r ON r.vec_id = a.neighbor_id
 ),
+shortr AS (
+  SELECT query_id, neighbor_id, pq_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pq_cosine DESC, neighbor_id)
+           AS prank
+  FROM pqcos
+),
 short AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY pq_cosine DESC, neighbor_id)
-             AS prank
-    FROM pqcos
-  ) WHERE prank <= {rerank}
+  -- SLACK cut (r9 fix for the one sf0.1 shortlist-boundary flip): keep
+  -- every candidate within 1e-6 of the rank-{rerank} ADC score instead
+  -- of cutting on rank alone, so a last-ulp cross-engine difference at
+  -- a 0.5e-6 rounding boundary cannot flip shortlist MEMBERSHIP — the
+  -- exact re-rank, not the ADC tie, decides. 1.5e-6 admits exactly one
+  -- 1e-6 grid step below the cut regardless of float representation; a
+  -- divergence now needs a two-step straddle (cut AND candidate both
+  -- off by a step, opposite directions).
+  SELECT r.query_id, r.neighbor_id
+  FROM shortr r
+  JOIN (SELECT query_id, MIN(pq_cosine) AS cutc
+        FROM shortr WHERE prank <= {rerank} GROUP BY query_id) c
+    ON c.query_id = r.query_id
+  WHERE r.pq_cosine >= c.cutc - 1.5e-6
 ),
 rdots AS (
   SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
@@ -1352,20 +1366,33 @@ def _pq_encode(X, cbm, cn2, pres):
     exceeds the 1e-6 rounding the SQL twin and this path share,
     flipping argmin on borderline codes (caught by the oracle gate);
     the direct form's reorder error (~1e-13) is absorbed by the
-    rounding. Codebook ids with no corpus vector (sparse vec_id <
-    PQ_CODES) do not exist in the declarative index and are masked
-    out. np.argmin's first-minimum is the SQL window's code-asc
-    tie-break."""
+    rounding. np.argmin's first-minimum is the SQL window's code-asc
+    tie-break.
+
+    ``pres`` is either a 1-D array of GLOBALLY present code ids
+    (prefix codebooks: a sparse vec_id < PQ_CODES is absent from every
+    subspace at once) or a 2-D (PQ_M, codes) boolean mask of
+    PER-SUBSPACE presence (trained codebooks: Lloyd can starve a
+    codeword in one subspace while it survives in others — the SQL
+    template's GROUP BY drops exactly the starved (m, code) pairs, so
+    the kernel must mask them per subspace too; a global mask leaves a
+    phantom all-zero codeword that small-norm subvectors snap to — the
+    r8 sf0.1 shortlist flip's true root cause)."""
     import numpy as np
     codes = np.empty((len(X), PQ_M), dtype=np.int64)
     r2 = np.zeros(len(X))
-    absent = np.ones(cn2.shape[1], dtype=bool)
-    absent[pres] = False
+    pres = np.asarray(pres)
+    if pres.ndim == 2:
+        absent2 = ~pres.astype(bool)
+    else:
+        a = np.ones(cn2.shape[1], dtype=bool)
+        a[pres] = False
+        absent2 = np.broadcast_to(a, (PQ_M, cn2.shape[1]))
     for m in range(PQ_M):
         xm = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
         diff = xm[:, None, :] - cbm[m][None, :, :]
         d2 = np.round(np.sum(diff * diff, axis=2), 6)
-        d2[:, absent] = np.inf
+        d2[:, absent2[m]] = np.inf
         codes[:, m] = np.argmin(d2, axis=1)
         r2 += cn2[m][codes[:, m]]
     return codes, r2
@@ -1533,14 +1560,28 @@ pqcos AS (
   JOIN norms nq ON nq.vec_id = a.query_id
   JOIN rnorm r ON r.vec_id = a.neighbor_id
 ),
+shortr AS (
+  SELECT query_id, neighbor_id, pq_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pq_cosine DESC, neighbor_id)
+           AS prank
+  FROM pqcos
+),
 short AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY pq_cosine DESC, neighbor_id)
-             AS prank
-    FROM pqcos
-  ) WHERE prank <= {rerank}
+  -- SLACK cut (r9 fix for the one sf0.1 shortlist-boundary flip): keep
+  -- every candidate within 1e-6 of the rank-{rerank} ADC score instead
+  -- of cutting on rank alone, so a last-ulp cross-engine difference at
+  -- a 0.5e-6 rounding boundary cannot flip shortlist MEMBERSHIP — the
+  -- exact re-rank, not the ADC tie, decides. 1.5e-6 admits exactly one
+  -- 1e-6 grid step below the cut regardless of float representation; a
+  -- divergence now needs a two-step straddle (cut AND candidate both
+  -- off by a step, opposite directions).
+  SELECT r.query_id, r.neighbor_id
+  FROM shortr r
+  JOIN (SELECT query_id, MIN(pq_cosine) AS cutc
+        FROM shortr WHERE prank <= {rerank} GROUP BY query_id) c
+    ON c.query_id = r.query_id
+  WHERE r.pq_cosine >= c.cutc - 1.5e-6
 ),
 rdots AS (
   SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
@@ -1831,14 +1872,28 @@ pqcos AS (
   JOIN norms nq ON nq.vec_id = a.query_id
   JOIN rnorm r ON r.vec_id = a.neighbor_id
 ),
+shortr AS (
+  SELECT query_id, neighbor_id, pq_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pq_cosine DESC, neighbor_id)
+           AS prank
+  FROM pqcos
+),
 short AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY pq_cosine DESC, neighbor_id)
-             AS prank
-    FROM pqcos
-  ) WHERE prank <= {rerank}
+  -- SLACK cut (r9 fix for the one sf0.1 shortlist-boundary flip): keep
+  -- every candidate within 1e-6 of the rank-{rerank} ADC score instead
+  -- of cutting on rank alone, so a last-ulp cross-engine difference at
+  -- a 0.5e-6 rounding boundary cannot flip shortlist MEMBERSHIP — the
+  -- exact re-rank, not the ADC tie, decides. 1.5e-6 admits exactly one
+  -- 1e-6 grid step below the cut regardless of float representation; a
+  -- divergence now needs a two-step straddle (cut AND candidate both
+  -- off by a step, opposite directions).
+  SELECT r.query_id, r.neighbor_id
+  FROM shortr r
+  JOIN (SELECT query_id, MIN(pq_cosine) AS cutc
+        FROM shortr WHERE prank <= {rerank} GROUP BY query_id) c
+    ON c.query_id = r.query_id
+  WHERE r.pq_cosine >= c.cutc - 1.5e-6
 ),
 rdots AS (
   SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
@@ -2055,14 +2110,28 @@ pqcos AS (
   JOIN norms nq ON nq.vec_id = a.query_id
   JOIN rnorm r ON r.vec_id = a.neighbor_id
 ),
+shortr AS (
+  SELECT query_id, neighbor_id, pq_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pq_cosine DESC, neighbor_id)
+           AS prank
+  FROM pqcos
+),
 short AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY pq_cosine DESC, neighbor_id)
-             AS prank
-    FROM pqcos
-  ) WHERE prank <= {rerank}
+  -- SLACK cut (r9 fix for the one sf0.1 shortlist-boundary flip): keep
+  -- every candidate within 1e-6 of the rank-{rerank} ADC score instead
+  -- of cutting on rank alone, so a last-ulp cross-engine difference at
+  -- a 0.5e-6 rounding boundary cannot flip shortlist MEMBERSHIP — the
+  -- exact re-rank, not the ADC tie, decides. 1.5e-6 admits exactly one
+  -- 1e-6 grid step below the cut regardless of float representation; a
+  -- divergence now needs a two-step straddle (cut AND candidate both
+  -- off by a step, opposite directions).
+  SELECT r.query_id, r.neighbor_id
+  FROM shortr r
+  JOIN (SELECT query_id, MIN(pq_cosine) AS cutc
+        FROM shortr WHERE prank <= {rerank} GROUP BY query_id) c
+    ON c.query_id = r.query_id
+  WHERE r.pq_cosine >= c.cutc - 1.5e-6
 ),
 rdots AS (
   SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
@@ -2178,20 +2247,22 @@ def _trained_pq_codebooks(spark, rel: str,
     """Run the (bounded: train_mod sample) training job once and collect
     the fitted codebook — codes x DIMS doubles, a few KB. Returns
     (CBm list of (codes, PQ_SUB) arrays, cb_norm2 (PQ_M, codes),
-    present code-id array): the _pq_codebooks contract, so the serving
-    kernel is shared with the prefix-codebook path. Codewords that lose
-    every vector during an iteration drop out of the fitted codebook
-    exactly as in the SQL template (GROUP BY over assigned codes only);
-    absent ids are masked at encode time like sparse prefix ids."""
+    present (PQ_M, codes) bool mask): the _pq_codebooks contract, so
+    the serving kernel is shared with the prefix-codebook path.
+    Codewords that lose every vector during an iteration drop out of
+    the fitted codebook exactly as in the SQL template (GROUP BY over
+    assigned codes only) — and they drop out PER SUBSPACE: Lloyd can
+    starve (m=5, code=7) while (m=3, code=7) survives, so presence is
+    a 2-D mask, not a global id list (the r8 sf0.1 flip's root
+    cause)."""
     import numpy as np
     rows = spark.sql(trained_pq_codebook_sql(
         "spark", rel, train_mod, codes, iters)).collect()
     CB = np.zeros((codes, DIMS), dtype=np.float64)
-    seen = set()
+    present = np.zeros((PQ_M, codes), dtype=bool)
     for r in rows:
         CB[r.code, r.m * PQ_SUB + (r.pos - 1) % PQ_SUB] = r.cval
-        seen.add(r.code)
-    present = np.array(sorted(seen), dtype=np.int64)
+        present[r.m, r.code] = True
     CBm = [CB[:, m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)]
     cb_norm2 = np.stack([np.sum(c * c, axis=1) for c in CBm])
     return CBm, cb_norm2, present
@@ -2237,7 +2308,7 @@ def ann_pq_trained_matmul(spark, sf_dir: str, k: int = 5,
         import numpy as np
         import pandas as pd
         qi, qm, qn, lut, cbm, cn2, pres = bc.value
-        if qi.size == 0 or pres.size == 0:
+        if qi.size == 0 or not np.any(pres):
             return
         for pdf in batches:
             if not len(pdf):
@@ -2261,7 +2332,13 @@ def ann_pq_trained_matmul(spark, sf_dir: str, k: int = 5,
             for j in range(qi.size):
                 keep_idx = np.flatnonzero(x_ids != qi[j])
                 ids, vals = x_ids[keep_idx], pq[keep_idx, j]
-                order = np.lexsort((ids, -vals))[:rr]
+                order = np.lexsort((ids, -vals))
+                if order.size > rr:
+                    # per-partition SLACK cut (mirrors the template's
+                    # 1.5e-6 shortlist slack): keep everything within
+                    # one 1e-6 grid step of the rank-rr ADC score
+                    cut = vals[order[rr - 1]] - 1.5e-6
+                    order = order[vals[order] >= cut]
                 sel = keep_idx[order]
                 den = np.where(c_norm[sel] > 0, c_norm[sel], np.nan)
                 ex = np.round((X[sel] @ qm[j]) / den / qn[j], 6)
@@ -2279,10 +2356,20 @@ def ann_pq_trained_matmul(spark, sf_dir: str, k: int = 5,
                "pq_cosine double, cosine double"))
     wshort = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id"))
+    # global SLACK cut (r9 fix, mirrors the template): the threshold is
+    # the rank-`rerank` ADC score; keep everything within one 1e-6 grid
+    # step of it so shortlist membership cannot flip on a last-ulp
+    # cross-engine difference. MIN over the prank<=rerank rows is that
+    # threshold; when a query has fewer than `rerank` candidates the
+    # MIN spans them all and the filter keeps them all.
     # zero-true-norm candidates: NaN may arrive as NaN OR NULL through
     # Arrow; both guards required (see ann_pq_matmul)
+    cutc = F.min(F.when(F.col("prank") <= rerank,
+                        F.col("pq_cosine"))).over(
+        Window.partitionBy("query_id"))
     short = (cand.withColumn("prank", F.row_number().over(wshort))
-             .where((F.col("prank") <= rerank)
+             .withColumn("cutc", cutc)
+             .where((F.col("pq_cosine") >= F.col("cutc") - F.lit(1.5e-6))
                     & F.col("cosine").isNotNull()
                     & ~F.isnan(F.col("cosine"))))
     w = Window.partitionBy("query_id").orderBy(

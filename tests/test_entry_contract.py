@@ -23,9 +23,8 @@ import __spark_entry__ as E
 #: (other than AGED_PARKED / NEW_LOCAL_ONLY) would silently lose
 #: driver verification.
 STABLE_PARKED = {
-    "ann_pq_trained_matmul", "corpus_quality_classifier",
+    "corpus_quality_classifier",
     "multimodal_phash_keep_list", "corpus_chunk_overlap",
-    "ann_ivfpq_trained_topk",
     "pii_repeated_spans", "eval_greedy_metrics",
     "pii_overlap_suppressed", "pii_ner_merge_max", "catalog_columns",
     "hms_columns", "unity_columns", "glue_columns",
@@ -63,17 +62,23 @@ AGED_PARKED = {
     "corpus_char_entropy", "llm_budget_plan", "multimodal_frame_sample",
 }
 
-#: Queries ADDED this round at positions 51+ because the front 50 was
-#: exactly consumed by the rotation (13 promised NEW_LOCAL_ONLY + 37
-#: r6-aged).  They carry full LOCAL verification
-#: (CORRECTNESS_LOCAL_r08, edge sweeps, pytest) but no driver row yet —
-#: they MUST move into the front 50 next round.
+#: Queries ADDED OR CHANGED this round at positions 51+ because the
+#: front 50 was exactly consumed by the rotation (13 promised
+#: NEW_LOCAL_ONLY + 37 r6-aged).  They carry full LOCAL verification
+#: (CORRECTNESS_LOCAL artifacts, edge sweeps, pytest) but no driver row
+#: for their current bodies yet — they MUST move into the front 50 next
+#: round.  r9 additions: ann_pq_trained_matmul / ann_ivfpq_trained_topk
+#: CHANGED this round (the per-subspace codeword-presence fix for the
+#: r8 sf0.1 shortlist flip + the 1.5e-6 ADC shortlist slack cut, both
+#: oracle-mirrored; sf0.1 differential now green), plus the genuinely
+#: new r9 operators.
 NEW_LOCAL_ONLY = {
     "corpus_line_dedup", "sketch_cms_heavy_hitters",
     "stream_cms_counters", "corpus_minhash_decontaminate",
     "layout_compaction_plan", "sketch_hll_union",
     "embed_hard_negatives", "dq_referential_suite",
     "corpus_bpe_merges", "stream_events_recent_score",
+    "ann_pq_trained_matmul", "ann_ivfpq_trained_topk",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds
