@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from catalog_pii_scanner_spark import oracles
 from catalog_pii_scanner_spark.operators import (analytics, bpe, corpus,
-                                                 dedup, llm,
+                                                 dedup, dsir, llm,
                                                  metadata_rules, multimodal,
                                                  ner, pii_docs, quality,
                                                  simsearch, textstats)
@@ -711,6 +711,15 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch oracle. The §2.13/2.14 surface the spool drains
         # deliberately avoid.
         "stream_events_recent_score": stream_events_recent_score,
+        # --- NEW in r9, registered past position 50 --------------------
+        # The FRONT_50 is byte-pinned this round (the driver restarted
+        # round 7 before consuming the r8 rotation — see the r9 NOTE
+        # above), so r9 queries join NEW_LOCAL_ONLY: full local
+        # verification (gate + sweeps + pytest), fronting next round.
+        # DSIR domain selection (Xie et al. 2023): hashed-bigram
+        # importance weights target/raw, per-BUCKET micro-quantized log
+        # ratios so doc weights are integer-exact, salted top-k.
+        "corpus_dsir_select": dsir.corpus_dsir_select,
     }
 
 
@@ -912,4 +921,6 @@ def oracle_sql() -> dict[str, str]:
         # the stateful drain shares the batch ranking oracle: the
         # state machinery must be invisible in the result
         "stream_events_recent_score": events_recent_score_oracle_sql(),
+        # --- r9 NEW_LOCAL_ONLY ------------------------------------------
+        "corpus_dsir_select": dsir.dsir_select_sql("duckdb"),
     }

@@ -79,6 +79,8 @@ NEW_LOCAL_ONLY = {
     "embed_hard_negatives", "dq_referential_suite",
     "corpus_bpe_merges", "stream_events_recent_score",
     "ann_pq_trained_matmul", "ann_ivfpq_trained_topk",
+    # r9 additions
+    "corpus_dsir_select",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds
