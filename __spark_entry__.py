@@ -64,7 +64,8 @@ def sketches_hll_sketch_only_oracle() -> str:
 from catalog_pii_scanner_spark.operators.dq import (
     dq_constraint_suite, dq_constraint_oracle_sql,
     dq_anomaly_days, dq_anomaly_oracle_sql,
-    dq_referential_suite, dq_referential_oracle_sql)
+    dq_referential_suite, dq_referential_oracle_sql,
+    dq_k_anonymity, dq_k_anonymity_oracle_sql)
 from catalog_pii_scanner_spark.operators.layout import (
     layout_zorder_stats, layout_zorder_oracle_sql,
     layout_compaction_plan, layout_compaction_oracle_sql)
@@ -720,6 +721,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # importance weights target/raw, per-BUCKET micro-quantized log
         # ratios so doc weights are integer-exact, salted top-k.
         "corpus_dsir_select": dsir.corpus_dsir_select,
+        # k-anonymity / l-diversity ladder (Sweeney 2002): one GROUPING
+        # SETS pass over the customer QI set — the privacy-risk rollup
+        # behind the scanner's column findings.
+        "dq_k_anonymity": dq_k_anonymity,
     }
 
 
@@ -923,4 +928,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_events_recent_score": events_recent_score_oracle_sql(),
         # --- r9 NEW_LOCAL_ONLY ------------------------------------------
         "corpus_dsir_select": dsir.dsir_select_sql("duckdb"),
+        "dq_k_anonymity": dq_k_anonymity_oracle_sql(),
     }

@@ -297,3 +297,88 @@ def dq_referential_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dq_referential_oracle_sql() -> str:
     return dq_referential_sql("duckdb")
+
+
+# --- k-anonymity / l-diversity audit (privacy DQ) ----------------------------
+#
+# The privacy-risk counterpart of the PII scanner's value-level findings
+# (reference scope: the scanner flags columns; this audits RE-IDENTIFIABILITY
+# of the rows behind them — Sweeney 2002 k-anonymity, Machanavajjhala 2007
+# l-diversity, both public): walk a generalization ladder over the
+# quasi-identifier set and report, per level, how many rows sit in
+# equivalence classes smaller than K_ANON_K and how diverse the sensitive
+# attribute is inside the worst class. The ARX-style lattice walk collapsed
+# to the three levels a fixed QI set admits.
+#
+# QI set on customer: (c_nationkey, c_mktsegment, acctbal kilobucket);
+# sensitive attribute: in_debt = c_acctbal < 0 (account standing).
+# Ladder: L0 full QI -> L1 drop the balance bucket -> L2 segment only.
+#
+# Scale shape (100 TB): one GROUPING SETS aggregation pass produces every
+# level's equivalence classes in a single shuffle (Catalyst expands the
+# sets map-side; no per-level rescan); the per-level rollup is a second
+# tiny aggregation over class rows. Deterministic integer outputs; the
+# one ratio is a floor() basis-point count (the referential-suite rule).
+
+#: k-anonymity threshold: classes smaller than this put their rows at
+#: re-identification risk.
+K_ANON_K = 10
+
+
+def dq_k_anonymity_sql(dialect: str, rel: str = "customer",
+                       k_min: int = K_ANON_K) -> str:
+    """One row per generalization level: level, n_classes, min_k,
+    rows_at_risk (rows in classes with k < k_min), risk_bp
+    (floor basis points of total), min_l (distinct sensitive values in
+    the least-diverse class). Identical SQL text in both dialects."""
+    del dialect
+    return f"""
+WITH base AS (
+  SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS qi_balk,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS in_debt
+  FROM {rel}
+),
+classes AS (
+  SELECT CASE WHEN qi_balk IS NOT NULL THEN 0
+              WHEN qi_nation IS NOT NULL THEN 1
+              ELSE 2 END AS level,
+         COUNT(*) AS k, COUNT(DISTINCT in_debt) AS l
+  FROM base
+  GROUP BY GROUPING SETS ((qi_nation, qi_segment, qi_balk),
+                          (qi_nation, qi_segment),
+                          (qi_segment))
+),
+totals AS (SELECT COUNT(*) AS n FROM base)
+SELECT CAST(c.level AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(c.k) AS BIGINT) AS min_k,
+       CAST(COALESCE(SUM(CASE WHEN c.k < {k_min} THEN c.k ELSE 0 END),
+                     0) AS BIGINT) AS rows_at_risk,
+       CAST(CASE WHEN t.n = 0 THEN 0
+                 ELSE floor(SUM(CASE WHEN c.k < {k_min} THEN c.k
+                                     ELSE 0 END)
+                            * CAST(10000 AS DOUBLE)
+                            / CAST(t.n AS DOUBLE))
+            END AS BIGINT) AS risk_bp,
+       CAST(MIN(c.l) AS BIGINT) AS min_l
+FROM classes c CROSS JOIN totals t
+GROUP BY c.level, t.n
+ORDER BY c.level
+"""
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ladder over the customer table; see
+    dq_k_anonymity_sql. NOTE the level derivation relies on the QI
+    columns being non-NULL in the base relation (true for the
+    generated customer table and asserted by dq_constraint_suite's
+    completeness checks): GROUPING SETS nulls are then unambiguous
+    level markers."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .createOrReplaceTempView("cpss_kanon_customer")
+    return spark.sql(dq_k_anonymity_sql("spark", "cpss_kanon_customer"))
+
+
+def dq_k_anonymity_oracle_sql() -> str:
+    return dq_k_anonymity_sql("duckdb")
