@@ -725,6 +725,11 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SETS pass over the customer QI set — the privacy-risk rollup
         # behind the scanner's column findings.
         "dq_k_anonymity": dq_k_anonymity,
+        # BPE ENCODING: apply the trained merges (corpus_bpe_merges'
+        # loop, shared) to every document — per-doc token budget under
+        # the learned tokenizer; vocabulary-bounded broadcast encode
+        # map, the 6 replaces folded into one codegen projection.
+        "corpus_bpe_encode": bpe.corpus_bpe_encode,
     }
 
 
@@ -929,4 +934,5 @@ def oracle_sql() -> dict[str, str]:
         # --- r9 NEW_LOCAL_ONLY ------------------------------------------
         "corpus_dsir_select": dsir.dsir_select_sql("duckdb"),
         "dq_k_anonymity": dq_k_anonymity_oracle_sql(),
+        "corpus_bpe_encode": bpe.bpe_encode_sql("duckdb"),
     }

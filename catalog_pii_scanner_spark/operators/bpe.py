@@ -104,12 +104,13 @@ def _pairs_sql(dialect: str, vocab: str) -> str:
   GROUP BY 1, 2"""
 
 
-def bpe_merges_sql(dialect: str, docs_rel: str = "documents",
-                   n_merges: int = BPE_MERGES) -> str:
-    """Fully-unrolled dual-dialect template: one row per learned merge,
-    (it, pa, pb, merged, pair_count), ordered by it."""
+def _train_ctes(dialect: str, docs_rel: str,
+                n_merges: int) -> list[str]:
+    """The unrolled training CTE chain (bpe_toks, bpe_vocab_0..N,
+    bpe_pairs_k, bpe_best_k) shared by the merges template and the
+    encode template — one text, so the two oracles can never train
+    different tokenizers."""
     ctes = [_vocab_cte(dialect, docs_rel).lstrip()]
-    rows = []
     for k in range(1, n_merges + 1):
         prev = f"bpe_vocab_{k - 1}"
         ctes.append(f"""
@@ -127,10 +128,18 @@ bpe_vocab_{k} AS (
          END AS s, v.c
   FROM {prev} v LEFT JOIN bpe_best_{k} b ON true
 )""")
-        rows.append(f"""
+    return ctes
+
+
+def bpe_merges_sql(dialect: str, docs_rel: str = "documents",
+                   n_merges: int = BPE_MERGES) -> str:
+    """Fully-unrolled dual-dialect template: one row per learned merge,
+    (it, pa, pb, merged, pair_count), ordered by it."""
+    ctes = _train_ctes(dialect, docs_rel, n_merges)
+    rows = [f"""
 SELECT {k} AS it, pa, pb, pa || pb AS merged,
        CAST(cnt AS BIGINT) AS pair_count
-FROM bpe_best_{k}""")
+FROM bpe_best_{k}""" for k in range(1, n_merges + 1)]
     body = "\nUNION ALL".join(rows)
     return (f"WITH {','.join(ctes)}\n"
             f"SELECT * FROM ({body}) allrows"
@@ -139,13 +148,24 @@ FROM bpe_best_{k}""")
 
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str,
                       n_merges: int = BPE_MERGES) -> DataFrame:
-    """BPE merge training, Spark path: the corpus collapses to the
+    """BPE merge training, Spark path; the loop itself lives in
+    _train_merges (shared with corpus_bpe_encode). Semantics identical
+    to bpe_merges_sql (the oracle); see module docstring."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = _train_merges(spark, docs, n_merges)
+    return spark.createDataFrame(
+        out, "it int, pa string, pb string, merged string,"
+             " pair_count bigint").orderBy("it")
+
+
+def _train_merges(spark: SparkSession, docs: DataFrame,
+                  n_merges: int = BPE_MERGES) -> list[tuple]:
+    """The distributed training loop: the corpus collapses to the
     (symbols, count) vocabulary once; each iteration counts pairs
     distributed, collects the ONE best row (bounded driver collect —
     the codebook/centroid discipline), inlines it as literals into the
-    merge expression, and checkpoints the merged vocabulary. Semantics
-    identical to bpe_merges_sql (the oracle); see module docstring."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merge expression, and checkpoints the merged vocabulary. Returns
+    [(it, pa, pb, merged, pair_count)]."""
     toks = (docs.select(F.explode(F.split("text", " +")).alias("tok"))
             .where((F.col("tok") != "")
                    & F.col("tok").rlike("^[a-z0-9]+$")))
@@ -182,9 +202,7 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str,
             f"' ' || {_sql_str(pa)} || ' ' || {_sql_str(pb)} || ' ', "
             f"' ' || {_sql_str(pa)} || {_sql_str(pb)} || ' ')) AS s",
             "c").localCheckpoint(eager=True))
-    return spark.createDataFrame(
-        out, "it int, pa string, pb string, merged string,"
-             " pair_count bigint").orderBy("it")
+    return out
 
 
 def _sql_str(s: str) -> str:
@@ -192,3 +210,107 @@ def _sql_str(s: str) -> str:
     or the </w> marker — no quoting hazards, asserted anyway)."""
     assert "'" not in s and "\\" not in s, s
     return "'" + s + "'"
+
+
+# --- BPE encoding (apply the trained merges to the corpus) -------------------
+#
+# The other half of the tokenizer: once merges are learned, every
+# pipeline applies them to measure token budgets (sequence packing,
+# cost planning) — tokens-per-document under the trained BPE. Encoding
+# a token = render it as the spaced symbol string and apply the merge
+# rules IN TRAINING ORDER with the exact same leftmost-non-overlapping
+# string replace the trainer used (one replace per rule — see the
+# module docstring's str.replace note); the result's symbol count is
+# the token's BPE length. Tokens outside the trainer's [a-z0-9]+
+# universe are counted but not encoded; tokens are truncated at
+# BPE_MAX_TOKEN_CHARS exactly as in training (the straggler guard is
+# part of the tokenizer's semantics, mirrored here).
+#
+# Scale shape (100 TB): the encode map is DISTINCT-TOKEN keyed —
+# vocabulary-bounded, not corpus-bounded — and the 6 merge replaces
+# collapse into ONE Catalyst projection over it (literal merges, no
+# joins); docs join the map broadcast and aggregate per doc in one
+# doc-keyed shuffle. The training loop's collects stay bounded (one
+# row per merge).
+
+def bpe_encode_sql(dialect: str, docs_rel: str = "documents",
+                   n_merges: int = BPE_MERGES) -> str:
+    """Per-document BPE budget: doc_id, n_tokens (all whitespace
+    tokens), n_enc (tokens in the trainer's universe), n_bpe (total
+    BPE symbols over encoded tokens). Trains and encodes in one
+    template so the oracle can never apply foreign merges."""
+    unnest = "unnest" if dialect == "duckdb" else "explode"
+    split = ("regexp_split_to_array(text, ' +')" if dialect == "duckdb"
+             else "split(text, ' +')")
+    spaced = (r"regexp_replace(substr(tok, 1, %d), '(.)', '\1 ', 'g')"
+              % BPE_MAX_TOKEN_CHARS if dialect == "duckdb" else
+              r"regexp_replace(substr(tok, 1, %d), '(.)', '$1 ')"
+              % BPE_MAX_TOKEN_CHARS)
+    matches = ("regexp_matches(tok, '^[a-z0-9]+$')"
+               if dialect == "duckdb" else "tok RLIKE '^[a-z0-9]+$'")
+    nsym = ("len(string_split(s, ' '))" if dialect == "duckdb"
+            else "size(split(s, ' '))")
+    ctes = _train_ctes(dialect, docs_rel, n_merges)
+    ctes.append(f"""
+doc_toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, {unnest}({split}) AS tok FROM {docs_rel}
+  ) _e WHERE tok <> ''
+),
+encv_0 AS (
+  SELECT tok, trim({spaced}) || ' {BPE_EOW}' AS s
+  FROM (SELECT DISTINCT tok FROM doc_toks WHERE {matches}) _u
+)""")
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""
+encv_{k} AS (
+  SELECT e.tok,
+         CASE WHEN b.pa IS NULL THEN e.s
+         ELSE trim(replace(' ' || e.s || ' ',
+                           ' ' || b.pa || ' ' || b.pb || ' ',
+                           ' ' || b.pa || b.pb || ' '))
+         END AS s
+  FROM encv_{k - 1} e LEFT JOIN bpe_best_{k} b ON true
+)""")
+    ctes.append(f"""
+enc_final AS (
+  SELECT tok, {nsym} AS n_sym FROM encv_{n_merges}
+)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"""SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(e.tok) AS BIGINT) AS n_enc,
+       CAST(COALESCE(SUM(e.n_sym), 0) AS BIGINT) AS n_bpe
+FROM doc_toks d LEFT JOIN enc_final e ON e.tok = d.tok
+GROUP BY d.doc_id""")
+
+
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str,
+                      n_merges: int = BPE_MERGES) -> DataFrame:
+    """Spark path: _train_merges once, then the encode map as ONE
+    projection over distinct tokens (merge literals chained — Catalyst
+    folds the 6 replaces into a single whole-stage-codegen expression),
+    broadcast into the per-doc aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = _train_merges(spark, docs, n_merges)
+    doc_toks = (docs.select(
+        "doc_id", F.explode(F.split("text", " +")).alias("tok"))
+        .where(F.col("tok") != ""))
+    spaced = F.regexp_replace(
+        F.substring("tok", 1, BPE_MAX_TOKEN_CHARS), "(.)", "$1 ")
+    enc = (doc_toks.where(F.col("tok").rlike("^[a-z0-9]+$"))
+           .select("tok").distinct()
+           .select("tok", F.concat(F.trim(spaced),
+                                   F.lit(f" {BPE_EOW}")).alias("s")))
+    expr = "s"
+    for _, pa, pb, _, _ in merges:
+        expr = (f"trim(replace(' ' || {expr} || ' ', "
+                f"' ' || {_sql_str(pa)} || ' ' || {_sql_str(pb)} || ' ', "
+                f"' ' || {_sql_str(pa)} || {_sql_str(pb)} || ' '))")
+    enc = enc.selectExpr("tok", f"size(split({expr}, ' ')) AS n_sym")
+    return (doc_toks.join(F.broadcast(enc), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.count("n_sym").cast("bigint").alias("n_enc"),
+                 F.coalesce(F.sum("n_sym"), F.lit(0)).cast("bigint")
+                 .alias("n_bpe")))

@@ -80,7 +80,7 @@ NEW_LOCAL_ONLY = {
     "corpus_bpe_merges", "stream_events_recent_score",
     "ann_pq_trained_matmul", "ann_ivfpq_trained_topk",
     # r9 additions
-    "corpus_dsir_select", "dq_k_anonymity",
+    "corpus_dsir_select", "dq_k_anonymity", "corpus_bpe_encode",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

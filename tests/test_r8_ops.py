@@ -380,3 +380,62 @@ def test_dq_referential_empty_child_counts_are_zero_not_null():
     edges = (("child", "fk", "parent", "pk"),)
     row = con.sql(dq_referential_sql("duckdb", edges=edges)).fetchone()
     assert row == ("child.fk -> parent.pk", 0, 0, 0, 0, True)
+
+
+# --- BPE encoding (r9) --------------------------------------------------------
+
+def _python_bpe_encode(texts, n_merges):
+    """Independent encode reference: train via _python_bpe, apply the
+    rules in order with the same padded str.replace, count symbols."""
+    from catalog_pii_scanner_spark.operators.bpe import (
+        BPE_EOW, BPE_MAX_TOKEN_CHARS)
+    import re
+    counts = {}
+    for t in texts.values():
+        for tok in re.split(" +", t):
+            if tok and re.fullmatch("[a-z0-9]+", tok):
+                counts[tok] = counts.get(tok, 0) + 1
+    rules = _python_bpe(counts, n_merges)
+    out = {}
+    for doc_id, t in texts.items():
+        toks = [tok for tok in re.split(" +", t) if tok]
+        n_enc = n_bpe = 0
+        for tok in toks:
+            if not re.fullmatch("[a-z0-9]+", tok):
+                continue
+            s = " ".join(tok[:BPE_MAX_TOKEN_CHARS]) + f" {BPE_EOW}"
+            for _, pa, pb, _, _ in rules:
+                s = (" " + s + " ").replace(
+                    f" {pa} {pb} ", f" {pa}{pb} ").strip()
+            n_enc += 1
+            n_bpe += len(s.split(" "))
+        out[doc_id] = (len(toks), n_enc, n_bpe)
+    return out
+
+
+def test_bpe_encode_matches_python_reference():
+    from catalog_pii_scanner_spark.operators.bpe import bpe_encode_sql
+    rows = [(1, "lower lowest low low"), (2, "new newer newest"),
+            (3, "low UPPER low 9lives"), (4, "wide wider widest er er")]
+    con = _duck_docs(rows)
+    got = {r[0]: (r[1], r[2], r[3])
+           for r in con.sql(bpe_encode_sql("duckdb")).fetchall()}
+    want = _python_bpe_encode({i: t for i, t in rows}, 6)
+    assert got == want
+    # the non-universe token (UPPER) is counted but not encoded;
+    # 9lives IS in the [a-z0-9]+ universe
+    assert got[3][0] == 4 and got[3][1] == 3
+
+
+def test_bpe_encode_compresses():
+    """After 6 merges the corpus BPE length must be strictly below the
+    character count (+EOW) baseline — the merges actually apply."""
+    from catalog_pii_scanner_spark.operators.bpe import bpe_encode_sql
+    rows = [(i, "merge merger merged merges") for i in range(4)]
+    con = _duck_docs(rows)
+    got = con.sql(bpe_encode_sql("duckdb")).fetchall()
+    for _, n_tokens, n_enc, n_bpe in got:
+        baseline = sum(len(t) + 1 for t in
+                       "merge merger merged merges".split())
+        assert n_enc == n_tokens == 4
+        assert n_bpe < baseline
