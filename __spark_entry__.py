@@ -18,8 +18,9 @@ from catalog_pii_scanner_spark import oracles
 from catalog_pii_scanner_spark.operators import (analytics, bpe, corpus,
                                                  dedup, dsir, llm,
                                                  metadata_rules, multimodal,
-                                                 ner, pii_docs, quality,
-                                                 simsearch, textstats)
+                                                 ner, pca, pii_docs,
+                                                 quality, simsearch,
+                                                 textstats)
 from catalog_pii_scanner_spark.operators.ensemble import (
     ensemble_oracle_sql, fuse_predictions)
 from catalog_pii_scanner_spark.operators.evaluate import (
@@ -730,6 +731,11 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the learned tokenizer; vocabulary-bounded broadcast encode
         # map, the 6 replaces folded into one codegen projection.
         "corpus_bpe_encode": bpe.corpus_bpe_encode,
+        # embedding-spectrum diagnostics: exact integer covariance
+        # Gram (micro-quantized, order-free) -> per-dim variance +
+        # participation-ratio effective rank — the representation-
+        # collapse gate for cosine-based dedup/ANN.
+        "embed_spectrum_stats": pca.embed_spectrum_stats,
     }
 
 
@@ -935,4 +941,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dsir_select": dsir.dsir_select_sql("duckdb"),
         "dq_k_anonymity": dq_k_anonymity_oracle_sql(),
         "corpus_bpe_encode": bpe.bpe_encode_sql("duckdb"),
+        "embed_spectrum_stats": pca.spectrum_stats_oracle_sql(),
     }

@@ -81,6 +81,7 @@ NEW_LOCAL_ONLY = {
     "ann_pq_trained_matmul", "ann_ivfpq_trained_topk",
     # r9 additions
     "corpus_dsir_select", "dq_k_anonymity", "corpus_bpe_encode",
+    "embed_spectrum_stats",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds
