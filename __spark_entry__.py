@@ -69,7 +69,8 @@ from catalog_pii_scanner_spark.operators.dq import (
     dq_k_anonymity, dq_k_anonymity_oracle_sql)
 from catalog_pii_scanner_spark.operators.layout import (
     layout_zorder_stats, layout_zorder_oracle_sql,
-    layout_compaction_plan, layout_compaction_oracle_sql)
+    layout_compaction_plan, layout_compaction_oracle_sql,
+    layout_partition_skew, layout_skew_oracle_sql)
 from catalog_pii_scanner_spark.streaming.watcher import (
     events_hourly, events_hourly_oracle_sql, events_props_stats,
     events_props_stats_oracle_sql, events_sessions,
@@ -736,6 +737,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # participation-ratio effective rank — the representation-
         # collapse gate for cosine-based dedup/ANN.
         "embed_spectrum_stats": pca.embed_spectrum_stats,
+        # shuffle-key skew audit: per-edge key-count stats + heavy-key
+        # census + recommended salt fan-out — the planning twin of the
+        # measured salted-sessions crossover (PERF.md).
+        "layout_partition_skew": layout_partition_skew,
     }
 
 
@@ -942,4 +947,5 @@ def oracle_sql() -> dict[str, str]:
         "dq_k_anonymity": dq_k_anonymity_oracle_sql(),
         "corpus_bpe_encode": bpe.bpe_encode_sql("duckdb"),
         "embed_spectrum_stats": pca.spectrum_stats_oracle_sql(),
+        "layout_partition_skew": layout_skew_oracle_sql(),
     }

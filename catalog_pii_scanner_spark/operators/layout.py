@@ -251,3 +251,90 @@ def layout_compaction_plan(spark: SparkSession,
 
 def layout_compaction_oracle_sql() -> str:
     return compaction_plan_sql("duckdb")
+
+
+# --- partition-skew report (shuffle-key diagnostics) -------------------------
+#
+# The planning twin of the salted-sessions crossover measured in PERF.md:
+# before a 100 TB job picks its shuffle keys, this reports — per
+# (relation, key) edge — how skewed the key's row distribution is and
+# what salt fan-out would bound the biggest key's partition at
+# SKEW_TARGET_ROWS rows per task. The metrics deliberately avoid any
+# global window over the key universe (billions of keys at scale): one
+# per-key COUNT aggregation per edge (the only real shuffle), then a
+# broadcast join of the 1-row stats relation back onto the per-key
+# counts for the heavy-key census.
+
+#: A salted partition should stay under this many rows per task.
+SKEW_TARGET_ROWS = 100_000
+#: A key is "heavy" when it exceeds this multiple of the mean.
+SKEW_HEAVY_X = 10
+
+#: (relation, key column) edges to audit.
+SKEW_EDGES = (
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+)
+
+
+def partition_skew_sql(dialect: str, rel_prefix: str = "",
+                       edges=SKEW_EDGES,
+                       target: int = SKEW_TARGET_ROWS,
+                       heavy_x: int = SKEW_HEAVY_X) -> str:
+    """One row per audited edge: rel_key, n_rows, n_keys,
+    max_key_rows, skew_x (max / mean, rounded 1e-6), n_heavy_keys
+    (keys above heavy_x * mean), rec_salt (ceil(max_key_rows /
+    target); 1 = no salting needed). NULL keys are excluded (they
+    shuffle to one partition by definition and the referential suite
+    already counts them). Identical SQL text in both dialects."""
+    del dialect
+    parts = []
+    for rel, key in edges:
+        r = rel_prefix + rel
+        parts.append(f"""
+SELECT '{rel}.{key}' AS rel_key,
+       CAST(s.n_rows AS BIGINT) AS n_rows,
+       CAST(s.n_keys AS BIGINT) AS n_keys,
+       CAST(s.max_k AS BIGINT) AS max_key_rows,
+       round(s.max_k * CAST(s.n_keys AS DOUBLE) / s.n_rows, 6)
+         AS skew_x,
+       CAST(h.n_heavy AS BIGINT) AS n_heavy_keys,
+       CAST(CASE WHEN s.max_k <= {target} THEN 1
+            ELSE ceil(s.max_k / CAST({target} AS DOUBLE)) END
+            AS BIGINT) AS rec_salt
+FROM (
+  SELECT COALESCE(SUM(cnt), 0) AS n_rows, COUNT(*) AS n_keys,
+         MAX(cnt) AS max_k
+  FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {r}
+        WHERE {key} IS NOT NULL GROUP BY {key}) _c
+) s
+CROSS JOIN (
+  SELECT COUNT(*) AS n_heavy
+  FROM (SELECT COUNT(*) AS cnt FROM {r}
+        WHERE {key} IS NOT NULL GROUP BY {key}) _c2
+  CROSS JOIN (SELECT SUM(cnt2) * 1.0 / COUNT(*) AS mean_k
+              FROM (SELECT COUNT(*) AS cnt2 FROM {r}
+                    WHERE {key} IS NOT NULL GROUP BY {key}) _m) _mm
+  WHERE _c2.cnt > {heavy_x} * _mm.mean_k
+) h""")
+    body = "\nUNION ALL".join(parts)
+    return f"SELECT * FROM ({body}) allrows ORDER BY rel_key"
+
+
+def layout_partition_skew(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit over the star schema's natural join/agg
+    keys; see partition_skew_sql. Each edge runs three column-pruned
+    aggregation passes over its base table (stats, heavy census, mean);
+    a production variant would materialize the per-key counts once per
+    edge — acceptable for a diagnostic, and noted in PLANS.md."""
+    tables = sorted({rel for rel, _ in SKEW_EDGES})
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+            .createOrReplaceTempView(f"cpss_skew_{t}")
+    return spark.sql(partition_skew_sql("spark", rel_prefix="cpss_skew_"))
+
+
+def layout_skew_oracle_sql() -> str:
+    return partition_skew_sql("duckdb")

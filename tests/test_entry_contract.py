@@ -81,7 +81,7 @@ NEW_LOCAL_ONLY = {
     "ann_pq_trained_matmul", "ann_ivfpq_trained_topk",
     # r9 additions
     "corpus_dsir_select", "dq_k_anonymity", "corpus_bpe_encode",
-    "embed_spectrum_stats",
+    "embed_spectrum_stats", "layout_partition_skew",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

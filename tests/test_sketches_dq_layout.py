@@ -220,3 +220,48 @@ def test_dq_anomaly_fires_on_injected_drift(spark, tmp_path, sf_dir):
     # the drifted day is the outlier, not a global false-alarm storm
     n_flagged = sum(r.flagged for r in drifted.values())
     assert n_flagged <= max(1, len(drifted) // 10)
+
+
+# --- partition-skew report (r9) ------------------------------------------------
+
+def _skew_duck(event_user_ids):
+    import duckdb as _dd
+    con = _dd.connect()
+    vals = ", ".join(f"({i}, {u})" for i, u in enumerate(event_user_ids))
+    con.sql(f"CREATE VIEW events AS SELECT * FROM (VALUES {vals})"
+            f" _v(event_id, user_id)")
+    con.sql("CREATE VIEW lineitem AS SELECT CAST(1 AS BIGINT) AS"
+            " l_orderkey WHERE false")
+    con.sql("CREATE VIEW orders AS SELECT CAST(1 AS BIGINT) AS"
+            " o_custkey WHERE false")
+    return con
+
+
+def test_partition_skew_flags_planted_hot_key():
+    from catalog_pii_scanner_spark.operators.layout import (
+        partition_skew_sql)
+    # 40 uniform keys x 2 rows + ONE key with 920 rows
+    ids = [k for k in range(40) for _ in range(2)] + [999] * 920
+    con = _skew_duck(ids)
+    rows = {r[0]: r for r in con.sql(partition_skew_sql("duckdb"))
+            .fetchall()}
+    ev = rows["events.user_id"]
+    assert ev[1] == 1000 and ev[2] == 41 and ev[3] == 920
+    # skew_x = max / mean = 920 / (1000/41)
+    assert abs(ev[4] - 920 * 41 / 1000) < 1e-6
+    assert ev[5] == 1          # exactly one heavy key
+    assert ev[6] == 1          # under target -> no salting needed
+    # empty edges: NULL max, NULL-propagated metrics, zero counts
+    li = rows["lineitem.l_orderkey"]
+    assert li[1] == 0 and li[2] == 0 and li[3] is None
+
+
+def test_partition_skew_recommends_salt():
+    from catalog_pii_scanner_spark.operators.layout import (
+        partition_skew_sql)
+    ids = [7] * 50
+    con = _skew_duck(ids)
+    rows = {r[0]: r for r in
+            con.sql(partition_skew_sql("duckdb", target=8)).fetchall()}
+    # one key, 50 rows, target 8 -> ceil(50/8) = 7 salts
+    assert rows["events.user_id"][6] == 7
