@@ -741,6 +741,11 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # census + recommended salt fan-out — the planning twin of the
         # measured salted-sessions crossover (PERF.md).
         "layout_partition_skew": layout_partition_skew,
+        # audio fingerprint dedup (Haitsma-Kalker delta-sign bits over
+        # the energy-window fabric): exact integer cross-multiply bits
+        # packed per asset, fingerprint-keyed groups, MIN-id keep rule.
+        "multimodal_audio_fingerprint":
+            multimodal.multimodal_audio_fingerprint,
     }
 
 
@@ -948,4 +953,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bpe_encode": bpe.bpe_encode_sql("duckdb"),
         "embed_spectrum_stats": pca.spectrum_stats_oracle_sql(),
         "layout_partition_skew": layout_skew_oracle_sql(),
+        "multimodal_audio_fingerprint":
+            multimodal.audio_fingerprint_oracle_sql(),
     }

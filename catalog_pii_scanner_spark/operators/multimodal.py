@@ -34,7 +34,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_FEATURES = 8
@@ -1137,4 +1137,139 @@ SELECT d.doc_id,
 FROM {docs_rel} d
 LEFT JOIN clusters c ON c.doc_id = d.doc_id
 LEFT JOIN flagged f ON f.doc_id = d.doc_id
+"""
+
+
+# --- audio fingerprint dedup (energy-delta sign bits) ------------------------
+#
+# The audio counterpart of multimodal_phash_dedup: a chromaprint-STYLE
+# fingerprint (public concept: Haitsma-Kalker 2002 / AcoustID — sign of
+# the energy DELTA between consecutive analysis windows packs into one
+# integer; equal fingerprints = same coarse energy envelope) over the
+# same byte-window energy fabric audio_window_energy extracts. The bit
+# test is an integer cross-multiplication —
+#     bit_i = (sum_i * len_{i-1} > sum_{i-1} * len_i)
+# i.e. mean_i > mean_{i-1} without EVER dividing — so the whole
+# operator is exact integer arithmetic end to end (no rounding
+# boundaries at all, unlike the float-energy column next door).
+#
+# Verdict: exact-match groups on the fingerprint, MIN-id keep rule —
+# the repo-wide keep-list discipline. Fingerprint windows are capped
+# at FP_BITS (monster payloads contribute one BIGINT regardless).
+#
+# Scale shape (100 TB): the Arrow stage emits window rows (linear in
+# payload bytes / FP_WINDOW); one asset-keyed window+agg builds the
+# fingerprints; the group census is one fingerprint-keyed shuffle of
+# one row per asset. No joins against the corpus, no quadratic pair
+# stage — the fingerprint IS the blocking key.
+
+#: Fingerprint analysis window (bytes). Smaller than AUDIO_WINDOW so
+#: the short synthetic payloads still yield 3-34 discriminating bits.
+FP_WINDOW = 16
+#: Cap on packed delta bits (windows beyond FP_BITS+1 are ignored).
+FP_BITS = 32
+
+
+def audio_fingerprints(assets: DataFrame,
+                       window: int = FP_WINDOW,
+                       bits: int = FP_BITS) -> DataFrame:
+    """(asset_id, fingerprint, n_windows) — delta-sign bits packed
+    little-endian (window 1's delta = bit 0). Single-window assets get
+    fingerprint 0 (no deltas), matching the oracle's COALESCE."""
+    e = audio_window_energy(assets, window) \
+        .select("asset_id", "window_no", "win_len", "byte_sum")
+    w = Window.partitionBy("asset_id").orderBy("window_no")
+    bitsrel = (
+        e.withColumn("prev_sum", F.lag("byte_sum").over(w))
+        .withColumn("prev_len", F.lag("win_len").over(w))
+        .withColumn(
+            "bit",
+            (F.col("byte_sum") * F.col("prev_len")
+             > F.col("prev_sum") * F.col("win_len")).cast("long")))
+    fps = (bitsrel.groupBy("asset_id").agg(
+        F.coalesce(
+            F.sum(F.when(
+                (F.col("window_no") >= 1) & (F.col("window_no") <= bits),
+                F.col("bit") * F.expr(
+                    "CAST(power(2, window_no - 1) AS BIGINT)"))),
+            F.lit(0)).alias("fingerprint"),
+        F.count("*").alias("n_windows")))
+    return fps
+
+
+def multimodal_audio_fingerprint(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Fingerprint dedup verdict over the audio slice of the media
+    corpus: asset_id, fingerprint, n_windows, group_n, keep (MIN-id
+    representative of the fingerprint group). Shares the media fabric
+    and ASCII-domain gate of audio_energy_query."""
+    assets = media_assets(spark, sf_dir).where(
+        F.col("n_bytes") == F.length(F.decode(F.col("media"), "utf-8")))
+    fps = audio_fingerprints(assets)
+    gw = Window.partitionBy("fingerprint")
+    return (fps
+            .withColumn("group_n", F.count("*").over(gw)
+                        .cast("bigint"))
+            .withColumn("keep", F.col("asset_id")
+                        == F.min("asset_id").over(gw))
+            .select("asset_id", "fingerprint",
+                    F.col("n_windows").cast("bigint").alias("n_windows"),
+                    "group_n", "keep"))
+
+
+def audio_fingerprint_oracle_sql(docs_rel: str = "documents",
+                                 window: int = FP_WINDOW,
+                                 bits: int = FP_BITS) -> str:
+    """Same byte arithmetic as audio_energy_oracle_sql (ASCII-domain
+    gate identical), then lag-delta sign bits packed per asset."""
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
+  FROM {docs_rel} WHERE doc_id % 3 = 1 AND text IS NOT NULL
+    AND octet_length(encode(text)) = length(text)
+),
+w AS (
+  SELECT asset_id, text, n,
+         unnest(range(0, CAST(ceil(n / {window}.0) AS BIGINT)))
+           AS window_no
+  FROM a WHERE n > 0
+),
+b AS (
+  SELECT asset_id, window_no,
+         CAST(least({window}, n - window_no * {window}) AS BIGINT)
+           AS win_len,
+         unnest(range(0, least({window}, n - window_no * {window}))) AS j,
+         text
+  FROM w
+),
+e AS (
+  SELECT asset_id, window_no, win_len,
+         CAST(SUM(ord(substr(text,
+                             CAST(window_no * {window} + j + 1 AS INT),
+                             1))) AS BIGINT) AS byte_sum
+  FROM b GROUP BY asset_id, window_no, win_len, text
+),
+d AS (
+  SELECT asset_id, window_no, win_len, byte_sum,
+         lag(byte_sum) OVER (PARTITION BY asset_id
+                             ORDER BY window_no) AS prev_sum,
+         lag(win_len) OVER (PARTITION BY asset_id
+                            ORDER BY window_no) AS prev_len
+  FROM e
+),
+fps AS (
+  SELECT asset_id,
+         COALESCE(SUM(CASE WHEN window_no BETWEEN 1 AND {bits}
+                           AND byte_sum * prev_len > prev_sum * win_len
+                      THEN CAST(power(2, window_no - 1) AS BIGINT)
+                      ELSE 0 END), 0) AS fingerprint,
+         COUNT(*) AS n_windows
+  FROM d GROUP BY asset_id
+)
+SELECT asset_id, fingerprint,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+         AS group_n,
+       asset_id = MIN(asset_id) OVER (PARTITION BY fingerprint) AS keep
+FROM fps
 """

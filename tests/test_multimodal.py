@@ -349,3 +349,59 @@ def test_phash_keep_list_verdict_shape(spark):
         assert rows[rep][0] == rep      # rep maps to itself
     # the synthetic corpus HAS clusters: some docs are dropped
     assert any(not keep for _, keep in rows.values())
+
+
+# --- audio fingerprint dedup (r9) ---------------------------------------------
+
+def _fp_assets(spark, payloads):
+    return spark.createDataFrame(
+        [(i, p, "audio/wav", len(p)) for i, p in payloads],
+        "asset_id bigint, media binary, media_type string,"
+        " n_bytes bigint")
+
+
+def test_audio_fingerprint_bits_hand_check(spark):
+    """Delta-sign bits on a crafted envelope: means 10, 30, 20 with
+    window=4 -> deltas up, down -> bits 1, 0 -> fingerprint 1."""
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        audio_fingerprints)
+    payload = bytes([10] * 4 + [30] * 4 + [20] * 4)
+    rows = audio_fingerprints(_fp_assets(spark, [(1, payload)]),
+                              window=4).collect()
+    assert len(rows) == 1
+    assert rows[0].fingerprint == 1 and rows[0].n_windows == 3
+
+
+def test_audio_fingerprint_groups_and_keep(spark):
+    """Identical envelopes (even with different absolute bytes) share
+    a fingerprint; the MIN asset id is the keeper."""
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        audio_fingerprints)
+    up_down = bytes([10] * 4 + [30] * 4 + [20] * 4)
+    up_down_scaled = bytes([20] * 4 + [60] * 4 + [40] * 4)
+    down_up = bytes([30] * 4 + [10] * 4 + [20] * 4)
+    fps = {r.asset_id: r.fingerprint for r in audio_fingerprints(
+        _fp_assets(spark, [(7, up_down), (3, up_down_scaled),
+                           (5, down_up)]), window=4).collect()}
+    assert fps[7] == fps[3] != fps[5]
+
+
+def test_audio_fingerprint_single_window_is_zero(spark):
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        audio_fingerprints)
+    rows = audio_fingerprints(_fp_assets(spark, [(1, bytes([5] * 3))]),
+                              window=4).collect()
+    assert rows[0].fingerprint == 0 and rows[0].n_windows == 1
+
+
+def test_audio_fingerprint_bit_cap(spark):
+    """Windows past FP_BITS+1 cannot contribute bits: an all-rising
+    staircase saturates at 2^bits - 1."""
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        audio_fingerprints)
+    staircase = bytes(bytearray(min(i, 255) for i in range(0, 160, 2)))
+    rows = audio_fingerprints(_fp_assets(spark, [(1, staircase)]),
+                              window=4, bits=8).collect()
+    # 20 windows -> 19 rising deltas, capped at 8 bits
+    assert rows[0].fingerprint == 2 ** 8 - 1
+    assert rows[0].n_windows == 20
