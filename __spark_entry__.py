@@ -746,6 +746,9 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packed per asset, fingerprint-keyed groups, MIN-id keep rule.
         "multimodal_audio_fingerprint":
             multimodal.multimodal_audio_fingerprint,
+        # TPC-H Q5 analog: 5-way snowflake join, facts shuffle on the
+        # order key, every dim broadcast, decimal-exact revenue.
+        "tpch_local_supplier_volume": analytics.local_supplier_volume,
     }
 
 
@@ -955,4 +958,6 @@ def oracle_sql() -> dict[str, str]:
         "layout_partition_skew": layout_skew_oracle_sql(),
         "multimodal_audio_fingerprint":
             multimodal.audio_fingerprint_oracle_sql(),
+        "tpch_local_supplier_volume":
+            analytics.local_supplier_volume_oracle_sql(),
     }

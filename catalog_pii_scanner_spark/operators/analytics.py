@@ -258,3 +258,59 @@ WHERE NOT EXISTS (
   WHERE o.o_custkey = c.c_custkey
     AND o.o_orderdate >= TIMESTAMP '{since} 00:00:00')
 """
+
+
+# --- local supplier volume (TPC-H Q5 analog) ---------------------------------
+#
+# The classic snowflake-join benchmark shape (reference scope: the
+# scanner's SQL surface; this is the §2.11 OLAP family): revenue by
+# nation where the ordering customer and the line's supplier sit in the
+# SAME nation — a 5-way join whose ONLY big relations are the two fact
+# tables. Plan discipline: lineitem joins orders on the fact key
+# (the one real shuffle pair), while customer / supplier / nation are
+# broadcast dims; revenue sums as DECIMAL before the one rounded cast.
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    # the pricing-summary decimal discipline: decimal-cast each column
+    # first, multiply exactly, round ONCE at the end
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                    - dec("l_discount"))
+    out = (li
+           .join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .where(F.col("c_nationkey") == F.col("s_nationkey"))
+           .join(F.broadcast(nation),
+                 F.col("c_nationkey") == nation.n_nationkey)
+           .groupBy("n_name")
+           .agg(F.sum(rev).alias("_rev"),
+                F.count("*").alias("n_lines"))
+           .select(F.col("n_name").alias("nation"),
+                   F.col("n_lines").cast("bigint").alias("n_lines"),
+                   F.round(F.col("_rev").cast("double"), 2)
+                   .alias("revenue")))
+    return out
+
+
+def local_supplier_volume_oracle_sql() -> str:
+    return """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l.l_discount AS DECIMAL(18,2))))
+             AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""

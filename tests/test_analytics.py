@@ -84,3 +84,47 @@ def test_churned_customers_anti_join(spark):
                for r in rows)
     plan = _plan(df)
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+# --- local supplier volume (TPC-H Q5 analog, r9) -------------------------------
+
+def test_local_supplier_volume_hand_check(spark):
+    """Only lines whose customer and supplier share a nation count,
+    revenue is the discounted extended price."""
+    from catalog_pii_scanner_spark.operators.analytics import (
+        local_supplier_volume)
+    import os, tempfile
+    d = tempfile.mkdtemp(prefix="cpss_q5_")
+    spark.createDataFrame(
+        [(1, 10, "O", 100.0, None, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string").write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        # orderkey, partkey, suppkey, ..., extprice, discount
+        [(1, 1, 100, 1, 1.0, 200.0, 0.10, 0.0, "N", "O", None),
+         (1, 1, 200, 2, 1.0, 999.0, 0.00, 0.0, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp") \
+        .write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(10, "c", 3, 0.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string") \
+        .write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        # supplier 100 shares nation 3 with the customer; 200 does not
+        [(100, "s1", 3, 0.0), (200, "s2", 4, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int,"
+        " s_acctbal double").write.parquet(f"{d}/supplier.parquet")
+    spark.createDataFrame(
+        [(3, "GERMANY", 1), (4, "FRANCE", 1)],
+        "n_nationkey long, n_name string, n_regionkey long") \
+        .write.parquet(f"{d}/nation.parquet")
+    rows = local_supplier_volume(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.nation == "GERMANY" and r.n_lines == 1
+    assert r.revenue == 180.0

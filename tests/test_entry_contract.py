@@ -82,7 +82,7 @@ NEW_LOCAL_ONLY = {
     # r9 additions
     "corpus_dsir_select", "dq_k_anonymity", "corpus_bpe_encode",
     "embed_spectrum_stats", "layout_partition_skew",
-    "multimodal_audio_fingerprint",
+    "multimodal_audio_fingerprint", "tpch_local_supplier_volume",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

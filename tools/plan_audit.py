@@ -126,6 +126,19 @@ def main() -> int:
          "one corpus scan + driver-looped vocab iterations"),
         ("stream_events_recent_score",
          "stateful drain + final per-user argmax window"),
+        ("corpus_dsir_select",
+         "one bigram explode, materialized doc-bucket counts,"
+         " broadcast 128-row weight map, salted top-k"),
+        ("dq_k_anonymity",
+         "one GROUPING SETS pass + zero-column broadcast total"),
+        ("corpus_bpe_encode",
+         "trained merges + vocabulary-bounded broadcast encode map"),
+        ("embed_spectrum_stats",
+         "exact integer Gram materialized once, 64-row stats"),
+        ("layout_partition_skew",
+         "per-edge key-count aggs, no global key window"),
+        ("multimodal_audio_fingerprint",
+         "Arrow window rows -> asset-keyed lag/agg -> fp-keyed census"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
