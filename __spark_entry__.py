@@ -86,6 +86,7 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     stream_events_recent_score, events_recent_score_oracle_sql,
     events_neighbor_window, events_neighbor_window_oracle_sql,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
+    stream_dsir_select,
     stream_events_hourly, stream_events_hourly_oracle_sql,
     stream_events_sessions, stream_events_sessions_oracle_sql)
 
@@ -749,6 +750,11 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q5 analog: 5-way snowflake join, facts shuffle on the
         # order key, every dim broadcast, decimal-exact revenue.
         "tpch_local_supplier_volume": analytics.local_supplier_volume,
+        # DSIR as a streaming drain: doc-local featurization per
+        # microbatch into a bucket-count spool + one compaction
+        # resolve — batch-identical, shares corpus_dsir_select's
+        # oracle.
+        "stream_dsir_select": stream_dsir_select,
     }
 
 
@@ -960,4 +966,7 @@ def oracle_sql() -> dict[str, str]:
             multimodal.audio_fingerprint_oracle_sql(),
         "tpch_local_supplier_volume":
             analytics.local_supplier_volume_oracle_sql(),
+        # the streaming drain shares the batch selection oracle: the
+        # spool machinery must be invisible in the result
+        "stream_dsir_select": dsir.dsir_select_sql("duckdb"),
     }

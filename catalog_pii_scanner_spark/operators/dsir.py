@@ -153,6 +153,28 @@ FROM (
 """
 
 
+def dsir_doc_buckets(docs: DataFrame, nb: int = DSIR_NB) -> DataFrame:
+    """DOC-LOCAL featurization: (doc_id, is_target, b, cnt) hashed
+    bigram-bucket counts. Needs nothing beyond the row, so a streaming
+    microbatch can run it per slice and the union of slices equals the
+    batch relation — the property stream_dsir_select leans on."""
+    return (docs
+            .withColumn("a", F.split(F.lower(F.col("text")), " +"))
+            .where(F.size("a") >= 2)
+            .select(
+                "doc_id",
+                (F.col("source") == DSIR_TARGET_SOURCE)
+                .alias("is_target"),
+                F.explode(F.expr(
+                    "transform(sequence(1, size(a) - 1), "
+                    "i -> concat(element_at(a, i), ' ', "
+                    "element_at(a, i + 1)))")).alias("g"))
+            .select("doc_id", "is_target",
+                    F.expr(_bucket_sql("g")).alias("b"))
+            .groupBy("doc_id", "is_target", "b")
+            .agg(F.count("*").alias("cnt")))
+
+
 def dsir_select_docs(docs: DataFrame, k: int = DSIR_K,
                      nb: int = DSIR_NB,
                      salt: int = DSIR_SALT) -> DataFrame:
@@ -163,23 +185,18 @@ def dsir_select_docs(docs: DataFrame, k: int = DSIR_K,
     consumer); the global top-k is the salted two-phase window so no
     single partition holds the whole raw pool (each global top-k row
     survives its salt's partial top-k by construction)."""
-    spark = docs.sparkSession
-    doc_b = (docs
-             .withColumn("a", F.split(F.lower(F.col("text")), " +"))
-             .where(F.size("a") >= 2)
-             .select(
-                 "doc_id",
-                 (F.col("source") == DSIR_TARGET_SOURCE)
-                 .alias("is_target"),
-                 F.explode(F.expr(
-                     "transform(sequence(1, size(a) - 1), "
-                     "i -> concat(element_at(a, i), ' ', "
-                     "element_at(a, i + 1)))")).alias("g"))
-             .select("doc_id", "is_target",
-                     F.expr(_bucket_sql("g")).alias("b"))
-             .groupBy("doc_id", "is_target", "b")
-             .agg(F.count("*").alias("cnt"))
-             .localCheckpoint(eager=True))
+    doc_b = dsir_doc_buckets(docs, nb).localCheckpoint(eager=True)
+    return dsir_resolve(doc_b, k, nb, salt)
+
+
+def dsir_resolve(doc_b: DataFrame, k: int = DSIR_K,
+                 nb: int = DSIR_NB,
+                 salt: int = DSIR_SALT) -> DataFrame:
+    """Marginals -> micro log-ratio weight map -> integer-exact doc
+    weights -> salted top-k, over a MATERIALIZED (doc_id, is_target,
+    b, cnt) relation (batch doc_b or a streaming spool — identical
+    relation, identical result)."""
+    spark = doc_b.sparkSession
     tgt = doc_b.where("is_target").groupBy("b") \
         .agg(F.sum("cnt").alias("t_b"))
     raww = doc_b.where("NOT is_target").groupBy("b") \

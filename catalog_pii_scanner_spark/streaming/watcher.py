@@ -1396,3 +1396,54 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
          AS recent_score
 FROM ranked GROUP BY user_id
 """
+
+
+def stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR domain selection as a Structured Streaming drain — the
+    stream_dedup_keep_list shape over importance-resampling features.
+
+    Per microbatch (foreachBatch): the hashed-bigram bucket counts
+    (operators.dsir.dsir_doc_buckets) are DOC-LOCAL, so each slice
+    featurizes exactly and appends <= DSIR_NB small integer rows per
+    document to a spool — no raw text retained, no cross-batch state.
+
+    At drain end, resolution runs ONCE over the accumulated spool via
+    the SAME dsir_resolve the batch query uses (marginals, micro
+    log-ratio weight map, integer-exact weights, salted top-k). The
+    union of per-slice doc_b relations IS the batch doc_b relation, so
+    the selection is BATCH-IDENTICAL by construction and the query
+    shares corpus_dsir_select's oracle.
+
+    Output: drank, doc_id, n_feats, weight."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dsir import dsir_doc_buckets, dsir_resolve
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    spool = tempfile.mkdtemp(prefix="cpss_stream_dsir_")
+    ckpt = tempfile.mkdtemp(prefix="cpss_stream_dsir_ckpt_")
+    src = _single_file_glob(path) if os.path.isfile(path) else path
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src))
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        # a parquet microbatch arrives as ONE partition; spread the
+        # slice so the explode+hash stage runs on every core
+        n_parts = int(bdf.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        dsir_doc_buckets(bdf.repartition(n_parts)) \
+            .write.mode("append").parquet(spool)
+
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        doc_b = spark.read.parquet(spool).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return dsir_resolve(doc_b)

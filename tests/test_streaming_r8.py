@@ -99,3 +99,31 @@ def test_recent_score_null_ts_and_nan_value_rows(spark, tmp_path):
     want = _oracle_rows(d)
     assert got == want
     assert {r[0]: r[1] for r in got} == {1: 1, 2: 1}
+
+
+# --- streaming DSIR (r9) --------------------------------------------------------
+
+def test_stream_dsir_matches_batch_across_microbatches(spark, tmp_path):
+    """The spool drain must equal the batch selection on a multi-file
+    corpus (several microbatches), including the target/raw split."""
+    from catalog_pii_scanner_spark.operators.dsir import (
+        dsir_select_docs)
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_dsir_select)
+    tgt = "vector stream window agg column vector stream window agg"
+    raw = "customer order part table row customer order part table"
+    rows = ([(i, tgt, "src0", len(tgt)) for i in range(8)]
+            + [(100 + i, tgt + " table row", "srcA",
+                len(tgt) + 10) for i in range(6)]
+            + [(200 + i, raw, "srcB", len(raw)) for i in range(12)])
+    d = str(tmp_path)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    docs.repartition(5).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    got = sorted(map(tuple, stream_dsir_select(spark, d).collect()))
+    want = sorted(map(tuple, dsir_select_docs(
+        spark.read.parquet(f"{d}/documents.parquet")).collect()))
+    assert got and got == want
+    # the target-like plants win
+    assert {r[1] for r in got[:6]} == {100 + i for i in range(6)}
