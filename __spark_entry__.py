@@ -755,6 +755,11 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # resolve — batch-identical, shares corpus_dsir_select's
         # oracle.
         "stream_dsir_select": stream_dsir_select,
+        # winnowing fingerprints (MOSS, SIGMOD 2003): window-argmin
+        # k-gram hashes -> df-capped shared-fingerprint pairs — the
+        # partial-overlap detector the whole-doc md5 fingerprint and
+        # shingle MinHash cannot express.
+        "corpus_winnow_pairs": textstats.corpus_winnow_pairs,
     }
 
 
@@ -969,4 +974,5 @@ def oracle_sql() -> dict[str, str]:
         # the streaming drain shares the batch selection oracle: the
         # spool machinery must be invisible in the result
         "stream_dsir_select": dsir.dsir_select_sql("duckdb"),
+        "corpus_winnow_pairs": textstats.winnow_pairs_sql("duckdb"),
     }

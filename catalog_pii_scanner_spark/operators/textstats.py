@@ -238,3 +238,123 @@ def length_quantiles_oracle_sql(docs_rel: str = "documents") -> str:
         for q in QUANTILES)
     return (f"SELECT lang, COUNT(*) AS n, {cols} "
             f"FROM {docs_rel} GROUP BY lang")
+
+
+# --- winnowing fingerprints (partial-overlap detection) ----------------------
+#
+# Schleimer, Wilkerson, Aiken 2003 ("Winnowing: local algorithms for
+# document fingerprinting", SIGMOD — the MOSS algorithm; public): hash
+# every character k-gram, slide a window of w consecutive hashes, and
+# select each window's MINIMUM (rightmost position on ties). The
+# guarantee: any shared substring of length >= k + w - 1 contributes at
+# least one SHARED selected fingerprint, so partial overlap (plagiarism,
+# quotation, template reuse) is detectable from the tiny selected set —
+# unlike the whole-doc md5 `fingerprint` above (exact dup only) and the
+# shingle MinHash in operators/dedup.py (whole-doc similarity).
+#
+# Determinism: the window argmin is computed on an integer key
+# h * 2^30 + (2^30 - 1 - i), which orders by (h ASC, i DESC) — the
+# paper's rightmost tie-break — with plain MIN() in both engines. The
+# hash is the first-4-hex-digit md5 fold (the quality-classifier
+# arithmetic, md5 computed ONCE per gram).
+#
+# Pair stage (the MOSS report): docs sharing >= WINNOW_MIN_SHARED
+# selected hashes, EXCLUDING hashes seen in more than WINNOW_DF_CAP
+# docs (boilerplate fragments — the dedup_containment df-cap rule;
+# at sf0.01's word-salad corpus the cap drops 542 of ~19k distinct
+# hashes). Quadratic work is bounded by cap^2 per hash.
+#
+# Scale shape (100 TB): one gram explode (linear, md5 once per gram),
+# one doc-keyed window for the argmin, one distinct, one df census,
+# and a fingerprint-keyed pair join whose fan-out the cap bounds.
+# Docs are truncated at WINNOW_MAX_CHARS (straggler guard, mirrored).
+
+WINNOW_K = 8          #: k-gram length (chars, after normalization)
+WINNOW_W = 4          #: winnowing window (hashes)
+WINNOW_DF_CAP = 20    #: drop fingerprints seen in more docs than this
+WINNOW_MIN_SHARED = 3 #: report pairs sharing at least this many
+WINNOW_MAX_CHARS = 100_000
+
+
+def winnow_pairs_sql(dialect: str, docs_rel: str = "documents",
+                     k: int = WINNOW_K, w: int = WINNOW_W,
+                     df_cap: int = WINNOW_DF_CAP,
+                     min_shared: int = WINNOW_MIN_SHARED) -> str:
+    """Output: doc_a, doc_b (a < b), n_shared, sim (n_shared /
+    min(selected_a, selected_b), rounded 1e-6)."""
+    if dialect == "duckdb":
+        norm = (f"substr(regexp_replace(lower(text), '[^a-z0-9]', '',"
+                f" 'g'), 1, {WINNOW_MAX_CHARS})")
+        gi = (f"FROM norm, unnest(range(1, length(s) - {k} + 2)) _u(i)"
+              f" WHERE length(s) >= {k}")
+    else:
+        norm = (f"substr(regexp_replace(lower(text), '[^a-z0-9]', ''),"
+                f" 1, {WINNOW_MAX_CHARS})")
+        gi = (f"FROM norm LATERAL VIEW explode(sequence(1, length(s)"
+              f" - {k} + 1)) _u AS i WHERE length(s) >= {k}")
+    hexd = "instr('0123456789abcdef', substr(m, {p}, 1)) - 1"
+    h = (f"(({hexd.format(p=1)}) * 4096 + ({hexd.format(p=2)}) * 256"
+         f" + ({hexd.format(p=3)}) * 16 + ({hexd.format(p=4)}))")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {norm} AS s FROM {docs_rel} WHERE text IS NOT NULL
+),
+gm AS (
+  SELECT doc_id, i, md5(substr(s, CAST(i AS INT), {k})) AS m,
+         length(s) - {k} + 1 AS ng
+  {gi}
+),
+keyed AS (
+  SELECT doc_id, i, ng,
+         CAST({h} AS BIGINT) * 1073741824
+           + (1073741823 - i) AS wkey
+  FROM gm
+),
+winmin AS (
+  SELECT doc_id, i, ng,
+         MIN(wkey) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW
+                         AND {w - 1} FOLLOWING) AS kmin
+  FROM keyed
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(floor(kmin / 1073741824.0) AS BIGINT) AS h
+  FROM winmin WHERE i <= ng - {w} + 1
+),
+df AS (SELECT h, COUNT(*) AS d FROM sel GROUP BY h),
+kept AS (
+  SELECT s.doc_id, s.h FROM sel s JOIN df ON df.h = s.h
+  WHERE df.d <= {df_cap}
+),
+doc_n AS (SELECT doc_id, COUNT(*) AS n_sel FROM sel GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON b.h = a.h AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {min_shared}
+)
+SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       round(p.n_shared / CAST(LEAST(na.n_sel, nb.n_sel) AS DOUBLE), 6)
+         AS sim
+FROM pairs p
+JOIN doc_n na ON na.doc_id = p.doc_a
+JOIN doc_n nb ON nb.doc_id = p.doc_b
+"""
+
+
+def corpus_winnow_pairs(spark, sf_dir: str) -> DataFrame:
+    """Dual-dialect template execution; the selected-fingerprint
+    relation feeds four consumers (df census, both pair sides, doc_n),
+    so it is materialized once — a CTE re-inline would re-run the gram
+    explode + argmin window per consumer (the PCA lesson)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_docs_winnow")
+    sql = winnow_pairs_sql("spark", "cpss_docs_winnow")
+    head, tail = sql.split("df AS (", 1)
+    head = head.rstrip().rstrip(",")      # drop the comma after sel's CTE
+    sel = spark.sql(head + "\nSELECT doc_id, h FROM sel")
+    sel.localCheckpoint(eager=True) \
+        .createOrReplaceTempView("cpss_winnow_sel")
+    return spark.sql("WITH sel AS (SELECT * FROM cpss_winnow_sel),\ndf AS ("
+                     + tail)

@@ -77,3 +77,91 @@ def test_oracle_parity_inline(spark):
 
 def test_default_k_is_bounded():
     assert DSIR_K == 200
+
+
+# --- winnowing fingerprints (textstats.py, r9) ----------------------------------
+
+def _winnow_duck(rows):
+    import duckdb
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals})"
+            f" _v(doc_id, text)")
+    return con
+
+
+def _python_winnow(text, k=8, w=4):
+    """Independent reference: the paper's winnowing with rightmost
+    tie-break, hashes = first-4-hex-digit md5 fold."""
+    import hashlib
+    import re
+    s = re.sub("[^a-z0-9]", "", text.lower())[:100_000]
+    hs = [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:4], 16)
+          for i in range(len(s) - k + 1)]
+    sel = set()
+    for start in range(0, len(hs) - w + 1):
+        win = hs[start:start + w]
+        m = min(win)
+        # rightmost minimum
+        pos = start + max(j for j, v in enumerate(win) if v == m)
+        sel.add(hs[pos])
+    return sel
+
+
+def test_winnow_selection_matches_python_reference():
+    from catalog_pii_scanner_spark.operators.textstats import (
+        winnow_pairs_sql)
+    text_a = "the quick brown fox jumps over the lazy dog repeatedly"
+    text_b = "a very different sentence that jumps over the lazy dog"
+    con = _winnow_duck([(1, text_a), (2, text_b)])
+    sql = winnow_pairs_sql("duckdb")
+    head = sql.split("df AS (", 1)[0].rstrip().rstrip(",")
+    got = {}
+    for did, h in con.sql(head + "\nSELECT doc_id, h FROM sel")\
+            .fetchall():
+        got.setdefault(did, set()).add(h)
+    assert got[1] == _python_winnow(text_a)
+    assert got[2] == _python_winnow(text_b)
+
+
+def test_winnow_guarantee_shared_substring_detected():
+    """Any shared substring of length >= k + w - 1 (= 11 normalized
+    chars) must yield at least one shared fingerprint (the paper's
+    guarantee), surviving the pair stage when repeated enough."""
+    from catalog_pii_scanner_spark.operators.textstats import (
+        winnow_pairs_sql)
+    shared = "plagiarizedpassagecopiedverbatim"
+    rows = [(1, f"alpha {shared} omega unrelated tail one"),
+            (2, f"totally different head {shared} and other words")]
+    con = _winnow_duck(rows)
+    d = con.sql(winnow_pairs_sql("duckdb", min_shared=1)).fetchall()
+    assert len(d) == 1 and d[0][0] == 1 and d[0][1] == 2
+    assert d[0][2] >= 1
+
+
+def test_winnow_df_cap_drops_boilerplate():
+    """A fragment shared by MORE than df_cap docs is boilerplate: with
+    cap 3, four docs sharing one passage produce no pairs from it."""
+    from catalog_pii_scanner_spark.operators.textstats import (
+        winnow_pairs_sql)
+    import hashlib
+    shared = "boilerplateheaderfragmentxyz"
+    # provably disjoint doc-unique flanks (distinct md5 hex streams);
+    # only grams TOUCHING a flank are doc-specific, and no two docs'
+    # flank-touching grams can collide as strings
+    tail = lambda i, salt: hashlib.md5(f"{i}-{salt}".encode()) \
+        .hexdigest()
+    rows = [(i, f"{tail(i, 'pre')} {shared} {tail(i, 'post')}")
+            for i in range(4)]
+    con = _winnow_duck(rows)
+    d = con.sql(winnow_pairs_sql("duckdb", df_cap=3,
+                                 min_shared=1)).fetchall()
+    # every fingerprint string shared by 2+ docs comes from the shared
+    # fragment's interior, which all FOUR docs carry -> df=4 > cap;
+    # 16-bit hash collisions between different grams can still produce
+    # stray pairs, so assert the CAP'S effect: with the cap lifted the
+    # boilerplate pairs all appear, with it they (near-)all vanish
+    uncapped = con.sql(winnow_pairs_sql("duckdb", df_cap=1000,
+                                        min_shared=1)).fetchall()
+    assert len(uncapped) == 6           # all C(4,2) boilerplate pairs
+    assert len(d) < len(uncapped) / 2
