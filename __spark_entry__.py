@@ -760,6 +760,10 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partial-overlap detector the whole-doc md5 fingerprint and
         # shingle MinHash cannot express.
         "corpus_winnow_pairs": textstats.corpus_winnow_pairs,
+        # kNN label-prediction eval (the standard representation-
+        # quality protocol): majority label of the k cosine neighbors
+        # vs the query's own — rides cosine_topk's tie discipline.
+        "embed_knn_eval": simsearch.embed_knn_eval,
     }
 
 
@@ -975,4 +979,5 @@ def oracle_sql() -> dict[str, str]:
         # spool machinery must be invisible in the result
         "stream_dsir_select": dsir.dsir_select_sql("duckdb"),
         "corpus_winnow_pairs": textstats.winnow_pairs_sql("duckdb"),
+        "embed_knn_eval": simsearch.knn_eval_sql("duckdb"),
     }

@@ -2825,3 +2825,75 @@ def embed_hard_negatives(spark, sf_dir: str, k: int = 5,
     return spark.sql(hard_negatives_sql("spark",
                                         "cpss_hardneg_embeddings",
                                         k, query_mod))
+
+
+# --- kNN label eval (embedding-quality metric) -------------------------------
+
+def knn_eval_sql(dialect: str, rel: str = "embeddings",
+                 k: int = 5, query_mod: int = 10) -> str:
+    """k-NN label prediction accuracy — THE embedding-quality probe
+    (public: the standard kNN evaluation protocol for representation
+    learning, e.g. Wu et al. 2018 instance discrimination): for every
+    query vector, the majority label among its k nearest cosine
+    neighbors (tie: smallest label) is the prediction; correct =
+    prediction equals the query's own label. Same declarative shape as
+    cosine_topk_sql / hard_negatives_sql, so the tie discipline (round
+    1e-6, neighbor_id tiebreak) and the matmul serving story carry
+    over unchanged.
+
+    Output per query: query_id, true_label, pred_label, n_votes,
+    correct."""
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+lab AS (SELECT vec_id, label FROM {rel}),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.val * c.val) AS dot
+  FROM vecs q JOIN vecs c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+  GROUP BY q.vec_id, c.vec_id
+),
+cos AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.norm * nc.norm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id)
+             AS rank
+    FROM cos
+  ) _r WHERE rank <= {k}
+),
+votes AS (
+  SELECT t.query_id, lc.label, COUNT(*) AS n
+  FROM topk t JOIN lab lc ON lc.vec_id = t.neighbor_id
+  GROUP BY t.query_id, lc.label
+),
+pred AS (
+  SELECT query_id, label AS pred_label, n AS n_votes FROM (
+    SELECT query_id, label, n,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n DESC, label) AS vr
+    FROM votes
+  ) _v WHERE vr = 1
+)
+SELECT p.query_id, CAST(lq.label AS BIGINT) AS true_label,
+       CAST(p.pred_label AS BIGINT) AS pred_label,
+       CAST(p.n_votes AS BIGINT) AS n_votes,
+       p.pred_label = lq.label AS correct
+FROM pred p JOIN lab lq ON lq.vec_id = p.query_id
+"""
+
+
+def embed_knn_eval(spark, sf_dir: str, k: int = 5,
+                   query_mod: int = 10) -> DataFrame:
+    """Dual-dialect template execution over the embeddings table."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("cpss_embeddings_knn")
+    return spark.sql(knn_eval_sql("spark", "cpss_embeddings_knn", k,
+                                  query_mod))

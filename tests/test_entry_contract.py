@@ -83,7 +83,7 @@ NEW_LOCAL_ONLY = {
     "corpus_dsir_select", "dq_k_anonymity", "corpus_bpe_encode",
     "embed_spectrum_stats", "layout_partition_skew",
     "multimodal_audio_fingerprint", "tpch_local_supplier_volume",
-    "stream_dsir_select", "corpus_winnow_pairs",
+    "stream_dsir_select", "corpus_winnow_pairs", "embed_knn_eval",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds

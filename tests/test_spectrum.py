@@ -98,3 +98,37 @@ def test_zero_corpus_is_empty():
     con.sql("CREATE VIEW embeddings AS SELECT CAST(1 AS BIGINT) AS "
             "vec_id, [0.1::FLOAT] AS embedding WHERE false")
     assert con.sql(spectrum_stats_oracle_sql()).fetchall() == []
+
+
+# --- kNN label eval (simsearch.py, r9) -------------------------------------------
+
+def test_knn_eval_planted_clusters(spark):
+    """Two tight label clusters + one planted mislabeled vector: every
+    well-labeled query predicts its own label; the mislabel is wrong."""
+    from catalog_pii_scanner_spark.operators.simsearch import (
+        embed_knn_eval)
+    import os, tempfile
+    rng = np.random.RandomState(13)
+    a = rng.randn(DIMS); b = rng.randn(DIMS)
+    rows = []
+    for i in range(12):          # label-0 cluster around a
+        rows.append((10 * i, [float(x) for x in
+                              (a + 0.01 * rng.randn(DIMS))], 0))
+    for i in range(12):          # label-1 cluster around b
+        rows.append((10 * i + 1, [float(x) for x in
+                                  (b + 0.01 * rng.randn(DIMS))], 1))
+    # planted: sits in cluster a but labeled 1; vec_id 200 % 10 == 0
+    rows.append((200, [float(x) for x in (a + 0.01 * rng.randn(DIMS))],
+                 1))
+    d = tempfile.mkdtemp(prefix="cpss_knn_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long") \
+        .write.parquet(f"{d}/embeddings.parquet")
+    out = {r.query_id: r for r in embed_knn_eval(spark, d).collect()}
+    # queries = vec_id % 10 == 0: the 12 label-0 vectors + the plant
+    assert len(out) == 13
+    plant = out.pop(200)
+    assert plant.true_label == 1 and plant.pred_label == 0
+    assert not plant.correct
+    for r in out.values():
+        assert r.correct and r.pred_label == 0
