@@ -139,6 +139,14 @@ def main() -> int:
          "per-edge key-count aggs, no global key window"),
         ("multimodal_audio_fingerprint",
          "Arrow window rows -> asset-keyed lag/agg -> fp-keyed census"),
+        ("tpch_local_supplier_volume",
+         "snowflake join: facts shuffle, dims broadcast"),
+        ("stream_dsir_select",
+         "doc-local featurize spool + one compaction resolve"),
+        ("corpus_winnow_pairs",
+         "gram argmin windows, materialized sel, df-capped pair join"),
+        ("embed_knn_eval",
+         "cosine top-k + majority vote, cosine_topk shape"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
