@@ -21,9 +21,17 @@ times (default 3) and we record the BEST — single-shot numbers on a shared
 box showed 3-6x run-to-run variance (PERF.md), which made round-over-round
 comparisons unfalsifiable. The per-query max/best spread is published in
 ``spread`` so the reader can see how noisy the box was. A wall-clock budget
-(``$SPARK_GRAFT_BENCH_BUDGET`` seconds, default 420) degrades to single
+(``$SPARK_GRAFT_BENCH_BUDGET`` seconds, default 900) degrades to single
 runs once exceeded, so the suite always completes within an external
 timeout; single-run queries report spread 1.0.
+
+Budget sizing (r9 fix): the old 420 s default was sized for a ~100-query
+suite; at 133 queries the heavy parked tail landed past the budget and
+was published at its COLD single-run cost (pii_scan_catalog_tables 50 s
+vs 8 s warm — first-call codegen of the giant scan tree in a JVM already
+holding 130 queries' generated classes), inflating the suite total ~55%
+with a measurement artifact. 900 s covers a 3-run pass over the full
+current suite on an idle box while still bounding a pathological one.
 """
 
 from __future__ import annotations
@@ -40,7 +48,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
     bench_start = time.time()
 
     import __spark_entry__ as E
