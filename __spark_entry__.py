@@ -764,6 +764,13 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality protocol): majority label of the k cosine neighbors
         # vs the query's own — rides cosine_topk's tie discipline.
         "embed_knn_eval": simsearch.embed_knn_eval,
+        # market-basket pair mining (support/confidence/lift): per-
+        # order pairing bounds the quadratic by order size; exact
+        # integer supports, one rounded ratio at the end.
+        "orders_basket_pairs": analytics.orders_basket_pairs,
+        # event-type Markov transition matrix: one user-keyed lead()
+        # window under a (ts, event_id) total order + pair-keyed agg.
+        "events_transition_matrix": analytics.events_transition_matrix,
     }
 
 
@@ -980,4 +987,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dsir_select": dsir.dsir_select_sql("duckdb"),
         "corpus_winnow_pairs": textstats.winnow_pairs_sql("duckdb"),
         "embed_knn_eval": simsearch.knn_eval_sql("duckdb"),
+        "orders_basket_pairs": analytics.basket_pairs_oracle_sql(),
+        "events_transition_matrix":
+            analytics.event_transitions_oracle_sql(),
     }

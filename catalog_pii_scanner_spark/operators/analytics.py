@@ -314,3 +314,118 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 WHERE c.c_nationkey = s.s_nationkey
 GROUP BY n.n_name
 """
+
+
+# --- market-basket pair mining (association rules) ---------------------------
+#
+# Classic co-occurrence analytics (Agrawal-Srikant 1994 support/
+# confidence framing; public): which part pairs appear together in the
+# same order more often than chance. The quadratic stage is bounded BY
+# CONSTRUCTION: pairs are generated per order, so fan-out is
+# sum(order_size^2)/2 — order sizes are small and independent of corpus
+# scale (the within-group pairing discipline of SemDeDup cells). Only
+# pairs reaching MIN_PAIR_SUPPORT survive to the metric join.
+#
+# Determinism: support counts are exact integers; confidence and lift
+# round once at 1e-6 from exact integer ratios.
+
+BASKET_MIN_SUPPORT = 3
+
+
+def basket_pairs_sql(dialect: str, li_rel: str = "lineitem",
+                     min_support: int = BASKET_MIN_SUPPORT) -> str:
+    """Output per qualifying pair (part_a < part_b): part_a, part_b,
+    pair_orders, a_orders, b_orders, confidence_ab (pair/a), lift
+    (pair * n_orders / (a * b)). Identical SQL text in both dialects."""
+    del dialect
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM {li_rel}
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+n_ord AS (SELECT COUNT(DISTINCT o) AS n FROM op),
+part_n AS (SELECT p, COUNT(*) AS cnt FROM op GROUP BY p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS pair_orders
+  FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= {min_support}
+)
+SELECT pr.part_a, pr.part_b,
+       CAST(pr.pair_orders AS BIGINT) AS pair_orders,
+       CAST(pa.cnt AS BIGINT) AS a_orders,
+       CAST(pb.cnt AS BIGINT) AS b_orders,
+       round(pr.pair_orders / CAST(pa.cnt AS DOUBLE), 6)
+         AS confidence_ab,
+       round(pr.pair_orders * CAST(n.n AS DOUBLE)
+             / (CAST(pa.cnt AS DOUBLE) * pb.cnt), 6) AS lift
+FROM pairs pr
+JOIN part_n pa ON pa.p = pr.part_a
+JOIN part_n pb ON pb.p = pr.part_b
+CROSS JOIN n_ord n
+"""
+
+
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-pair mining over lineitem; the distinct (order,
+    part) relation feeds four consumers, so the Spark path materializes
+    it once and runs the shared statement over the view."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = (li.where(F.col("l_orderkey").isNotNull()
+                   & F.col("l_partkey").isNotNull())
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+          .distinct().localCheckpoint(eager=True))
+    op.createOrReplaceTempView("cpss_basket_op")
+    sql = basket_pairs_sql("spark")
+    body = sql.split("n_ord AS", 1)[1]
+    return spark.sql("WITH op AS (SELECT o, p FROM cpss_basket_op),"
+                     "\nn_ord AS" + body)
+
+
+def basket_pairs_oracle_sql() -> str:
+    return basket_pairs_sql("duckdb")
+
+
+# --- event-type transition matrix (sequence analytics) -----------------------
+#
+# The Markov-chain view of the event stream: per (from_type, to_type),
+# how often a user's NEXT event has that type, with the row-normalized
+# transition probability. One user-keyed window (ordered by ts,
+# event_id — a total order, so ties are deterministic) plus one
+# pair-keyed aggregation; no self-join.
+
+def event_transitions_sql(dialect: str, ev_rel: str = "events") -> str:
+    """Output: from_type, to_type, n (BIGINT), prob (n / out-degree of
+    from_type, rounded 1e-6). Identical SQL text in both dialects."""
+    del dialect
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM {ev_rel}
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+tr AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+outd AS (SELECT from_type, SUM(n) AS total FROM tr GROUP BY from_type)
+SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+       round(t.n / CAST(o.total AS DOUBLE), 6) AS prob
+FROM tr t JOIN outd o ON o.from_type = t.from_type
+"""
+
+
+def events_transition_matrix(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("cpss_trans_events")
+    return spark.sql(event_transitions_sql("spark", "cpss_trans_events"))
+
+
+def event_transitions_oracle_sql() -> str:
+    return event_transitions_sql("duckdb")

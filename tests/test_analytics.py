@@ -128,3 +128,47 @@ def test_local_supplier_volume_hand_check(spark):
     r = rows[0]
     assert r.nation == "GERMANY" and r.n_lines == 1
     assert r.revenue == 180.0
+
+
+# --- basket pairs + transition matrix (r9) --------------------------------------
+
+def test_basket_pairs_hand_check():
+    """Support / confidence / lift on a crafted basket set."""
+    import duckdb
+    from catalog_pii_scanner_spark.operators.analytics import (
+        basket_pairs_sql)
+    con = duckdb.connect()
+    # 4 orders: {1,2} x3, {1,3} x1 -> pair (1,2) support 3;
+    # part 1 in 4 orders, part 2 in 3, part 3 in 1
+    rows = [(10, 1), (10, 2), (20, 1), (20, 2), (30, 1), (30, 2),
+            (40, 1), (40, 3)]
+    vals = ", ".join(f"({o}, {p})" for o, p in rows)
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM (VALUES {vals})"
+            f" _v(l_orderkey, l_partkey)")
+    d = con.sql(basket_pairs_sql("duckdb", min_support=2)).fetchall()
+    assert len(d) == 1
+    pa, pb, pair, a, b, conf, lift = d[0]
+    assert (pa, pb, pair, a, b) == (1, 2, 3, 4, 3)
+    assert conf == 0.75              # 3/4
+    assert lift == 1.0               # 3*4/(4*3)
+
+
+def test_transition_matrix_hand_check(spark):
+    """lead() under the (ts, event_id) total order; probabilities
+    row-normalize."""
+    import duckdb
+    from catalog_pii_scanner_spark.operators.analytics import (
+        event_transitions_sql)
+    con = duckdb.connect()
+    # user 1: a->b->a ; user 2: a->b  => a->b: 2, b->a: 1
+    con.sql("""CREATE VIEW events AS SELECT * FROM (VALUES
+      (1, TIMESTAMP '2024-01-01 00:00:01', 1, 'a'),
+      (2, TIMESTAMP '2024-01-01 00:00:02', 1, 'b'),
+      (3, TIMESTAMP '2024-01-01 00:00:03', 1, 'a'),
+      (4, TIMESTAMP '2024-01-01 00:00:01', 2, 'a'),
+      (5, TIMESTAMP '2024-01-01 00:00:02', 2, 'b')
+    ) _v(event_id, ts, user_id, event_type)""")
+    d = {(r[0], r[1]): (r[2], r[3]) for r in
+         con.sql(event_transitions_sql("duckdb")).fetchall()}
+    assert d[("a", "b")] == (2, 1.0)
+    assert d[("b", "a")] == (1, 1.0)

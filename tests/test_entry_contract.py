@@ -84,6 +84,7 @@ NEW_LOCAL_ONLY = {
     "embed_spectrum_stats", "layout_partition_skew",
     "multimodal_audio_fingerprint", "tpch_local_supplier_volume",
     "stream_dsir_select", "corpus_winnow_pairs", "embed_knn_eval",
+    "orders_basket_pairs", "events_transition_matrix",
 }
 
 #: r7's NEW_LOCAL_ONLY set — kept for the no-two-consecutive-rounds
