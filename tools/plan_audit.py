@@ -147,6 +147,10 @@ def main() -> int:
          "gram argmin windows, materialized sel, df-capped pair join"),
         ("embed_knn_eval",
          "cosine top-k + majority vote, cosine_topk shape"),
+        ("orders_basket_pairs",
+         "per-order pairing, materialized (o,p), bounded quadratic"),
+        ("events_transition_matrix",
+         "one user-keyed lead window + pair agg"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
