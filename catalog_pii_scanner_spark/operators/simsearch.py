@@ -1207,13 +1207,16 @@ short AS (
   -- exact re-rank, not the ADC tie, decides. 1.5e-6 admits exactly one
   -- 1e-6 grid step below the cut regardless of float representation; a
   -- divergence now needs a two-step straddle (cut AND candidate both
-  -- off by a step, opposite directions).
-  SELECT r.query_id, r.neighbor_id
-  FROM shortr r
-  JOIN (SELECT query_id, MIN(pq_cosine) AS cutc
-        FROM shortr WHERE prank <= {rerank} GROUP BY query_id) c
-    ON c.query_id = r.query_id
-  WHERE r.pq_cosine >= c.cutc - 1.5e-6
+  -- off by a step, opposite directions). The threshold comes from a
+  -- WINDOW over shortr, not a self-join — shortr referenced twice
+  -- makes a re-inlining engine run the whole ADC chain twice
+  -- (measured: +4 s on the trained-IVFADC template).
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, pq_cosine,
+           MIN(CASE WHEN prank <= {rerank} THEN pq_cosine END)
+             OVER (PARTITION BY query_id) AS cutc
+    FROM shortr
+  ) _s WHERE pq_cosine >= cutc - 1.5e-6
 ),
 rdots AS (
   SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
@@ -1575,13 +1578,16 @@ short AS (
   -- exact re-rank, not the ADC tie, decides. 1.5e-6 admits exactly one
   -- 1e-6 grid step below the cut regardless of float representation; a
   -- divergence now needs a two-step straddle (cut AND candidate both
-  -- off by a step, opposite directions).
-  SELECT r.query_id, r.neighbor_id
-  FROM shortr r
-  JOIN (SELECT query_id, MIN(pq_cosine) AS cutc
-        FROM shortr WHERE prank <= {rerank} GROUP BY query_id) c
-    ON c.query_id = r.query_id
-  WHERE r.pq_cosine >= c.cutc - 1.5e-6
+  -- off by a step, opposite directions). The threshold comes from a
+  -- WINDOW over shortr, not a self-join — shortr referenced twice
+  -- makes a re-inlining engine run the whole ADC chain twice
+  -- (measured: +4 s on the trained-IVFADC template).
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, pq_cosine,
+           MIN(CASE WHEN prank <= {rerank} THEN pq_cosine END)
+             OVER (PARTITION BY query_id) AS cutc
+    FROM shortr
+  ) _s WHERE pq_cosine >= cutc - 1.5e-6
 ),
 rdots AS (
   SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
@@ -1887,13 +1893,16 @@ short AS (
   -- exact re-rank, not the ADC tie, decides. 1.5e-6 admits exactly one
   -- 1e-6 grid step below the cut regardless of float representation; a
   -- divergence now needs a two-step straddle (cut AND candidate both
-  -- off by a step, opposite directions).
-  SELECT r.query_id, r.neighbor_id
-  FROM shortr r
-  JOIN (SELECT query_id, MIN(pq_cosine) AS cutc
-        FROM shortr WHERE prank <= {rerank} GROUP BY query_id) c
-    ON c.query_id = r.query_id
-  WHERE r.pq_cosine >= c.cutc - 1.5e-6
+  -- off by a step, opposite directions). The threshold comes from a
+  -- WINDOW over shortr, not a self-join — shortr referenced twice
+  -- makes a re-inlining engine run the whole ADC chain twice
+  -- (measured: +4 s on the trained-IVFADC template).
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, pq_cosine,
+           MIN(CASE WHEN prank <= {rerank} THEN pq_cosine END)
+             OVER (PARTITION BY query_id) AS cutc
+    FROM shortr
+  ) _s WHERE pq_cosine >= cutc - 1.5e-6
 ),
 rdots AS (
   SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
@@ -2125,13 +2134,16 @@ short AS (
   -- exact re-rank, not the ADC tie, decides. 1.5e-6 admits exactly one
   -- 1e-6 grid step below the cut regardless of float representation; a
   -- divergence now needs a two-step straddle (cut AND candidate both
-  -- off by a step, opposite directions).
-  SELECT r.query_id, r.neighbor_id
-  FROM shortr r
-  JOIN (SELECT query_id, MIN(pq_cosine) AS cutc
-        FROM shortr WHERE prank <= {rerank} GROUP BY query_id) c
-    ON c.query_id = r.query_id
-  WHERE r.pq_cosine >= c.cutc - 1.5e-6
+  -- off by a step, opposite directions). The threshold comes from a
+  -- WINDOW over shortr, not a self-join — shortr referenced twice
+  -- makes a re-inlining engine run the whole ADC chain twice
+  -- (measured: +4 s on the trained-IVFADC template).
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, pq_cosine,
+           MIN(CASE WHEN prank <= {rerank} THEN pq_cosine END)
+             OVER (PARTITION BY query_id) AS cutc
+    FROM shortr
+  ) _s WHERE pq_cosine >= cutc - 1.5e-6
 ),
 rdots AS (
   SELECT s.query_id, s.neighbor_id, SUM(q.val * c.val) AS dot
