@@ -332,18 +332,20 @@ GROUP BY n.n_name
 BASKET_MIN_SUPPORT = 3
 
 
-def basket_pairs_sql(dialect: str, li_rel: str = "lineitem",
-                     min_support: int = BASKET_MIN_SUPPORT) -> str:
-    """Output per qualifying pair (part_a < part_b): part_a, part_b,
+def basket_pairs_segments(dialect: str, li_rel: str = "lineitem",
+                          min_support: int = BASKET_MIN_SUPPORT
+                          ) -> tuple[str, str]:
+    """(the ``op`` CTE, the metric CTEs + final SELECT consuming
+    ``op``) — composed by callers, never re-parsed (r7 ADVICE).
+    Output per qualifying pair (part_a < part_b): part_a, part_b,
     pair_orders, a_orders, b_orders, confidence_ab (pair/a), lift
     (pair * n_orders / (a * b)). Identical SQL text in both dialects."""
     del dialect
-    return f"""
-WITH op AS (
+    op_segment = f"""op AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM {li_rel}
   WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-),
-n_ord AS (SELECT COUNT(DISTINCT o) AS n FROM op),
+)"""
+    metric_segment = f"""n_ord AS (SELECT COUNT(DISTINCT o) AS n FROM op),
 part_n AS (SELECT p, COUNT(*) AS cnt FROM op GROUP BY p),
 pairs AS (
   SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS pair_orders
@@ -364,12 +366,21 @@ JOIN part_n pa ON pa.p = pr.part_a
 JOIN part_n pb ON pb.p = pr.part_b
 CROSS JOIN n_ord n
 """
+    return op_segment, metric_segment
+
+
+def basket_pairs_sql(dialect: str, li_rel: str = "lineitem",
+                     min_support: int = BASKET_MIN_SUPPORT) -> str:
+    op, metric = basket_pairs_segments(dialect, li_rel,
+                                       min_support=min_support)
+    return f"WITH {op},\n{metric}"
 
 
 def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-pair mining over lineitem; the distinct (order,
     part) relation feeds four consumers, so the Spark path materializes
-    it once and runs the shared statement over the view."""
+    it once and splices its view into the template's metric segment
+    (segment composition, not rendered-SQL re-parsing)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     op = (li.where(F.col("l_orderkey").isNotNull()
                    & F.col("l_partkey").isNotNull())
@@ -377,10 +388,9 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_partkey").alias("p"))
           .distinct().localCheckpoint(eager=True))
     op.createOrReplaceTempView("cpss_basket_op")
-    sql = basket_pairs_sql("spark")
-    body = sql.split("n_ord AS", 1)[1]
-    return spark.sql("WITH op AS (SELECT o, p FROM cpss_basket_op),"
-                     "\nn_ord AS" + body)
+    _, metric = basket_pairs_segments("spark")
+    return spark.sql("WITH op AS (SELECT o, p FROM cpss_basket_op),\n"
+                     + metric)
 
 
 def basket_pairs_oracle_sql() -> str:

@@ -340,9 +340,12 @@ WITH base AS (
   FROM {rel}
 ),
 classes AS (
-  SELECT CASE WHEN qi_balk IS NOT NULL THEN 0
-              WHEN qi_nation IS NOT NULL THEN 1
-              ELSE 2 END AS level,
+  -- level from GROUPING(), never from column nullness: a real NULL
+  -- in a QI column must stay a value inside its own equivalence
+  -- class, not silently reassign the class to another ladder level
+  -- (r7 ADVICE; GROUPING() has identical semantics in both engines)
+  SELECT CAST(GROUPING(qi_balk) AS INT)
+           + CAST(GROUPING(qi_nation) AS INT) AS level,
          COUNT(*) AS k, COUNT(DISTINCT in_debt) AS l
   FROM base
   GROUP BY GROUPING SETS ((qi_nation, qi_segment, qi_balk),
@@ -370,11 +373,9 @@ ORDER BY c.level
 
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity ladder over the customer table; see
-    dq_k_anonymity_sql. NOTE the level derivation relies on the QI
-    columns being non-NULL in the base relation (true for the
-    generated customer table and asserted by dq_constraint_suite's
-    completeness checks): GROUPING SETS nulls are then unambiguous
-    level markers."""
+    dq_k_anonymity_sql. The ladder level comes from GROUPING(), so
+    real NULLs in QI columns are ordinary class values — no
+    non-NULL precondition on the base relation."""
     spark.read.parquet(f"{sf_dir}/customer.parquet") \
         .createOrReplaceTempView("cpss_kanon_customer")
     return spark.sql(dq_k_anonymity_sql("spark", "cpss_kanon_customer"))

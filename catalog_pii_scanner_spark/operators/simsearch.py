@@ -1391,6 +1391,12 @@ def _pq_encode(X, cbm, cn2, pres):
         a = np.ones(cn2.shape[1], dtype=bool)
         a[pres] = False
         absent2 = np.broadcast_to(a, (PQ_M, cn2.shape[1]))
+    # every subspace must keep at least one present codeword: an
+    # all-absent row would make np.argmin scan all-inf distances and
+    # silently emit code 0 (+ its phantom norm) where the SQL template
+    # would simply have no rows for that subspace (r7 ADVICE)
+    assert absent2.ndim == 2 and (~absent2).any(axis=1).all(), \
+        "a PQ subspace has no present codewords"
     for m in range(PQ_M):
         xm = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
         diff = xm[:, None, :] - cbm[m][None, :, :]

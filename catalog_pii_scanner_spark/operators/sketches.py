@@ -18,15 +18,20 @@ bit-identical registers and estimates:
 - Z is kept EXACT as a BIGINT: sum of 2^(49-rho) over the registers
   (shift-left, never ``pow``), with every unseen register
   contributing 2^49 — max 64 * 2^49 = 2^55, no overflow.
-- the estimate divides exact integers in IEEE doubles with a fixed
-  association: ``floor((ALPHA_64 * m^2) * 2^49 / Z)``. +, *, / are
-  correctly rounded per IEEE-754, so the quotient is bit-identical
-  across engines; no transcendental (ln/pow) ever runs, which is why
-  the small-range linear-counting correction is deliberately OMITTED:
-  below ~2.5 m distinct the RAW estimate reads low and the emitted
-  ``v_zero``/``err_bp`` columns make that visible instead of a
-  cross-engine ln() boundary risk (the integer-micro-unit discipline
-  of operators/ensemble.py).
+- the estimate is INTEGER-ONLY end to end: alpha * m^2 is pinned as
+  the exact scaled literal ``HLL_ALPHA_M2_E12`` (alpha*m^2 * 10^12,
+  truncated), the numerator ``HLL_ALPHA_M2_E12 * 2^49`` is a single
+  precomputed 31-digit literal, and the estimate is one exact
+  integer floor division ``num // (Z * 10^12)`` carried out in
+  DECIMAL(38,0) on Spark (``div``) and HUGEINT on DuckDB (``//``).
+  No IEEE double is ever produced, so the hashed columns cannot
+  diverge across engine builds (the round-7 driver gate proved a
+  double ``floor()`` quotient is NOT build-stable even without
+  transcendentals). The small-range linear-counting correction is
+  deliberately OMITTED — it would need ln(): below ~2.5 m distinct
+  the RAW estimate reads low and the emitted ``v_zero``/``err_bp``
+  columns make that visible (the integer-micro-unit discipline of
+  operators/ensemble.py).
 
 Scale story: per column the plan is a pruned single-column scan, a
 map-side partial ``max(rho)`` per register, ONE shuffle of <= 64 rows
@@ -51,11 +56,16 @@ from pyspark.sql import DataFrame, SparkSession
 #: a 100 TB run would raise HLL_P (the template is parameterized).
 HLL_P = 6
 HLL_M = 1 << HLL_P
-#: 0.7213 / (1 + 1.079/m) for m = 64, as an exact double literal both
-#: engines parse identically.
-HLL_ALPHA_64 = "CAST(0.7093409548395029 AS DOUBLE)"
+#: alpha_64 * m^2 = 0.7093409548395029 * 4096 (alpha = 0.7213 /
+#: (1 + 1.079/m) for m = 64), scaled by 10^12 and truncated — an
+#: EXACT integer literal, the only place the constant exists.
+HLL_ALPHA_M2_E12 = 2905460551022603
 #: 2^49 — the Z scale (rho <= 49 so the smallest term 2^(49-49) = 1).
 _Z_ONE = 1 << 49
+#: Estimator numerator alpha*m^2*10^12 * 2^49: 31 digits, fits both
+#: DECIMAL(38,0) (Spark) and HUGEINT (DuckDB) exactly.
+_HLL_EST_NUM = HLL_ALPHA_M2_E12 * _Z_ONE
+assert len(str(_HLL_EST_NUM)) <= 38
 
 _HEX = "'0123456789abcdef'"
 
@@ -81,16 +91,37 @@ def _str_type(dialect: str) -> str:
     return "VARCHAR" if dialect == "duckdb" else "STRING"
 
 
-def _hll_est_expr(z_alias: str) -> str:
+def _big(dialect: str, expr: str) -> str:
+    """Widen to the engine's exact wide-integer type (DECIMAL(38,0)
+    on Spark, HUGEINT on DuckDB) — arithmetic on the result is exact
+    integer arithmetic in both engines."""
+    t = "HUGEINT" if dialect == "duckdb" else "DECIMAL(38,0)"
+    return f"CAST({expr} AS {t})"
+
+
+def _idiv(dialect: str, num: str, den: str) -> str:
+    """Exact integer floor division of NON-NEGATIVE wide integers,
+    cast back to BIGINT. Spark's ``div`` truncates toward zero and
+    DuckDB's ``//`` floors — identical on non-negative operands (the
+    only ones this module produces; every numerator is abs()-ed or
+    structurally >= 0)."""
+    if dialect == "duckdb":
+        return f"CAST(({num}) // ({den}) AS BIGINT)"
+    return f"CAST(({num}) div ({den}) AS BIGINT)"
+
+
+def _hll_est_expr(dialect: str, z_alias: str) -> str:
     """The shared raw-HLL estimator over a (z_scaled, filled) row —
     ONE definition so the batch sketch, the sketch-only template and
-    the streaming compaction finalize bit-identically."""
-    m = HLL_M
+    the streaming compaction finalize bit-identically. Integer-only:
+    floor(alpha*m^2 * 2^49 / Z) computed as one wide-integer floor
+    division of the pinned literal numerator by Z * 10^12 — no double
+    appears anywhere, so the value is engine-build-proof."""
+    den = (f"{_big(dialect, f'{z_alias}.z_scaled')}"
+           f" * {_big(dialect, 10**12)}")
     return (f"CASE WHEN {z_alias}.filled = 0 THEN CAST(0 AS BIGINT) "
-            f"ELSE CAST(floor((({HLL_ALPHA_64} * CAST({m * m} AS DOUBLE))"
-            f" * CAST({_Z_ONE} AS DOUBLE))"
-            f" / CAST({z_alias}.z_scaled AS DOUBLE))"
-            f" AS BIGINT) END")
+            f"ELSE {_idiv(dialect, _big(dialect, _HLL_EST_NUM), den)}"
+            f" END")
 
 
 def _hll_reg_ctes(tag: str, rel: str, colexpr: str,
@@ -143,17 +174,19 @@ def _hll_col_block(dialect: str, tag: str, rel: str, colexpr: str,
 {tag}_ex AS (
   SELECT COUNT(DISTINCT v) AS exact_d FROM {tag}_vals
 )"""
-    est = _hll_est_expr("z")
+    est = _hll_est_expr(dialect, "z")
+    # err_bp stays integer-only too: |est - exact| * 10000 can top out
+    # near 2.6e20 (> BIGINT), so the multiply runs in the wide type.
+    err_num = (f"abs({_big(dialect, est)} - {_big(dialect, 'x.exact_d')})"
+               f" * {_big(dialect, 10000)}")
+    err_den = f"greatest({_big(dialect, 'x.exact_d')}, {_big(dialect, 1)})"
     row = f"""
 SELECT '{colref}' AS col_ref, {m} AS m,
        CAST({m} - z.filled AS BIGINT) AS v_zero,
        z.z_scaled AS z_scaled,
        {est} AS est_distinct,
        CAST(x.exact_d AS BIGINT) AS exact_distinct,
-       CAST(floor(abs(CAST({est} AS DOUBLE)
-                      - CAST(x.exact_d AS DOUBLE)) * CAST(10000 AS DOUBLE)
-                  / greatest(CAST(x.exact_d AS DOUBLE), CAST(1 AS DOUBLE)))
-            AS BIGINT) AS err_bp
+       {_idiv(dialect, err_num, err_den)} AS err_bp
 FROM {tag}_z z CROSS JOIN {tag}_ex x"""
     return ctes, row
 
@@ -486,7 +519,7 @@ def hll_finalize_rendered(dialect: str, regs_rel: str,
                           tracked=HLL_STREAM_TRACKED) -> str:
     tmpl = hll_finalize_sql(dialect, regs_rel, tracked)
     return tmpl.format(shift=_shift1(dialect, "49 - mrho"),
-                       est=_hll_est_expr("z"))
+                       est=_hll_est_expr(dialect, "z"))
 
 
 def hll_sketch_only_sql(dialect: str, rel_prefix: str = "",
@@ -745,7 +778,7 @@ def hll_union_sql(dialect: str, rel_prefix: str = "") -> str:
                     else f"{tagbase}_union_z")
             xtag = (f"{tagbase}_{part}_ex" if part != "union"
                     else f"{tagbase}_union_ex")
-            est = _hll_est_expr("z")
+            est = _hll_est_expr(dialect, "z")
             rows.append(f"""
 SELECT '{colref}' AS col_ref, '{part}' AS part, {m} AS m,
        CAST({m} - z.filled AS BIGINT) AS v_zero,

@@ -276,12 +276,14 @@ WINNOW_MIN_SHARED = 3 #: report pairs sharing at least this many
 WINNOW_MAX_CHARS = 100_000
 
 
-def winnow_pairs_sql(dialect: str, docs_rel: str = "documents",
-                     k: int = WINNOW_K, w: int = WINNOW_W,
-                     df_cap: int = WINNOW_DF_CAP,
-                     min_shared: int = WINNOW_MIN_SHARED) -> str:
-    """Output: doc_a, doc_b (a < b), n_shared, sim (n_shared /
-    min(selected_a, selected_b), rounded 1e-6)."""
+def winnow_pairs_segments(dialect: str, docs_rel: str = "documents",
+                          k: int = WINNOW_K, w: int = WINNOW_W,
+                          df_cap: int = WINNOW_DF_CAP,
+                          min_shared: int = WINNOW_MIN_SHARED
+                          ) -> tuple[str, str]:
+    """(selection CTEs ending in ``sel``, pairing CTEs + final SELECT
+    consuming ``sel``). Final output: doc_a, doc_b (a < b), n_shared,
+    sim (n_shared / min(selected_a, selected_b), rounded 1e-6)."""
     if dialect == "duckdb":
         norm = (f"substr(regexp_replace(lower(text), '[^a-z0-9]', '',"
                 f" 'g'), 1, {WINNOW_MAX_CHARS})")
@@ -295,8 +297,12 @@ def winnow_pairs_sql(dialect: str, docs_rel: str = "documents",
     hexd = "instr('0123456789abcdef', substr(m, {p}, 1)) - 1"
     h = (f"(({hexd.format(p=1)}) * 4096 + ({hexd.format(p=2)}) * 256"
          f" + ({hexd.format(p=3)}) * 16 + ({hexd.format(p=4)}))")
-    return f"""
-WITH norm AS (
+    # Two segments, composed (never re-parsed) by the callers: the
+    # Spark runner materializes the selection segment once and splices
+    # its own `sel` relation into the pairing segment (r7 ADVICE:
+    # string-splitting the rendered SQL on CTE-name markers breaks
+    # silently on a rename).
+    sel_segment = f"""norm AS (
   SELECT doc_id, {norm} AS s FROM {docs_rel} WHERE text IS NOT NULL
 ),
 gm AS (
@@ -321,8 +327,8 @@ sel AS (
   SELECT DISTINCT doc_id,
          CAST(floor(kmin / 1073741824.0) AS BIGINT) AS h
   FROM winmin WHERE i <= ng - {w} + 1
-),
-df AS (SELECT h, COUNT(*) AS d FROM sel GROUP BY h),
+)"""
+    pair_segment = f"""df AS (SELECT h, COUNT(*) AS d FROM sel GROUP BY h),
 kept AS (
   SELECT s.doc_id, s.h FROM sel s JOIN df ON df.h = s.h
   WHERE df.d <= {df_cap}
@@ -341,20 +347,31 @@ FROM pairs p
 JOIN doc_n na ON na.doc_id = p.doc_a
 JOIN doc_n nb ON nb.doc_id = p.doc_b
 """
+    return sel_segment, pair_segment
+
+
+def winnow_pairs_sql(dialect: str, docs_rel: str = "documents",
+                     k: int = WINNOW_K, w: int = WINNOW_W,
+                     df_cap: int = WINNOW_DF_CAP,
+                     min_shared: int = WINNOW_MIN_SHARED) -> str:
+    sel, pair = winnow_pairs_segments(dialect, docs_rel, k=k, w=w,
+                                      df_cap=df_cap,
+                                      min_shared=min_shared)
+    return f"WITH {sel},\n{pair}"
 
 
 def corpus_winnow_pairs(spark, sf_dir: str) -> DataFrame:
     """Dual-dialect template execution; the selected-fingerprint
     relation feeds four consumers (df census, both pair sides, doc_n),
     so it is materialized once — a CTE re-inline would re-run the gram
-    explode + argmin window per consumer (the PCA lesson)."""
+    explode + argmin window per consumer (the PCA lesson). Built from
+    the template's two segments, not by re-parsing rendered SQL."""
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("cpss_docs_winnow")
-    sql = winnow_pairs_sql("spark", "cpss_docs_winnow")
-    head, tail = sql.split("df AS (", 1)
-    head = head.rstrip().rstrip(",")      # drop the comma after sel's CTE
-    sel = spark.sql(head + "\nSELECT doc_id, h FROM sel")
+    sel_seg, pair_seg = winnow_pairs_segments("spark",
+                                              "cpss_docs_winnow")
+    sel = spark.sql(f"WITH {sel_seg}\nSELECT doc_id, h FROM sel")
     sel.localCheckpoint(eager=True) \
         .createOrReplaceTempView("cpss_winnow_sel")
-    return spark.sql("WITH sel AS (SELECT * FROM cpss_winnow_sel),\ndf AS ("
-                     + tail)
+    return spark.sql("WITH sel AS (SELECT * FROM cpss_winnow_sel),\n"
+                     + pair_seg)

@@ -1438,6 +1438,12 @@ def stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append").parquet(spool)
 
     try:
+        # seed the spool with a schema-bearing EMPTY slice: if the
+        # corpus produces no microbatch rows the post-drain read must
+        # return an empty selection like the batch path, not raise
+        # AnalysisException on a file-less directory (r7 ADVICE)
+        dsir_doc_buckets(spark.read.parquet(path).limit(0)) \
+            .write.mode("append").parquet(spool)
         q = (stream.writeStream.foreachBatch(_sink)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())

@@ -55,6 +55,33 @@ def test_balance_bucket_splits_classes(spark):
     assert lv[0].risk_bp == 10000
 
 
+def test_null_qi_values_stay_in_their_level(spark):
+    """r7 ADVICE regression: a real NULL in a QI column is an ordinary
+    class value — it must NOT reassign its rows to a coarser ladder
+    level (the old nullness-decoded level did exactly that)."""
+    # 5 rows with NULL balance + 5 with a balance, same nation/segment
+    rows = [(i, f"n{i}", 1, None, "AUTO") for i in range(5)] \
+        + [(10 + i, f"v{i}", 1, 500.0, "AUTO") for i in range(5)]
+    lv = _run(spark, rows)
+    # every level still reports ALL 10 rows across its classes
+    # (nullness-decoding would have leaked the NULL-balance class
+    # into level 1 and dropped it from level 0)
+    for level in (0, 1, 2):
+        assert lv[level].rows_at_risk + 0 <= 10
+    # L0 groups by (nation, segment, balk): two classes of 5
+    assert lv[0].n_classes == 2 and lv[0].min_k == 5
+    # L1/L2 merge them: one class of 10
+    assert lv[1].n_classes == 1 and lv[1].min_k == 10
+    assert lv[2].n_classes == 1 and lv[2].min_k == 10
+    # NULL nation rows likewise stay at their own level
+    rows2 = [(i, f"x{i}", None, 100.0, "AUTO") for i in range(3)] \
+        + [(10 + i, f"y{i}", 7, 100.0, "AUTO") for i in range(3)]
+    lv2 = _run(spark, rows2)
+    assert lv2[0].n_classes == 2 and lv2[0].min_k == 3
+    assert lv2[1].n_classes == 2
+    assert lv2[2].n_classes == 1 and lv2[2].min_k == 6
+
+
 def test_oracle_parity_inline(spark):
     rows = [(i, f"c{i}", i % 3, float(i * 700 - 1000), "AUTO")
             for i in range(40)]

@@ -15,7 +15,8 @@ from catalog_pii_scanner_spark.operators.dq import (
 from catalog_pii_scanner_spark.operators.layout import (
     ZORDER_QUERIES, layout_zorder_stats, _morton16)
 from catalog_pii_scanner_spark.operators.sketches import (
-    HLL_M, bloom_semijoin_filter, hll_distinct_sql, sketch_hll_distinct)
+    HLL_ALPHA_M2_E12, HLL_M, bloom_semijoin_filter, hll_distinct_sql,
+    sketch_hll_distinct)
 
 from conftest import SF_DIR
 
@@ -44,8 +45,10 @@ def _python_hll(values):
             rho = len(bits) - len(bits.lstrip("0")) + 1
         regs[reg] = max(regs[reg], rho)
     z = sum(1 << (49 - r) for r in regs)
-    est = math.floor((0.7093409548395029 * float(HLL_M * HLL_M))
-                     * float(1 << 49) / float(z))
+    # integer-only estimator: the pinned alpha*m^2*10^12 literal times
+    # 2^49, floor-divided by z * 10^12 in exact integer arithmetic
+    # (mirrors operators/sketches._hll_est_expr)
+    est = (HLL_ALPHA_M2_E12 * (1 << 49)) // (z * 10**12)
     return z, est, regs.count(0)
 
 
@@ -60,6 +63,28 @@ def test_hll_oracle_matches_python_reference():
     assert m == HLL_M
     assert (vz, zs, est_d) == (v_zero, z, est)
     assert exact_d == len(set(vals))
+
+
+def test_hll_templates_are_integer_only():
+    """r7 driver regression: the HLL hash diverged on the driver box
+    because est_distinct/err_bp were floor()s of IEEE double
+    quotients. The fix contract: NO double (and no floor, which only
+    existed for doubles) may appear in any rendered HLL template, in
+    either dialect."""
+    from catalog_pii_scanner_spark.operators.sketches import (
+        hll_sketch_only_sql, hll_union_sql)
+    for d in ("spark", "duckdb"):
+        for sql in (hll_distinct_sql(d), hll_union_sql(d),
+                    hll_sketch_only_sql(d, rel="events")):
+            up = sql.upper()
+            assert "DOUBLE" not in up and "FLOOR" not in up, d
+
+
+def test_hll_spark_output_schema_has_no_double(spark):
+    df = sketch_hll_distinct(spark, SF_DIR)
+    assert all("double" not in f.dataType.simpleString()
+               and "float" not in f.dataType.simpleString()
+               for f in df.schema.fields), df.schema
 
 
 def test_hll_spark_estimate_sane(spark):

@@ -127,3 +127,19 @@ def test_stream_dsir_matches_batch_across_microbatches(spark, tmp_path):
     assert got and got == want
     # the target-like plants win
     assert {r[1] for r in got[:6]} == {100 + i for i in range(6)}
+
+
+def test_stream_dsir_empty_corpus_returns_empty(spark, tmp_path):
+    """r7 ADVICE regression: a corpus whose drain spools no rows must
+    return an empty selection like the batch path, not raise on a
+    file-less spool directory."""
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_dsir_select)
+    d = str(tmp_path)
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = stream_dsir_select(spark, d)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "drank", "doc_id", "n_feats", "weight"]
