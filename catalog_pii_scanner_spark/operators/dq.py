@@ -257,22 +257,24 @@ def dq_referential_sql(dialect: str, rel_prefix: str = "",
                        edges=FK_EDGES) -> str:
     """One row per FK edge: fk_ref, n_child_rows, n_null_fk,
     n_orphans (non-NULL FK with no parent row), orphan_bp
-    (floor(n_orphans * 10000 / non-NULL rows); 0 when vacuous), passed
-    (n_orphans == 0). Identical SQL text in both dialects."""
-    del dialect
+    (exact integer n_orphans * 10000 / non-NULL rows; 0 when vacuous),
+    passed (n_orphans == 0). Counts are integers, so the basis-point
+    column is exact integer division — engine-build-proof, never a
+    double floor() (the round-7 HLL lesson)."""
+    from ..oracles import exact_int_div
     rows = []
     for child, fk, parent, pk in edges:
         c, p = rel_prefix + child, rel_prefix + parent
         ref = f"{child}.{fk} -> {parent}.{pk}"
+        bp = exact_int_div(dialect, "b.n_orphans * CAST(10000 AS BIGINT)",
+                           "a.n_rows - a.n_null")
         rows.append(f"""
 SELECT '{ref}' AS fk_ref,
        CAST(a.n_rows AS BIGINT) AS n_child_rows,
        CAST(a.n_null AS BIGINT) AS n_null_fk,
        CAST(b.n_orphans AS BIGINT) AS n_orphans,
-       CAST(CASE WHEN a.n_rows - a.n_null = 0 THEN 0
-                 ELSE floor(b.n_orphans * CAST(10000 AS DOUBLE)
-                            / CAST(a.n_rows - a.n_null AS DOUBLE))
-            END AS BIGINT) AS orphan_bp,
+       CASE WHEN a.n_rows - a.n_null = 0 THEN CAST(0 AS BIGINT)
+            ELSE {bp} END AS orphan_bp,
        b.n_orphans = 0 AS passed
 FROM (SELECT COUNT(*) AS n_rows,
              COALESCE(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END),
@@ -328,10 +330,16 @@ K_ANON_K = 10
 def dq_k_anonymity_sql(dialect: str, rel: str = "customer",
                        k_min: int = K_ANON_K) -> str:
     """One row per generalization level: level, n_classes, min_k,
-    rows_at_risk (rows in classes with k < k_min), risk_bp
-    (floor basis points of total), min_l (distinct sensitive values in
-    the least-diverse class). Identical SQL text in both dialects."""
-    del dialect
+    rows_at_risk (rows in classes with k < k_min), risk_bp (exact
+    integer basis points of total — counts are integers, so no double
+    floor()), min_l (distinct sensitive values in the least-diverse
+    class)."""
+    from ..oracles import exact_int_div
+    bp = exact_int_div(
+        dialect,
+        f"SUM(CASE WHEN c.k < {k_min} THEN c.k ELSE 0 END)"
+        f" * CAST(10000 AS BIGINT)",
+        "t.n")
     return f"""
 WITH base AS (
   SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
@@ -358,12 +366,8 @@ SELECT CAST(c.level AS BIGINT) AS level,
        CAST(MIN(c.k) AS BIGINT) AS min_k,
        CAST(COALESCE(SUM(CASE WHEN c.k < {k_min} THEN c.k ELSE 0 END),
                      0) AS BIGINT) AS rows_at_risk,
-       CAST(CASE WHEN t.n = 0 THEN 0
-                 ELSE floor(SUM(CASE WHEN c.k < {k_min} THEN c.k
-                                     ELSE 0 END)
-                            * CAST(10000 AS DOUBLE)
-                            / CAST(t.n AS DOUBLE))
-            END AS BIGINT) AS risk_bp,
+       CASE WHEN t.n = 0 THEN CAST(0 AS BIGINT)
+            ELSE {bp} END AS risk_bp,
        CAST(MIN(c.l) AS BIGINT) AS min_l
 FROM classes c CROSS JOIN totals t
 GROUP BY c.level, t.n

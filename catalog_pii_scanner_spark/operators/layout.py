@@ -211,29 +211,35 @@ COMPACT_TARGET_BYTES = 4096
 def compaction_plan_sql(dialect: str, docs_rel: str = "documents",
                         target: int = COMPACT_TARGET_BYTES) -> str:
     """Dual-dialect plan rollup: one row per (source, bin_id) with
-    n_files, total_bytes, and fill_bp = floor(total_bytes * 10000 /
-    target) — >= 10000 flags the one-file overflow bins.
+    n_files, total_bytes, and fill_bp = total_bytes * 10000 / target
+    (exact integer division — byte counts are integers, and a double
+    floor() quotient is not engine-build-stable; the HLL lesson) —
+    >= 10000 flags the one-file overflow bins.
 
     Output: source, bin_id, n_files, total_bytes, fill_bp."""
-    del dialect  # portable as-is
+    from ..oracles import exact_int_div
+    bin_id = exact_int_div(
+        dialect,
+        f"""SUM(bytes) OVER (PARTITION BY source
+                                      ORDER BY file_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - bytes""",
+        f"CAST({target} AS BIGINT)")
+    fill = exact_int_div(dialect, "SUM(bytes) * CAST(10000 AS BIGINT)",
+                         f"CAST({target} AS BIGINT)")
     return f"""
 WITH inv AS (
-  SELECT source, doc_id AS file_id, n_chars AS bytes
+  SELECT source, doc_id AS file_id, CAST(n_chars AS BIGINT) AS bytes
   FROM {docs_rel} WHERE n_chars IS NOT NULL AND n_chars > 0
 ),
 planned AS (
   SELECT source, file_id, bytes,
-         CAST(floor((SUM(bytes) OVER (PARTITION BY source
-                                      ORDER BY file_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) - bytes)
-                    / CAST({target} AS DOUBLE)) AS BIGINT) AS bin_id
+         {bin_id} AS bin_id
   FROM inv
 )
 SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
        CAST(SUM(bytes) AS BIGINT) AS total_bytes,
-       CAST(floor(SUM(bytes) * CAST(10000 AS DOUBLE)
-                  / CAST({target} AS DOUBLE)) AS BIGINT) AS fill_bp
+       {fill} AS fill_bp
 FROM planned GROUP BY source, bin_id
 ORDER BY source, bin_id
 """
@@ -285,10 +291,14 @@ def partition_skew_sql(dialect: str, rel_prefix: str = "",
     """One row per audited edge: rel_key, n_rows, n_keys,
     max_key_rows, skew_x (max / mean, rounded 1e-6), n_heavy_keys
     (keys above heavy_x * mean), rec_salt (ceil(max_key_rows /
-    target); 1 = no salting needed). NULL keys are excluded (they
-    shuffle to one partition by definition and the referential suite
-    already counts them). Identical SQL text in both dialects."""
-    del dialect
+    target) as exact integer arithmetic — a double ceil() quotient is
+    not engine-build-stable, the HLL lesson; 1 = no salting needed).
+    NULL keys are excluded (they shuffle to one partition by
+    definition and the referential suite already counts them)."""
+    from ..oracles import exact_int_div
+    salt = exact_int_div(dialect,
+                         f"s.max_k + CAST({target - 1} AS BIGINT)",
+                         f"CAST({target} AS BIGINT)")
     parts = []
     for rel, key in edges:
         r = rel_prefix + rel
@@ -300,9 +310,8 @@ SELECT '{rel}.{key}' AS rel_key,
        round(s.max_k * CAST(s.n_keys AS DOUBLE) / s.n_rows, 6)
          AS skew_x,
        CAST(h.n_heavy AS BIGINT) AS n_heavy_keys,
-       CAST(CASE WHEN s.max_k <= {target} THEN 1
-            ELSE ceil(s.max_k / CAST({target} AS DOUBLE)) END
-            AS BIGINT) AS rec_salt
+       CASE WHEN s.max_k <= {target} THEN CAST(1 AS BIGINT)
+            ELSE {salt} END AS rec_salt
 FROM (
   SELECT COALESCE(SUM(cnt), 0) AS n_rows, COUNT(*) AS n_keys,
          MAX(cnt) AS max_k

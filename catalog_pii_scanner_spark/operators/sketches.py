@@ -620,9 +620,10 @@ cms_est AS (
 )
 SELECT tok AS token, CAST(c AS BIGINT) AS exact_count,
        CAST(est AS BIGINT) AS cms_est,
-       CAST(floor((CAST(est AS DOUBLE) - CAST(c AS DOUBLE))
-                  * CAST(10000 AS DOUBLE) / CAST(c AS DOUBLE)) AS BIGINT)
-         AS over_bp
+       {_idiv(dialect,
+              "(CAST(est AS BIGINT) - CAST(c AS BIGINT))"
+              " * CAST(10000 AS BIGINT)",
+              "CAST(c AS BIGINT)")} AS over_bp
 FROM cms_est ORDER BY exact_count DESC, token
 """
 
@@ -667,9 +668,12 @@ def sketch_cms_heavy_hitters(spark: SparkSession,
         F.col("tok").alias("token"),
         F.col("c").cast("bigint").alias("exact_count"),
         F.col("est").cast("bigint").alias("cms_est"),
-        F.floor((F.col("est").cast("double") - F.col("c").cast("double"))
-                * F.lit(10000.0) / F.col("c").cast("double"))
-        .cast("bigint").alias("over_bp")
+        # exact integer basis points (counts are integers; a double
+        # floor() quotient is not engine-build-stable — the HLL lesson)
+        F.expr(_idiv("spark",
+                     "(CAST(est AS BIGINT) - CAST(c AS BIGINT))"
+                     " * CAST(10000 AS BIGINT)",
+                     "CAST(c AS BIGINT)")).alias("over_bp")
     ).orderBy(F.col("exact_count").desc(), "token")
     return checkpoint_release(out, tc)
 

@@ -21,6 +21,19 @@ from .sources.demo_catalog import demo_pii_sql, DEMO_TEXT_COLUMNS
 from .sources.melt import melt_oracle_sql
 
 
+def exact_int_div(dialect: str, num: str, den: str) -> str:
+    """Exact integer floor division of NON-NEGATIVE BIGINT expressions,
+    as BIGINT — the engine-build-proof way to compute basis-point audit
+    columns (the round-7 driver gate proved a double floor() quotient
+    can diverge between engine builds even without transcendentals; see
+    operators/sketches.py). Spark's ``div`` truncates toward zero and
+    DuckDB's ``//`` floors — identical on the non-negative operands
+    every caller passes."""
+    if dialect == "duckdb":
+        return f"CAST(({num}) // ({den}) AS BIGINT)"
+    return f"CAST(({num}) div ({den}) AS BIGINT)"
+
+
 def _cand_union_sql(vals_rel: str, rules: tuple[Rule, ...] = RULES,
                     key_col: str = "column_ref",
                     value_col: str = "value",
