@@ -290,3 +290,58 @@ def test_partition_skew_recommends_salt():
             con.sql(partition_skew_sql("duckdb", target=8)).fetchall()}
     # one key, 50 rows, target 8 -> ceil(50/8) = 7 salts
     assert rows["events.user_id"][6] == 7
+
+
+def test_hll_finalize_three_way_on_random_register_states(spark):
+    """Property pin for the integer-only estimator: on RANDOM register
+    states (not just states reachable from the md5 pipeline), the
+    finalize must agree exactly between Spark, DuckDB, and a pure
+    Python-integer reference — including the degenerate all-empty and
+    all-saturated states. With integer-only math the agreement is by
+    construction; this test keeps it that way under refactors."""
+    import random
+
+    from catalog_pii_scanner_spark.operators.sketches import (
+        HLL_ALPHA_M2_E12, hll_finalize_rendered)
+
+    rng = random.Random(8)
+    states = []
+    for case in range(6):
+        if case == 0:
+            regs = []                                   # empty
+        elif case == 1:
+            regs = [(r, 49) for r in range(HLL_M)]      # saturated
+        else:
+            regs = [(r, rng.randint(1, 49))
+                    for r in range(HLL_M) if rng.random() < 0.7]
+        states.append((f"col{case}", regs))
+
+    rows = [(c, r, m) for c, regs in states for r, m in regs]
+    tracked = tuple(("x", "x", "x", c) for c, _ in states)
+
+    def py_finalize(regs):
+        filled = len(regs)
+        z = sum(1 << (49 - m) for _, m in regs) \
+            + (HLL_M - filled) * (1 << 49)
+        est = (0 if filled == 0
+               else (HLL_ALPHA_M2_E12 * (1 << 49)) // (z * 10**12))
+        return (HLL_M, HLL_M - filled, z, est)
+
+    want = sorted((c, *py_finalize(regs)) for c, regs in states
+                  if regs)  # finalize emits no row for spool-absent cols
+
+    sdf = spark.createDataFrame(
+        rows or [("none", 0, 0)], "col_ref string, register int, mrho int")
+    sdf.createOrReplaceTempView("cpss_hll_prop_regs")
+    got_spark = sorted(
+        tuple(r) for r in spark.sql(hll_finalize_rendered(
+            "spark", "cpss_hll_prop_regs", tracked)).collect())
+
+    import duckdb
+    con = duckdb.connect()
+    con.register("cpss_hll_prop_regs", sdf.toPandas())
+    got_duck = sorted(
+        tuple(r) for r in con.sql(hll_finalize_rendered(
+            "duckdb", "cpss_hll_prop_regs", tracked)).fetchall())
+
+    assert got_spark == got_duck == want
