@@ -24,10 +24,18 @@ Semantics (deterministic, dual-dialect):
 
   where t_b / r_b are integer bucket counts and T / R the feature
   totals. The ln argument is a ratio of exact integers, so both
-  engines take ln of the SAME double; quantizing per BUCKET (128
-  values) instead of per document-sum shrinks the cross-engine
-  rounding-boundary surface by orders of magnitude, and every
-  downstream quantity is integer-exact BIGINT arithmetic:
+  engines take ln of the SAME double — but ln itself is NOT correctly
+  rounded in either stack (JVM Math.log and libm both admit sub-ulp
+  implementation slack), so this is the one transcendental left in a
+  hashed column and an HONEST residual cross-engine risk: a flip
+  needs ln(x)*1e6 within ~1e-10 of a half-integer, ~1e-10 odds per
+  bucket across NB=128 buckets per run (the integer-only HLL rewrite
+  eliminated its analogous risk entirely; ln has no integer form and
+  a pinned-literal weight map is impossible because the oracle is a
+  static SQL string that must derive the map from data). Quantizing
+  per BUCKET (128 values) instead of per document-sum shrinks the
+  boundary surface by orders of magnitude, and every downstream
+  quantity is integer-exact BIGINT arithmetic:
 
       weight_micro(doc) = SUM_b cnt_b(doc) * lb_micro(b)
 
