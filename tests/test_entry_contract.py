@@ -149,3 +149,41 @@ def test_declared_names_are_registered():
 def test_oracles_are_nonempty_sql():
     for name, sql in E.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+#: Audit columns whose inputs are integer counts — the round-8
+#: hardening made them exact integer division (never a double floor(),
+#: which round 7's driver gate proved is not engine-build-stable).
+#: query -> columns that must stay BIGINT in the DuckDB oracle.
+INTEGER_AUDIT_COLUMNS = {
+    "sketch_hll_distinct": ("est_distinct", "err_bp", "z_scaled"),
+    "sketch_hll_union": ("est_distinct", "z_scaled"),
+    "stream_hll_distinct": ("est_distinct", "z_scaled"),
+    "sketch_cms_heavy_hitters": ("over_bp", "cms_est", "exact_count"),
+    "dq_referential_suite": ("orphan_bp",),
+    "dq_k_anonymity": ("risk_bp",),
+    "layout_compaction_plan": ("bin_id", "fill_bp"),
+    "layout_partition_skew": ("rec_salt",),
+}
+
+
+def test_integer_audit_columns_stay_integer_typed():
+    """Running each oracle on the tiny sf0.001 tables, the declared
+    audit columns must type as exact integers (BIGINT, or HUGEINT
+    where DuckDB widens a SUM) — a DOUBLE sneaking back in
+    reintroduces the engine-build divergence class."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'/root/testdata/sf0.001/{t}.parquet')")
+    oracles = E.oracle_sql()
+    for qname, cols in INTEGER_AUDIT_COLUMNS.items():
+        rel = con.sql(oracles[qname])
+        types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+        for c in cols:
+            assert types.get(c) in ("BIGINT", "HUGEINT"), \
+                (qname, c, types.get(c))
