@@ -1152,6 +1152,13 @@ LEFT JOIN flagged f ON f.doc_id = d.doc_id
 # i.e. mean_i > mean_{i-1} without EVER dividing — so the whole
 # operator is exact integer arithmetic end to end (no rounding
 # boundaries at all, unlike the float-energy column next door).
+# Round 9: that claim was VIOLATED by the bit packing itself —
+# CAST(power(2, window_no - 1) AS BIGINT) on both sides; libm/Math.pow
+# is licensed 1 ulp of error, so 2^30 - eps can truncate to the wrong
+# bit on some engine builds, which is the identified root cause of the
+# round-8 driver hash failure of this query. Both sides now pack with
+# shift-left (oracles.shift1 discipline), and a contract test greps the
+# repo for any power(2, ...) in hashed-output expressions.
 #
 # Verdict: exact-match groups on the fingerprint, MIN-id keep rule —
 # the repo-wide keep-list discipline. Fingerprint windows are capped
@@ -1190,8 +1197,13 @@ def audio_fingerprints(assets: DataFrame,
         F.coalesce(
             F.sum(F.when(
                 (F.col("window_no") >= 1) & (F.col("window_no") <= bits),
+                # shiftleft, NEVER power(): libm pow is licensed 1 ulp
+                # of error, so power(2, 30) may render 2^30-eps on one
+                # engine build and truncate to the wrong bit — the
+                # round-8 driver hash failure of this very operator
                 F.col("bit") * F.expr(
-                    "CAST(power(2, window_no - 1) AS BIGINT)"))),
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(window_no - 1 AS INT))"))),
             F.lit(0)).alias("fingerprint"),
         F.count("*").alias("n_windows")))
     return fps
@@ -1261,7 +1273,8 @@ fps AS (
   SELECT asset_id,
          COALESCE(SUM(CASE WHEN window_no BETWEEN 1 AND {bits}
                            AND byte_sum * prev_len > prev_sum * win_len
-                      THEN CAST(power(2, window_no - 1) AS BIGINT)
+                      THEN (CAST(1 AS BIGINT)
+                            << CAST(window_no - 1 AS INTEGER))
                       ELSE 0 END), 0) AS fingerprint,
          COUNT(*) AS n_windows
   FROM d GROUP BY asset_id

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..oracles import shift1
 from ..plans.cache import checkpoint_release
 
 _HEX = "0123456789abcdef"
@@ -250,9 +251,12 @@ proj AS (
   GROUP BY v.vec_id, p.plane
 ),
 sigs AS (
+  -- shiftleft, never power(): libm pow's licensed 1-ulp error can
+  -- truncate 2^n - eps to the wrong bit on some engine builds (the
+  -- round-8 audio-fingerprint driver failure)
   SELECT vec_id, CAST(floor(plane / {b}) AS BIGINT) AS tbl,
          SUM(CASE WHEN proj > 0
-                  THEN CAST(power(2, plane % {b}) AS BIGINT)
+                  THEN {shift1(dialect, f"CAST(plane % {b} AS INT)")}
                   ELSE CAST(0 AS BIGINT) END) AS sig
   FROM proj GROUP BY vec_id, CAST(floor(plane / {b}) AS BIGINT)
 ),
@@ -457,9 +461,10 @@ proj AS (
   GROUP BY v.vec_id, p.plane
 ),
 sigs AS (
+  -- shiftleft, never power() (see ann_lsh_topk_sql)
   SELECT vec_id,
          SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE 0 END
-             * CAST(power(2, plane) AS BIGINT)) AS sig
+             * {shift1(dialect, "CAST(plane AS INT)")}) AS sig
   FROM proj GROUP BY vec_id
 ),
 sigs_ok AS (
@@ -528,8 +533,11 @@ def _sigs_df(vecs: DataFrame, planes: DataFrame) -> DataFrame:
     )
     bit = F.when(F.col("proj") > 0, F.lit(1).cast("bigint")) \
         .otherwise(F.lit(0).cast("bigint"))
+    # shiftleft, never F.pow (see ann_lsh_topk_sql); F.expr because
+    # the DSL's F.shiftleft only takes a literal shift amount
     return proj.groupBy("vec_id").agg(
-        F.sum(bit * F.pow(F.lit(2.0), F.col("plane")).cast("bigint"))
+        F.sum(bit * F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
         .alias("sig"))
 
 

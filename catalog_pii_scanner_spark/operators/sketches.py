@@ -10,11 +10,14 @@ bit-identical registers and estimates:
   arithmetic — see operators/corpus.py `_cdc_bucket16`);
 - register (m = 64, p = 6) = first two hex digits mod 64;
 - rho = leading-zero count of the 48-bit suffix + 1, computed without
-  any float log: the all-zero prefix length via an anchored
-  ``regexp_replace(suffix, '^0+', '')`` (identical single-match
-  semantics in both engines) plus a 4-way CASE on the first non-zero
-  nibble. rho is capped at 49 (all 48 suffix bits zero), the honest
-  limit of a 12-hex-digit suffix.
+  any float log: the all-zero prefix length via a 12-arm
+  ``substr(suf, i, 1) <> '0'`` CASE ladder (pure character
+  comparison — round 9 retired the previous anchored
+  ``regexp_replace(suffix, '^0+', '')`` formulation, the one
+  primitive unique to this family while it hash-failed the round-8
+  driver gate that the regex-free CMS passed) plus a 4-way CASE on
+  the first non-zero nibble. rho is capped at 49 (all 48 suffix bits
+  zero), the honest limit of a 12-hex-digit suffix.
 - Z is kept EXACT as a BIGINT: sum of 2^(49-rho) over the registers
   (shift-left, never ``pow``), with every unseen register
   contributing 2^49 — max 64 * 2^49 = 2^55, no overflow.
@@ -24,10 +27,18 @@ bit-identical registers and estimates:
   precomputed 31-digit literal, and the estimate is one exact
   integer floor division ``num // (Z * 10^12)`` carried out in
   DECIMAL(38,0) on Spark (``div``) and HUGEINT on DuckDB (``//``).
-  No IEEE double is ever produced, so the hashed columns cannot
-  diverge across engine builds (the round-7 driver gate proved a
-  double ``floor()`` quotient is NOT build-stable even without
-  transcendentals). The small-range linear-counting correction is
+  No IEEE double is ever produced, which removes the floating-point
+  divergence class (the round-7 driver gate proved a double
+  ``floor()`` quotient is NOT build-stable even without
+  transcendentals) — but the round-8 gate hash-failed this family
+  AGAIN post-rewrite while passing locally and passing the same
+  integer discipline's CMS queries, so the remaining divergence is
+  NOT yet root-caused. Round 9 therefore (a) gates the stage-level
+  diagnostics at the bottom of this module (registers / rho parts /
+  Z state) so the next driver artifact localizes extraction vs merge
+  vs finalize, and (b) removes the one primitive unique to the
+  failing family (the anchored regexp, see above).
+  The small-range linear-counting correction is
   deliberately OMITTED — it would need ln(): below ~2.5 m distinct
   the RAW estimate reads low and the emitted ``v_zero``/``err_bp``
   columns make that visible (the integer-micro-unit discipline of
@@ -50,6 +61,8 @@ public-knowledge only: the HLL paper + standard bit tricks.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..oracles import exact_int_div, shift1
 
 #: Register count m = 2^6. Chosen so the gate-scale cardinalities
 #: (150..2000 at sf0.01) sit at/above the ~2.5m raw-estimate knee;
@@ -80,11 +93,11 @@ HLL_TRACKED = (
 )
 
 
-def _shift1(dialect: str, n_expr: str) -> str:
-    """BIGINT 1 << n in either dialect (never pow(): exact)."""
-    if dialect == "duckdb":
-        return f"(CAST(1 AS BIGINT) << ({n_expr}))"
-    return f"shiftleft(CAST(1 AS BIGINT), {n_expr})"
+#: Shared dialect primitives live in oracles.py (ONE copy of the
+#: semantics-critical helpers: Spark ``div`` truncation vs DuckDB
+#: ``//`` floor on non-negative operands; shift-left, never pow()).
+_shift1 = shift1
+_idiv = exact_int_div
 
 
 def _str_type(dialect: str) -> str:
@@ -99,24 +112,15 @@ def _big(dialect: str, expr: str) -> str:
     return f"CAST({expr} AS {t})"
 
 
-def _idiv(dialect: str, num: str, den: str) -> str:
-    """Exact integer floor division of NON-NEGATIVE wide integers,
-    cast back to BIGINT. Spark's ``div`` truncates toward zero and
-    DuckDB's ``//`` floors — identical on non-negative operands (the
-    only ones this module produces; every numerator is abs()-ed or
-    structurally >= 0)."""
-    if dialect == "duckdb":
-        return f"CAST(({num}) // ({den}) AS BIGINT)"
-    return f"CAST(({num}) div ({den}) AS BIGINT)"
-
-
 def _hll_est_expr(dialect: str, z_alias: str) -> str:
     """The shared raw-HLL estimator over a (z_scaled, filled) row —
     ONE definition so the batch sketch, the sketch-only template and
     the streaming compaction finalize bit-identically. Integer-only:
     floor(alpha*m^2 * 2^49 / Z) computed as one wide-integer floor
     division of the pinned literal numerator by Z * 10^12 — no double
-    appears anywhere, so the value is engine-build-proof."""
+    appears anywhere, which removes the floating-point divergence
+    class (see the module docstring for what is and is not yet
+    root-caused about the remaining driver-build divergence)."""
     den = (f"{_big(dialect, f'{z_alias}.z_scaled')}"
            f" * {_big(dialect, 10**12)}")
     return (f"CASE WHEN {z_alias}.filled = 0 THEN CAST(0 AS BIGINT) "
@@ -124,10 +128,25 @@ def _hll_est_expr(dialect: str, z_alias: str) -> str:
             f" END")
 
 
+def _nz_case_ladder(suf_expr: str = "suf") -> str:
+    """Leading-'0' count of the 12-char hex suffix as a 12-arm
+    ``substr(suf, i, 1) <> '0'`` CASE ladder — pure character
+    comparison, no regex engine anywhere (round 9: the anchored
+    ``regexp_replace(suf, '^0+', '')`` this replaces was the one
+    primitive unique to the HLL family while it hash-failed two
+    consecutive driver gates that the regex-free CMS passed)."""
+    arms = "\n".join(
+        f"              WHEN substr({suf_expr}, {i + 1}, 1) <> '0'"
+        f" THEN {i}" for i in range(12))
+    return f"(CASE\n{arms}\n              ELSE 12 END)"
+
+
 def _hll_reg_ctes(tag: str, rel: str, colexpr: str,
                   notnull: str) -> str:
-    """vals -> digit split -> rho -> per-register max, shared by the
-    batch template and the streaming per-batch extraction."""
+    """vals -> digit split -> (nz, fd) parts -> rho -> per-register
+    max, shared by the batch template, the streaming per-batch
+    extraction, and the stage-level diagnostics (``{tag}_parts`` is
+    deliberately a named stage so sketch_hll_rho_parts can gate it)."""
     m = HLL_M
     hexd = lambda e: f"(instr({_HEX}, {e}) - 1)"
     return f"""
@@ -140,6 +159,13 @@ def _hll_reg_ctes(tag: str, rel: str, colexpr: str,
          substr(md5(v), 3, 12) AS suf, v
   FROM {tag}_vals
 ),
+{tag}_parts AS (
+  SELECT register, nz,
+         CASE WHEN nz >= 12 THEN 0
+              ELSE {hexd("substr(suf, nz + 1, 1)")} END AS fd, v
+  FROM (SELECT register, {_nz_case_ladder("suf")} AS nz, suf, v
+        FROM {tag}_d) z0
+),
 {tag}_r AS (
   SELECT register,
          CASE WHEN nz >= 12 THEN 49
@@ -147,13 +173,7 @@ def _hll_reg_ctes(tag: str, rel: str, colexpr: str,
                    + (CASE WHEN fd >= 8 THEN 0 WHEN fd >= 4 THEN 1
                            WHEN fd >= 2 THEN 2 ELSE 3 END) + 1
          END AS rho, v
-  FROM (SELECT register, nz,
-               CASE WHEN nz >= 12 THEN 0
-                    ELSE {hexd("substr(suf, nz + 1, 1)")} END AS fd, v
-        FROM (SELECT register,
-                     12 - length(regexp_replace(suf, '^0+', '')) AS nz,
-                     suf, v
-              FROM {tag}_d) z0) z1
+  FROM {tag}_parts
 ),
 {tag}_regs AS (
   SELECT register, MAX(rho) AS mrho FROM {tag}_r GROUP BY register
@@ -176,17 +196,25 @@ def _hll_col_block(dialect: str, tag: str, rel: str, colexpr: str,
 )"""
     est = _hll_est_expr(dialect, "z")
     # err_bp stays integer-only too: |est - exact| * 10000 can top out
-    # near 2.6e20 (> BIGINT), so the multiply runs in the wide type.
+    # near 2.6e20 (> BIGINT), so the multiply runs in the wide type,
+    # and the QUOTIENT is clamped in the wide type before the BIGINT
+    # cast — on degenerate/corrupt register states (Z at its 64-unit
+    # minimum, exact_d tiny) the quotient itself can reach ~2.5e20 and
+    # a bare CAST would silently NULL (non-ANSI) or raise (ANSI).
+    # Unreachable from data-derived registers, where est tracks exact.
     err_num = (f"abs({_big(dialect, est)} - {_big(dialect, 'x.exact_d')})"
                f" * {_big(dialect, 10000)}")
     err_den = f"greatest({_big(dialect, 'x.exact_d')}, {_big(dialect, 1)})"
+    err_op = "//" if dialect == "duckdb" else "div"
+    err_bp = (f"CAST(least(({err_num}) {err_op} ({err_den}), "
+              f"{_big(dialect, 9 * 10**18)}) AS BIGINT)")
     row = f"""
 SELECT '{colref}' AS col_ref, {m} AS m,
        CAST({m} - z.filled AS BIGINT) AS v_zero,
        z.z_scaled AS z_scaled,
        {est} AS est_distinct,
        CAST(x.exact_d AS BIGINT) AS exact_distinct,
-       {_idiv(dialect, err_num, err_den)} AS err_bp
+       {err_bp} AS err_bp
 FROM {tag}_z z CROSS JOIN {tag}_ex x"""
     return ctes, row
 
@@ -221,6 +249,142 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sketch_hll_distinct_oracle_sql() -> str:
     return hll_distinct_sql("duckdb")
+
+
+# --- Stage-level driver diagnostics (round 9) ---------------------------------
+#
+# The HLL family hash-failed the round-7 AND round-8 driver gates while
+# passing the identical code locally (DuckDB 1.0.0 / PySpark 4.1.2) and
+# while the same md5-digit + integer-division discipline passed in the
+# CMS queries. Rather than a third blind rewrite, these three queries
+# gate each pipeline STAGE separately so the next driver artifact pins
+# the divergence to extraction (registers red), the nz/fd split
+# specifically (rho_parts red), or merge/finalize (registers green,
+# state or the main queries red):
+#
+#   sketch_hll_rho_parts   (col_ref, nz, fd)     value histogram
+#   sketch_hll_registers   (col_ref, register, mrho)   <= 64/m rows
+#   sketch_hll_state       (col_ref, v_zero, z_scaled, filled)
+#
+# Coverage: the four batch-tracked columns plus events.event_id — every
+# column any red HLL query hashes. All three are metadata-sized outputs
+# of the same scan/shuffle shape as the sketch itself (<= 64 groups per
+# column), so gating them costs one extra pruned scan per column.
+
+#: Batch-tracked columns + the streaming drain's high-cardinality key.
+HLL_DIAG_TRACKED = HLL_TRACKED + (
+    ("events", "CAST(event_id AS {STR})", "event_id",
+     "events.event_id"),
+)
+
+
+def _hll_diag_blocks(dialect: str, rel_prefix: str):
+    """(tag, colref, reg-CTE-sql) per diagnostic-tracked column."""
+    str_t = _str_type(dialect)
+    out = []
+    for i, (suffix, colexpr, notnull, colref) in enumerate(
+            HLL_DIAG_TRACKED):
+        tag = f"dg{i}"
+        out.append((tag, colref,
+                    _hll_reg_ctes(tag, rel_prefix + suffix,
+                                  colexpr.format(STR=str_t), notnull)))
+    return out
+
+
+def hll_registers_sql(dialect: str, rel_prefix: str = "") -> str:
+    """The raw mergeable sketch state itself: one (col_ref, register,
+    mrho) row per occupied register."""
+    blocks = _hll_diag_blocks(dialect, rel_prefix)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{colref}' AS col_ref, CAST(register AS BIGINT)"
+        f" AS register, CAST(mrho AS BIGINT) AS mrho FROM {tag}_regs"
+        for tag, colref, _ in blocks)
+    ctes = ",".join(c for _, _, c in blocks)
+    return (f"WITH {ctes}\nSELECT * FROM ({rows}) allrows"
+            f" ORDER BY col_ref, register")
+
+
+def hll_rho_parts_sql(dialect: str, rel_prefix: str = "") -> str:
+    """Histogram of the rho decomposition inputs: how many values per
+    column split into each (leading-zero count, first nonzero digit)
+    pair. Isolates the nz ladder + digit extraction from everything
+    downstream of it."""
+    blocks = _hll_diag_blocks(dialect, rel_prefix)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{colref}' AS col_ref, CAST(nz AS BIGINT) AS nz,"
+        f" CAST(fd AS BIGINT) AS fd,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_values"
+        f" FROM {tag}_parts GROUP BY nz, fd"
+        for tag, colref, _ in blocks)
+    ctes = ",".join(c for _, _, c in blocks)
+    return (f"WITH {ctes}\nSELECT * FROM ({rows}) allrows"
+            f" ORDER BY col_ref, nz, fd")
+
+
+def hll_state_sql(dialect: str, rel_prefix: str = "") -> str:
+    """The merged Z accumulator per column, WITHOUT the estimator
+    division: registers green + state green + main query red would pin
+    the divergence to the single wide-integer division in
+    _hll_est_expr."""
+    m = HLL_M
+    blocks = _hll_diag_blocks(dialect, rel_prefix)
+    ctes, rows = [], []
+    for tag, colref, c in blocks:
+        ctes.append(f"""{c},
+{tag}_z AS (
+  SELECT COALESCE(SUM({_shift1(dialect, '49 - mrho')}),
+                  CAST(0 AS BIGINT))
+           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
+         COUNT(*) AS filled
+  FROM {tag}_regs
+)""")
+        rows.append(
+            f"SELECT '{colref}' AS col_ref,"
+            f" CAST({m} - filled AS BIGINT) AS v_zero,"
+            f" z_scaled, CAST(filled AS BIGINT) AS filled"
+            f" FROM {tag}_z")
+    body = "\nUNION ALL\n".join(rows)
+    return (f"WITH {','.join(ctes)}\nSELECT * FROM ({body}) allrows"
+            f" ORDER BY col_ref")
+
+
+def _hll_diag_views(spark: SparkSession, sf_dir: str) -> None:
+    for suffix in {s for s, _, _, _ in HLL_DIAG_TRACKED}:
+        spark.read.parquet(f"{sf_dir}/{suffix}.parquet") \
+            .createOrReplaceTempView(f"cpss_hlldg_{suffix}")
+
+
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic: raw (col_ref, register, mrho) sketch state; see
+    hll_registers_sql."""
+    _hll_diag_views(spark, sf_dir)
+    return spark.sql(hll_registers_sql("spark", rel_prefix="cpss_hlldg_"))
+
+
+def sketch_hll_registers_oracle_sql() -> str:
+    return hll_registers_sql("duckdb")
+
+
+def sketch_hll_rho_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic: (col_ref, nz, fd) value histogram; see
+    hll_rho_parts_sql."""
+    _hll_diag_views(spark, sf_dir)
+    return spark.sql(hll_rho_parts_sql("spark", rel_prefix="cpss_hlldg_"))
+
+
+def sketch_hll_rho_parts_oracle_sql() -> str:
+    return hll_rho_parts_sql("duckdb")
+
+
+def sketch_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic: merged (col_ref, v_zero, z_scaled, filled) Z state,
+    estimator division excluded; see hll_state_sql."""
+    _hll_diag_views(spark, sf_dir)
+    return spark.sql(hll_state_sql("spark", rel_prefix="cpss_hlldg_"))
+
+
+def sketch_hll_state_oracle_sql() -> str:
+    return hll_state_sql("duckdb")
 
 
 # --- Bloom-filter semi-join (runtime-filter accounting) ----------------------

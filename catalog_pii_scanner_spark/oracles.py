@@ -34,6 +34,20 @@ def exact_int_div(dialect: str, num: str, den: str) -> str:
     return f"CAST(({num}) div ({den}) AS BIGINT)"
 
 
+def shift1(dialect: str, n_expr: str) -> str:
+    """BIGINT ``1 << n`` in either dialect — the ONLY sanctioned way to
+    build a power-of-two in any hashed-output expression. ``power()``
+    is libm/Math.pow with a licensed 1-ulp error, so a power-of-two it
+    returns may render 2^30-eps on one engine build and truncate to
+    the wrong bit (the identified root cause of the round-8
+    multimodal_audio_fingerprint driver hash failure); shift-left is
+    exact integer arithmetic on every build. Callers guarantee
+    0 <= n <= 62."""
+    if dialect == "duckdb":
+        return f"(CAST(1 AS BIGINT) << ({n_expr}))"
+    return f"shiftleft(CAST(1 AS BIGINT), {n_expr})"
+
+
 def _cand_union_sql(vals_rel: str, rules: tuple[Rule, ...] = RULES,
                     key_col: str = "column_ref",
                     value_col: str = "value",

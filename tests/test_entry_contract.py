@@ -38,22 +38,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: honest bound.
 MAX_DRIVER_AGE = 3
 
-#: The 24 round-5-row entries the 50-entry window could not fit this
-#: round (front 50 = 27 never-gated + 2 round-7 hash-FAILs + 21 oldest
-#: round-5 rows). They sit at age 3 now and MUST be in the front 50
-#: next round — rule (3) fails the build otherwise.
-MUST_FRONT_NEXT_ROUND = {
-    "athena_sample_capped", "corpus_curate", "corpus_decontaminate",
-    "corpus_pack_sequences", "corpus_repetition",
-    "corpus_sample_stratified", "corpus_temperature_sample",
-    "corpus_tfidf_keywords", "corpus_vocab_topk", "doc_fingerprints",
-    "doc_lang_id", "doc_length_quantiles", "doc_quality",
-    "doc_token_counts", "events_hourly", "events_props_stats",
-    "events_sessions_salted", "glue_columns", "hms_columns",
-    "multimodal_audio_energy", "multimodal_real_pgm_features",
-    "multimodal_real_wav_features", "stream_doc_pii_density",
-    "unity_columns",
-}
+#: Parked entries sitting AT the age bound right now, i.e. the
+#: capacity remainder that must be in the front 50 next round. The
+#: round-9 window fronts every age-3 entry (all 13 round-6 rows), so
+#: the set is EMPTY this round; the round-7-row cohort reaches the
+#: bound only when CORRECTNESS_r09.json lands, at which point
+#: test_parked_driver_age_is_bounded fires as the rotation-due
+#: tripwire for round 10.
+MUST_FRONT_NEXT_ROUND: set[str] = set()
+
+#: Appended to the age-bound assertion failures so a red suite is
+#: read correctly: the fix is rotating FRONT_50 in __spark_entry__.py
+#: (and refreshing MUST_FRONT_NEXT_ROUND above), NOT a code bug — the
+#: tripwire exists precisely to force the rotation to land atomically
+#: with each new committed driver artifact.
+_ROTATION_DUE_MSG = (
+    "ROTATION DUE (not a correctness regression): a new "
+    "CORRECTNESS_r*.json artifact advanced the round; update FRONT_50 "
+    "in __spark_entry__.py to front the listed entries and refresh "
+    "MUST_FRONT_NEXT_ROUND in this file."
+)
 
 
 def _driver_rows() -> dict[int, dict]:
@@ -134,11 +138,11 @@ def test_parked_driver_age_is_bounded():
         if q not in latest:
             continue  # never-gated: rule (1) already forces fronting
         age = cur - latest[q]
-        assert age <= MAX_DRIVER_AGE, (q, age)
+        assert age <= MAX_DRIVER_AGE, (q, age, _ROTATION_DUE_MSG)
         if age == MAX_DRIVER_AGE:
             at_bound.add(q)
     assert at_bound == MUST_FRONT_NEXT_ROUND, (
-        at_bound ^ MUST_FRONT_NEXT_ROUND)
+        at_bound ^ MUST_FRONT_NEXT_ROUND, _ROTATION_DUE_MSG)
 
 
 def test_declared_names_are_registered():
@@ -159,12 +163,40 @@ INTEGER_AUDIT_COLUMNS = {
     "sketch_hll_distinct": ("est_distinct", "err_bp", "z_scaled"),
     "sketch_hll_union": ("est_distinct", "z_scaled"),
     "stream_hll_distinct": ("est_distinct", "z_scaled"),
+    "sketch_hll_registers": ("register", "mrho"),
+    "sketch_hll_rho_parts": ("nz", "fd", "n_values"),
+    "sketch_hll_state": ("v_zero", "z_scaled", "filled"),
     "sketch_cms_heavy_hitters": ("over_bp", "cms_est", "exact_count"),
     "dq_referential_suite": ("orphan_bp",),
     "dq_k_anonymity": ("risk_bp",),
     "layout_compaction_plan": ("bin_id", "fill_bp"),
     "layout_partition_skew": ("rec_salt",),
 }
+
+
+def test_no_pow_in_hashed_expressions():
+    """``power(2, n)`` / ``F.pow`` bit-packing is banned repo-wide:
+    libm/Math.pow carries a licensed 1-ulp error, so ``power(2, 30)``
+    can render 2^30 - eps on one engine build and CAST-truncate to the
+    wrong bit — the identified root cause of the round-8
+    multimodal_audio_fingerprint driver hash failure. Powers of two in
+    any hashed-output expression must use shift-left
+    (oracles.shift1). Float-DOMAIN uses of pow (none today) would need
+    an explicit ``pow-float-ok`` marker on the same line."""
+    import glob as g
+
+    pkg = os.path.join(REPO, "catalog_pii_scanner_spark")
+    offenders = []
+    for path in g.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            for i, line in enumerate(f, 1):
+                if "pow-float-ok" in line:
+                    continue
+                low = line.split("#")[0]
+                if re.search(r"\bpower\s*\(\s*2\s*,", low) \
+                        or "F.pow" in low:
+                    offenders.append(f"{path}:{i}")
+    assert not offenders, offenders
 
 
 def test_integer_audit_columns_stay_integer_typed():

@@ -70,14 +70,97 @@ def test_hll_templates_are_integer_only():
     because est_distinct/err_bp were floor()s of IEEE double
     quotients. The fix contract: NO double (and no floor, which only
     existed for doubles) may appear in any rendered HLL template, in
-    either dialect."""
+    either dialect. Round 9 extends the contract: no REGEXP either —
+    the anchored regexp_replace leading-zero count was the one
+    primitive unique to the family while it hash-failed two driver
+    gates the regex-free CMS passed, and is now a substr CASE
+    ladder."""
     from catalog_pii_scanner_spark.operators.sketches import (
-        hll_sketch_only_sql, hll_union_sql)
+        hll_registers_sql, hll_rho_parts_sql, hll_sketch_only_sql,
+        hll_state_sql, hll_union_sql)
     for d in ("spark", "duckdb"):
         for sql in (hll_distinct_sql(d), hll_union_sql(d),
-                    hll_sketch_only_sql(d, rel="events")):
+                    hll_sketch_only_sql(d, rel="events"),
+                    hll_registers_sql(d), hll_rho_parts_sql(d),
+                    hll_state_sql(d)):
             up = sql.upper()
             assert "DOUBLE" not in up and "FLOOR" not in up, d
+            assert "REGEXP" not in up, d
+
+
+def _python_registers(values):
+    """(register -> mrho) map via the independent reference spec."""
+    regs = {}
+    for v in values:
+        h = hashlib.md5(v.encode()).hexdigest()
+        reg = (int(h[0], 16) * 16 + int(h[1], 16)) % HLL_M
+        suf = int(h[2:14], 16)
+        if suf == 0:
+            rho = 49
+        else:
+            bits = bin(suf)[2:].zfill(48)
+            rho = len(bits) - len(bits.lstrip("0")) + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_diag_registers_match_python_reference():
+    """The round-9 stage diagnostic emits the RAW register state; it
+    must agree with the independent Python reimplementation."""
+    from catalog_pii_scanner_spark.operators.sketches import (
+        hll_registers_sql)
+    con = _duck_with_views(["events", "orders", "lineitem",
+                            "documents"])
+    rows = con.sql(hll_registers_sql("duckdb")).fetchall()
+    got = {(r[1], r[2]) for r in rows if r[0] == "orders.o_custkey"}
+    vals = [str(r[0]) for r in con.sql(
+        "SELECT o_custkey FROM orders"
+        " WHERE o_custkey IS NOT NULL").fetchall()]
+    assert got == set(_python_registers(vals).items())
+
+
+def test_hll_diag_stages_are_mutually_consistent():
+    """registers -> state -> sketch must be one pipeline: z_scaled
+    and v_zero recomputed in Python from the registers diagnostic
+    must equal the state diagnostic, and the per-column value counts
+    in rho_parts must equal the NOT-NULL counts."""
+    from catalog_pii_scanner_spark.operators.sketches import (
+        HLL_DIAG_TRACKED, hll_registers_sql, hll_rho_parts_sql,
+        hll_state_sql)
+    con = _duck_with_views(["events", "orders", "lineitem",
+                            "documents"])
+    regs = con.sql(hll_registers_sql("duckdb")).fetchall()
+    state = {r[0]: r for r in
+             con.sql(hll_state_sql("duckdb")).fetchall()}
+    parts = con.sql(hll_rho_parts_sql("duckdb")).fetchall()
+    for rel, _, notnull, colref in HLL_DIAG_TRACKED:
+        mrhos = {r[1]: r[2] for r in regs if r[0] == colref}
+        z = sum(1 << (49 - m) for m in mrhos.values()) \
+            + (HLL_M - len(mrhos)) * (1 << 49)
+        _, v_zero, z_scaled, filled = state[colref]
+        assert (v_zero, z_scaled, filled) == (
+            HLL_M - len(mrhos), z, len(mrhos)), colref
+        n_vals = sum(r[3] for r in parts if r[0] == colref)
+        want = con.sql(f"SELECT COUNT(*) FROM {rel}"
+                       f" WHERE {notnull} IS NOT NULL").fetchone()[0]
+        assert n_vals == want, colref
+
+
+def test_nz_case_ladder_matches_python_on_crafted_suffixes():
+    """The regex-free leading-zero ladder, probed directly on crafted
+    12-char suffixes covering every nz value 0..12 in both engines."""
+    from catalog_pii_scanner_spark.operators.sketches import (
+        _nz_case_ladder)
+    sufs = ["0" * i + "f" * (12 - i) for i in range(13)] + [
+        "000a00000000", "100000000000", "00000000000b"]
+    expect = [len(s) - len(s.lstrip("0")) for s in sufs]
+    con = duckdb.connect()
+    rows = " UNION ALL ".join(f"SELECT '{s}' AS suf, {i} AS i"
+                              for i, s in enumerate(sufs))
+    got = dict(con.sql(
+        f"SELECT i, {_nz_case_ladder('suf')} FROM ({rows}) _s"
+    ).fetchall())
+    assert [got[i] for i in range(len(sufs))] == expect
 
 
 def test_hll_spark_output_schema_has_no_double(spark):

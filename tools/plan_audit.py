@@ -72,6 +72,8 @@ def main() -> int:
         ("events_hourly_gapfill", "one-row bounds spine + keyed join"),
         ("corpus_split", "hash-range projection, zero shuffles"),
         ("corpus_char_entropy", "char explode + two keyed aggs"),
+        ("sketch_hll_registers", "HLL stage diag: pruned scans + "
+                                 "<=64-group partial-max"),
         ("tpch_pricing_summary", "pushed date filter, one-shuffle agg"),
         ("top_customers_by_revenue", "broadcast star join + TakeOrdered"),
         ("monthly_revenue_running", "partition-bounded cumulative window"),
