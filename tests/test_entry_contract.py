@@ -16,10 +16,12 @@ Rotation policy, enforced below:
     the front 50 (a red row may not be parked);
 (3) no parked (past-position-50) entry's driver age may exceed
     MAX_DRIVER_AGE = 3 rounds;
-(4) parked entries AT age 3 are the capacity remainder that must
-    front next round — declared in MUST_FRONT_NEXT_ROUND so the set
-    is explicit; rule (3) turns the declaration into a hard failure
-    next round if it is not honored.
+(4) each round's age-bound cohort is declared per-round in
+    MUST_FRONT_BY_ROUND and must be INSIDE the round's FRONT_50
+    (test_declared_cohort_is_fronted — the rotation-due tripwire,
+    which goes red the moment a new driver artifact advances the
+    round and names the exact entries to front); rule (3) is the
+    backstop if a declaration is ever dropped.
 """
 
 from __future__ import annotations
@@ -38,25 +40,52 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: honest bound.
 MAX_DRIVER_AGE = 3
 
-#: Parked entries sitting AT the age bound right now, i.e. the
-#: capacity remainder that must be in the front 50 next round. The
-#: round-9 window fronts every age-3 entry (all 13 round-6 rows), so
-#: the set is EMPTY this round; the round-7-row cohort reaches the
-#: bound only when CORRECTNESS_r09.json lands, at which point
-#: test_parked_driver_age_is_bounded fires as the rotation-due
-#: tripwire for round 10.
-MUST_FRONT_NEXT_ROUND: set[str] = set()
+#: Rotation obligations, keyed by DRIVER round (one past the newest
+#: committed CORRECTNESS_r*.json): the entries that sit at the age
+#: bound when that round begins and therefore MUST be inside FRONT_50
+#: before that round's gate runs. test_declared_cohort_is_fronted is
+#: the rotation-due tripwire: the moment a new driver artifact lands,
+#: the current round advances and the suite goes red with THIS exact
+#: list until FRONT_50 rotates — actionable by construction, and
+#: explicitly NOT a correctness regression.
+#:
+#: Round 9 fronts every age-3 entry (all 13 round-6 rows), so its own
+#: obligation is empty; round 10's is the 42-entry round-7-row cohort
+#: the 50-slot window could not also hold this round.
+MUST_FRONT_BY_ROUND: dict[int, set[str]] = {
+    9: set(),
+    10: {
+        "ann_ivf_matmul", "ann_ivf_topk", "ann_ivfpq_matmul",
+        "ann_ivfpq_topk", "ann_pq_matmul", "ann_pq_topk",
+        "ann_pq_trained_topk", "bloom_semijoin_filter",
+        "corpus_anonymize", "corpus_bigram_logprob", "corpus_bm25_topk",
+        "corpus_cdc_dedup", "corpus_curate_pii",
+        "corpus_unigram_logprob", "dedup_containment",
+        "doc_pii_density", "dq_anomaly_days", "dq_constraint_suite",
+        "embed_cluster_mix", "embed_jl_topk", "embed_kmeans_lloyd",
+        "embed_semdedup_keep_list", "eval_trained_metrics",
+        "events_asof_join", "events_neighbor_window", "events_sessions",
+        "layout_zorder_stats", "multimodal_features",
+        "multimodal_phash_dedup", "multimodal_resize",
+        "pii_candidate_features", "pii_candidates_rollup",
+        "pii_ensemble_gated", "pii_ner_context_signals",
+        "pii_redaction_contexts", "pii_scan_demo_crm",
+        "sample_columns_topn", "sketch_histogram_quantiles",
+        "stream_events_hourly", "stream_events_sessions",
+        "stream_phash_keep_list", "stream_quality_classifier",
+    },
+}
 
-#: Appended to the age-bound assertion failures so a red suite is
-#: read correctly: the fix is rotating FRONT_50 in __spark_entry__.py
-#: (and refreshing MUST_FRONT_NEXT_ROUND above), NOT a code bug — the
-#: tripwire exists precisely to force the rotation to land atomically
-#: with each new committed driver artifact.
+#: Appended to rotation assertion failures so a red suite is read
+#: correctly: the fix is rotating FRONT_50 in __spark_entry__.py (and
+#: extending MUST_FRONT_BY_ROUND above for the round after), NOT a
+#: code bug — the tripwire exists precisely to force the rotation to
+#: land atomically with each new committed driver artifact.
 _ROTATION_DUE_MSG = (
     "ROTATION DUE (not a correctness regression): a new "
     "CORRECTNESS_r*.json artifact advanced the round; update FRONT_50 "
-    "in __spark_entry__.py to front the listed entries and refresh "
-    "MUST_FRONT_NEXT_ROUND in this file."
+    "in __spark_entry__.py to front the listed entries and extend "
+    "MUST_FRONT_BY_ROUND in this file."
 )
 
 
@@ -128,9 +157,24 @@ def test_failed_driver_rows_are_fronted():
     assert failed <= front, failed - front
 
 
+def test_declared_cohort_is_fronted():
+    """THE rotation-due tripwire (rule 4): the current round's
+    declared must-front cohort must be inside FRONT_50. Goes red the
+    moment a new driver artifact advances the round, listing exactly
+    the entries round N must front."""
+    cur = _current_round()
+    due = MUST_FRONT_BY_ROUND.get(cur)
+    assert due is not None, (
+        f"round {cur} has no MUST_FRONT_BY_ROUND entry", _ROTATION_DUE_MSG)
+    missing = due - set(E.FRONT_50)
+    assert not missing, (sorted(missing), _ROTATION_DUE_MSG)
+
+
 def test_parked_driver_age_is_bounded():
     """Rules (3)+(4): parked entries age at most MAX_DRIVER_AGE, and
-    the ones AT the bound are exactly the declared must-front set."""
+    the ones AT the bound are exactly the declared cohort (minus any
+    already fronted) — i.e. the MUST_FRONT_BY_ROUND declaration stays
+    derived-from-artifacts true, never hand-waved."""
     cur = _current_round()
     latest = _latest_driver_round()
     at_bound = set()
@@ -141,13 +185,15 @@ def test_parked_driver_age_is_bounded():
         assert age <= MAX_DRIVER_AGE, (q, age, _ROTATION_DUE_MSG)
         if age == MAX_DRIVER_AGE:
             at_bound.add(q)
-    assert at_bound == MUST_FRONT_NEXT_ROUND, (
-        at_bound ^ MUST_FRONT_NEXT_ROUND, _ROTATION_DUE_MSG)
+    declared = MUST_FRONT_BY_ROUND.get(cur, set()) - set(E.FRONT_50)
+    assert at_bound == declared, (
+        at_bound ^ declared, _ROTATION_DUE_MSG)
 
 
 def test_declared_names_are_registered():
-    assert MUST_FRONT_NEXT_ROUND <= set(E.queries()), \
-        MUST_FRONT_NEXT_ROUND - set(E.queries())
+    for rnd, cohort in MUST_FRONT_BY_ROUND.items():
+        assert cohort <= set(E.queries()), (
+            rnd, cohort - set(E.queries()))
 
 
 def test_oracles_are_nonempty_sql():
