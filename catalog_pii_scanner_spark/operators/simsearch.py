@@ -39,23 +39,33 @@ DIMS = 64
 NUM_PLANES = 8
 
 
+def _vecs_select(dialect: str, rel: str) -> str:
+    """The vecs(vec_id, pos 1-based, val DOUBLE) SELECT — ONE string
+    shared by the dual-dialect template and the Spark staged path, so
+    the two can never drift."""
+    if dialect == "duckdb":
+        return (f"SELECT vec_id, pos, CAST(list_extract(embedding, pos) "
+                f"AS DOUBLE) AS val "
+                f"FROM {rel}, (SELECT unnest(range(1, {DIMS + 1})) AS pos) _p")
+    return (f"SELECT vec_id, pos + 1 AS pos, CAST(val AS DOUBLE) AS val "
+            f"FROM (SELECT vec_id, posexplode(embedding) AS (pos, val) "
+            f"FROM {rel}) _e")
+
+
+def _norms_select(vec_rel: str = "vecs") -> str:
+    """norms(vec_id, norm) SELECT over a vecs-shaped relation."""
+    return (f"SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM {vec_rel}\n"
+            f"  GROUP BY vec_id HAVING SUM(val * val) > 0")
+
+
 def _exploded_cte(dialect: str, rel: str) -> str:
     """vecs(vec_id, pos 1-based, val DOUBLE) + norms(vec_id, norm)."""
-    if dialect == "duckdb":
-        explode = (f"SELECT vec_id, pos, CAST(list_extract(embedding, pos) "
-                   f"AS DOUBLE) AS val "
-                   f"FROM {rel}, (SELECT unnest(range(1, {DIMS + 1})) AS pos) _p")
-    else:
-        explode = (f"SELECT vec_id, pos + 1 AS pos, CAST(val AS DOUBLE) AS val "
-                   f"FROM (SELECT vec_id, posexplode(embedding) AS (pos, val) "
-                   f"FROM {rel}) _e")
     return f"""
-vecs AS ({explode}),
+vecs AS ({_vecs_select(dialect, rel)}),
 norms AS (
   -- zero-norm vectors have no cosine: excluded from the universe
   -- (HAVING, so ANSI division can never see a 0 divisor)
-  SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM vecs
-  GROUP BY vec_id HAVING SUM(val * val) > 0
+  {_norms_select("vecs")}
 )"""
 
 
@@ -234,20 +244,21 @@ def ann_lsh_topk_sql(dialect: str, rel: str = "embeddings", k: int = 5,
     b = bits_per_table
     planes = (_planes_cte(num_tables * b) if dialect == "duckdb"
               else _planes_cte_spark(num_tables * b)).strip()
-    flips = [0] + ([1 << j for j in range(b)] if probe_bits >= 1 else [])
-    flist = ", ".join(str(f) for f in flips)
-    if dialect == "duckdb":
-        flip_rel = f"(SELECT unnest([{flist}]) AS flip)"
-        psig = "xor(s.sig, f.flip)"
-    else:
-        flip_rel = f"(SELECT explode(array({flist})) AS flip)"
-        psig = "(s.sig ^ f.flip)"
     return f"""
 WITH {_exploded_cte(dialect, rel)},
 {planes},
-proj AS (
+{_lsh_proj_sigs_cte(dialect, b, "vecs")},
+{_lsh_search_tail(dialect, k, query_mod, probe_bits, b,
+                  "sigs", "vecs", "norms")}
+"""
+
+
+def _lsh_proj_sigs_cte(dialect: str, b: int, vec_rel: str) -> str:
+    """proj + sigs CTEs over a vecs-shaped relation — shared verbatim
+    by the dual-dialect template and the Spark staged path."""
+    return f"""proj AS (
   SELECT v.vec_id, p.plane, SUM(v.val * p.sign) AS proj
-  FROM vecs v JOIN planes p ON v.pos = p.pos
+  FROM {vec_rel} v JOIN planes p ON v.pos = p.pos
   GROUP BY v.vec_id, p.plane
 ),
 sigs AS (
@@ -259,50 +270,87 @@ sigs AS (
                   THEN {shift1(dialect, f"CAST(plane % {b} AS INT)")}
                   ELSE CAST(0 AS BIGINT) END) AS sig
   FROM proj GROUP BY vec_id, CAST(floor(plane / {b}) AS BIGINT)
-),
-probes AS (
+)"""
+
+
+def _lsh_search_tail(dialect: str, k: int, query_mod: int,
+                     probe_bits: int, b: int, sigs_rel: str,
+                     vec_rel: str, norms_rel: str) -> str:
+    """probes/pairs/dots/cos CTEs + the final top-k SELECT, over
+    named sigs/vecs/norms relations — shared verbatim by the
+    dual-dialect template and the Spark staged path."""
+    flips = [0] + ([1 << j for j in range(b)] if probe_bits >= 1 else [])
+    flist = ", ".join(str(f) for f in flips)
+    if dialect == "duckdb":
+        flip_rel = f"(SELECT unnest([{flist}]) AS flip)"
+        psig = "xor(s.sig, f.flip)"
+    else:
+        flip_rel = f"(SELECT explode(array({flist})) AS flip)"
+        psig = "(s.sig ^ f.flip)"
+    return f"""probes AS (
   SELECT s.vec_id AS query_id, s.tbl, {psig} AS psig
-  FROM sigs s CROSS JOIN {flip_rel} f
+  FROM {sigs_rel} s CROSS JOIN {flip_rel} f
   WHERE s.vec_id % {query_mod} = 0
 ),
 pairs AS (
   SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
   FROM probes p
-  JOIN sigs c ON c.tbl = p.tbl AND c.sig = p.psig
+  JOIN {sigs_rel} c ON c.tbl = p.tbl AND c.sig = p.psig
              AND c.vec_id <> p.query_id
 ),
 dots AS (
   SELECT p.query_id, p.neighbor_id, SUM(q.val * c.val) AS dot
   FROM pairs p
-  JOIN vecs q ON q.vec_id = p.query_id
-  JOIN vecs c ON c.vec_id = p.neighbor_id AND c.pos = q.pos
+  JOIN {vec_rel} q ON q.vec_id = p.query_id
+  JOIN {vec_rel} c ON c.vec_id = p.neighbor_id AND c.pos = q.pos
   GROUP BY p.query_id, p.neighbor_id
 ),
 cos AS (
   SELECT d.query_id, d.neighbor_id,
          round(d.dot / (nq.norm * nc.norm), 6) AS cosine
   FROM dots d
-  JOIN norms nq ON nq.vec_id = d.query_id
-  JOIN norms nc ON nc.vec_id = d.neighbor_id
+  JOIN {norms_rel} nq ON nq.vec_id = d.query_id
+  JOIN {norms_rel} nc ON nc.vec_id = d.neighbor_id
 )
 SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM cos
-) WHERE rank <= {k}
-"""
+) WHERE rank <= {k}"""
 
 
 def ann_lsh_topk(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
                  num_tables: int = NUM_TABLES,
                  bits_per_table: int = BITS_PER_TABLE,
                  probe_bits: int = PROBE_BITS) -> DataFrame:
+    """Same semantics as ann_lsh_topk_sql (the oracle), staged: the
+    SQL rendering re-inlines the vecs CTE into three scans+explodes
+    and sigs into two full recomputes when consumed twice, which made
+    this the worst common-27 query vs the r1 baseline (2.6x). The
+    Spark path materializes vecs and sigs ONCE as persisted temp
+    views built from the SAME SQL fragments the oracle renders (zero
+    drift — the shared-relation discipline of
+    sketch_cms_heavy_hitters), then runs the identical search tail."""
+    from ..plans.cache import checkpoint_release
+
+    b = bits_per_table
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .createOrReplaceTempView("cpss_embeddings")
-    return spark.sql(ann_lsh_topk_sql("spark", "cpss_embeddings", k,
-                                      query_mod, num_tables,
-                                      bits_per_table, probe_bits))
+    vecs = spark.sql(_vecs_select("spark", "cpss_embeddings")).persist()
+    vecs.createOrReplaceTempView("cpss_lshq_vecs")
+    norms = spark.sql(_norms_select("cpss_lshq_vecs")).persist()
+    norms.createOrReplaceTempView("cpss_lshq_norms")
+    planes = _planes_cte_spark(num_tables * b).strip()
+    sigs = spark.sql(
+        f"WITH {planes},\n"
+        f"{_lsh_proj_sigs_cte('spark', b, 'cpss_lshq_vecs')}\n"
+        f"SELECT * FROM sigs").persist()
+    sigs.createOrReplaceTempView("cpss_lshq_sigs")
+    out = spark.sql("WITH " + _lsh_search_tail(
+        "spark", k, query_mod, probe_bits, b,
+        "cpss_lshq_sigs", "cpss_lshq_vecs", "cpss_lshq_norms"))
+    return checkpoint_release(out, vecs, norms, sigs)
 
 
 def _planes_matrix(n_planes: int):
