@@ -25,7 +25,8 @@ comparisons unfalsifiable. The per-query max/best spread is published in
 runs once exceeded, so the suite always completes within an external
 timeout; single-run queries report spread 1.0.
 
-Budget sizing (r9 fix): the old 420 s default was sized for a ~100-query
+Budget sizing (retired-internal-numbering fix, pre-dates the driver-round
+relabel): the old 420 s default was sized for a ~100-query
 suite; at 133 queries the heavy parked tail landed past the budget and
 was published at its COLD single-run cost (pii_scan_catalog_tables 50 s
 vs 8 s warm — first-call codegen of the giant scan tree in a JVM already
