@@ -60,7 +60,8 @@ from catalog_pii_scanner_spark.operators.sketches import (
     sketch_hll_union, sketch_hll_union_oracle_sql,
     sketch_hll_registers, sketch_hll_registers_oracle_sql,
     sketch_hll_rho_parts, sketch_hll_rho_parts_oracle_sql,
-    sketch_hll_state, sketch_hll_state_oracle_sql)
+    sketch_hll_state, sketch_hll_state_oracle_sql,
+    sketch_kmv_distinct, sketch_kmv_distinct_oracle_sql)
 
 
 def sketches_hll_sketch_only_oracle() -> str:
@@ -327,8 +328,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:       (last round's declared MUST_FRONT_NEXT_ROUND, verbatim);
 #:   (c) all 13 entries whose latest driver row is round 6 (age 3 —
 #:       parking them one more round would breach the bound at r10);
-#:   (d) the 3 new HLL stage diagnostics (never-gated -> rule 1);
-#:   (e) 6 round-7-row fills, prioritizing the queries whose
+#:   (d) the 4 new never-gated entries (rule 1): 3 HLL stage
+#:       diagnostics + the KMV distinct sketch;
+#:   (e) 5 round-7-row fills, prioritizing the queries whose
 #:       signature packing changed this round (ann_lsh_*,
 #:       dedup_embed_cosine share the power->shiftleft purge) and the
 #:       r8 bench fence-crosser pii_ensemble_predictions.
@@ -361,12 +363,15 @@ FRONT_50 = [
     "events_value_outliers", "events_retention",
     "events_hourly_gapfill", "events_funnel", "corpus_split",
     "corpus_char_entropy", "churned_customers",
-    # (d) the 3 NEW (never-gated) HLL stage diagnostics — rule (1)
+    # (d) the 4 NEW (never-gated) entries — rule (1): the 3 HLL stage
+    # diagnostics and the pure-BIGINT KMV distinct sketch
     "sketch_hll_registers", "sketch_hll_rho_parts", "sketch_hll_state",
-    # (e) 6 round-7-row fills (changed-this-round first)
+    "sketch_kmv_distinct",
+    # (e) 5 round-7-row fills (changed-this-round first;
+    # ann_cosine_matmul yielded its slot to the KMV sketch and is
+    # declared in round 10's must-front cohort)
     "ann_lsh_topk", "ann_lsh_matmul", "dedup_embed_cosine",
     "pii_ensemble_predictions", "ann_cosine_topk",
-    "ann_cosine_matmul",
 ]
 
 
@@ -686,6 +691,13 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": sketch_hll_registers,
         "sketch_hll_rho_parts": sketch_hll_rho_parts,
         "sketch_hll_state": sketch_hll_state,
+        # KMV k-minimum-values distinct sketch (Bar-Yossef et al.):
+        # the maximally-conservative mergeable distinct estimator —
+        # pure-BIGINT order statistics, one integer division, only
+        # driver-gate-proven primitives (md5 digits, DISTINCT,
+        # TakeOrdered) — the working distinct path while the HLL
+        # divergence is localized.
+        "sketch_kmv_distinct": sketch_kmv_distinct,
         # next-fit small-file compaction planner: one window pass over
         # the per-partition file inventory, the OPTIMIZE-planning shape.
         "layout_compaction_plan": layout_compaction_plan,
@@ -961,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_registers": sketch_hll_registers_oracle_sql(),
         "sketch_hll_rho_parts": sketch_hll_rho_parts_oracle_sql(),
         "sketch_hll_state": sketch_hll_state_oracle_sql(),
+        "sketch_kmv_distinct": sketch_kmv_distinct_oracle_sql(),
         "layout_compaction_plan": layout_compaction_oracle_sql(),
         "embed_hard_negatives": simsearch.hard_negatives_sql("duckdb"),
         "dq_referential_suite": dq_referential_oracle_sql(),

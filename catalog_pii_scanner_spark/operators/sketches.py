@@ -387,6 +387,118 @@ def sketch_hll_state_oracle_sql() -> str:
     return hll_state_sql("duckdb")
 
 
+# --- KMV (k-minimum-values) distinct sketch -----------------------------------
+#
+# Bar-Yossef et al. 2002: keep the k smallest DISTINCT hash values;
+# with U_k = h_k / 2^48 the kth-smallest normalized hash, distinct ~=
+# (k-1) / U_k. Strategic role next to the HLL above: the estimator is
+# ONE pure-BIGINT integer division of a < 2^63 literal — no DECIMAL /
+# HUGEINT widening, no regex, no shift arithmetic, nothing but the
+# md5-digit primitives the CMS queries have already passed the driver
+# gate with — so it is the maximally-conservative mergeable distinct
+# sketch while the HLL divergence is being localized.
+#
+# Mergeability (the 100 TB property): union = min-k over the union of
+# the parts' min-k sets — asserted as a property test
+# (tests/test_sketches_dq_layout.py). Scale shape per column: the
+# DISTINCT is a map-side partial hash-agg (the shuffle carries each
+# upstream partition's distinct hashes once) and the k smallest is
+# TakeOrdered, never a global sort; a production ingest keeps
+# per-partition min-k state (<= k rows per partition) and merges, the
+# same posture as the HLL register table. The exact twin is gate-only.
+
+#: Sketch size: large enough that est tracks exact visibly at the
+#: gate scales, small enough that the k-set is obviously bounded.
+KMV_K = 64
+#: Hash domain: the first 12 md5 hex digits as a 48-bit integer.
+KMV_BITS = 48
+_KMV_DOM = 1 << KMV_BITS
+#: (KMV_K - 1) * 2^48 — fits BIGINT (1.77e16), the whole point.
+_KMV_EST_NUM = (KMV_K - 1) * _KMV_DOM
+assert _KMV_EST_NUM < 2**63
+
+
+def _kmv_h_expr(hexpr: str = "md5(v)") -> str:
+    """48-bit BIGINT from md5 hex digits 1..12 — pure instr/substr
+    digit arithmetic (the CMS discipline), identical in both
+    dialects."""
+    d = lambda i: f"(instr({_HEX}, substr({hexpr}, {i}, 1)) - 1)"
+    terms = " + ".join(
+        f"{d(i + 1)} * CAST({16 ** (11 - i)} AS BIGINT)"
+        for i in range(12))
+    return f"({terms})"
+
+
+def kmv_distinct_sql(dialect: str, rel_prefix: str = "",
+                     k: int = KMV_K) -> str:
+    """Dual-dialect KMV template: one row per tracked column with the
+    sketch state (n_k, h_k), the estimate, the exact twin, and the
+    integer basis-point error. n_k < k means the k-set holds EVERY
+    distinct hash, so the sketch is exact by construction and the
+    estimate is n_k itself."""
+    str_t = _str_type(dialect)
+    ctes, rows = [], []
+    for suffix, colexpr, notnull, colref in HLL_TRACKED:
+        tag = f"kmv_{suffix}"
+        rel = rel_prefix + suffix
+        ce = colexpr.format(STR=str_t)
+        ctes.append(f"""
+{tag}_vals AS (
+  SELECT {ce} AS v FROM {rel} WHERE {notnull} IS NOT NULL
+),
+{tag}_h AS (
+  SELECT DISTINCT {_kmv_h_expr()} AS h FROM {tag}_vals
+),
+{tag}_topk AS (
+  SELECT h FROM {tag}_h ORDER BY h LIMIT {k}
+),
+{tag}_st AS (
+  SELECT COUNT(*) AS n_k, COALESCE(MAX(h), CAST(0 AS BIGINT)) AS h_k
+  FROM {tag}_topk
+),
+{tag}_ex AS (SELECT COUNT(DISTINCT v) AS exact_d FROM {tag}_vals)""")
+        est = (f"CASE WHEN s.n_k < {k} THEN CAST(s.n_k AS BIGINT) "
+               f"ELSE {exact_int_div(dialect, str(_KMV_EST_NUM), 's.h_k')}"
+               f" END")
+        # err_bp: the multiply can exceed BIGINT on degenerate states
+        # (est up to ~1.8e16 when h_k = 1), so it runs in the wide
+        # type with the same clamp discipline as the HLL block.
+        err_num = (f"abs({_big(dialect, est)}"
+                   f" - {_big(dialect, 'x.exact_d')})"
+                   f" * {_big(dialect, 10000)}")
+        err_den = (f"greatest({_big(dialect, 'x.exact_d')},"
+                   f" {_big(dialect, 1)})")
+        err_op = "//" if dialect == "duckdb" else "div"
+        err_bp = (f"CAST(least(({err_num}) {err_op} ({err_den}), "
+                  f"{_big(dialect, 9 * 10**18)}) AS BIGINT)")
+        rows.append(f"""
+SELECT '{colref}' AS col_ref, {k} AS k,
+       CAST(s.n_k AS BIGINT) AS n_k,
+       CAST(s.h_k AS BIGINT) AS h_k,
+       {est} AS est_distinct,
+       CAST(x.exact_d AS BIGINT) AS exact_distinct,
+       {err_bp} AS err_bp
+FROM {tag}_st s CROSS JOIN {tag}_ex x""")
+    body = "\nUNION ALL".join(rows)
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT * FROM ({body}) allrows ORDER BY col_ref")
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch over the four tracked columns; see
+    kmv_distinct_sql. Plan per column: pruned single-column scan,
+    map-side-partial DISTINCT on the 48-bit hash, TakeOrdered k — the
+    bounded-state distinct path whose estimator never leaves BIGINT."""
+    for suffix, _, _, _ in HLL_TRACKED:
+        spark.read.parquet(f"{sf_dir}/{suffix}.parquet") \
+            .createOrReplaceTempView(f"cpss_kmv_{suffix}")
+    return spark.sql(kmv_distinct_sql("spark", rel_prefix="cpss_kmv_"))
+
+
+def sketch_kmv_distinct_oracle_sql() -> str:
+    return kmv_distinct_sql("duckdb")
+
+
 # --- Bloom-filter semi-join (runtime-filter accounting) ----------------------
 
 #: 4096-bit Bloom in 63-bit words (bit index <= 62: DuckDB raises on

@@ -73,6 +73,8 @@ MUST_FRONT_BY_ROUND: dict[int, set[str]] = {
         "sample_columns_topn", "sketch_histogram_quantiles",
         "stream_events_hourly", "stream_events_sessions",
         "stream_phash_keep_list", "stream_quality_classifier",
+        # yielded its round-9 fill slot to sketch_kmv_distinct
+        "ann_cosine_matmul",
     },
 }
 
@@ -212,6 +214,7 @@ INTEGER_AUDIT_COLUMNS = {
     "sketch_hll_registers": ("register", "mrho"),
     "sketch_hll_rho_parts": ("nz", "fd", "n_values"),
     "sketch_hll_state": ("v_zero", "z_scaled", "filled"),
+    "sketch_kmv_distinct": ("n_k", "h_k", "est_distinct", "err_bp"),
     "sketch_cms_heavy_hitters": ("over_bp", "cms_est", "exact_count"),
     "dq_referential_suite": ("orphan_bp",),
     "dq_k_anonymity": ("risk_bp",),

@@ -146,6 +146,61 @@ def test_hll_diag_stages_are_mutually_consistent():
         assert n_vals == want, colref
 
 
+def _python_kmv(values, k=64):
+    """Independent KMV reference: k smallest distinct 48-bit md5
+    prefixes; est = (k-1) * 2^48 // h_k (exact if fewer than k)."""
+    hs = sorted({int(hashlib.md5(v.encode()).hexdigest()[:12], 16)
+                 for v in values})[:k]
+    n_k, h_k = len(hs), (hs[-1] if hs else 0)
+    est = n_k if n_k < k else (k - 1) * (1 << 48) // h_k
+    return n_k, h_k, est
+
+
+def test_kmv_oracle_matches_python_reference():
+    from catalog_pii_scanner_spark.operators.sketches import (
+        kmv_distinct_sql)
+    con = _duck_with_views(["events", "orders", "lineitem",
+                            "documents"])
+    rows = {r[0]: r for r in con.sql(kmv_distinct_sql("duckdb")).fetchall()}
+    vals = [str(r[0]) for r in con.sql(
+        "SELECT o_custkey FROM orders"
+        " WHERE o_custkey IS NOT NULL").fetchall()]
+    n_k, h_k, est = _python_kmv(vals)
+    _, k, got_nk, got_hk, got_est, exact_d, _ = rows["orders.o_custkey"]
+    assert (got_nk, got_hk, got_est) == (n_k, h_k, est)
+    assert exact_d == len(set(vals))
+
+
+def test_kmv_template_is_integer_only():
+    """The KMV estimator must stay PURE BIGINT — no DOUBLE, no floor,
+    no regex, and (unlike the HLL) no DECIMAL/HUGEINT widening in the
+    estimate column itself (only err_bp widens, with the clamp)."""
+    from catalog_pii_scanner_spark.operators.sketches import (
+        kmv_distinct_sql)
+    for d in ("spark", "duckdb"):
+        up = kmv_distinct_sql(d).upper()
+        assert "DOUBLE" not in up and "FLOOR" not in up, d
+        assert "REGEXP" not in up, d
+
+
+def test_kmv_merge_property():
+    """The 100 TB property: min-k over the union of two disjoint
+    parts' min-k sets == min-k of the whole — the sketch state merges
+    without rescanning, exactly like the HLL register MAX."""
+    import random
+    rng = random.Random(97)
+    vals = [str(rng.randrange(10**9)) for _ in range(5000)]
+    even = [v for v in vals if int(v) % 2 == 0]
+    odd = [v for v in vals if int(v) % 2 != 0]
+
+    def min_k_set(vs, k=64):
+        return sorted({int(hashlib.md5(v.encode()).hexdigest()[:12], 16)
+                       for v in vs})[:k]
+
+    merged = sorted(set(min_k_set(even)) | set(min_k_set(odd)))[:64]
+    assert merged == min_k_set(vals)
+
+
 def test_nz_case_ladder_matches_python_on_crafted_suffixes():
     """The regex-free leading-zero ladder, probed directly on crafted
     12-char suffixes covering every nz value 0..12 in both engines."""
