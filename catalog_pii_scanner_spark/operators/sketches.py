@@ -460,17 +460,18 @@ def kmv_distinct_sql(dialect: str, rel_prefix: str = "",
         est = (f"CASE WHEN s.n_k < {k} THEN CAST(s.n_k AS BIGINT) "
                f"ELSE {exact_int_div(dialect, str(_KMV_EST_NUM), 's.h_k')}"
                f" END")
-        # err_bp: the multiply can exceed BIGINT on degenerate states
-        # (est up to ~1.8e16 when h_k = 1), so it runs in the wide
-        # type with the same clamp discipline as the HLL block.
-        err_num = (f"abs({_big(dialect, est)}"
-                   f" - {_big(dialect, 'x.exact_d')})"
-                   f" * {_big(dialect, 10000)}")
-        err_den = (f"greatest({_big(dialect, 'x.exact_d')},"
-                   f" {_big(dialect, 1)})")
-        err_op = "//" if dialect == "duckdb" else "div"
-        err_bp = (f"CAST(least(({err_num}) {err_op} ({err_den}), "
-                  f"{_big(dialect, 9 * 10**18)}) AS BIGINT)")
+        # err_bp stays BIGINT end to end (no DECIMAL/HUGEINT widening
+        # anywhere in this template — the whole point of the KMV next
+        # to the HLL): |est - exact| is clamped to 9e14 BEFORE the
+        # x10000, so the multiply cannot overflow even on degenerate
+        # h_k = 1 states (est ~1.8e16); the clamp saturates err_bp at
+        # 9e18/exact, unreachable from data-derived sketches.
+        err_num = (f"least(abs(({est}) - CAST(x.exact_d AS BIGINT)), "
+                   f"CAST({9 * 10**14} AS BIGINT)) "
+                   f"* CAST(10000 AS BIGINT)")
+        err_den = ("greatest(CAST(x.exact_d AS BIGINT), "
+                   "CAST(1 AS BIGINT))")
+        err_bp = exact_int_div(dialect, err_num, err_den)
         rows.append(f"""
 SELECT '{colref}' AS col_ref, {k} AS k,
        CAST(s.n_k AS BIGINT) AS n_k,

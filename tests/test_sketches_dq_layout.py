@@ -172,15 +172,18 @@ def test_kmv_oracle_matches_python_reference():
 
 
 def test_kmv_template_is_integer_only():
-    """The KMV estimator must stay PURE BIGINT — no DOUBLE, no floor,
-    no regex, and (unlike the HLL) no DECIMAL/HUGEINT widening in the
-    estimate column itself (only err_bp widens, with the clamp)."""
+    """The KMV template must stay PURE BIGINT end to end — no DOUBLE,
+    no floor, no regex, and (unlike the HLL) no DECIMAL/HUGEINT
+    widening anywhere, err_bp included (the pre-multiply clamp keeps
+    it in int64). This is the sketch's whole reason to exist next to
+    the HLL: nothing but driver-gate-proven primitives."""
     from catalog_pii_scanner_spark.operators.sketches import (
         kmv_distinct_sql)
     for d in ("spark", "duckdb"):
         up = kmv_distinct_sql(d).upper()
         assert "DOUBLE" not in up and "FLOOR" not in up, d
         assert "REGEXP" not in up, d
+        assert "DECIMAL" not in up and "HUGEINT" not in up, d
 
 
 def test_kmv_merge_property():
