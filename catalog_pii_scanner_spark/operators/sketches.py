@@ -387,6 +387,16 @@ def sketch_hll_state_oracle_sql() -> str:
     return hll_state_sql("duckdb")
 
 
+#: The streaming drains (HLL + KMV) track two events columns (one
+#: high-cardinality key per row, one mid-cardinality dimension) — a
+#: single-table stream with both estimate regimes visible.
+HLL_STREAM_TRACKED = (
+    ("events", "CAST(event_id AS {STR})", "event_id",
+     "events.event_id"),
+    ("events", "CAST(user_id AS {STR})", "user_id", "events.user_id"),
+)
+
+
 # --- KMV (k-minimum-values) distinct sketch -----------------------------------
 #
 # Bar-Yossef et al. 2002: keep the k smallest DISTINCT hash values;
@@ -498,6 +508,86 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sketch_kmv_distinct_oracle_sql() -> str:
     return kmv_distinct_sql("duckdb")
+
+
+def kmv_topk_rows_sql(dialect: str, rel: str, k: int = KMV_K,
+                      tracked=HLL_STREAM_TRACKED) -> str:
+    """(col_ref, h) min-k rows for one slice of ``rel`` — the
+    per-microbatch spool extraction for the streaming drain. min-k is
+    associative, commutative and idempotent over set union, so
+    spooled slices merge to exactly the batch k-set regardless of how
+    files split into microbatches (the HLL-register-MAX property, in
+    order-statistic form)."""
+    str_t = _str_type(dialect)
+    ctes, rows = [], []
+    for i, (_, colexpr, notnull, colref) in enumerate(tracked):
+        tag = f"ks{i}"
+        ce = colexpr.format(STR=str_t)
+        ctes.append(f"""
+{tag}_vals AS (
+  SELECT {ce} AS v FROM {rel} WHERE {notnull} IS NOT NULL
+),
+{tag}_topk AS (
+  SELECT DISTINCT {_kmv_h_expr()} AS h FROM {tag}_vals
+  ORDER BY h LIMIT {k}
+)""")
+        rows.append(f"SELECT '{colref}' AS col_ref, h FROM {tag}_topk")
+    body = "\nUNION ALL\n".join(rows)
+    return f"WITH {','.join(ctes)}\n{body}"
+
+
+def kmv_finalize_sql(dialect: str, spool_rel: str, k: int = KMV_K,
+                     tracked=HLL_STREAM_TRACKED) -> str:
+    """Merged (col_ref, h) spool -> one sketch row per col_ref: min-k
+    over the distinct union, then the SAME pure-BIGINT estimator as
+    the batch template. The spool is bounded (<= k rows per column
+    per microbatch), so the per-column window here runs over a
+    metadata-sized relation."""
+    del dialect  # fully portable
+    refs = ", ".join(f"'{colref}'" for _, _, _, colref in tracked)
+    return f"""
+WITH merged AS (
+  SELECT DISTINCT col_ref, h FROM {spool_rel}
+  WHERE col_ref IN ({refs})
+),
+ranked AS (
+  SELECT col_ref, h,
+         row_number() OVER (PARTITION BY col_ref ORDER BY h) AS rn
+  FROM merged
+),
+st AS (
+  SELECT col_ref, COUNT(*) AS n_k,
+         COALESCE(MAX(h), CAST(0 AS BIGINT)) AS h_k
+  FROM ranked WHERE rn <= {k} GROUP BY col_ref
+)
+SELECT col_ref, {k} AS k, CAST(n_k AS BIGINT) AS n_k,
+       CAST(h_k AS BIGINT) AS h_k,
+       CASE WHEN n_k < {k} THEN CAST(n_k AS BIGINT)
+            ELSE CAST({_KMV_EST_NUM} AS BIGINT) {{div}} h_k END
+         AS est_distinct
+FROM st ORDER BY col_ref
+"""
+
+
+def kmv_finalize_rendered(dialect: str, spool_rel: str, k: int = KMV_K,
+                          tracked=HLL_STREAM_TRACKED) -> str:
+    div = "//" if dialect == "duckdb" else "div"
+    return kmv_finalize_sql(dialect, spool_rel, k, tracked).replace(
+        "{div}", div)
+
+
+def kmv_sketch_only_sql(dialect: str, rel: str,
+                        tracked=HLL_STREAM_TRACKED) -> str:
+    """Batch oracle for the STREAMING drain: sketch columns only (no
+    exact twin — the stream never spools raw values), composed from
+    the same extraction + finalize the drain runs."""
+    inner = kmv_topk_rows_sql(dialect, rel, KMV_K, tracked)
+    fin = kmv_finalize_rendered(dialect, "kmv_spool_all",
+                                KMV_K, tracked).lstrip("\n")
+    assert fin.startswith("WITH merged")
+    return fin.replace(
+        "WITH merged",
+        f"WITH kmv_spool_all AS (\n{inner}\n), merged", 1)
 
 
 # --- Bloom-filter semi-join (runtime-filter accounting) ----------------------
@@ -733,15 +823,6 @@ def sketch_histogram_quantiles_oracle_sql() -> str:
 
 
 # --- Streaming HLL support ---------------------------------------------------
-
-#: The streaming drain tracks two events columns (one high-cardinality
-#: key per row, one mid-cardinality dimension) — a single-table stream
-#: with both estimate regimes visible.
-HLL_STREAM_TRACKED = (
-    ("events", "CAST(event_id AS {STR})", "event_id",
-     "events.event_id"),
-    ("events", "CAST(user_id AS {STR})", "user_id", "events.user_id"),
-)
 
 
 def hll_register_rows_sql(dialect: str, rel: str,

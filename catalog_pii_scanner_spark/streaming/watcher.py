@@ -1179,6 +1179,64 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV distinct sketch as a Structured Streaming drain: each
+    events microbatch extracts its own (col_ref, h) min-k rows — the
+    per-slice k-set — into a spool, and ONE compaction takes min-k
+    over the distinct union and finalizes with the same pure-BIGINT
+    estimator the batch template uses (operators.sketches).
+
+    min-k over set union is associative, commutative and idempotent,
+    so the drained result is BIT-identical to the batch sketch no
+    matter how the files split into microbatches (asserted in
+    tests/test_streaming_r8.py) — per-batch state is <= k rows per
+    column and the compaction shuffles only k-sets, the same
+    mergeable-state posture as stream_hll_distinct but with zero
+    wide-type arithmetic anywhere.
+
+    NOTE: implemented and batch-vs-stream tested in round 9; its
+    queries()/oracle_sql() registration is deferred to the round-10
+    window (the round-9 FRONT_50 is full and a never-gated entry may
+    not be parked — tests/test_entry_contract.py rule 1).
+
+    Output: col_ref, k, n_k, h_k, est_distinct."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import (kmv_finalize_rendered,
+                                      kmv_topk_rows_sql)
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    spool = tempfile.mkdtemp(prefix="cpss_stream_kmv_spool_")
+    ckpt = tempfile.mkdtemp(prefix="cpss_stream_kmv_ckpt_")
+    src = _single_file_glob(path) if os.path.isfile(path) else path
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src))
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        view = f"cpss_kmv_batch_{batch_id}"
+        bdf.createOrReplaceTempView(view)
+        (bdf.sparkSession.sql(kmv_topk_rows_sql("spark", view))
+         .write.mode("append").parquet(spool))
+
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        spark.read.parquet(spool) \
+            .createOrReplaceTempView("cpss_kmv_spool")
+        out = spark.sql(
+            kmv_finalize_rendered("spark", "cpss_kmv_spool")) \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min frequency sketch as a Structured Streaming drain:
     each documents microbatch extracts its own (rj, bucket, total)

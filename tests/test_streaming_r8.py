@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from catalog_pii_scanner_spark.streaming.watcher import (
     events_recent_score_oracle_sql, stream_events_recent_score)
 
+from conftest import SF_DIR
+
 
 def _oracle_rows(parquet_dir):
     con = duckdb.connect()
@@ -143,3 +145,48 @@ def test_stream_dsir_empty_corpus_returns_empty(spark, tmp_path):
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == [
         "drank", "doc_id", "n_feats", "weight"]
+
+
+# --- streaming KMV (round 9; registration deferred to round 10) ---------------
+
+def test_stream_kmv_matches_batch_across_microbatches(spark, tmp_path):
+    """min-k over set union is associative/commutative/idempotent, so
+    the spool drain must be BIT-identical to the batch sketch-only
+    template no matter how files split into microbatches."""
+    import duckdb
+
+    from catalog_pii_scanner_spark.operators.sketches import (
+        kmv_sketch_only_sql)
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_kmv_distinct)
+    d = str(tmp_path)
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src.repartition(7).write.mode("overwrite") \
+        .parquet(f"{d}/events.parquet")
+    got = sorted(map(tuple, stream_kmv_distinct(spark, d).collect()))
+    spark.read.parquet(f"{d}/events.parquet") \
+        .createOrReplaceTempView("cpss_kmv_batch_oracle")
+    want = sorted(map(tuple, spark.sql(
+        kmv_sketch_only_sql("spark", "cpss_kmv_batch_oracle"))
+        .collect()))
+    assert got and got == want
+    # dual-dialect: the batch oracle agrees with DuckDB on the parquet
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet/*.parquet')")
+    duck = sorted(tuple(r) for r in con.execute(
+        kmv_sketch_only_sql("duckdb", "ev")).fetchall())
+    assert duck == got
+
+
+def test_stream_kmv_empty_corpus(spark, tmp_path):
+    """Zero-row stream: the drain must return one all-zero row per
+    tracked column, not raise on a file-less spool (the
+    stream_dsir_select lesson)."""
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_kmv_distinct)
+    d = str(tmp_path)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(0) \
+        .write.mode("overwrite").parquet(f"{d}/events.parquet")
+    rows = stream_kmv_distinct(spark, d).collect()
+    assert [tuple(r)[1:] for r in rows] == [(64, 0, 0, 0)] * len(rows)
