@@ -102,7 +102,8 @@ def gen_fuzz(out: str) -> None:
     import numpy as np
     import pandas as pd
 
-    rng = random.Random(20260814)
+    seed = int(os.environ.get("CPSS_FUZZ_SEED", "20260814"))
+    rng = random.Random(seed)
     pd.DataFrame(_fuzz_docs(rng),
                  columns=["doc_id", "text", "lang", "source", "n_chars"]) \
         .astype({"doc_id": "int64", "n_chars": "Int64"}) \
@@ -125,7 +126,7 @@ def gen_fuzz(out: str) -> None:
     pd.DataFrame(ev, columns=["event_id", "ts", "user_id", "event_type",
                               "value", "props"])         .to_parquet(f"{out}/events.parquet", index=False)
 
-    npr = np.random.RandomState(42)
+    npr = np.random.RandomState(seed % (2**31))
     V = npr.randn(300, 64).astype(np.float32)
     V[7] = V[3]                      # exact duplicate pair
     V[11] = 0.0                      # zero-norm vector
