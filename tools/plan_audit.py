@@ -74,6 +74,8 @@ def main() -> int:
         ("corpus_char_entropy", "char explode + two keyed aggs"),
         ("sketch_hll_registers", "HLL stage diag: pruned scans + "
                                  "<=64-group partial-max"),
+        ("sketch_kmv_distinct", "KMV: pruned scans + partial DISTINCT "
+                                "+ TakeOrdered k"),
         ("tpch_pricing_summary", "pushed date filter, one-shuffle agg"),
         ("top_customers_by_revenue", "broadcast star join + TakeOrdered"),
         ("monthly_revenue_running", "partition-bounded cumulative window"),
