@@ -332,8 +332,6 @@ def ann_lsh_topk(spark, sf_dir: str, k: int = 5, query_mod: int = 50,
     views built from the SAME SQL fragments the oracle renders (zero
     drift — the shared-relation discipline of
     sketch_cms_heavy_hitters), then runs the identical search tail."""
-    from ..plans.cache import checkpoint_release
-
     b = bits_per_table
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .createOrReplaceTempView("cpss_embeddings")

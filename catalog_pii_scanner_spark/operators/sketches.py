@@ -112,6 +112,26 @@ def _big(dialect: str, expr: str) -> str:
     return f"CAST({expr} AS {t})"
 
 
+def _hll_z_select(dialect: str, regs_rel: str,
+                  by_col_ref: bool = False) -> str:
+    """The Z-accumulator SELECT over a (register, mrho[, col_ref])
+    relation — ONE copy of the merge-stage formula (z_scaled =
+    SUM(2^(49-mrho)) over occupied registers + unseen-register count
+    * 2^49, filled = occupied count), shared by the batch sketch, the
+    union parts and their merge, the state diagnostic, and the
+    streaming finalize, so the stages the diagnostics compare can
+    never drift apart."""
+    m = HLL_M
+    head = "col_ref, " if by_col_ref else ""
+    tail = " GROUP BY col_ref" if by_col_ref else ""
+    return (f"SELECT {head}COALESCE(SUM({_shift1(dialect, '49 - mrho')}),"
+            f" CAST(0 AS BIGINT))\n"
+            f"           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT)"
+            f" AS z_scaled,\n"
+            f"         COUNT(*) AS filled\n"
+            f"  FROM {regs_rel}{tail}")
+
+
 def _hll_est_expr(dialect: str, z_alias: str) -> str:
     """The shared raw-HLL estimator over a (z_scaled, filled) row —
     ONE definition so the batch sketch, the sketch-only template and
@@ -186,28 +206,26 @@ def _hll_col_block(dialect: str, tag: str, rel: str, colexpr: str,
     m = HLL_M
     ctes = f"""{_hll_reg_ctes(tag, rel, colexpr, notnull)},
 {tag}_z AS (
-  SELECT COALESCE(SUM({_shift1(dialect, '49 - mrho')}), CAST(0 AS BIGINT))
-           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
-         COUNT(*) AS filled
-  FROM {tag}_regs
+  {_hll_z_select(dialect, f"{tag}_regs")}
 ),
 {tag}_ex AS (
   SELECT COUNT(DISTINCT v) AS exact_d FROM {tag}_vals
 )"""
     est = _hll_est_expr(dialect, "z")
-    # err_bp stays integer-only too: |est - exact| * 10000 can top out
-    # near 2.6e20 (> BIGINT), so the multiply runs in the wide type,
-    # and the QUOTIENT is clamped in the wide type before the BIGINT
-    # cast — on degenerate/corrupt register states (Z at its 64-unit
-    # minimum, exact_d tiny) the quotient itself can reach ~2.5e20 and
-    # a bare CAST would silently NULL (non-ANSI) or raise (ANSI).
-    # Unreachable from data-derived registers, where est tracks exact.
-    err_num = (f"abs({_big(dialect, est)} - {_big(dialect, 'x.exact_d')})"
-               f" * {_big(dialect, 10000)}")
-    err_den = f"greatest({_big(dialect, 'x.exact_d')}, {_big(dialect, 1)})"
-    err_op = "//" if dialect == "duckdb" else "div"
-    err_bp = (f"CAST(least(({err_num}) {err_op} ({err_den}), "
-              f"{_big(dialect, 9 * 10**18)}) AS BIGINT)")
+    # err_bp stays integer-only too, and BIGINT end to end: |est -
+    # exact| is clamped to 9e14 BEFORE the x10000, so the quotient can
+    # never exceed 9e18 and no overflow path exists in either engine.
+    # (The previous formulation clamped the QUOTIENT in the wide type
+    # — ineffective on Spark, whose `div` returns BIGINT and silently
+    # WRAPS an over-wide quotient before least() sees it, verified by
+    # repro; DuckDB's HUGEINT `//` does not. Clamping the numerator
+    # removes the divergence instead of relocating it.) The clamp only
+    # binds on degenerate/corrupt register states — data-derived
+    # sketches have |est - exact| orders of magnitude below 9e14.
+    err_num = (f"least(abs(({est}) - CAST(x.exact_d AS BIGINT)), "
+               f"CAST({9 * 10**14} AS BIGINT)) * CAST(10000 AS BIGINT)")
+    err_den = "greatest(CAST(x.exact_d AS BIGINT), CAST(1 AS BIGINT))"
+    err_bp = _idiv(dialect, err_num, err_den)
     row = f"""
 SELECT '{colref}' AS col_ref, {m} AS m,
        CAST({m} - z.filled AS BIGINT) AS v_zero,
@@ -332,11 +350,7 @@ def hll_state_sql(dialect: str, rel_prefix: str = "") -> str:
     for tag, colref, c in blocks:
         ctes.append(f"""{c},
 {tag}_z AS (
-  SELECT COALESCE(SUM({_shift1(dialect, '49 - mrho')}),
-                  CAST(0 AS BIGINT))
-           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
-         COUNT(*) AS filled
-  FROM {tag}_regs
+  {_hll_z_select(dialect, f"{tag}_regs")}
 )""")
         rows.append(
             f"SELECT '{colref}' AS col_ref,"
@@ -843,13 +857,13 @@ def hll_register_rows_sql(dialect: str, rel: str,
     return f"WITH {','.join(ctes)}\n{body}"
 
 
-def hll_finalize_sql(dialect: str, regs_rel: str,
-                     tracked=HLL_STREAM_TRACKED) -> str:
+def hll_finalize_rendered(dialect: str, regs_rel: str,
+                          tracked=HLL_STREAM_TRACKED) -> str:
     """Merged registers -> one sketch row per col_ref: the compaction
-    finalize. Uses the SAME estimator expression as the batch
-    template, so a drained stream is bit-identical to the batch
-    sketch."""
-    del dialect
+    finalize. Built from the SAME Z-accumulator fragment
+    (_hll_z_select) and estimator expression (_hll_est_expr) as the
+    batch template, so a drained stream is bit-identical to the batch
+    sketch and the stages cannot drift."""
     m = HLL_M
     refs = ", ".join(f"'{colref}'" for _, _, _, colref in tracked)
     return f"""
@@ -858,26 +872,15 @@ WITH merged AS (
   FROM {regs_rel} GROUP BY col_ref, register
 ),
 z AS (
-  SELECT col_ref,
-         COALESCE(SUM({{shift}}), CAST(0 AS BIGINT))
-           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
-         COUNT(*) AS filled
-  FROM merged GROUP BY col_ref
+  {_hll_z_select(dialect, "merged", by_col_ref=True)}
 )
 SELECT z.col_ref, {m} AS m,
        CAST({m} - z.filled AS BIGINT) AS v_zero,
        z.z_scaled AS z_scaled,
-       {{est}} AS est_distinct
+       {_hll_est_expr(dialect, "z")} AS est_distinct
 FROM z WHERE z.col_ref IN ({refs})
 ORDER BY z.col_ref
 """
-
-
-def hll_finalize_rendered(dialect: str, regs_rel: str,
-                          tracked=HLL_STREAM_TRACKED) -> str:
-    tmpl = hll_finalize_sql(dialect, regs_rel, tracked)
-    return tmpl.format(shift=_shift1(dialect, "49 - mrho"),
-                       est=_hll_est_expr(dialect, "z"))
 
 
 def hll_sketch_only_sql(dialect: str, rel_prefix: str = "",
@@ -1107,11 +1110,7 @@ def hll_union_sql(dialect: str, rel_prefix: str = "") -> str:
             ctes.append(_hll_reg_ctes(tag, sub, ce, notnull).lstrip())
             ctes.append(f"""
 {tag}_z AS (
-  SELECT COALESCE(SUM({_shift1(dialect, '49 - mrho')}),
-                  CAST(0 AS BIGINT))
-           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
-         COUNT(*) AS filled
-  FROM {tag}_regs
+  {_hll_z_select(dialect, f"{tag}_regs")}
 ),
 {tag}_ex AS (SELECT COUNT(DISTINCT v) AS exact_d FROM {tag}_vals)""")
         ctes.append(f"""
@@ -1123,11 +1122,7 @@ def hll_union_sql(dialect: str, rel_prefix: str = "") -> str:
   ) _u GROUP BY register
 ),
 {tagbase}_union_z AS (
-  SELECT COALESCE(SUM({_shift1(dialect, '49 - mrho')}),
-                  CAST(0 AS BIGINT))
-           + ({m} - COUNT(*)) * CAST({_Z_ONE} AS BIGINT) AS z_scaled,
-         COUNT(*) AS filled
-  FROM {tagbase}_merged
+  {_hll_z_select(dialect, f"{tagbase}_merged")}
 ),
 {tagbase}_union_ex AS (
   SELECT COUNT(DISTINCT v) AS exact_d FROM (

@@ -180,13 +180,22 @@ def test_stream_kmv_matches_batch_across_microbatches(spark, tmp_path):
 
 
 def test_stream_kmv_empty_corpus(spark, tmp_path):
-    """Zero-row stream: the drain must return one all-zero row per
-    tracked column, not raise on a file-less spool (the
+    """Zero-row stream: the drain must return ZERO rows (the finalize
+    groups by col_ref, so an empty spool yields no groups — exactly
+    what the batch sketch-only template returns on an empty table,
+    asserted here so batch/stream identity holds at the degenerate
+    point too) and must not raise on a file-less spool (the
     stream_dsir_select lesson)."""
+    from catalog_pii_scanner_spark.operators.sketches import (
+        kmv_sketch_only_sql)
     from catalog_pii_scanner_spark.streaming.watcher import (
         stream_kmv_distinct)
     d = str(tmp_path)
     spark.read.parquet(f"{SF_DIR}/events.parquet").limit(0) \
         .write.mode("overwrite").parquet(f"{d}/events.parquet")
     rows = stream_kmv_distinct(spark, d).collect()
-    assert [tuple(r)[1:] for r in rows] == [(64, 0, 0, 0)] * len(rows)
+    assert rows == []
+    spark.read.parquet(f"{d}/events.parquet") \
+        .createOrReplaceTempView("cpss_kmv_empty_oracle")
+    assert spark.sql(kmv_sketch_only_sql(
+        "spark", "cpss_kmv_empty_oracle")).collect() == []
