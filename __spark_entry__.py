@@ -55,7 +55,7 @@ from catalog_pii_scanner_spark.operators.sketches import (
     sketch_hll_distinct, sketch_hll_distinct_oracle_sql,
     bloom_semijoin_filter, bloom_semijoin_oracle_sql,
     sketch_histogram_quantiles, sketch_histogram_quantiles_oracle_sql,
-    hll_sketch_only_sql,
+    hll_sketch_only_sql, kmv_sketch_only_sql,
     sketch_cms_heavy_hitters, sketch_cms_oracle_sql, cms_counters_sql,
     sketch_hll_union, sketch_hll_union_oracle_sql,
     sketch_hll_registers, sketch_hll_registers_oracle_sql,
@@ -86,7 +86,7 @@ from catalog_pii_scanner_spark.streaming.watcher import (
     events_sessions_oracle_sql, events_sessions_salted,
     stream_dedup_events, stream_dedup_keep_list,
     stream_phash_keep_list, stream_quality_classifier,
-    stream_hll_distinct, stream_cms_counters,
+    stream_hll_distinct, stream_kmv_distinct, stream_cms_counters,
     stream_events_recent_score, events_recent_score_oracle_sql,
     events_neighbor_window, events_neighbor_window_oracle_sql,
     stream_dedup_events_oracle_sql, stream_doc_pii_density,
@@ -312,66 +312,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return findings_rollup(_demo_values(spark, SF0001))
 
 
-#: DRIVER-ROUND-9 rotation (the driver gate checks the FIRST 50
+#: DRIVER-ROUND-10 rotation (the driver gate checks the FIRST 50
 #: queries() entries; rounds here and below are DRIVER rounds — the
 #: committed CORRECTNESS_r*.json artifacts — never internal build
 #: iterations).
 #:
 #: Front 50 =
-#:   (a) the 4 round-8 hash-FAIL entries (rule 2: a red row may not
-#:       be parked): the three HLL queries — re-gated alongside the
-#:       stage-level diagnostics that localize where the driver build
-#:       diverges — and multimodal_audio_fingerprint, whose
-#:       power(2,n) bit-packing (libm pow, 1-ulp licensed) is now
-#:       shiftleft end to end;
-#:   (b) the 24 entries whose round-5 driver row hit the age bound
-#:       (last round's declared MUST_FRONT_NEXT_ROUND, verbatim);
-#:   (c) all 13 entries whose latest driver row is round 6 (age 3 —
-#:       parking them one more round would breach the bound at r10);
-#:   (d) the 4 new never-gated entries (rule 1): 3 HLL stage
-#:       diagnostics + the KMV distinct sketch;
-#:   (e) 5 round-7-row fills, prioritizing the queries whose
-#:       signature packing changed this round (ann_lsh_*,
-#:       dedup_embed_cosine share the power->shiftleft purge) and the
-#:       r8 bench fence-crosser pii_ensemble_predictions.
-#: The remaining round-7-row cohort hits the age bound when the r9
-#: artifact lands; tests/test_entry_contract.py derives that from the
-#: committed artifacts and fails the build until round 10 rotates
-#: them in (a rotation-due tripwire, not a correctness regression).
-#: The FULL 135+ query set is verified every session by
+#:   (a) the 5 round-9 hash-FAIL entries (rule 2: a red row may not
+#:       be parked). The round-9 stage diagnostics + a census of all
+#:       139 oracle output types/magnitudes localized the divergence:
+#:       every red query — and ONLY the red queries — emitted a
+#:       DuckDB HUGEINT column with values above 2^31 (the raw
+#:       z_scaled accumulator ~1.8e16; the bit-31 audio
+#:       fingerprints). All five now emit BIGINT-only outputs below
+#:       2^48 (the split z_hi/z_lo pair; a BIGINT-cast fingerprint) —
+#:       see operators/sketches.py module docstring for the finding;
+#:   (b) the 43-entry declared cohort (last round's
+#:       MUST_FRONT_BY_ROUND[10], verbatim: the 42 age-bound
+#:       round-7-row entries + ann_cosine_matmul, which yielded its
+#:       round-9 fill slot to the KMV sketch);
+#:   (c) the 2 new never-gated entries (rule 1):
+#:       stream_kmv_distinct (implemented+tested in round 9,
+#:       registration deferred to this window) and
+#:       multimodal_audio_fp_bits (the audio-fingerprint stage
+#:       diagnostic — if the BIGINT-cast fix in (a) is not the whole
+#:       story, this round's artifact separates the lag/cross-multiply
+#:       stage from the packing/census).
+#: 5 + 43 + 2 = 50 exactly. The 46 entries whose latest row is r8 hit
+#: the age bound when the r10 artifact lands; MUST_FRONT_BY_ROUND[11]
+#: declares them (46 + up-to-4 r10 reds fit the window).
+#: The FULL 141-query set is verified every session by
 #: tools/selfcheck.py, tools/edge_sweep.py, and the scaling sweeps in
 #: PERF.md.
 FRONT_50 = [
-    # (a) the 4 round-8 hash-FAIL entries
+    # (a) the 5 round-9 hash-FAIL entries (all with the round-10
+    # HUGEINT/>2^31 output fix applied)
     "sketch_hll_distinct", "stream_hll_distinct", "sketch_hll_union",
-    "multimodal_audio_fingerprint",
-    # (b) the 24 age-bound round-5-row entries
-    "athena_sample_capped", "corpus_curate", "corpus_decontaminate",
-    "corpus_pack_sequences", "corpus_repetition",
-    "corpus_sample_stratified", "corpus_temperature_sample",
-    "corpus_tfidf_keywords", "corpus_vocab_topk", "doc_fingerprints",
-    "doc_lang_id", "doc_length_quantiles", "doc_quality",
-    "doc_token_counts", "events_hourly", "events_props_stats",
-    "events_sessions_salted", "glue_columns", "hms_columns",
-    "multimodal_audio_energy", "multimodal_real_pgm_features",
-    "multimodal_real_wav_features", "stream_doc_pii_density",
-    "unity_columns",
-    # (c) the 13 round-6-row entries (age 3)
-    "tpch_pricing_summary", "top_customers_by_revenue",
-    "orders_priority_pivot", "multimodal_frame_sample",
-    "monthly_revenue_running", "llm_budget_plan",
-    "events_value_outliers", "events_retention",
-    "events_hourly_gapfill", "events_funnel", "corpus_split",
-    "corpus_char_entropy", "churned_customers",
-    # (d) the 4 NEW (never-gated) entries — rule (1): the 3 HLL stage
-    # diagnostics and the pure-BIGINT KMV distinct sketch
-    "sketch_hll_registers", "sketch_hll_rho_parts", "sketch_hll_state",
-    "sketch_kmv_distinct",
-    # (e) 5 round-7-row fills (changed-this-round first;
-    # ann_cosine_matmul yielded its slot to the KMV sketch and is
-    # declared in round 10's must-front cohort)
-    "ann_lsh_topk", "ann_lsh_matmul", "dedup_embed_cosine",
-    "pii_ensemble_predictions", "ann_cosine_topk",
+    "sketch_hll_state", "multimodal_audio_fingerprint",
+    # (b) the 43-entry declared cohort (MUST_FRONT_BY_ROUND[10])
+    "ann_ivf_matmul", "ann_ivf_topk", "ann_ivfpq_matmul",
+    "ann_ivfpq_topk", "ann_pq_matmul", "ann_pq_topk",
+    "ann_pq_trained_topk", "bloom_semijoin_filter",
+    "corpus_anonymize", "corpus_bigram_logprob", "corpus_bm25_topk",
+    "corpus_cdc_dedup", "corpus_curate_pii",
+    "corpus_unigram_logprob", "dedup_containment",
+    "doc_pii_density", "dq_anomaly_days", "dq_constraint_suite",
+    "embed_cluster_mix", "embed_jl_topk", "embed_kmeans_lloyd",
+    "embed_semdedup_keep_list", "eval_trained_metrics",
+    "events_asof_join", "events_neighbor_window", "events_sessions",
+    "layout_zorder_stats", "multimodal_features",
+    "multimodal_phash_dedup", "multimodal_resize",
+    "pii_candidate_features", "pii_candidates_rollup",
+    "pii_ensemble_gated", "pii_ner_context_signals",
+    "pii_redaction_contexts", "pii_scan_demo_crm",
+    "sample_columns_topn", "sketch_histogram_quantiles",
+    "stream_events_hourly", "stream_events_sessions",
+    "stream_phash_keep_list", "stream_quality_classifier",
+    "ann_cosine_matmul",
+    # (c) the 2 NEW (never-gated) entries — rule (1)
+    "stream_kmv_distinct", "multimodal_audio_fp_bits",
 ]
 
 
@@ -698,6 +697,12 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TakeOrdered) — the working distinct path while the HLL
         # divergence is localized.
         "sketch_kmv_distinct": sketch_kmv_distinct,
+        # the KMV sketch as a streaming drain: per-batch min-k spool +
+        # one distinct-union compaction, bit-identical to batch
+        # (implemented+tested in round 9; registration was deferred to
+        # the round-10 window — rule 1 forbids parking a never-gated
+        # entry and the round-9 FRONT_50 was full).
+        "stream_kmv_distinct": stream_kmv_distinct,
         # next-fit small-file compaction planner: one window pass over
         # the per-partition file inventory, the OPTIMIZE-planning shape.
         "layout_compaction_plan": layout_compaction_plan,
@@ -750,6 +755,12 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packed per asset, fingerprint-keyed groups, MIN-id keep rule.
         "multimodal_audio_fingerprint":
             multimodal.multimodal_audio_fingerprint,
+        # AUDIO-FINGERPRINT STAGE DIAGNOSTIC (round 10): the
+        # pre-packing (asset_id, window_no, bit) rows — isolates lag +
+        # the integer cross-multiply from the shiftleft packing and
+        # the fingerprint census, the localization playbook that
+        # pinned the HLL divergence in round 9.
+        "multimodal_audio_fp_bits": multimodal.multimodal_audio_fp_bits,
         # TPC-H Q5 analog: 5-way snowflake join, facts shuffle on the
         # order key, every dim broadcast, decimal-exact revenue.
         "tpch_local_supplier_volume": analytics.local_supplier_volume,
@@ -974,6 +985,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_rho_parts": sketch_hll_rho_parts_oracle_sql(),
         "sketch_hll_state": sketch_hll_state_oracle_sql(),
         "sketch_kmv_distinct": sketch_kmv_distinct_oracle_sql(),
+        # the KMV drain's oracle is the batch sketch-only template
+        # (no exact twin: the stream never spools raw values)
+        "stream_kmv_distinct": kmv_sketch_only_sql("duckdb", "events"),
         "layout_compaction_plan": layout_compaction_oracle_sql(),
         "embed_hard_negatives": simsearch.hard_negatives_sql("duckdb"),
         "dq_referential_suite": dq_referential_oracle_sql(),
@@ -989,6 +1003,8 @@ def oracle_sql() -> dict[str, str]:
         "layout_partition_skew": layout_skew_oracle_sql(),
         "multimodal_audio_fingerprint":
             multimodal.audio_fingerprint_oracle_sql(),
+        "multimodal_audio_fp_bits":
+            multimodal.audio_fp_bits_oracle_sql(),
         "tpch_local_supplier_volume":
             analytics.local_supplier_volume_oracle_sql(),
         # the streaming drain shares the batch selection oracle: the

@@ -515,7 +515,11 @@ micro AS (
          round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
                     ELSE 0.0 END, 6) AS f1
   FROM (
-    SELECT SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn,
+    -- CAST the widening SUMs back to BIGINT: DuckDB's SUM(BIGINT)
+    -- returns HUGEINT, and a HUGEINT output column is banned repo-wide
+    -- (the round-10 driver-divergence census, operators/sketches.py)
+    SELECT CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(fp) AS BIGINT) AS fp,
+           CAST(SUM(fn) AS BIGINT) AS fn,
            CASE WHEN SUM(tp) + SUM(fp) > 0
                 THEN CAST(SUM(tp) AS DOUBLE) / (SUM(tp) + SUM(fp))
                 ELSE 0.0 END AS p,

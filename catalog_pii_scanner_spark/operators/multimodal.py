@@ -1177,22 +1177,33 @@ FP_WINDOW = 16
 FP_BITS = 32
 
 
-def audio_fingerprints(assets: DataFrame,
-                       window: int = FP_WINDOW,
-                       bits: int = FP_BITS) -> DataFrame:
-    """(asset_id, fingerprint, n_windows) — delta-sign bits packed
-    little-endian (window 1's delta = bit 0). Single-window assets get
-    fingerprint 0 (no deltas), matching the oracle's COALESCE."""
+def _audio_fp_bits_rel(assets: DataFrame,
+                       window: int = FP_WINDOW) -> DataFrame:
+    """The pre-packing delta-sign stage: per (asset_id, window_no),
+    the lag-pair and the cross-multiplied sign ``bit`` — shared by the
+    fingerprint packer and the round-10 stage diagnostic
+    multimodal_audio_fp_bits (which gates exactly this relation so a
+    driver artifact can separate lag + integer cross-multiply from
+    the shiftleft packing and census downstream of it)."""
     e = audio_window_energy(assets, window) \
         .select("asset_id", "window_no", "win_len", "byte_sum")
     w = Window.partitionBy("asset_id").orderBy("window_no")
-    bitsrel = (
+    return (
         e.withColumn("prev_sum", F.lag("byte_sum").over(w))
         .withColumn("prev_len", F.lag("win_len").over(w))
         .withColumn(
             "bit",
             (F.col("byte_sum") * F.col("prev_len")
              > F.col("prev_sum") * F.col("win_len")).cast("long")))
+
+
+def audio_fingerprints(assets: DataFrame,
+                       window: int = FP_WINDOW,
+                       bits: int = FP_BITS) -> DataFrame:
+    """(asset_id, fingerprint, n_windows) — delta-sign bits packed
+    little-endian (window 1's delta = bit 0). Single-window assets get
+    fingerprint 0 (no deltas), matching the oracle's COALESCE."""
+    bitsrel = _audio_fp_bits_rel(assets, window)
     fps = (bitsrel.groupBy("asset_id").agg(
         F.coalesce(
             F.sum(F.when(
@@ -1229,11 +1240,12 @@ def multimodal_audio_fingerprint(spark: SparkSession,
                     "group_n", "keep"))
 
 
-def audio_fingerprint_oracle_sql(docs_rel: str = "documents",
-                                 window: int = FP_WINDOW,
-                                 bits: int = FP_BITS) -> str:
-    """Same byte arithmetic as audio_energy_oracle_sql (ASCII-domain
-    gate identical), then lag-delta sign bits packed per asset."""
+def _audio_fp_cte_prefix(docs_rel: str = "documents",
+                         window: int = FP_WINDOW) -> str:
+    """The shared oracle CTE chain up to the lag-pair relation ``d``
+    (same byte arithmetic as audio_energy_oracle_sql, ASCII-domain
+    gate identical) — used by both the fingerprint oracle and the
+    stage-diagnostic oracle so the two can never drift."""
     return f"""
 WITH a AS (
   SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
@@ -1268,14 +1280,27 @@ d AS (
          lag(win_len) OVER (PARTITION BY asset_id
                             ORDER BY window_no) AS prev_len
   FROM e
-),
+)"""
+
+
+def audio_fingerprint_oracle_sql(docs_rel: str = "documents",
+                                 window: int = FP_WINDOW,
+                                 bits: int = FP_BITS) -> str:
+    """Lag-delta sign bits packed per asset over the shared CTE chain
+    (_audio_fp_cte_prefix); exact-match group census + MIN-id keep."""
+    return f"""{_audio_fp_cte_prefix(docs_rel, window)},
 fps AS (
+  -- the SUM is CAST back to BIGINT: DuckDB's SUM(BIGINT) widens to
+  -- HUGEINT, and the round-10 census pinned the driver hash failures
+  -- to exactly "HUGEINT output column with values above 2^31" — the
+  -- bit-31 fingerprints here were 5 of the suite's only such values
+  -- (operators/sketches.py module docstring has the full finding)
   SELECT asset_id,
-         COALESCE(SUM(CASE WHEN window_no BETWEEN 1 AND {bits}
+         CAST(COALESCE(SUM(CASE WHEN window_no BETWEEN 1 AND {bits}
                            AND byte_sum * prev_len > prev_sum * win_len
                       THEN (CAST(1 AS BIGINT)
                             << CAST(window_no - 1 AS INTEGER))
-                      ELSE 0 END), 0) AS fingerprint,
+                      ELSE 0 END), 0) AS BIGINT) AS fingerprint,
          COUNT(*) AS n_windows
   FROM d GROUP BY asset_id
 )
@@ -1285,4 +1310,39 @@ SELECT asset_id, fingerprint,
          AS group_n,
        asset_id = MIN(asset_id) OVER (PARTITION BY fingerprint) AS keep
 FROM fps
+"""
+
+
+def multimodal_audio_fp_bits(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Stage diagnostic (round 10): the PRE-packing delta-sign rows
+    (asset_id, window_no, bit) for the packed window range — gated so
+    a driver artifact separates the lag + integer-cross-multiply stage
+    from the shiftleft packing / fingerprint census downstream (the
+    stage-localization playbook that pinned the HLL divergence in
+    round 9, applied here after the round-8 pow() theory was
+    falsified). Every output value is a small BIGINT, so the query is
+    also immune to the HUGEINT/>2^31 driver rendering class the
+    round-10 census identified."""
+    assets = media_assets(spark, sf_dir).where(
+        F.col("n_bytes") == F.length(F.decode(F.col("media"), "utf-8")))
+    bits = _audio_fp_bits_rel(assets)
+    return (bits
+            .where((F.col("window_no") >= 1)
+                   & (F.col("window_no") <= FP_BITS))
+            .select("asset_id",
+                    F.col("window_no").cast("bigint").alias("window_no"),
+                    F.col("bit").cast("bigint").alias("bit")))
+
+
+def audio_fp_bits_oracle_sql(docs_rel: str = "documents",
+                             window: int = FP_WINDOW,
+                             bits: int = FP_BITS) -> str:
+    """Oracle twin of multimodal_audio_fp_bits over the shared CTE
+    chain: one (asset_id, window_no, bit) row per packed window."""
+    return f"""{_audio_fp_cte_prefix(docs_rel, window)}
+SELECT asset_id, CAST(window_no AS BIGINT) AS window_no,
+       CAST(CASE WHEN byte_sum * prev_len > prev_sum * win_len
+                 THEN 1 ELSE 0 END AS BIGINT) AS bit
+FROM d WHERE window_no BETWEEN 1 AND {bits}
 """

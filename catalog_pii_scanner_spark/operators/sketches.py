@@ -30,14 +30,23 @@ bit-identical registers and estimates:
   No IEEE double is ever produced, which removes the floating-point
   divergence class (the round-7 driver gate proved a double
   ``floor()`` quotient is NOT build-stable even without
-  transcendentals) — but the round-8 gate hash-failed this family
-  AGAIN post-rewrite while passing locally and passing the same
-  integer discipline's CMS queries, so the remaining divergence is
-  NOT yet root-caused. Round 9 therefore (a) gates the stage-level
-  diagnostics at the bottom of this module (registers / rho parts /
-  Z state) so the next driver artifact localizes extraction vs merge
-  vs finalize, and (b) removes the one primitive unique to the
-  failing family (the anchored regexp, see above).
+  transcendentals). The round-9 stage diagnostics then LOCALIZED the
+  remaining driver divergence: ``sketch_hll_registers`` and
+  ``sketch_hll_rho_parts`` gated green while every query emitting the
+  raw ``z_scaled`` accumulator gated red (hash-only; rows+schema
+  green), and a census of all 139 oracles showed the red/green
+  boundary is exactly "DuckDB HUGEINT output column whose values
+  exceed 2^31" (eval_* are green with small HUGEINT counts;
+  ``z_scaled`` ~ 1.8e16 and the >2^31 audio fingerprints are the
+  only such values in the suite — the driver harness's DuckDB fetch
+  path evidently degrades them, while the local gate's ``fetchall``
+  keeps exact Python ints). Round 10 therefore adopts an OUTPUT
+  DISCIPLINE: no oracle emits HUGEINT (every widening aggregate is
+  CAST back to BIGINT), and no output value exceeds 2^48 (the
+  driver-proven BIGINT range, see sketch_kmv_distinct's green 48-bit
+  ``h_k``) — ``z_scaled`` is emitted as the split pair ``z_hi`` =
+  z div 2^28, ``z_lo`` = z % 2^28 (same information, each < 2^28;
+  enforced repo-wide by tests/test_entry_contract.py).
   The small-range linear-counting correction is
   deliberately OMITTED — it would need ln(): below ~2.5 m distinct
   the RAW estimate reads low and the emitted ``v_zero``/``err_bp``
@@ -75,6 +84,13 @@ HLL_M = 1 << HLL_P
 HLL_ALPHA_M2_E12 = 2905460551022603
 #: 2^49 — the Z scale (rho <= 49 so the smallest term 2^(49-49) = 1).
 _Z_ONE = 1 << 49
+#: Output split radix for the Z accumulator: z_scaled <= 64 * 2^49 =
+#: 2^55 exceeds 2^48, the driver-proven output range (module
+#: docstring), so every OUTPUT row emits (z_hi, z_lo) = (z div 2^28,
+#: z % 2^28) instead — both < 2^28, and z = z_hi * 2^28 + z_lo
+#: reconstructs the exact accumulator. Internal CTEs keep the single
+#: BIGINT z_scaled (intermediates never reach the driver hash).
+_Z_SPLIT = 1 << 28
 #: Estimator numerator alpha*m^2*10^12 * 2^49: 31 digits, fits both
 #: DECIMAL(38,0) (Spark) and HUGEINT (DuckDB) exactly.
 _HLL_EST_NUM = HLL_ALPHA_M2_E12 * _Z_ONE
@@ -130,6 +146,18 @@ def _hll_z_select(dialect: str, regs_rel: str,
             f" AS z_scaled,\n"
             f"         COUNT(*) AS filled\n"
             f"  FROM {regs_rel}{tail}")
+
+
+def _z_split_cols(dialect: str, z_alias: str) -> str:
+    """The (z_hi, z_lo) OUTPUT rendering of the Z accumulator — ONE
+    copy of the split (see _Z_SPLIT) shared by every query that used
+    to emit the raw ``z_scaled``. Both halves are non-negative and
+    < 2^28, so Spark ``div`` truncation and DuckDB ``//`` floor agree
+    and both engines type the pair BIGINT."""
+    z = f"{z_alias}.z_scaled"
+    hi = _idiv(dialect, z, str(_Z_SPLIT))
+    return (f"{hi} AS z_hi,\n"
+            f"       CAST(({z}) % {_Z_SPLIT} AS BIGINT) AS z_lo")
 
 
 def _hll_est_expr(dialect: str, z_alias: str) -> str:
@@ -229,7 +257,7 @@ def _hll_col_block(dialect: str, tag: str, rel: str, colexpr: str,
     row = f"""
 SELECT '{colref}' AS col_ref, {m} AS m,
        CAST({m} - z.filled AS BIGINT) AS v_zero,
-       z.z_scaled AS z_scaled,
+       {_z_split_cols(dialect, 'z')},
        {est} AS est_distinct,
        CAST(x.exact_d AS BIGINT) AS exact_distinct,
        {err_bp} AS err_bp
@@ -282,7 +310,14 @@ def sketch_hll_distinct_oracle_sql() -> str:
 #
 #   sketch_hll_rho_parts   (col_ref, nz, fd)     value histogram
 #   sketch_hll_registers   (col_ref, register, mrho)   <= 64/m rows
-#   sketch_hll_state       (col_ref, v_zero, z_scaled, filled)
+#   sketch_hll_state       (col_ref, v_zero, z_hi, z_lo, filled)
+#
+# Round-9 driver artifact: registers + rho_parts GREEN, state RED —
+# extraction and merge are byte-identical on the driver build; the
+# divergence was confined to the raw >2^53 z_scaled OUTPUT, which the
+# round-10 census pinned to the driver fetch path degrading HUGEINT
+# values above 2^31 (module docstring). state now emits the split
+# pair like every other Z consumer.
 #
 # Coverage: the four batch-tracked columns plus events.event_id — every
 # column any red HLL query hashes. All three are metadata-sized outputs
@@ -354,9 +389,10 @@ def hll_state_sql(dialect: str, rel_prefix: str = "") -> str:
 )""")
         rows.append(
             f"SELECT '{colref}' AS col_ref,"
-            f" CAST({m} - filled AS BIGINT) AS v_zero,"
-            f" z_scaled, CAST(filled AS BIGINT) AS filled"
-            f" FROM {tag}_z")
+            f" CAST({m} - z.filled AS BIGINT) AS v_zero,"
+            f" {_z_split_cols(dialect, 'z')},"
+            f" CAST(z.filled AS BIGINT) AS filled"
+            f" FROM {tag}_z z")
     body = "\nUNION ALL\n".join(rows)
     return (f"WITH {','.join(ctes)}\nSELECT * FROM ({body}) allrows"
             f" ORDER BY col_ref")
@@ -391,8 +427,8 @@ def sketch_hll_rho_parts_oracle_sql() -> str:
 
 
 def sketch_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diagnostic: merged (col_ref, v_zero, z_scaled, filled) Z state,
-    estimator division excluded; see hll_state_sql."""
+    """Diagnostic: merged (col_ref, v_zero, z_hi, z_lo, filled) Z
+    state, estimator division excluded; see hll_state_sql."""
     _hll_diag_views(spark, sf_dir)
     return spark.sql(hll_state_sql("spark", rel_prefix="cpss_hlldg_"))
 
@@ -442,10 +478,13 @@ _KMV_EST_NUM = (KMV_K - 1) * _KMV_DOM
 assert _KMV_EST_NUM < 2**63
 
 
-def _kmv_h_expr(hexpr: str = "md5(v)") -> str:
+def _kmv_h_expr(hexpr: str = "h16") -> str:
     """48-bit BIGINT from md5 hex digits 1..12 — pure instr/substr
     digit arithmetic (the CMS discipline), identical in both
-    dialects."""
+    dialects. ``hexpr`` should reference an already-materialized md5
+    column (default: the ``h16`` column the callers' ``_m`` CTEs
+    compute once) so the digest is hashed once per row, not inlined
+    12x and left to engine common-subexpression elimination."""
     d = lambda i: f"(instr({_HEX}, substr({hexpr}, {i}, 1)) - 1)"
     terms = " + ".join(
         f"{d(i + 1)} * CAST({16 ** (11 - i)} AS BIGINT)"
@@ -470,8 +509,11 @@ def kmv_distinct_sql(dialect: str, rel_prefix: str = "",
 {tag}_vals AS (
   SELECT {ce} AS v FROM {rel} WHERE {notnull} IS NOT NULL
 ),
+{tag}_m AS (
+  SELECT md5(v) AS h16 FROM {tag}_vals
+),
 {tag}_h AS (
-  SELECT DISTINCT {_kmv_h_expr()} AS h FROM {tag}_vals
+  SELECT DISTINCT {_kmv_h_expr()} AS h FROM {tag}_m
 ),
 {tag}_topk AS (
   SELECT h FROM {tag}_h ORDER BY h LIMIT {k}
@@ -541,8 +583,11 @@ def kmv_topk_rows_sql(dialect: str, rel: str, k: int = KMV_K,
 {tag}_vals AS (
   SELECT {ce} AS v FROM {rel} WHERE {notnull} IS NOT NULL
 ),
+{tag}_m AS (
+  SELECT md5(v) AS h16 FROM {tag}_vals
+),
 {tag}_topk AS (
-  SELECT DISTINCT {_kmv_h_expr()} AS h FROM {tag}_vals
+  SELECT DISTINCT {_kmv_h_expr()} AS h FROM {tag}_m
   ORDER BY h LIMIT {k}
 )""")
         rows.append(f"SELECT '{colref}' AS col_ref, h FROM {tag}_topk")
@@ -876,7 +921,7 @@ z AS (
 )
 SELECT z.col_ref, {m} AS m,
        CAST({m} - z.filled AS BIGINT) AS v_zero,
-       z.z_scaled AS z_scaled,
+       {_z_split_cols(dialect, 'z')},
        {_hll_est_expr(dialect, "z")} AS est_distinct
 FROM z WHERE z.col_ref IN ({refs})
 ORDER BY z.col_ref
@@ -1139,7 +1184,7 @@ def hll_union_sql(dialect: str, rel_prefix: str = "") -> str:
             rows.append(f"""
 SELECT '{colref}' AS col_ref, '{part}' AS part, {m} AS m,
        CAST({m} - z.filled AS BIGINT) AS v_zero,
-       z.z_scaled AS z_scaled,
+       {_z_split_cols(dialect, 'z')},
        {est} AS est_distinct,
        CAST(x.exact_d AS BIGINT) AS exact_distinct
 FROM {ztag} z CROSS JOIN {xtag} x""")

@@ -196,6 +196,28 @@ def _single_file_glob(path: str) -> str:
     return f"{head}/[{tail[0]}]{tail[1:]}" if tail else path
 
 
+def _spool_view(spark: SparkSession, spool: str, view: str,
+                extract_sql, src_schema, empty_view: str) -> None:
+    """Register the drained spool as ``view`` — or, if the source
+    yielded ZERO microbatches (a file-less source dir writes nothing,
+    so the spool holds no parquet and a plain read raises
+    AnalysisException), a schema-correct EMPTY spool built by running
+    the SAME per-batch extraction SQL over a zero-row relation with
+    the source schema. The guard keeps the finalize query's schema
+    identical in both regimes (round-10 ADVICE on the KMV drain; the
+    HLL drain shared the latent pattern)."""
+    import glob as _glob
+    import os
+    has_files = bool(_glob.glob(os.path.join(spool, "**", "*.parquet"),
+                                recursive=True))
+    if has_files:
+        spark.read.parquet(spool).createOrReplaceTempView(view)
+        return
+    spark.createDataFrame([], src_schema) \
+        .createOrReplaceTempView(empty_view)
+    spark.sql(extract_sql(empty_view)).createOrReplaceTempView(view)
+
+
 def _events_stream(spark: SparkSession, events_path: str,
                    nanos: bool = False) -> DataFrame:
     """File-source events stream (directory, glob, or — via the
@@ -1141,7 +1163,8 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares ``hll_sketch_only_sql``'s oracle (sketch columns, no exact
     twin — the stream never sees the full value set, by design).
 
-    Output: col_ref, m, v_zero, z_scaled, est_distinct."""
+    Output: col_ref, m, v_zero, z_hi, z_lo, est_distinct (the Z
+    accumulator is emitted split — operators/sketches._Z_SPLIT)."""
     import os
     import shutil
     import tempfile
@@ -1168,8 +1191,9 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        spark.read.parquet(spool) \
-            .createOrReplaceTempView("cpss_hll_spool")
+        _spool_view(spark, spool, "cpss_hll_spool",
+                    lambda v: hll_register_rows_sql("spark", v),
+                    schema, "cpss_hll_empty_src")
         out = spark.sql(
             hll_finalize_rendered("spark", "cpss_hll_spool")) \
             .localCheckpoint(eager=True)
@@ -1226,8 +1250,9 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        spark.read.parquet(spool) \
-            .createOrReplaceTempView("cpss_kmv_spool")
+        _spool_view(spark, spool, "cpss_kmv_spool",
+                    lambda v: kmv_topk_rows_sql("spark", v),
+                    schema, "cpss_kmv_empty_src")
         out = spark.sql(
             kmv_finalize_rendered("spark", "cpss_kmv_spool")) \
             .localCheckpoint(eager=True)

@@ -78,6 +78,30 @@ MUST_FRONT_BY_ROUND: dict[int, set[str]] = {
         # yielded its round-9 fill slot to sketch_kmv_distinct
         "ann_cosine_matmul",
     },
+    # Round 11 fronts the 46 entries whose latest driver row is r8
+    # (they sit at age 3 the moment the r10 artifact lands); the
+    # round-10 window held exactly the 5 r9 reds + the 43-entry
+    # declared cohort + the 2 new never-gated entries, so none of
+    # these could also be fronted. 46 + up-to-4 r10 reds fit the
+    # 50-slot window.
+    11: {
+        "ann_ivfpq_trained_topk", "ann_pq_trained_matmul", "catalog_columns",
+        "corpus_bpe_encode", "corpus_bpe_merges", "corpus_chunk_overlap",
+        "corpus_dsir_select", "corpus_line_dedup", "corpus_minhash_decontaminate",
+        "corpus_quality_classifier", "corpus_substring_dedup", "corpus_winnow_pairs",
+        "dedup_clusters", "dedup_exact", "dedup_keep_list",
+        "dedup_lsh_near_pairs", "dedup_minhash_signatures", "dedup_ngram_jaccard",
+        "dedup_simhash", "dq_k_anonymity", "dq_referential_suite",
+        "embed_hard_negatives", "embed_knn_eval", "embed_spectrum_stats",
+        "eval_greedy_metrics", "events_transition_matrix", "layout_compaction_plan",
+        "layout_partition_skew", "multimodal_phash_keep_list", "orders_basket_pairs",
+        "pii_candidates_scored", "pii_full_pipeline", "pii_metadata_hints",
+        "pii_ner_merge_max", "pii_overlap_suppressed", "pii_repeated_spans",
+        "pii_scan_catalog_tables", "pii_scan_enabled_types", "profile_columns",
+        "sketch_cms_heavy_hitters", "stream_cms_counters", "stream_dedup_events",
+        "stream_dedup_keep_list", "stream_dsir_select", "stream_events_recent_score",
+        "tpch_local_supplier_volume",
+    },
 }
 
 #: Appended to rotation assertion failures so a red suite is read
@@ -208,21 +232,52 @@ def test_oracles_are_nonempty_sql():
 #: Audit columns whose inputs are integer counts — the round-8
 #: hardening made them exact integer division (never a double floor(),
 #: which round 7's driver gate proved is not engine-build-stable).
-#: query -> columns that must stay BIGINT in the DuckDB oracle.
+#: query -> columns that must type EXACTLY BIGINT in the DuckDB oracle
+#: (round 10 dropped the HUGEINT allowance: the census of the r7-r9
+#: driver artifacts showed the red/green boundary is precisely "a
+#: HUGEINT output column with values above 2^31", so HUGEINT is now
+#: banned from EVERY oracle output — see
+#: test_no_hugeint_in_any_oracle_output below and the
+#: operators/sketches.py module docstring for the full finding).
 INTEGER_AUDIT_COLUMNS = {
-    "sketch_hll_distinct": ("est_distinct", "err_bp", "z_scaled"),
-    "sketch_hll_union": ("est_distinct", "z_scaled"),
-    "stream_hll_distinct": ("est_distinct", "z_scaled"),
+    "sketch_hll_distinct": ("est_distinct", "err_bp", "z_hi", "z_lo"),
+    "sketch_hll_union": ("est_distinct", "z_hi", "z_lo"),
+    "stream_hll_distinct": ("est_distinct", "z_hi", "z_lo"),
     "sketch_hll_registers": ("register", "mrho"),
     "sketch_hll_rho_parts": ("nz", "fd", "n_values"),
-    "sketch_hll_state": ("v_zero", "z_scaled", "filled"),
+    "sketch_hll_state": ("v_zero", "z_hi", "z_lo", "filled"),
     "sketch_kmv_distinct": ("n_k", "h_k", "est_distinct", "err_bp"),
+    "stream_kmv_distinct": ("n_k", "h_k", "est_distinct"),
     "sketch_cms_heavy_hitters": ("over_bp", "cms_est", "exact_count"),
+    "multimodal_audio_fingerprint": ("fingerprint", "n_windows"),
+    "multimodal_audio_fp_bits": ("window_no", "bit"),
     "dq_referential_suite": ("orphan_bp",),
     "dq_k_anonymity": ("risk_bp",),
     "layout_compaction_plan": ("bin_id", "fill_bp"),
     "layout_partition_skew": ("rec_salt",),
 }
+
+
+def _code_lines(path):
+    """(lineno, source-with-comments-removed) pairs, stripped with the
+    real tokenizer so a ``#`` INSIDE a string literal (e.g. in SQL
+    template text) does not truncate the scan — ``line.split('#')``
+    did, letting a banned pattern after a quoted '#' escape the ban
+    (round-10 ADVICE)."""
+    import tokenize
+
+    cuts: dict[int, int] = {}
+    with open(path, "rb") as f:
+        try:
+            for tok in tokenize.tokenize(f.readline):
+                if tok.type == tokenize.COMMENT:
+                    r, c = tok.start
+                    cuts[r] = min(c, cuts.get(r, c))
+        except (tokenize.TokenError, SyntaxError):
+            pass  # fall back to unstripped lines below
+    with open(path) as f:
+        for i, line in enumerate(f, 1):
+            yield i, line, (line[:cuts[i]] if i in cuts else line)
 
 
 def test_no_pow_in_hashed_expressions():
@@ -239,22 +294,18 @@ def test_no_pow_in_hashed_expressions():
     pkg = os.path.join(REPO, "catalog_pii_scanner_spark")
     offenders = []
     for path in g.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
-        with open(path) as f:
-            for i, line in enumerate(f, 1):
-                if "pow-float-ok" in line:
-                    continue
-                low = line.split("#")[0]
-                if re.search(r"\bpower\s*\(\s*2\s*,", low) \
-                        or "F.pow" in low:
-                    offenders.append(f"{path}:{i}")
+        for i, raw, code in _code_lines(path):
+            # the marker usually lives in the trailing comment, so it
+            # is looked up on the RAW line
+            if "pow-float-ok" in raw:
+                continue
+            if re.search(r"\bpower\s*\(\s*2\s*,", code) \
+                    or "F.pow" in code:
+                offenders.append(f"{path}:{i}")
     assert not offenders, offenders
 
 
-def test_integer_audit_columns_stay_integer_typed():
-    """Running each oracle on the tiny sf0.001 tables, the declared
-    audit columns must type as exact integers (BIGINT, or HUGEINT
-    where DuckDB widens a SUM) — a DOUBLE sneaking back in
-    reintroduces the engine-build divergence class."""
+def _duck_sf0001():
     import duckdb
 
     con = duckdb.connect()
@@ -263,10 +314,38 @@ def test_integer_audit_columns_stay_integer_typed():
               "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
                 f"'/root/testdata/sf0.001/{t}.parquet')")
+    return con
+
+
+def test_integer_audit_columns_stay_integer_typed():
+    """Running each oracle on the tiny sf0.001 tables, the declared
+    audit columns must type EXACTLY BIGINT — a DOUBLE (round 7) or a
+    HUGEINT (round 10) sneaking back in reintroduces a proven
+    engine-build divergence class."""
+    con = _duck_sf0001()
     oracles = E.oracle_sql()
     for qname, cols in INTEGER_AUDIT_COLUMNS.items():
         rel = con.sql(oracles[qname])
         types = dict(zip(rel.columns, (str(t) for t in rel.types)))
         for c in cols:
-            assert types.get(c) in ("BIGINT", "HUGEINT"), \
-                (qname, c, types.get(c))
+            assert types.get(c) == "BIGINT", (qname, c, types.get(c))
+
+
+def test_no_hugeint_in_any_oracle_output():
+    """NO oracle may emit a HUGEINT output column. The round-10 census
+    of the r7-r9 driver artifacts showed the hash-red/green boundary
+    across all 139 gated queries was exactly "DuckDB HUGEINT output
+    column whose values exceed 2^31" (the driver harness's DuckDB
+    fetch path degrades them; the local gate's fetchall does not, so
+    the failure class is invisible locally). DuckDB widens SUM(BIGINT)
+    to HUGEINT silently, so every widening aggregate must CAST back.
+    Column TYPES are data-independent, so binding each oracle against
+    the sf0.001 views checks the whole registered catalog."""
+    con = _duck_sf0001()
+    offenders = []
+    for qname, sql in E.oracle_sql().items():
+        rel = con.sql(sql)
+        for c, t in zip(rel.columns, rel.types):
+            if str(t) == "HUGEINT":
+                offenders.append((qname, c))
+    assert not offenders, offenders

@@ -102,12 +102,12 @@ def test_hll_union_merge_is_bit_identical_to_direct_sketch():
     for colref in ("events.user_id", "orders.o_custkey"):
         u = rows[(colref, "union")]
         d = direct[colref]
-        # (col_ref, part, m, v_zero, z_scaled, est, exact) vs
-        # (col_ref, m, v_zero, z_scaled, est, exact, err_bp)
-        assert u[3] == d[2] and u[4] == d[3] and u[5] == d[4], colref
+        # (col_ref, part, m, v_zero, z_hi, z_lo, est, exact) vs
+        # (col_ref, m, v_zero, z_hi, z_lo, est, exact, err_bp)
+        assert u[3:7] == d[2:6], colref
         # parity slices have disjoint value sets: exacts add up
-        assert (rows[(colref, "even")][6] + rows[(colref, "odd")][6]
-                == u[6]), colref
+        assert (rows[(colref, "even")][7] + rows[(colref, "odd")][7]
+                == u[7]), colref
 
 
 # --- line dedup ----------------------------------------------------------------
@@ -365,9 +365,10 @@ def test_hll_union_includes_negative_keys():
     rows = {(r[0], r[1]): r for r in
             con.sql(hll_union_sql("duckdb")).fetchall()}
     u = rows[("events.user_id", "union")]
-    assert u[6] == 3                          # all three users counted
-    assert (rows[("events.user_id", "even")][6]
-            + rows[("events.user_id", "odd")][6]) == 3
+    # (col_ref, part, m, v_zero, z_hi, z_lo, est, exact): exact is [7]
+    assert u[7] == 3                          # all three users counted
+    assert (rows[("events.user_id", "even")][7]
+            + rows[("events.user_id", "odd")][7]) == 3
 
 
 def test_dq_referential_empty_child_counts_are_zero_not_null():

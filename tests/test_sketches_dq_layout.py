@@ -59,9 +59,9 @@ def test_hll_oracle_matches_python_reference():
         "SELECT DISTINCT o_custkey FROM orders"
         " WHERE o_custkey IS NOT NULL").fetchall()]
     z, est, v_zero = _python_hll(vals)
-    _, m, vz, zs, est_d, exact_d, _ = rows["orders.o_custkey"]
+    _, m, vz, z_hi, z_lo, est_d, exact_d, _ = rows["orders.o_custkey"]
     assert m == HLL_M
-    assert (vz, zs, est_d) == (v_zero, z, est)
+    assert (vz, z_hi * (1 << 28) + z_lo, est_d) == (v_zero, z, est)
     assert exact_d == len(set(vals))
 
 
@@ -137,8 +137,8 @@ def test_hll_diag_stages_are_mutually_consistent():
         mrhos = {r[1]: r[2] for r in regs if r[0] == colref}
         z = sum(1 << (49 - m) for m in mrhos.values()) \
             + (HLL_M - len(mrhos)) * (1 << 49)
-        _, v_zero, z_scaled, filled = state[colref]
-        assert (v_zero, z_scaled, filled) == (
+        _, v_zero, z_hi, z_lo, filled = state[colref]
+        assert (v_zero, z_hi * (1 << 28) + z_lo, filled) == (
             HLL_M - len(mrhos), z, len(mrhos)), colref
         n_vals = sum(r[3] for r in parts if r[0] == colref)
         want = con.sql(f"SELECT COUNT(*) FROM {rel}"
@@ -466,7 +466,9 @@ def test_hll_finalize_three_way_on_random_register_states(spark):
             + (HLL_M - filled) * (1 << 49)
         est = (0 if filled == 0
                else (HLL_ALPHA_M2_E12 * (1 << 49)) // (z * 10**12))
-        return (HLL_M, HLL_M - filled, z, est)
+        # z is emitted as the (z_hi, z_lo) split pair (round 10:
+        # outputs must stay BIGINT-typed and below 2^48)
+        return (HLL_M, HLL_M - filled, z >> 28, z % (1 << 28), est)
 
     want = sorted((c, *py_finalize(regs)) for c, regs in states
                   if regs)  # finalize emits no row for spool-absent cols

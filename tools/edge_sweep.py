@@ -127,10 +127,12 @@ def gen_fuzz(out: str) -> None:
                               "value", "props"])         .to_parquet(f"{out}/events.parquet", index=False)
 
     # default run must reproduce the historical fuzz corpus exactly:
-    # the numpy stream keeps its original fixed seed (42) unless the
-    # caller overrides CPSS_FUZZ_SEED
-    npr = np.random.RandomState(
-        42 if "CPSS_FUZZ_SEED" not in os.environ else seed % (2**31))
+    # the numpy stream keeps its original fixed seed (42) for the
+    # documented default seed VALUE — branching on the value, not on
+    # env-var presence, so CPSS_FUZZ_SEED=20260814 set explicitly
+    # reproduces the same corpus as leaving it unset (round-10 ADVICE)
+    npr = np.random.RandomState(42 if seed == 20260814
+                                else seed % (2**31))
     V = npr.randn(300, 64).astype(np.float32)
     V[7] = V[3]                      # exact duplicate pair
     V[11] = 0.0                      # zero-norm vector
