@@ -155,6 +155,10 @@ def main() -> int:
          "per-order pairing, materialized (o,p), bounded quadratic"),
         ("events_transition_matrix",
          "one user-keyed lead window + pair agg"),
+        ("multimodal_audio_fp_bits",
+         "fp stage diag: window rows -> asset-keyed lag, no census"),
+        ("stream_kmv_distinct",
+         "per-batch min-k spool + one distinct-union TakeOrdered"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
