@@ -703,7 +703,7 @@ st AS (
 )
 SELECT doc_id AS asset_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
        round(CAST(n AS DOUBLE), 6) AS f0,
-       round({float(WAV_RATE)}, 6) AS f1,
+       round(CAST({float(WAV_RATE)} AS DOUBLE), 6) AS f1,
        round(mean, 6) AS f2, round(sd, 6) AS f3,
        round(mn, 6) AS f4, round(mx, 6) AS f5,
        round(rms, 6) AS f6, round(zcr, 6) AS f7

@@ -331,21 +331,33 @@ def test_integer_audit_columns_stay_integer_typed():
             assert types.get(c) == "BIGINT", (qname, c, types.get(c))
 
 
+#: Oracle output types proven stable through EVERY DuckDB client fetch
+#: path (fetchall / pandas / numpy / Arrow). The round-10 census of
+#: the r7-r9 driver artifacts showed the hash-red/green boundary was
+#: exactly "DuckDB HUGEINT output column with values above 2^31", and
+#: the mechanism was reproduced locally (PERF.md "Round 10"): the
+#: pandas/numpy fetch paths silently degrade HUGEINT — and equally
+#: DECIMAL and the unsigned wides — to float64 at EVERY magnitude,
+#: losing exactness above 2^53 and changing the rendered form below
+#: it. BIGINT/INTEGER stay int64; DOUBLE/FLOAT are already IEEE on
+#: both engines; VARCHAR/BOOLEAN/DATE/TIMESTAMP round-trip.
+FETCH_STABLE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+                      "VARCHAR", "DOUBLE", "FLOAT", "BOOLEAN",
+                      "DATE", "TIMESTAMP"}
+
+
 def test_no_hugeint_in_any_oracle_output():
-    """NO oracle may emit a HUGEINT output column. The round-10 census
-    of the r7-r9 driver artifacts showed the hash-red/green boundary
-    across all 139 gated queries was exactly "DuckDB HUGEINT output
-    column whose values exceed 2^31" (the driver harness's DuckDB
-    fetch path degrades them; the local gate's fetchall does not, so
-    the failure class is invisible locally). DuckDB widens SUM(BIGINT)
-    to HUGEINT silently, so every widening aggregate must CAST back.
-    Column TYPES are data-independent, so binding each oracle against
-    the sf0.001 views checks the whole registered catalog."""
+    """Every oracle output column must type within FETCH_STABLE_TYPES
+    — in particular NO HUGEINT (DuckDB widens SUM(BIGINT) to HUGEINT
+    silently, so every widening aggregate must CAST back) and no
+    DECIMAL/unsigned-wide either, the same pandas-fetch degradation
+    class. Column TYPES are data-independent, so binding each oracle
+    against the sf0.001 views checks the whole registered catalog."""
     con = _duck_sf0001()
     offenders = []
     for qname, sql in E.oracle_sql().items():
         rel = con.sql(sql)
         for c, t in zip(rel.columns, rel.types):
-            if str(t) == "HUGEINT":
-                offenders.append((qname, c))
+            if str(t) not in FETCH_STABLE_TYPES:
+                offenders.append((qname, c, str(t)))
     assert not offenders, offenders
