@@ -47,11 +47,13 @@ bit-identical registers and estimates:
   ``h_k``) — ``z_scaled`` is emitted as the split pair ``z_hi`` =
   z div 2^28, ``z_lo`` = z % 2^28 (same information, each < 2^28;
   enforced repo-wide by tests/test_entry_contract.py).
-  The small-range linear-counting correction is
-  deliberately OMITTED — it would need ln(): below ~2.5 m distinct
-  the RAW estimate reads low and the emitted ``v_zero``/``err_bp``
-  columns make that visible (the integer-micro-unit discipline of
-  operators/ensemble.py).
+  The small-range linear-counting
+  correction (round 10) keeps that discipline: m * ln(m / v_zero)
+  would need ln(), so the 63 possible values are PINNED as exact
+  integer literals (``HLL_LC_EST``, regeneration-tested) and the
+  correction is a simple CASE lookup on v_zero when the raw estimate
+  sits at or below the standard 2.5 m knee — no transcendental ever
+  runs in either engine.
 
 Scale story: per column the plan is a pruned single-column scan, a
 map-side partial ``max(rho)`` per register, ONE shuffle of <= 64 rows
@@ -95,6 +97,27 @@ _Z_SPLIT = 1 << 28
 #: DECIMAL(38,0) (Spark) and HUGEINT (DuckDB) exactly.
 _HLL_EST_NUM = HLL_ALPHA_M2_E12 * _Z_ONE
 assert len(str(_HLL_EST_NUM)) <= 38
+
+#: Small-range linear-counting table (round 10): HLL_LC_EST[V-1] =
+#: round(m * ln(m / V)) for V = v_zero in 1..63 — the standard HLL
+#: small-range correction, PINNED as exact integer literals so no
+#: runtime ln()/round() (libm transcendentals are licensed 1 ulp of
+#: error and are NOT engine-build-stable; the r7 driver gate proved
+#: that class) and no cross-build libm drift in the table itself
+#: (tests/test_sketches_dq_layout.py regenerates it with Python math
+#: and asserts each pinned entry within 0.51 of the computed value).
+#: V = 0 never reaches the table (raw estimate applies); V = 64 means
+#: an empty input (filled = 0 -> estimate 0).
+HLL_LC_EST = (266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113,
+              107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63,
+              60, 58, 55, 53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33,
+              32, 30, 28, 27, 25, 24, 23, 21, 20, 18, 17, 16, 15, 13,
+              12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1)
+assert len(HLL_LC_EST) == HLL_M - 1
+
+#: Apply linear counting when the raw estimate is at or below 2.5 m
+#: (the standard knee) and at least one register is empty.
+_HLL_LC_THRESHOLD = 5 * HLL_M // 2
 
 _HEX = "'0123456789abcdef'"
 
@@ -161,19 +184,32 @@ def _z_split_cols(dialect: str, z_alias: str) -> str:
 
 
 def _hll_est_expr(dialect: str, z_alias: str) -> str:
-    """The shared raw-HLL estimator over a (z_scaled, filled) row —
-    ONE definition so the batch sketch, the sketch-only template and
-    the streaming compaction finalize bit-identically. Integer-only:
-    floor(alpha*m^2 * 2^49 / Z) computed as one wide-integer floor
-    division of the pinned literal numerator by Z * 10^12 — no double
-    appears anywhere, which removes the floating-point divergence
-    class (see the module docstring for what is and is not yet
-    root-caused about the remaining driver-build divergence)."""
+    """The shared HLL estimator over a (z_scaled, filled) row — ONE
+    definition so the batch sketch, the union merge, the sketch-only
+    template and the streaming compaction finalize bit-identically.
+    Integer-only: the raw estimate floor(alpha*m^2 * 2^49 / Z) is one
+    wide-integer floor division of the pinned literal numerator by
+    Z * 10^12; the standard small-range linear-counting correction
+    m * ln(m / v_zero) (applied when the raw estimate is at or below
+    2.5 m and some register is empty — below that knee the raw form
+    reads badly low, e.g. 53 vs exactly 15 at sf0.001) is a simple
+    CASE lookup of the 63 PINNED HLL_LC_EST literals on
+    v_zero = m - filled. No double, no ln(), no floor() appears in
+    either dialect, which removes the floating-point divergence class
+    entirely (r7 driver gate: a double floor() quotient is not
+    engine-build-stable)."""
     den = (f"{_big(dialect, f'{z_alias}.z_scaled')}"
            f" * {_big(dialect, 10**12)}")
+    raw = _idiv(dialect, _big(dialect, _HLL_EST_NUM), den)
+    lc_arms = " ".join(
+        f"WHEN {v} THEN {e}"
+        for v, e in enumerate(HLL_LC_EST, start=1))
+    lc = (f"CAST(CASE {HLL_M} - {z_alias}.filled {lc_arms} END"
+          f" AS BIGINT)")
     return (f"CASE WHEN {z_alias}.filled = 0 THEN CAST(0 AS BIGINT) "
-            f"ELSE {_idiv(dialect, _big(dialect, _HLL_EST_NUM), den)}"
-            f" END")
+            f"WHEN {z_alias}.filled < {HLL_M}"
+            f" AND {raw} <= {_HLL_LC_THRESHOLD} THEN {lc} "
+            f"ELSE {raw} END")
 
 
 def _nz_case_ladder(suf_expr: str = "suf") -> str:
@@ -285,8 +321,9 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One pruned scan + a <= 64-group partial-max shuffle per column; the
     register relation is the mergeable sketch state. See module
-    docstring for the exactness/no-ln design and the raw-estimate bias
-    below ~2.5 m distinct (visible via v_zero / err_bp)."""
+    docstring for the exactness/no-ln design; below the ~2.5 m knee
+    the pinned-literal linear-counting lookup replaces the raw
+    estimate (v_zero / err_bp keep the regime visible)."""
     for suffix, _, _, _ in HLL_TRACKED:
         spark.read.parquet(f"{sf_dir}/{suffix}.parquet") \
             .createOrReplaceTempView(f"cpss_hll_{suffix}")

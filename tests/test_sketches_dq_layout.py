@@ -15,8 +15,8 @@ from catalog_pii_scanner_spark.operators.dq import (
 from catalog_pii_scanner_spark.operators.layout import (
     ZORDER_QUERIES, layout_zorder_stats, _morton16)
 from catalog_pii_scanner_spark.operators.sketches import (
-    HLL_ALPHA_M2_E12, HLL_M, bloom_semijoin_filter, hll_distinct_sql,
-    sketch_hll_distinct)
+    HLL_ALPHA_M2_E12, HLL_LC_EST, HLL_M, bloom_semijoin_filter,
+    hll_distinct_sql, sketch_hll_distinct)
 
 from conftest import SF_DIR
 
@@ -46,10 +46,14 @@ def _python_hll(values):
         regs[reg] = max(regs[reg], rho)
     z = sum(1 << (49 - r) for r in regs)
     # integer-only estimator: the pinned alpha*m^2*10^12 literal times
-    # 2^49, floor-divided by z * 10^12 in exact integer arithmetic
-    # (mirrors operators/sketches._hll_est_expr)
+    # 2^49, floor-divided by z * 10^12 in exact integer arithmetic,
+    # then the pinned-literal linear-counting lookup below the 2.5 m
+    # knee (mirrors operators/sketches._hll_est_expr)
     est = (HLL_ALPHA_M2_E12 * (1 << 49)) // (z * 10**12)
-    return z, est, regs.count(0)
+    v_zero = regs.count(0)
+    if 0 < v_zero < HLL_M and est <= 5 * HLL_M // 2:
+        est = HLL_LC_EST[v_zero - 1]
+    return z, est, v_zero
 
 
 def test_hll_oracle_matches_python_reference():
@@ -226,6 +230,35 @@ def test_hll_spark_output_schema_has_no_double(spark):
     assert all("double" not in f.dataType.simpleString()
                and "float" not in f.dataType.simpleString()
                for f in df.schema.fields), df.schema
+
+
+def test_hll_lc_table_matches_regeneration():
+    """The pinned linear-counting literals are round(m * ln(m / V))
+    for V = 1..63. Regenerate with Python math and require each pinned
+    entry within 0.51 of the computed value — the table is pinned
+    (not computed at import) precisely so a platform libm's 1-ulp ln()
+    drift can never flip a rounding boundary between builds, and this
+    test keeps the pins honest."""
+    for v, pinned in enumerate(HLL_LC_EST, start=1):
+        computed = HLL_M * math.log(HLL_M / v)
+        assert abs(pinned - computed) <= 0.51, (v, pinned, computed)
+    # strictly decreasing in V (more empty registers = fewer distinct)
+    assert list(HLL_LC_EST) == sorted(HLL_LC_EST, reverse=True)
+
+
+def test_hll_small_range_linear_counting(spark):
+    """At sf0.001, events.user_id has 15 distinct values over 64
+    registers — deep in linear-counting territory, where the raw
+    estimate read 53 (253% off) before round 10. The correction must
+    bring the estimate within the LC error envelope (and it lands
+    exactly on 15 for this input)."""
+    rows = {r["col_ref"]: r.asDict()
+            for r in sketch_hll_distinct(
+                spark, "/root/testdata/sf0.001").collect()}
+    r = rows["events.user_id"]
+    assert r["exact_distinct"] == 15
+    assert r["v_zero"] > 0
+    assert abs(r["est_distinct"] - r["exact_distinct"]) <= 2, r
 
 
 def test_hll_spark_estimate_sane(spark):
@@ -466,9 +499,12 @@ def test_hll_finalize_three_way_on_random_register_states(spark):
             + (HLL_M - filled) * (1 << 49)
         est = (0 if filled == 0
                else (HLL_ALPHA_M2_E12 * (1 << 49)) // (z * 10**12))
+        v_zero = HLL_M - filled
+        if 0 < v_zero < HLL_M and 0 < filled and est <= 5 * HLL_M // 2:
+            est = HLL_LC_EST[v_zero - 1]
         # z is emitted as the (z_hi, z_lo) split pair (round 10:
         # outputs must stay BIGINT-typed and below 2^48)
-        return (HLL_M, HLL_M - filled, z >> 28, z % (1 << 28), est)
+        return (HLL_M, v_zero, z >> 28, z % (1 << 28), est)
 
     want = sorted((c, *py_finalize(regs)) for c, regs in states
                   if regs)  # finalize emits no row for spool-absent cols
