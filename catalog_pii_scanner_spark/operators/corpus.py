@@ -470,6 +470,32 @@ FROM fused
 
 # --- unigram LM scoring (CCNet-style quality signal) -------------------------
 
+def _avg_cost_halfup(n_col: str):
+    """Mean of the exact-decimal ``cost_sum`` over ``n_col`` as a
+    DOUBLE, computed in integer MICRO-UNITS with explicit half-up
+    division — never ``round()`` of a double quotient. The per-item
+    costs are exact 1e-6 decimals, so the sum is an exact micro-unit
+    integer and the true mean can land EXACTLY on a half-micro tie
+    (fuzz seed 777001, doc 127: 129231685 / 22 = 5874167.5), where
+    Spark's round (BigDecimal of the shortest double repr, HALF_UP)
+    and DuckDB's round (x * 1e6 then nearbyint) disagree by one
+    micro-unit. Integer half-up of non-negative operands is
+    (2 * sum + n) div (2 * n) on every build; the final micro/1e6
+    double division is the same IEEE operation on the same integers
+    in both engines."""
+    return (F.expr(
+        f"CAST(CAST((2 * CAST(cost_sum * 1000000 AS BIGINT) + {n_col})"
+        f" DIV (2 * {n_col}) AS DOUBLE)"
+        f" / CAST(1000000 AS DOUBLE) AS DOUBLE)"))
+
+
+def _avg_cost_halfup_sql(n_expr: str = "COUNT(*)") -> str:
+    """DuckDB twin of _avg_cost_halfup over SUM(cost)."""
+    return (f"CAST(CAST((2 * CAST(SUM(cost) * 1000000 AS BIGINT)"
+            f" + {n_expr}) // (2 * {n_expr}) AS DOUBLE)"
+            f" / CAST(1000000 AS DOUBLE) AS DOUBLE)")
+
+
 def unigram_logprob_docs(docs: DataFrame) -> DataFrame:
     """Per-document mean negative log-probability under the corpus
     unigram LM — the CCNet-style "perplexity" filter: prose made of
@@ -497,8 +523,7 @@ def unigram_logprob_docs(docs: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_tokens"),
                  F.sum("cost").alias("cost_sum"))
             .select("doc_id", "n_tokens",
-                    F.round(F.col("cost_sum").cast("double")
-                            / F.col("n_tokens"), 6).alias("avg_neg_logp")))
+                    _avg_cost_halfup("n_tokens").alias("avg_neg_logp")))
 
 
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,7 +547,7 @@ scored AS (
   FROM toks_ok t JOIN vocab v USING (token) CROSS JOIN total x
 )
 SELECT doc_id, COUNT(*) AS n_tokens,
-       round(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+       {_avg_cost_halfup_sql()} AS avg_neg_logp
 FROM scored GROUP BY doc_id
 """
 
@@ -567,8 +592,7 @@ def bigram_logprob_docs(docs: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_bigrams"),
                  F.sum("cost").alias("cost_sum"))
             .select("doc_id", "n_bigrams",
-                    F.round(F.col("cost_sum").cast("double")
-                            / F.col("n_bigrams"), 6).alias("avg_neg_logp")))
+                    _avg_cost_halfup("n_bigrams").alias("avg_neg_logp")))
 
 
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,7 +625,7 @@ scored AS (
   FROM big b JOIN bcounts bc USING (bigram) JOIN ctx c USING (w1)
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       round(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+       {_avg_cost_halfup_sql()} AS avg_neg_logp
 FROM scored GROUP BY doc_id
 """
 

@@ -42,11 +42,19 @@ bit-identical registers and estimates:
   path evidently degrades them, while the local gate's ``fetchall``
   keeps exact Python ints). Round 10 therefore adopts an OUTPUT
   DISCIPLINE: no oracle emits HUGEINT (every widening aggregate is
-  CAST back to BIGINT), and no output value exceeds 2^48 (the
-  driver-proven BIGINT range, see sketch_kmv_distinct's green 48-bit
-  ``h_k``) — ``z_scaled`` is emitted as the split pair ``z_hi`` =
-  z div 2^28, ``z_lo`` = z % 2^28 (same information, each < 2^28;
-  enforced repo-wide by tests/test_entry_contract.py).
+  CAST back to BIGINT; the TYPE ban is what
+  tests/test_entry_contract.py enforces repo-wide), and no
+  DATA-DERIVED output value exceeds 2^48 — the driver-proven BIGINT
+  range, see sketch_kmv_distinct's green 48-bit ``h_k``.
+  ``z_scaled`` is emitted as the split pair ``z_hi`` = z div 2^28,
+  ``z_lo`` = z % 2^28 (same information, each < 2^28, bounded by
+  construction). The magnitude half of the discipline is structural,
+  not test-enforced: degenerate register/hash states that real md5
+  pipelines cannot reach (e.g. a KMV sketch whose k-th smallest
+  48-bit hash is 1, or an HLL whose 64 registers all hold rho = 49)
+  would estimate ~1.8e16, above 2^53 — anyone adding an output
+  column must keep its data-derived range under 2^48 rather than
+  rely on a test to catch it.
   The small-range linear-counting
   correction (round 10) keeps that discipline: m * ln(m / v_zero)
   would need ln(), so the 63 possible values are PINNED as exact

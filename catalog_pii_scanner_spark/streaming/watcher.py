@@ -196,26 +196,36 @@ def _single_file_glob(path: str) -> str:
     return f"{head}/[{tail[0]}]{tail[1:]}" if tail else path
 
 
-def _spool_view(spark: SparkSession, spool: str, view: str,
-                extract_sql, src_schema, empty_view: str) -> None:
-    """Register the drained spool as ``view`` — or, if the source
-    yielded ZERO microbatches (a file-less source dir writes nothing,
-    so the spool holds no parquet and a plain read raises
-    AnalysisException), a schema-correct EMPTY spool built by running
-    the SAME per-batch extraction SQL over a zero-row relation with
-    the source schema. The guard keeps the finalize query's schema
+def _read_spool_or(spark: SparkSession, spool: str,
+                   make_empty) -> DataFrame:
+    """Read the drained spool — or, if the source yielded ZERO
+    microbatches (a file-less source dir writes nothing, so the spool
+    holds no parquet and a plain read raises AnalysisException), the
+    schema-correct EMPTY relation from ``make_empty()``. ONE guard
+    shared by every spool-draining stream so the finalize schema is
     identical in both regimes (round-10 ADVICE on the KMV drain; the
-    HLL drain shared the latent pattern)."""
+    other drains shared the latent pattern)."""
     import glob as _glob
     import os
-    has_files = bool(_glob.glob(os.path.join(spool, "**", "*.parquet"),
-                                recursive=True))
-    if has_files:
-        spark.read.parquet(spool).createOrReplaceTempView(view)
-        return
-    spark.createDataFrame([], src_schema) \
-        .createOrReplaceTempView(empty_view)
-    spark.sql(extract_sql(empty_view)).createOrReplaceTempView(view)
+    if _glob.glob(os.path.join(spool, "**", "*.parquet"),
+                  recursive=True):
+        return spark.read.parquet(spool)
+    return make_empty()
+
+
+def _spool_view(spark: SparkSession, spool: str, view: str,
+                extract_sql, src_schema, empty_view: str) -> None:
+    """Register the drained spool as ``view`` via _read_spool_or; the
+    empty relation is built by running the SAME per-batch extraction
+    SQL over a zero-row relation with the source schema, so the two
+    regimes can never drift."""
+    def make_empty() -> DataFrame:
+        spark.createDataFrame([], src_schema) \
+            .createOrReplaceTempView(empty_view)
+        return spark.sql(extract_sql(empty_view))
+
+    _read_spool_or(spark, spool, make_empty) \
+        .createOrReplaceTempView(view)
 
 
 def _events_stream(spark: SparkSession, events_path: str,
@@ -1311,7 +1321,14 @@ def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        out = (spark.read.parquet(spool)
+
+        def _empty_counters() -> DataFrame:
+            spark.createDataFrame([], schema) \
+                .createOrReplaceTempView("cpss_cms_empty_src")
+            return spark.sql(
+                cms_counter_rows_sql("spark", "cpss_cms_empty_src"))
+
+        out = (_read_spool_or(spark, spool, _empty_counters)
                .groupBy("rj", "bucket")
                .agg(F.sum("total").alias("total"))
                .where(F.col("total") > 0)
@@ -1438,7 +1455,11 @@ def stream_events_recent_score(spark: SparkSession,
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        emitted = spark.read.parquet(spool)
+        emitted = _read_spool_or(
+            spark, spool,
+            lambda: spark.createDataFrame(
+                [], "user_id bigint, n_events bigint, "
+                    "recent_score bigint"))
         w = Window.partitionBy("user_id").orderBy(
             F.col("n_events").desc())
         out = (emitted.withColumn("_rk", F.row_number().over(w))
@@ -1521,17 +1542,19 @@ def stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append").parquet(spool)
 
     try:
-        # seed the spool with a schema-bearing EMPTY slice: if the
-        # corpus produces no microbatch rows the post-drain read must
-        # return an empty selection like the batch path, not raise
-        # AnalysisException on a file-less directory (r7 ADVICE)
-        dsir_doc_buckets(spark.read.parquet(path).limit(0)) \
-            .write.mode("append").parquet(spool)
         q = (stream.writeStream.foreachBatch(_sink)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        doc_b = spark.read.parquet(spool).localCheckpoint(eager=True)
+        # if the corpus produced no microbatch rows the post-drain read
+        # must return an empty selection like the batch path, not raise
+        # AnalysisException on a file-less directory (r7 ADVICE; now
+        # the shared _read_spool_or guard instead of a seed write)
+        doc_b = _read_spool_or(
+            spark, spool,
+            lambda: dsir_doc_buckets(
+                spark.read.parquet(path).limit(0))) \
+            .localCheckpoint(eager=True)
     finally:
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -199,3 +199,59 @@ def test_stream_kmv_empty_corpus(spark, tmp_path):
         .createOrReplaceTempView("cpss_kmv_empty_oracle")
     assert spark.sql(kmv_sketch_only_sql(
         "spark", "cpss_kmv_empty_oracle")).collect() == []
+
+
+def test_read_spool_or_guard_unit(spark, tmp_path):
+    """The shared zero-microbatch guard: a file-less spool directory
+    yields the schema-correct empty relation from make_empty(); a
+    spool with parquet is read normally and make_empty never runs
+    (round-10 review: the guard must protect EVERY spool-draining
+    stream, not just the HLL/KMV pair)."""
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        _read_spool_or)
+    d = str(tmp_path / "spool_empty")
+    import os
+    os.makedirs(d)
+    out = _read_spool_or(
+        spark, d, lambda: spark.createDataFrame([], "a bigint, b string"))
+    assert out.collect() == [] and out.columns == ["a", "b"]
+    full = str(tmp_path / "spool_full")
+    spark.createDataFrame([(1, "x")], "a bigint, b string") \
+        .write.parquet(full)
+    sentinel = []
+
+    def boom():
+        sentinel.append(True)
+        raise AssertionError("make_empty ran on a non-empty spool")
+
+    got = _read_spool_or(spark, full, boom)
+    assert [tuple(r) for r in got.collect()] == [(1, "x")]
+    assert not sentinel
+
+
+def test_stream_cms_empty_corpus(spark, tmp_path):
+    """Zero-row documents stream: the CMS drain returns zero nonzero
+    counters with the finalize schema, and must not raise on a
+    file-less spool (same guard as the HLL/KMV drains)."""
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_cms_counters)
+    d = str(tmp_path)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(0) \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = stream_cms_counters(spark, d)
+    assert out.collect() == []
+    assert out.columns == ["rj", "bucket", "total"]
+
+
+def test_stream_recent_score_empty_events(spark, tmp_path):
+    """Zero-row events stream: the stateful drain emits no state rows,
+    so the resolve must return an empty (user_id, n_events,
+    recent_score) relation, not raise on a file-less spool."""
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        stream_events_recent_score)
+    d = str(tmp_path)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(0) \
+        .write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = stream_events_recent_score(spark, d)
+    assert out.collect() == []
+    assert out.columns == ["user_id", "n_events", "recent_score"]

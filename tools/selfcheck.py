@@ -109,6 +109,19 @@ def main() -> int:
         t2 = time.time()
         duck_fp = frame_fingerprint(ocols, orows)
         ok = spark_fp == duck_fp
+        # magnitude audit (advisory): integer outputs above 2^48 are
+        # outside the driver-proven exact BIGINT rendering range — the
+        # r7-r9 hash-red class was exactly "wide integer above the
+        # fetch path's exact range" (operators/sketches.py docstring).
+        # Types are banned by tests/test_entry_contract.py; magnitudes
+        # are data-dependent, so the gate warns on them here.
+        big = [(c, v) for r in (srows, orows) for row in r
+               for c, v in zip(scols if r is srows else ocols, row)
+               if isinstance(v, int) and not isinstance(v, bool)
+               and abs(v) > 1 << 48]
+        if big:
+            print(f"MAGNITUDE {name}: integer output above 2^48: "
+                  f"{big[:3]}")
         report[name] = {
             "rows_match": spark_fp[0] == duck_fp[0],
             "schema_match": spark_fp[1] == duck_fp[1],
