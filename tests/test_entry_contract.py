@@ -1,7 +1,7 @@
 """Driver-contract invariants on __spark_entry__ (no Spark session).
 
 The driver gate checks only the FIRST 50 ``queries()`` entries each
-round, so with 135 registered queries the catalog re-verifies on a
+round, so with 141 registered queries the catalog re-verifies on a
 three-round cycle. Round 7's judge flagged that hand-maintained round
 claims drifted from reality (a fronting promise was validated against
 an internal build iteration the driver never consumed), so ALL driver
@@ -35,8 +35,8 @@ import __spark_entry__ as E
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Oldest driver row a parked entry may carry, in rounds. 135 queries
-#: / 50-entry window = a 2.7-round full cycle, so 3 is the tightest
+#: Oldest driver row a parked entry may carry, in rounds. 141 queries
+#: / 50-entry window = a 2.8-round full cycle, so 3 is the tightest
 #: honest bound.
 MAX_DRIVER_AGE = 3
 
