@@ -22,14 +22,18 @@ Canonical shapes, dual-dialect:
   aggregation (no distinct-values pre-job).
 
 Floating point: every emitted average divides two exact quantities
-(DECIMAL sum / BIGINT count) in doubles and rounds to 1e-6 — identical
-operands, identical quotient in both engines.
+(DECIMAL sum / BIGINT count) through the tie-exact half-up fragment
+(oracles.ratio_round_halfup) — round() of a double quotient is
+engine-dependent exactly at half-1e-6 ties, which exact-decimal
+numerators CAN hit (the round-10 fuzz finding).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..oracles import ratio_round_halfup
 
 #: Q1-style cutoff inside the synthetic data's 1995..2001 shipdate range
 #: (prunes ~1/3 of lineitem, so the pushed filter is observable).
@@ -61,9 +65,13 @@ def tpch_pricing_summary(spark: SparkSession, sf_dir: str,
             F.round(F.col("_sdp").cast("double"), 4)
             .alias("sum_disc_price"),
             F.round(F.col("_sc").cast("double"), 4).alias("sum_charge"),
-            F.round(F.col("_sq").cast("double") / F.col("count_order"), 6)
+            # tie-exact averages (oracles.ratio_round_halfup): the
+            # decimal sums are exact cent-units, so sum/count can land
+            # exactly on a half-micro tie where a double round() is
+            # engine-dependent
+            F.expr(ratio_round_halfup("spark", "_sq", "count_order"))
             .alias("avg_qty"),
-            F.round(F.col("_sbp").cast("double") / F.col("count_order"), 6)
+            F.expr(ratio_round_halfup("spark", "_sbp", "count_order"))
             .alias("avg_price"),
             F.col("count_order").cast("bigint").alias("count_order"))
     )
@@ -82,9 +90,9 @@ SELECT l_returnflag, l_linestatus,
          AS sum_base_price,
        round(CAST(SUM({disc}) AS DOUBLE), 4) AS sum_disc_price,
        round(CAST(SUM({charge}) AS DOUBLE), 4) AS sum_charge,
-       round(CAST(SUM({dec('l_quantity')}) AS DOUBLE) / COUNT(*), 6)
+       {ratio_round_halfup("duckdb", f"SUM({dec('l_quantity')})", "COUNT(*)")}
          AS avg_qty,
-       round(CAST(SUM({dec('l_extendedprice')}) AS DOUBLE) / COUNT(*), 6)
+       {ratio_round_halfup("duckdb", f"SUM({dec('l_extendedprice')})", "COUNT(*)")}
          AS avg_price,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM {li_rel}

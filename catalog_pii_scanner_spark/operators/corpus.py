@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..oracles import ratio_round_halfup
+
 from .dedup import MAX_SHINGLE_TOKENS
 
 #: Benchmark-overlap n-gram size — the classic 13-gram decontamination
@@ -125,11 +127,15 @@ def repetition_docs(docs: DataFrame) -> DataFrame:
     ng = F.coalesce(F.col("ng"), F.lit(0)).cast("bigint")
     nd = F.coalesce(F.col("nd"), F.lit(0)).cast("bigint")
     top = F.coalesce(F.col("top"), F.lit(0)).cast("bigint")
-    dbl = ng.cast("double")
-    frac = F.when(ng > 0,
-                  F.round((ng - nd).cast("double") / dbl, 6)).otherwise(0.0)
-    share = F.when(ng > 0,
-                   F.round(top.cast("double") / dbl, 6)).otherwise(0.0)
+    # tie-exact ratios (oracles.ratio_round_halfup): int/int quotients
+    # tie exactly at 1e-6 whenever the reduced denominator is 2^7*5^b
+    # (n_grams = 640: 1/640 = 0.0015625), where round() of a double
+    # quotient is engine-dependent
+    frac = F.when(ng > 0, F.expr(ratio_round_halfup(
+        "spark", "COALESCE(ng, 0) - COALESCE(nd, 0)",
+        "COALESCE(ng, 0)"))).otherwise(0.0)
+    share = F.when(ng > 0, F.expr(ratio_round_halfup(
+        "spark", "COALESCE(top, 0)", "COALESCE(ng, 0)"))).otherwise(0.0)
     return (docs.select("doc_id").join(stats, "doc_id", "left")
             .select("doc_id", ng.alias("n_grams"), nd.alias("n_distinct"),
                     frac.alias("dup_gram_frac"),
@@ -156,10 +162,10 @@ SELECT d.doc_id,
        CAST(COALESCE(ng, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(nd, 0) AS BIGINT) AS n_distinct,
        CASE WHEN COALESCE(ng, 0) > 0
-            THEN round((ng - nd) / CAST(ng AS DOUBLE), 6)
+            THEN {ratio_round_halfup("duckdb", "ng - nd", "ng")}
             ELSE 0.0 END AS dup_gram_frac,
        CASE WHEN COALESCE(ng, 0) > 0
-            THEN round(top / CAST(ng AS DOUBLE), 6)
+            THEN {ratio_round_halfup("duckdb", "top", "ng")}
             ELSE 0.0 END AS top_gram_share
 FROM {docs_rel} d LEFT JOIN stats s ON d.doc_id = s.doc_id
 """
@@ -472,28 +478,17 @@ FROM fused
 
 def _avg_cost_halfup(n_col: str):
     """Mean of the exact-decimal ``cost_sum`` over ``n_col`` as a
-    DOUBLE, computed in integer MICRO-UNITS with explicit half-up
-    division — never ``round()`` of a double quotient. The per-item
-    costs are exact 1e-6 decimals, so the sum is an exact micro-unit
-    integer and the true mean can land EXACTLY on a half-micro tie
-    (fuzz seed 777001, doc 127: 129231685 / 22 = 5874167.5), where
-    Spark's round (BigDecimal of the shortest double repr, HALF_UP)
-    and DuckDB's round (x * 1e6 then nearbyint) disagree by one
-    micro-unit. Integer half-up of non-negative operands is
-    (2 * sum + n) div (2 * n) on every build; the final micro/1e6
-    double division is the same IEEE operation on the same integers
-    in both engines."""
-    return (F.expr(
-        f"CAST(CAST((2 * CAST(cost_sum * 1000000 AS BIGINT) + {n_col})"
-        f" DIV (2 * {n_col}) AS DOUBLE)"
-        f" / CAST(1000000 AS DOUBLE) AS DOUBLE)"))
+    DOUBLE — the per-item costs are exact 1e-6 decimals, so the sum is
+    an exact micro-unit integer and the true mean can land EXACTLY on
+    a half-micro tie (fuzz seed 777001, doc 127: 129231685 / 22 =
+    5874167.5) where Spark's and DuckDB's round() disagree. One shared
+    tie-exact fragment (oracles.ratio_round_halfup) for both engines."""
+    return F.expr(ratio_round_halfup("spark", "cost_sum", n_col))
 
 
 def _avg_cost_halfup_sql(n_expr: str = "COUNT(*)") -> str:
     """DuckDB twin of _avg_cost_halfup over SUM(cost)."""
-    return (f"CAST(CAST((2 * CAST(SUM(cost) * 1000000 AS BIGINT)"
-            f" + {n_expr}) // (2 * {n_expr}) AS DOUBLE)"
-            f" / CAST(1000000 AS DOUBLE) AS DOUBLE)")
+    return ratio_round_halfup("duckdb", "SUM(cost)", n_expr)
 
 
 def unigram_logprob_docs(docs: DataFrame) -> DataFrame:

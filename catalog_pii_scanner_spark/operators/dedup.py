@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..oracles import ratio_round_halfup
+
 from ..plans.cache import checkpoint_release
 
 NUM_HASHES = 8
@@ -536,8 +538,8 @@ inter AS (
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, i.n_common AS n_common,
-       round(i.n_common / CAST(za.n AS DOUBLE), 6) AS contain_a,
-       round(i.n_common / CAST(zb.n AS DOUBLE), 6) AS contain_b
+       {ratio_round_halfup(dialect, "i.n_common", "za.n")} AS contain_a,
+       {ratio_round_halfup(dialect, "i.n_common", "zb.n")} AS contain_b
 FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
@@ -591,9 +593,10 @@ def containment_pairs(spark, sf_dir: str, threshold: float = CONTAIN_T,
         .where(F.col("n_common")
                / F.least("na", "nb").cast("double") >= threshold)
         .select("doc_a", "doc_b", "n_common",
-                F.round(F.col("n_common") / F.col("na").cast("double"), 6)
+                # tie-exact int/int ratios (oracles.ratio_round_halfup)
+                F.expr(ratio_round_halfup("spark", "n_common", "na"))
                 .alias("contain_a"),
-                F.round(F.col("n_common") / F.col("nb").cast("double"), 6)
+                F.expr(ratio_round_halfup("spark", "n_common", "nb"))
                 .alias("contain_b"))
     )
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..oracles import ratio_round_halfup
+
 from ..pii_types import ALL_PII_TYPES
 
 #: key columns carried through the projection.
@@ -44,8 +46,9 @@ def candidate_features(cands: DataFrame) -> DataFrame:
         text.contains("@").alias("has_at"),
         text.contains(".").alias("has_dot"),
         (n_digits > 0).alias("has_digits"),
-        F.round(n_digits / F.greatest(F.length(text), F.lit(1)), 6)
-        .alias("digits_ratio"),
+        F.expr(ratio_round_halfup(
+            "spark", "length(regexp_replace(match_text, '[^0-9]', ''))",
+            "greatest(length(match_text), 1)")).alias("digits_ratio"),
         F.round("rule_confidence", 6).alias("rule_conf"),
         *one_hots())
 
@@ -63,7 +66,8 @@ SELECT column_ref, value, pii_type, match_text,
        contains(match_text, '@') AS has_at,
        contains(match_text, '.') AS has_dot,
        {nd} > 0 AS has_digits,
-       round({nd} / CAST(greatest(length(match_text), 1) AS DOUBLE), 6)
+       {ratio_round_halfup("duckdb", nd,
+                            "greatest(length(match_text), 1)")}
          AS digits_ratio,
        round(rule_confidence, 6) AS rule_conf,
        {per_type}

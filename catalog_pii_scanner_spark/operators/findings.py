@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..oracles import ratio_round_halfup
+
 from ..plans.cache import checkpoint_release
 
 from .rules import RULES, Rule, candidate_score, extract_candidates
@@ -111,8 +113,8 @@ def findings_rollup(values_df: DataFrame,
         .select(
             "column_ref", "pii_type", "n_candidates", "n_values_hit",
             "confidence",
-            F.round(F.col("n_values_hit") / F.col("n_values"), 6)
-            .alias("hit_rate"),
+            F.expr(ratio_round_halfup(
+                "spark", "n_values_hit", "n_values")).alias("hit_rate"),
         )
     )
     return checkpoint_release(out, vals)

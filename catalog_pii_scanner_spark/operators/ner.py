@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..oracles import ratio_round_halfup
+
 from .rules import RULES, Rule, extract_candidates
 
 NER_CONFIDENCE_MIN = 0.60
@@ -317,7 +319,7 @@ def ner_context_signals_oracle_sql(ctx_rel: str = "ctx",
     spans = " UNION ALL ".join(parts)
     out_keep = ", ".join(f"c.{k} AS {k}" for k in keep)
     final = f"""SELECT {out_keep}, c.ent_type AS pii_type,
-       round(c.n / CAST(t.total AS DOUBLE), 6) AS signal
+       {ratio_round_halfup("duckdb", "c.n", "t.total")} AS signal
 FROM counts c
 JOIN totals t ON {" AND ".join(f"c.{k} = t.{k}" for k in keep)}"""
     tail = (f",\n{wrap_cte} AS (\n{final}\n)" if wrap_cte is not None
@@ -366,5 +368,5 @@ def ner_context_signals(contexts: DataFrame,
         if a != k:
             out = out.withColumnRenamed(a, k)
     return out.select(*keep_cols, "pii_type",
-                      F.round(F.col("n") / F.col("total"), 6)
+                      F.expr(ratio_round_halfup("spark", "n", "total"))
                       .alias("signal"))

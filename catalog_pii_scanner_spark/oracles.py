@@ -141,7 +141,8 @@ SELECT s.column_ref AS column_ref, s.pii_type AS pii_type,
        COUNT(*) AS n_candidates,
        COUNT(DISTINCT s.value) AS n_values_hit,
        round(MAX(s.prob), 6) AS confidence,
-       round(COUNT(DISTINCT s.value) / t.n_values, 6) AS hit_rate
+       {ratio_round_halfup("duckdb", "COUNT(DISTINCT s.value)",
+                           "t.n_values")} AS hit_rate
 FROM scored s JOIN totals t ON s.column_ref = t.column_ref
 GROUP BY s.column_ref, s.pii_type, t.n_values
 """
@@ -162,3 +163,31 @@ def demo_melted_sql() -> str:
 def tables_melted_sql(tables: tuple[str, ...]) -> str:
     parts = [melt_oracle_sql(t)[1:-1] for t in tables]  # strip outer parens
     return "(" + " UNION ALL ".join(parts) + ")"
+
+
+def ratio_round_halfup(dialect: str, num: str, den: str,
+                       scale: int = 6) -> str:
+    """round-half-up(num / den, scale) as DOUBLE, exact at ties.
+
+    The round-10 fuzz sweep (seed 777001) proved ``round()`` of a
+    double quotient is NOT cross-engine-stable at exact half-scale
+    ties: when the true ratio lands exactly on k.5 at the rounding
+    scale (always reachable when the numerator is exact at that scale
+    — 129231685 micro-units / 22 tokens = 5874167.5), Spark rounds via
+    HALF_UP on BigDecimal.valueOf of the SHORTEST double repr (which
+    shows the below-tie neighbor 5.8741674999999995 -> DOWN) while
+    DuckDB multiplies by 10^scale first (re-rounding the double ONTO
+    the tie -> away from zero -> UP). This fragment removes the class:
+    the quotient is exact integer arithmetic — (2*num*10^scale + den)
+    intdiv (2*den), the standard half-up of num*10^scale/den for
+    non-negative operands — and the only floating-point operation left
+    is ONE IEEE division of the same two exact integers on both
+    engines. ``num`` must be integer-valued or an exact decimal with
+    scale <= ``scale`` (the DECIMAL(38,6) widening is exact for both);
+    ``den`` a positive integer expression; num * 10^scale must fit
+    BIGINT with 2x headroom (~4.6e12 at scale 6)."""
+    p = 10 ** scale
+    op = "//" if dialect == "duckdb" else "div"
+    return (f"CAST(CAST((2 * CAST(CAST(({num}) AS DECIMAL(38,6))"
+            f" * {p} AS BIGINT) + ({den})) {op} (2 * ({den}))"
+            f" AS DOUBLE) / CAST({p} AS DOUBLE) AS DOUBLE)")

@@ -1,0 +1,57 @@
+"""Cross-engine property tests for oracles.ratio_round_halfup — the
+tie-exact ratio fragment the round-10 fuzz sweep motivated (seed
+777001: round() of a double quotient diverged between engines at an
+exact half-micro tie; the fragment's docstring has the mechanism)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from fractions import Fraction
+
+import duckdb
+import pytest
+
+from catalog_pii_scanner_spark.oracles import ratio_round_halfup
+
+#: (num, den) pairs: exact 1e-6 half-ties (reduced denominator
+#: 2^7 * 5^b — the provable tie class for integer ratios), the
+#: fuzz-found decimal-sum tie, non-tie controls, and zero.
+CASES = [
+    ("1", 640), ("3", 640), ("7", 640),          # 2^7*5 ties
+    ("1", 128), ("5", 128),                      # dyadic (exact dbl)
+    ("1", 3200), ("1", 16000),                   # deeper 2^7*5^b
+    ("129.231685", 22),                          # the seed-777001 tie
+    ("7", 3), ("22", 7), ("0", 5), ("41", 41),   # controls
+]
+
+
+def _py_halfup(num: str, den: int) -> float:
+    micro = Fraction(Decimal(num)) * 10**6
+    q = (2 * micro + den) // (2 * den)  # half-up for non-negative
+    assert q == int(q)
+    return int(q) / 1e6
+
+
+def test_ratio_round_halfup_cross_engine(spark):
+    duck = duckdb.connect()
+    for num, den in CASES:
+        want = _py_halfup(num, den)
+        d = duck.sql(
+            "SELECT " + ratio_round_halfup(
+                "duckdb", f"CAST({num} AS DECIMAL(38,6))", str(den))
+        ).fetchall()[0][0]
+        s = spark.sql(
+            "SELECT " + ratio_round_halfup(
+                "spark", f"CAST({num} AS DECIMAL(38,6))", str(den))
+        ).collect()[0][0]
+        assert s == d == pytest.approx(want, abs=0), (num, den, s, d, want)
+
+
+def test_ratio_round_halfup_rounds_half_up():
+    """At the exact tie the fragment must round AWAY from zero (up for
+    the non-negative domain), the documented half-up contract."""
+    duck = duckdb.connect()
+    # 1/640 = 0.0015625 -> 0.001563 (up), never 0.001562
+    v = duck.sql("SELECT " + ratio_round_halfup(
+        "duckdb", "CAST(1 AS DECIMAL(38,6))", "640")).fetchall()[0][0]
+    assert v == 0.001563
