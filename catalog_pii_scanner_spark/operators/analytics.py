@@ -64,14 +64,19 @@ def tpch_pricing_summary(spark: SparkSession, sf_dir: str,
             .alias("sum_base_price"),
             F.round(F.col("_sdp").cast("double"), 4)
             .alias("sum_disc_price"),
-            F.round(F.col("_sc").cast("double"), 4).alias("sum_charge"),
+            # charge is an exact scale-6 decimal, so its sum can land
+            # exactly on a half-1e-4 tie; round in the DECIMAL domain
+            # (HALF_UP in both engines, verified) BEFORE the double cast
+            F.round(F.col("_sc"), 4).cast("double").alias("sum_charge"),
             # tie-exact averages (oracles.ratio_round_halfup): the
             # decimal sums are exact cent-units, so sum/count can land
             # exactly on a half-micro tie where a double round() is
             # engine-dependent
-            F.expr(ratio_round_halfup("spark", "_sq", "count_order"))
+            F.expr(ratio_round_halfup("spark", "_sq", "count_order",
+                                       num_scale=2))
             .alias("avg_qty"),
-            F.expr(ratio_round_halfup("spark", "_sbp", "count_order"))
+            F.expr(ratio_round_halfup("spark", "_sbp", "count_order",
+                                       num_scale=2))
             .alias("avg_price"),
             F.col("count_order").cast("bigint").alias("count_order"))
     )
@@ -89,10 +94,10 @@ SELECT l_returnflag, l_linestatus,
        round(CAST(SUM({dec('l_extendedprice')}) AS DOUBLE), 2)
          AS sum_base_price,
        round(CAST(SUM({disc}) AS DOUBLE), 4) AS sum_disc_price,
-       round(CAST(SUM({charge}) AS DOUBLE), 4) AS sum_charge,
-       {ratio_round_halfup("duckdb", f"SUM({dec('l_quantity')})", "COUNT(*)")}
+       CAST(round(SUM({charge}), 4) AS DOUBLE) AS sum_charge,
+       {ratio_round_halfup("duckdb", f"SUM({dec('l_quantity')})", "COUNT(*)", num_scale=2)}
          AS avg_qty,
-       {ratio_round_halfup("duckdb", f"SUM({dec('l_extendedprice')})", "COUNT(*)")}
+       {ratio_round_halfup("duckdb", f"SUM({dec('l_extendedprice')})", "COUNT(*)", num_scale=2)}
          AS avg_price,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM {li_rel}
@@ -347,8 +352,8 @@ def basket_pairs_segments(dialect: str, li_rel: str = "lineitem",
     ``op``) — composed by callers, never re-parsed (r7 ADVICE).
     Output per qualifying pair (part_a < part_b): part_a, part_b,
     pair_orders, a_orders, b_orders, confidence_ab (pair/a), lift
-    (pair * n_orders / (a * b)). Identical SQL text in both dialects."""
-    del dialect
+    (pair * n_orders / (a * b)). The only dialect split is the
+    integer-division token inside the tie-exact confidence ratio."""
     op_segment = f"""op AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM {li_rel}
   WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
@@ -365,8 +370,12 @@ SELECT pr.part_a, pr.part_b,
        CAST(pr.pair_orders AS BIGINT) AS pair_orders,
        CAST(pa.cnt AS BIGINT) AS a_orders,
        CAST(pb.cnt AS BIGINT) AS b_orders,
-       round(pr.pair_orders / CAST(pa.cnt AS DOUBLE), 6)
+       {ratio_round_halfup(dialect, "pr.pair_orders", "pa.cnt")}
          AS confidence_ab,
+       -- lift keeps the double round(): its exact-integer numerator
+       -- pair_orders * n_orders can exceed BIGINT at cluster scale
+       -- (n_orders^2-ish), so the integer tie-exact path does not
+       -- apply; a tie needs a degenerate constructed basket
        round(pr.pair_orders * CAST(n.n AS DOUBLE)
              / (CAST(pa.cnt AS DOUBLE) * pb.cnt), 6) AS lift
 FROM pairs pr
@@ -415,8 +424,8 @@ def basket_pairs_oracle_sql() -> str:
 
 def event_transitions_sql(dialect: str, ev_rel: str = "events") -> str:
     """Output: from_type, to_type, n (BIGINT), prob (n / out-degree of
-    from_type, rounded 1e-6). Identical SQL text in both dialects."""
-    del dialect
+    from_type, rounded 1e-6 via the tie-exact fragment — the only
+    dialect split is its integer-division token)."""
     return f"""
 WITH seq AS (
   SELECT user_id, event_type,
@@ -433,7 +442,7 @@ tr AS (
 ),
 outd AS (SELECT from_type, SUM(n) AS total FROM tr GROUP BY from_type)
 SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
-       round(t.n / CAST(o.total AS DOUBLE), 6) AS prob
+       {ratio_round_halfup(dialect, "t.n", "o.total")} AS prob
 FROM tr t JOIN outd o ON o.from_type = t.from_type
 """
 

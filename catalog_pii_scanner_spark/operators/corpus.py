@@ -130,12 +130,13 @@ def repetition_docs(docs: DataFrame) -> DataFrame:
     # tie-exact ratios (oracles.ratio_round_halfup): int/int quotients
     # tie exactly at 1e-6 whenever the reduced denominator is 2^7*5^b
     # (n_grams = 640: 1/640 = 0.0015625), where round() of a double
-    # quotient is engine-dependent
+    # quotient is engine-dependent. Bare columns like the DuckDB twin:
+    # the ng > 0 guard already screens the NULL/zero left-join rows
+    # (CASE evaluates its THEN arm lazily in both engines)
     frac = F.when(ng > 0, F.expr(ratio_round_halfup(
-        "spark", "COALESCE(ng, 0) - COALESCE(nd, 0)",
-        "COALESCE(ng, 0)"))).otherwise(0.0)
+        "spark", "ng - nd", "ng"))).otherwise(0.0)
     share = F.when(ng > 0, F.expr(ratio_round_halfup(
-        "spark", "COALESCE(top, 0)", "COALESCE(ng, 0)"))).otherwise(0.0)
+        "spark", "top", "ng"))).otherwise(0.0)
     return (docs.select("doc_id").join(stats, "doc_id", "left")
             .select("doc_id", ng.alias("n_grams"), nd.alias("n_distinct"),
                     frac.alias("dup_gram_frac"),
@@ -483,12 +484,13 @@ def _avg_cost_halfup(n_col: str):
     a half-micro tie (fuzz seed 777001, doc 127: 129231685 / 22 =
     5874167.5) where Spark's and DuckDB's round() disagree. One shared
     tie-exact fragment (oracles.ratio_round_halfup) for both engines."""
-    return F.expr(ratio_round_halfup("spark", "cost_sum", n_col))
+    return F.expr(ratio_round_halfup("spark", "cost_sum", n_col,
+                                     num_scale=6))
 
 
 def _avg_cost_halfup_sql(n_expr: str = "COUNT(*)") -> str:
     """DuckDB twin of _avg_cost_halfup over SUM(cost)."""
-    return ratio_round_halfup("duckdb", "SUM(cost)", n_expr)
+    return ratio_round_halfup("duckdb", "SUM(cost)", n_expr, num_scale=6)
 
 
 def unigram_logprob_docs(docs: DataFrame) -> DataFrame:
@@ -866,8 +868,9 @@ def substring_dup_docs(docs: DataFrame, w: int = SUBSTR_W,
            .select("doc_id",
                    F.col("n_windows").cast("bigint").alias("n_windows"),
                    F.col("n_dup").cast("bigint").alias("n_dup_windows"),
-                   F.round(F.col("n_dup").cast("double")
-                           / F.col("n_windows"), 6).alias("dup_ratio"),
+                   F.expr(ratio_round_halfup(
+                       "spark", "n_dup", "n_windows"))
+                   .alias("dup_ratio"),
                    F.coalesce(F.col("max_run"), F.lit(0)).cast("bigint")
                    .alias("max_dup_run")))
     return checkpoint_release(out, wnd, flagged)
@@ -917,7 +920,7 @@ runs AS (
 mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id)
 SELECT s.doc_id, CAST(s.n_windows AS BIGINT) AS n_windows,
        CAST(s.n_dup AS BIGINT) AS n_dup_windows,
-       round(CAST(s.n_dup AS DOUBLE) / s.n_windows, 6) AS dup_ratio,
+       {ratio_round_halfup("duckdb", "s.n_dup", "s.n_windows")} AS dup_ratio,
        CAST(COALESCE(m.max_run, 0) AS BIGINT) AS max_dup_run
 FROM stats s LEFT JOIN mr m ON m.doc_id = s.doc_id
 """

@@ -229,7 +229,8 @@ inter AS (
   GROUP BY p.doc_a, p.doc_b
 )
 SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
-       round(i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE), 6)
+       {ratio_round_halfup(dialect, "i.n_common",
+                           "za.n + zb.n - i.n_common")}
          AS jaccard
 FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
@@ -380,7 +381,8 @@ inter AS (
   GROUP BY p.doc_a, p.doc_b
 )
 SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
-       round(i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE), 6)
+       {ratio_round_halfup(dialect, "i.n_common",
+                           "za.n + zb.n - i.n_common")}
          AS jaccard
 FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
@@ -411,7 +413,10 @@ def _jaccard_verify(pairs: DataFrame, shingles: DataFrame,
     return (
         inter.join(za, "doc_a").join(zb, "doc_b")
         .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b",
+                F.expr(ratio_round_halfup(
+                    "spark", "n_common", "na + nb - n_common"))
+                .alias("jaccard"))
     )
 
 

@@ -30,7 +30,11 @@ def candidate_features(cands: DataFrame) -> DataFrame:
     ``val_<t>`` is validated AND label==t (the same truth table the
     reference's dict produces for rule candidates)."""
     text = F.col("match_text")
-    n_digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    # ONE digit-count definition for has_digits AND digits_ratio (the
+    # DuckDB twin's nd discipline) — a drifting second copy would let
+    # the two columns disagree on the same row
+    nd_sql = "length(regexp_replace(match_text, '[^0-9]', ''))"
+    n_digits = F.expr(nd_sql)
 
     def one_hots():
         for t in ALL_PII_TYPES:
@@ -47,7 +51,7 @@ def candidate_features(cands: DataFrame) -> DataFrame:
         text.contains(".").alias("has_dot"),
         (n_digits > 0).alias("has_digits"),
         F.expr(ratio_round_halfup(
-            "spark", "length(regexp_replace(match_text, '[^0-9]', ''))",
+            "spark", nd_sql,
             "greatest(length(match_text), 1)")).alias("digits_ratio"),
         F.round("rule_confidence", 6).alias("rule_conf"),
         *one_hots())

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..oracles import ratio_round_halfup
+
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "on", "for",
              "with", "as", "was", "at", "by", "from")
 
@@ -36,12 +38,31 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _ratio_sql(char_class: str, dialect: str) -> str:
+def _class_count_sql(char_class: str, dialect: str) -> str:
+    """Integer count of chars in ``char_class`` — the EXACT numerator
+    both the tie-exact output ratio and the raw quality-score ratio
+    are built from."""
     g = ", 'g'" if dialect == "duckdb" else ""
     stripped = f"regexp_replace(text, '{char_class}', ''{g})"
+    return f"(length(text) - length({stripped}))"
+
+
+def _ratio_sql(char_class: str, dialect: str) -> str:
+    """Unrounded double count/len ratio over ``text`` — internal
+    FEATURE input (quality.py's classifier), never an output column,
+    so it keeps the plain double division; bit-identical to the
+    pre-round-10 inline form."""
+    cnt = _class_count_sql(char_class, dialect)
     return (f"(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
-            f"(length(text) - length({stripped})) / "
-            f"CAST(length(text) AS DOUBLE) END)")
+            f"{cnt} / CAST(length(text) AS DOUBLE) END)")
+
+
+def _raw_ratio_sql(count_col: str) -> str:
+    """The unrounded double ratio count/len for the quality-score
+    formula — bit-identical to the pre-round-10 inline form (same two
+    integers, same IEEE division)."""
+    return (f"(CASE WHEN b.n_chars_calc = 0 THEN 0.0 ELSE "
+            f"{count_col} / CAST(b.n_chars_calc AS DOUBLE) END)")
 
 
 def _tokens_sql(dialect: str) -> str:
@@ -57,8 +78,10 @@ def doc_quality_sql(dialect: str, docs_rel: str = "documents") -> str:
     punct_ratio, stopword_ratio, quality_score.
     """
     toks = _tokens_sql(dialect)
-    digit = _ratio_sql("[0-9]", dialect)
-    punct = _ratio_sql("[^a-zA-Z0-9 ]", dialect)
+    n_digit = _class_count_sql("[0-9]", dialect)
+    n_punct = _class_count_sql("[^a-zA-Z0-9 ]", dialect)
+    digit_raw = _raw_ratio_sql("b.n_digit")
+    punct_raw = _raw_ratio_sql("b.n_punct")
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     if dialect == "duckdb":
         tok_rows = (f"SELECT doc_id, unnest({toks}) AS tok "
@@ -66,10 +89,22 @@ def doc_quality_sql(dialect: str, docs_rel: str = "documents") -> str:
     else:
         tok_rows = (f"SELECT doc_id, explode({toks}) AS tok "
                     f"FROM {docs_rel}")
+    # output ratios go through the tie-exact fragment (int counts /
+    # int lengths CAN land on an exact half-1e-6 tie); the raw double
+    # ratios feed only the composite quality_score, whose operands
+    # pass through min()/weights and are not exact at any scale, so
+    # its round() keeps the plain form
+    digit_out = (f"CASE WHEN b.n_chars_calc = 0 THEN 0.0 ELSE "
+                 f"{ratio_round_halfup(dialect, 'b.n_digit', 'b.n_chars_calc')}"
+                 f" END")
+    punct_out = (f"CASE WHEN b.n_chars_calc = 0 THEN 0.0 ELSE "
+                 f"{ratio_round_halfup(dialect, 'b.n_punct', 'b.n_chars_calc')}"
+                 f" END")
+    stop_out = ratio_round_halfup(dialect, "t.n_stop", "t.n_tokens")
     return f"""
 WITH base AS (
   SELECT doc_id, length(text) AS n_chars_calc,
-         {digit} AS digit_ratio, {punct} AS punct_ratio
+         {n_digit} AS n_digit, {n_punct} AS n_punct
   FROM {docs_rel}
 ),
 toks AS ({tok_rows}),
@@ -82,13 +117,13 @@ SELECT b.doc_id AS doc_id,
        CAST(b.n_chars_calc AS BIGINT) AS n_chars_calc,
        CAST(t.n_tokens AS BIGINT) AS n_tokens,
        CAST(t.n_stop AS BIGINT) AS n_stop,
-       round(b.digit_ratio, 6) AS digit_ratio,
-       round(b.punct_ratio, 6) AS punct_ratio,
-       round(t.n_stop / CAST(t.n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       {digit_out} AS digit_ratio,
+       {punct_out} AS punct_ratio,
+       {stop_out} AS stopword_ratio,
        round(
          0.25 * least(t.n_tokens / 100.0, 1.0)
-         + 0.25 * (1.0 - b.digit_ratio)
-         + 0.25 * (1.0 - b.punct_ratio)
+         + 0.25 * (1.0 - {digit_raw})
+         + 0.25 * (1.0 - {punct_raw})
          + 0.25 * least(4.0 * t.n_stop / CAST(t.n_tokens AS DOUBLE), 1.0),
          6) AS quality_score
 FROM base b JOIN tok_stats t ON b.doc_id = t.doc_id

@@ -166,8 +166,9 @@ def tables_melted_sql(tables: tuple[str, ...]) -> str:
 
 
 def ratio_round_halfup(dialect: str, num: str, den: str,
-                       scale: int = 6) -> str:
-    """round-half-up(num / den, scale) as DOUBLE, exact at ties.
+                       scale: int = 6, num_scale: int = 0) -> str:
+    """round-half-up(num / den, scale) as DOUBLE, exact at ties and
+    overflow-free at cluster scale.
 
     The round-10 fuzz sweep (seed 777001) proved ``round()`` of a
     double quotient is NOT cross-engine-stable at exact half-scale
@@ -177,17 +178,33 @@ def ratio_round_halfup(dialect: str, num: str, den: str,
     HALF_UP on BigDecimal.valueOf of the SHORTEST double repr (which
     shows the below-tie neighbor 5.8741674999999995 -> DOWN) while
     DuckDB multiplies by 10^scale first (re-rounding the double ONTO
-    the tie -> away from zero -> UP). This fragment removes the class:
-    the quotient is exact integer arithmetic — (2*num*10^scale + den)
-    intdiv (2*den), the standard half-up of num*10^scale/den for
-    non-negative operands — and the only floating-point operation left
-    is ONE IEEE division of the same two exact integers on both
-    engines. ``num`` must be integer-valued or an exact decimal with
-    scale <= ``scale`` (the DECIMAL(38,6) widening is exact for both);
-    ``den`` a positive integer expression; num * 10^scale must fit
-    BIGINT with 2x headroom (~4.6e12 at scale 6)."""
+    the tie -> away from zero -> UP). This fragment removes the class
+    with exact integer arithmetic and ONE trailing IEEE division of
+    the same integers on both engines.
+
+    To avoid the overflow cliff of the naive form (2 * num * 10^scale
+    can exceed BIGINT for cluster-scale aggregate numerators), the
+    quotient is long-divided in two steps: with ni = num * 10^num_scale
+    (the numerator's exact integer rendering — ``num_scale`` is the
+    numerator's native decimal scale, 0 for integer counts),
+    q0 = ni intdiv den and r = ni - q0 * den < den, so
+    half-up(num * 10^scale / den) = q0 * R + (2 * r * R + den) intdiv
+    (2 * den) with R = 10^(scale - num_scale). Every intermediate is
+    bounded by max(ni, 2 * den * R) — safe whenever the integer
+    rendering of the SUM itself fits BIGINT, which is the best any
+    integer scheme can do.
+
+    Preconditions: num non-negative and exact at ``num_scale``
+    (integer counts, or DECIMAL sums of scale <= num_scale); den a
+    positive integer expression (callers guard den > 0)."""
+    if not 0 <= num_scale <= scale:
+        raise ValueError("num_scale must be within [0, scale]")
     p = 10 ** scale
-    op = "//" if dialect == "duckdb" else "div"
-    return (f"CAST(CAST((2 * CAST(CAST(({num}) AS DECIMAL(38,6))"
-            f" * {p} AS BIGINT) + ({den})) {op} (2 * ({den}))"
-            f" AS DOUBLE) / CAST({p} AS DOUBLE) AS DOUBLE)")
+    rem = 10 ** (scale - num_scale)
+    ni = f"CAST(({num}) * {10 ** num_scale} AS BIGINT)"
+    q0 = exact_int_div(dialect, ni, den)
+    r = f"({ni} - {q0} * ({den}))"
+    half = exact_int_div(dialect, f"2 * {r} * {rem} + ({den})",
+                         f"2 * ({den})")
+    return (f"CAST(CAST({q0} * {rem} + {half} AS DOUBLE)"
+            f" / CAST({p} AS DOUBLE) AS DOUBLE)")

@@ -13,15 +13,19 @@ import pytest
 
 from catalog_pii_scanner_spark.oracles import ratio_round_halfup
 
-#: (num, den) pairs: exact 1e-6 half-ties (reduced denominator
-#: 2^7 * 5^b — the provable tie class for integer ratios), the
-#: fuzz-found decimal-sum tie, non-tie controls, and zero.
+#: (num, den, num_scale) triples: exact 1e-6 half-ties (reduced
+#: denominator 2^7 * 5^b — the provable tie class for integer ratios),
+#: the fuzz-found decimal-sum tie, a cluster-scale numerator (the
+#: overflow cliff the two-step long division removes), non-tie
+#: controls, and zero.
 CASES = [
-    ("1", 640), ("3", 640), ("7", 640),          # 2^7*5 ties
-    ("1", 128), ("5", 128),                      # dyadic (exact dbl)
-    ("1", 3200), ("1", 16000),                   # deeper 2^7*5^b
-    ("129.231685", 22),                          # the seed-777001 tie
-    ("7", 3), ("22", 7), ("0", 5), ("41", 41),   # controls
+    ("1", 640, 0), ("3", 640, 0), ("7", 640, 0),    # 2^7*5 ties
+    ("1", 128, 0), ("5", 128, 0),                   # dyadic (exact dbl)
+    ("1", 3200, 0), ("1", 16000, 0),                # deeper 2^7*5^b
+    ("129.231685", 22, 6),                          # the seed-777001 tie
+    ("123.45", 7, 2),                               # cent-scale sum
+    ("3800000000000000.25", 100000000000, 2),       # ~100TB Q1 numerator
+    ("7", 3, 0), ("22", 7, 0), ("0", 5, 0), ("41", 41, 0),  # controls
 ]
 
 
@@ -34,15 +38,16 @@ def _py_halfup(num: str, den: int) -> float:
 
 def test_ratio_round_halfup_cross_engine(spark):
     duck = duckdb.connect()
-    for num, den in CASES:
+    for num, den, ns in CASES:
         want = _py_halfup(num, den)
+        lit = f"CAST({num} AS DECIMAL(38,{ns}))"
         d = duck.sql(
             "SELECT " + ratio_round_halfup(
-                "duckdb", f"CAST({num} AS DECIMAL(38,6))", str(den))
+                "duckdb", lit, str(den), num_scale=ns)
         ).fetchall()[0][0]
         s = spark.sql(
             "SELECT " + ratio_round_halfup(
-                "spark", f"CAST({num} AS DECIMAL(38,6))", str(den))
+                "spark", lit, str(den), num_scale=ns)
         ).collect()[0][0]
         assert s == d == pytest.approx(want, abs=0), (num, den, s, d, want)
 
