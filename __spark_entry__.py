@@ -58,10 +58,9 @@ from catalog_pii_scanner_spark.operators.sketches import (
     hll_sketch_only_sql, kmv_sketch_only_sql,
     sketch_cms_heavy_hitters, sketch_cms_oracle_sql, cms_counters_sql,
     sketch_hll_union, sketch_hll_union_oracle_sql,
-    sketch_hll_registers, sketch_hll_registers_oracle_sql,
-    sketch_hll_rho_parts, sketch_hll_rho_parts_oracle_sql,
-    sketch_hll_state, sketch_hll_state_oracle_sql,
     sketch_kmv_distinct, sketch_kmv_distinct_oracle_sql)
+from catalog_pii_scanner_spark.operators.incremental import (
+    incremental_findings, incremental_findings_oracle_sql)
 
 
 def sketches_hll_sketch_only_oracle() -> str:
@@ -312,65 +311,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return findings_rollup(_demo_values(spark, SF0001))
 
 
-#: DRIVER-ROUND-10 rotation (the driver gate checks the FIRST 50
+#: DRIVER-ROUND-11 rotation (the driver gate checks the FIRST 50
 #: queries() entries; rounds here and below are DRIVER rounds — the
 #: committed CORRECTNESS_r*.json artifacts — never internal build
 #: iterations).
 #:
-#: Front 50 =
-#:   (a) the 5 round-9 hash-FAIL entries (rule 2: a red row may not
-#:       be parked). The round-9 stage diagnostics + a census of all
-#:       139 oracle output types/magnitudes localized the divergence:
-#:       every red query — and ONLY the red queries — emitted a
-#:       DuckDB HUGEINT column with values above 2^31 (the raw
-#:       z_scaled accumulator ~1.8e16; the bit-31 audio
-#:       fingerprints). All five now emit BIGINT-only outputs below
-#:       2^48 (the split z_hi/z_lo pair; a BIGINT-cast fingerprint) —
-#:       see operators/sketches.py module docstring for the finding;
-#:   (b) the 43-entry declared cohort (last round's
-#:       MUST_FRONT_BY_ROUND[10], verbatim: the 42 age-bound
-#:       round-7-row entries + ann_cosine_matmul, which yielded its
-#:       round-9 fill slot to the KMV sketch);
-#:   (c) the 2 new never-gated entries (rule 1):
-#:       stream_kmv_distinct (implemented+tested in round 9,
-#:       registration deferred to this window) and
-#:       multimodal_audio_fp_bits (the audio-fingerprint stage
-#:       diagnostic — if the BIGINT-cast fix in (a) is not the whole
-#:       story, this round's artifact separates the lag/cross-multiply
-#:       stage from the packing/census).
-#: 5 + 43 + 2 = 50 exactly. The 46 entries whose latest row is r8 hit
-#: the age bound when the r10 artifact lands; MUST_FRONT_BY_ROUND[11]
-#: declares them (46 + up-to-4 r10 reds fit the window).
+#: Round 10 was the first fully-green 50/50 window (zero red rows
+#: anywhere in the catalog), so this window is pure rotation + new
+#: surface:
+#:   (a) the 46-entry declared cohort (MUST_FRONT_BY_ROUND[11],
+#:       verbatim: every entry whose latest driver row is r8 — age 3
+#:       the moment the r10 artifact landed);
+#:   (b) 4 slots freed by RETIRING the four instrument queries from
+#:       queries() per the PERF.md playbook (sketch_hll_registers /
+#:       sketch_hll_rho_parts / sketch_hll_state /
+#:       multimodal_audio_fp_bits — stage diagnostics built to
+#:       localize the r8-r10 HLL/audio driver divergence, which r10
+#:       closed: root cause was HUGEINT in the oracle fetch path, now
+#:       banned catalog-wide by test_no_hugeint_in_any_oracle_output).
+#:       Their SQL builders + pytest oracle gates remain
+#:       (tests/test_sketches_dq_layout.py); only the registration is
+#:       gone; with the four new queries below the catalog stays at 141.
+#:       The freed slots carry this round's
+#:       NEW product surface (never-gated, rule 1):
+#:       pii_incremental_scan (the reference's promised --since
+#:       incremental rescan over the findings MERGE),
+#:       corpus_bpe_apply (frozen-merges tokenizer apply — the
+#:       serve-side twin of corpus_bpe_merges), corpus_normalize_text
+#:       (deterministic unicode/whitespace normalization pass), and
+#:       ann_filtered_topk (metadata-predicate-filtered ANN).
+#: 46 + 4 = 50 exactly. The 43 entries whose latest row is r9 (45
+#: minus the 2 retired instruments) hit the age bound when the r11
+#: artifact lands; MUST_FRONT_BY_ROUND[12] declares them (43 +
+#: up-to-7 r11 reds fit the window).
 #: The FULL 141-query set is verified every session by
 #: tools/selfcheck.py, tools/edge_sweep.py, and the scaling sweeps in
 #: PERF.md.
 FRONT_50 = [
-    # (a) the 5 round-9 hash-FAIL entries (all with the round-10
-    # HUGEINT/>2^31 output fix applied)
-    "sketch_hll_distinct", "stream_hll_distinct", "sketch_hll_union",
-    "sketch_hll_state", "multimodal_audio_fingerprint",
-    # (b) the 43-entry declared cohort (MUST_FRONT_BY_ROUND[10])
-    "ann_ivf_matmul", "ann_ivf_topk", "ann_ivfpq_matmul",
-    "ann_ivfpq_topk", "ann_pq_matmul", "ann_pq_topk",
-    "ann_pq_trained_topk", "bloom_semijoin_filter",
-    "corpus_anonymize", "corpus_bigram_logprob", "corpus_bm25_topk",
-    "corpus_cdc_dedup", "corpus_curate_pii",
-    "corpus_unigram_logprob", "dedup_containment",
-    "doc_pii_density", "dq_anomaly_days", "dq_constraint_suite",
-    "embed_cluster_mix", "embed_jl_topk", "embed_kmeans_lloyd",
-    "embed_semdedup_keep_list", "eval_trained_metrics",
-    "events_asof_join", "events_neighbor_window", "events_sessions",
-    "layout_zorder_stats", "multimodal_features",
-    "multimodal_phash_dedup", "multimodal_resize",
-    "pii_candidate_features", "pii_candidates_rollup",
-    "pii_ensemble_gated", "pii_ner_context_signals",
-    "pii_redaction_contexts", "pii_scan_demo_crm",
-    "sample_columns_topn", "sketch_histogram_quantiles",
-    "stream_events_hourly", "stream_events_sessions",
-    "stream_phash_keep_list", "stream_quality_classifier",
-    "ann_cosine_matmul",
-    # (c) the 2 NEW (never-gated) entries — rule (1)
-    "stream_kmv_distinct", "multimodal_audio_fp_bits",
+    # (a) the 46-entry declared cohort (MUST_FRONT_BY_ROUND[11])
+    "ann_ivfpq_trained_topk", "ann_pq_trained_matmul", "catalog_columns",
+    "corpus_bpe_encode", "corpus_bpe_merges", "corpus_chunk_overlap",
+    "corpus_dsir_select", "corpus_line_dedup",
+    "corpus_minhash_decontaminate", "corpus_quality_classifier",
+    "corpus_substring_dedup", "corpus_winnow_pairs",
+    "dedup_clusters", "dedup_exact", "dedup_keep_list",
+    "dedup_lsh_near_pairs", "dedup_minhash_signatures",
+    "dedup_ngram_jaccard", "dedup_simhash", "dq_k_anonymity",
+    "dq_referential_suite", "embed_hard_negatives", "embed_knn_eval",
+    "embed_spectrum_stats", "eval_greedy_metrics",
+    "events_transition_matrix", "layout_compaction_plan",
+    "layout_partition_skew", "multimodal_phash_keep_list",
+    "orders_basket_pairs", "pii_candidates_scored",
+    "pii_full_pipeline", "pii_metadata_hints", "pii_ner_merge_max",
+    "pii_overlap_suppressed", "pii_repeated_spans",
+    "pii_scan_catalog_tables", "pii_scan_enabled_types",
+    "profile_columns", "sketch_cms_heavy_hitters",
+    "stream_cms_counters", "stream_dedup_events",
+    "stream_dedup_keep_list", "stream_dsir_select",
+    "stream_events_recent_score", "tpch_local_supplier_volume",
+    # (b) the 4 NEW (never-gated) entries in the freed slots — rule (1)
+    "pii_incremental_scan", "corpus_bpe_apply",
+    "corpus_normalize_text", "ann_filtered_topk",
 ]
 
 
@@ -680,16 +681,12 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_counters": stream_cms_counters,
         # disjoint-slice HLL sketches merged by register MAX — the
         # never-rescan union property, with exact audit per part.
+        # (The round-9 HLL stage diagnostics — sketch_hll_registers /
+        # rho_parts / state — were RETIRED from the registration in
+        # round 11 after r10 closed the divergence they existed to
+        # localize; their SQL builders and pytest oracle gates remain
+        # in operators/sketches.py + tests/test_sketches_dq_layout.py.)
         "sketch_hll_union": sketch_hll_union,
-        # HLL STAGE DIAGNOSTICS (round 9): the family hash-failed two
-        # consecutive driver gates while passing locally; these gate
-        # extraction (rho_parts), the raw register state (registers),
-        # and the merged Z accumulator (state) separately so the next
-        # driver artifact localizes the divergence instead of a third
-        # blind rewrite. See operators/sketches.py.
-        "sketch_hll_registers": sketch_hll_registers,
-        "sketch_hll_rho_parts": sketch_hll_rho_parts,
-        "sketch_hll_state": sketch_hll_state,
         # KMV k-minimum-values distinct sketch (Bar-Yossef et al.):
         # the maximally-conservative mergeable distinct estimator —
         # pure-BIGINT order statistics, one integer division, only
@@ -755,12 +752,9 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packed per asset, fingerprint-keyed groups, MIN-id keep rule.
         "multimodal_audio_fingerprint":
             multimodal.multimodal_audio_fingerprint,
-        # AUDIO-FINGERPRINT STAGE DIAGNOSTIC (round 10): the
-        # pre-packing (asset_id, window_no, bit) rows — isolates lag +
-        # the integer cross-multiply from the shiftleft packing and
-        # the fingerprint census, the localization playbook that
-        # pinned the HLL divergence in round 9.
-        "multimodal_audio_fp_bits": multimodal.multimodal_audio_fp_bits,
+        # (multimodal_audio_fp_bits — the round-10 fingerprint stage
+        # diagnostic — retired with the HLL diagnostics in round 11;
+        # builder + pytest gate remain in operators/multimodal.py.)
         # TPC-H Q5 analog: 5-way snowflake join, facts shuffle on the
         # order key, every dim broadcast, decimal-exact revenue.
         "tpch_local_supplier_volume": analytics.local_supplier_volume,
@@ -785,6 +779,29 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-type Markov transition matrix: one user-keyed lead()
         # window under a (ts, event_id) total order + pair-keyed agg.
         "events_transition_matrix": analytics.events_transition_matrix,
+        # ------------------------------------------------------------------
+        # round 11: the four NEW product-surface queries in the slots
+        # freed by retiring the instruments.
+        #
+        # the reference's promised --since incremental rescan
+        # (README.md:200): per-column content fingerprints diff prior
+        # vs current snapshot; only changed columns re-enter the regex
+        # scan, carried columns forward the prior findings. The action
+        # relation is metadata-scale and broadcast.
+        "pii_incremental_scan": lambda s, sf:
+            incremental_findings(_tables_values(s, sf)),
+        # tokenizer SERVING twin: encode the corpus under a FROZEN
+        # merge table (broadcast literal chain, zero training jobs,
+        # zero collects) — the day-to-day shape of corpus_bpe_encode.
+        "corpus_bpe_apply": bpe.corpus_bpe_apply,
+        # ingest-time text normalization (tabs/CRs/control bytes/
+        # whitespace runs/padding) over a deterministically-messed raw
+        # variant; one zero-shuffle codegen projection.
+        "corpus_normalize_text": corpus.corpus_normalize_text,
+        # metadata-predicate-filtered ANN: the label filter lands in
+        # the candidate parquet scan (PRE-filter semantics), then the
+        # shared broadcast-queries BLAS top-k body.
+        "ann_filtered_topk": simsearch.ann_filtered_topk,
     }
 
 
@@ -979,11 +996,6 @@ def oracle_sql() -> dict[str, str]:
         # candidate probe: the stream never sees an exact vocabulary)
         "stream_cms_counters": cms_counters_sql("duckdb"),
         "sketch_hll_union": sketch_hll_union_oracle_sql(),
-        # HLL stage diagnostics (round 9): extraction / register /
-        # Z-state gates, same dual-dialect template family
-        "sketch_hll_registers": sketch_hll_registers_oracle_sql(),
-        "sketch_hll_rho_parts": sketch_hll_rho_parts_oracle_sql(),
-        "sketch_hll_state": sketch_hll_state_oracle_sql(),
         "sketch_kmv_distinct": sketch_kmv_distinct_oracle_sql(),
         # the KMV drain's oracle is the batch sketch-only template
         # (no exact twin: the stream never spools raw values)
@@ -1003,8 +1015,6 @@ def oracle_sql() -> dict[str, str]:
         "layout_partition_skew": layout_skew_oracle_sql(),
         "multimodal_audio_fingerprint":
             multimodal.audio_fingerprint_oracle_sql(),
-        "multimodal_audio_fp_bits":
-            multimodal.audio_fp_bits_oracle_sql(),
         "tpch_local_supplier_volume":
             analytics.local_supplier_volume_oracle_sql(),
         # the streaming drain shares the batch selection oracle: the
@@ -1015,4 +1025,14 @@ def oracle_sql() -> dict[str, str]:
         "orders_basket_pairs": analytics.basket_pairs_oracle_sql(),
         "events_transition_matrix":
             analytics.event_transitions_oracle_sql(),
+        # ------------------------------------------------------------------
+        # round 11 new surface
+        "pii_incremental_scan":
+            incremental_findings_oracle_sql(SCAN_TABLES),
+        "corpus_bpe_apply": bpe.bpe_apply_sql("duckdb"),
+        "corpus_normalize_text": corpus.normalize_text_oracle_sql(),
+        # the serving path shares the declarative filtered twin's
+        # oracle (the cosine_topk_matmul precedent: identical contract
+        # after the shared 1e-6 rounding)
+        "ann_filtered_topk": simsearch.ann_filtered_topk_sql("duckdb"),
     }

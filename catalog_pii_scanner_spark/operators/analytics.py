@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..oracles import ratio_round_halfup
+from ..oracles import ratio_round_halfup, ratio_round_halfup_guarded
 
 #: Q1-style cutoff inside the synthetic data's 1995..2001 shipdate range
 #: (prunes ~1/3 of lineitem, so the pushed filter is observable).
@@ -72,11 +72,11 @@ def tpch_pricing_summary(spark: SparkSession, sf_dir: str,
             # decimal sums are exact cent-units, so sum/count can land
             # exactly on a half-micro tie where a double round() is
             # engine-dependent
-            F.expr(ratio_round_halfup("spark", "_sq", "count_order",
-                                       num_scale=2))
+            F.expr(ratio_round_halfup_guarded(
+                "spark", "_sq", "count_order", num_scale=2))
             .alias("avg_qty"),
-            F.expr(ratio_round_halfup("spark", "_sbp", "count_order",
-                                       num_scale=2))
+            F.expr(ratio_round_halfup_guarded(
+                "spark", "_sbp", "count_order", num_scale=2))
             .alias("avg_price"),
             F.col("count_order").cast("bigint").alias("count_order"))
     )
@@ -95,9 +95,9 @@ SELECT l_returnflag, l_linestatus,
          AS sum_base_price,
        round(CAST(SUM({disc}) AS DOUBLE), 4) AS sum_disc_price,
        CAST(round(SUM({charge}), 4) AS DOUBLE) AS sum_charge,
-       {ratio_round_halfup("duckdb", f"SUM({dec('l_quantity')})", "COUNT(*)", num_scale=2)}
+       {ratio_round_halfup_guarded("duckdb", f"SUM({dec('l_quantity')})", "COUNT(*)", num_scale=2)}
          AS avg_qty,
-       {ratio_round_halfup("duckdb", f"SUM({dec('l_extendedprice')})", "COUNT(*)", num_scale=2)}
+       {ratio_round_halfup_guarded("duckdb", f"SUM({dec('l_extendedprice')})", "COUNT(*)", num_scale=2)}
          AS avg_price,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM {li_rel}
@@ -344,6 +344,11 @@ GROUP BY n.n_name
 
 BASKET_MIN_SUPPORT = 3
 
+#: Largest order universe for which the lift's tie-exact integer path
+#: is BIGINT-provable end to end: with every count bounded by n,
+#: n^2 <= halfup_den_bound(6) requires n <= isqrt(4611683712585).
+_LIFT_GUARD_N = 2_147_483
+
 
 def basket_pairs_segments(dialect: str, li_rel: str = "lineitem",
                           min_support: int = BASKET_MIN_SUPPORT
@@ -370,14 +375,19 @@ SELECT pr.part_a, pr.part_b,
        CAST(pr.pair_orders AS BIGINT) AS pair_orders,
        CAST(pa.cnt AS BIGINT) AS a_orders,
        CAST(pb.cnt AS BIGINT) AS b_orders,
-       {ratio_round_halfup(dialect, "pr.pair_orders", "pa.cnt")}
+       {ratio_round_halfup_guarded(dialect, "pr.pair_orders", "pa.cnt")}
          AS confidence_ab,
-       -- lift keeps the double round(): its exact-integer numerator
-       -- pair_orders * n_orders can exceed BIGINT at cluster scale
-       -- (n_orders^2-ish), so the integer tie-exact path does not
-       -- apply; a tie needs a degenerate constructed basket
-       round(pr.pair_orders * CAST(n.n AS DOUBLE)
-             / (CAST(pa.cnt AS DOUBLE) * pb.cnt), 6) AS lift
+       -- lift = pair * n / (a * b): both the numerator and the
+       -- denominator are PRODUCTS of data-dependent counts, so the
+       -- tie-exact integer path is taken only under the factor guard
+       -- n <= {_LIFT_GUARD_N} (every count <= n, so pair * n and
+       -- a * b and the fragment's 2*den*1e6 intermediates all fit
+       -- BIGINT — the guard tests the FACTOR because testing the
+       -- product could itself overflow); beyond it the plain double
+       -- round is the same explicit branch on both engines
+       {ratio_round_halfup_guarded(
+           dialect, "pr.pair_orders * n.n", "pa.cnt * pb.cnt",
+           guard=f"n.n <= {_LIFT_GUARD_N}")} AS lift
 FROM pairs pr
 JOIN part_n pa ON pa.p = pr.part_a
 JOIN part_n pb ON pb.p = pr.part_b
@@ -442,7 +452,7 @@ tr AS (
 ),
 outd AS (SELECT from_type, SUM(n) AS total FROM tr GROUP BY from_type)
 SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
-       {ratio_round_halfup(dialect, "t.n", "o.total")} AS prob
+       {ratio_round_halfup_guarded(dialect, "t.n", "o.total")} AS prob
 FROM tr t JOIN outd o ON o.from_type = t.from_type
 """
 

@@ -302,11 +302,115 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str,
            .select("tok").distinct()
            .select("tok", F.concat(F.trim(spaced),
                                    F.lit(f" {BPE_EOW}")).alias("s")))
-    expr = "s"
-    for _, pa, pb, _, _ in merges:
+    expr = _merge_chain_expr([(pa, pb) for _, pa, pb, _, _ in merges])
+    enc = enc.selectExpr("tok", f"size(split({expr}, ' ')) AS n_sym")
+    return (doc_toks.join(F.broadcast(enc), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.count("n_sym").cast("bigint").alias("n_enc"),
+                 F.coalesce(F.sum("n_sym"), F.lit(0)).cast("bigint")
+                 .alias("n_bpe")))
+
+
+def _merge_chain_expr(pairs: list[tuple[str, str]],
+                      base: str = "s") -> str:
+    """The N merge rules folded into ONE chained-replace SQL expression
+    over the spaced symbol column ``base`` — replace/trim/|| are
+    dialect-shared, so the same text serves Spark and DuckDB. Shared by
+    corpus_bpe_encode (trained merges) and corpus_bpe_apply (frozen
+    merges) so the two apply paths can never drift."""
+    expr = base
+    for pa, pb in pairs:
         expr = (f"trim(replace(' ' || {expr} || ' ', "
                 f"' ' || {_sql_str(pa)} || ' ' || {_sql_str(pb)} || ' ', "
                 f"' ' || {_sql_str(pa)} || {_sql_str(pb)} || ' '))")
+    return expr
+
+
+# --- frozen-merges apply (the tokenizer SERVING twin) -------------------------
+#
+# corpus_bpe_encode proves train->encode parity, but the query a 100 TB
+# pipeline actually runs day-to-day is ENCODE-ONLY: the tokenizer was
+# trained once (often on another corpus entirely), its merge table is
+# frozen and shipped with the model, and every ingest batch is encoded
+# under it. This twin pins a frozen merge table as literals
+# (FROZEN_MERGES — the TRAINED_EVAL_COUNTS discipline: the artifact of
+# an offline training run, applied verbatim in both dialects) and runs
+# ZERO training jobs: no corpus-wide pair counting, no driver loop, no
+# collects — the merge rules fold into one Catalyst projection over the
+# DISTINCT-token encode map (vocabulary-bounded), broadcast into one
+# doc-keyed aggregation. That plan survives 100x unchanged.
+
+#: Frozen merge rules, in application order (pa, pb). A realistic
+#: English-ish table including a genuine CHAIN (t+h -> th+e -> the+</w>)
+#: so the apply path's order-sensitivity is exercised: rule 3 (e,</w>)
+#: must NOT fire inside 'the </w>' (the pair there is (the, </w>),
+#: merged only by rule 7).
+FROZEN_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("e", BPE_EOW), ("a", "t"),
+    ("s", BPE_EOW), ("r", "e"), ("the", BPE_EOW), ("a", "n"),
+)
+
+
+def bpe_apply_sql(dialect: str, docs_rel: str = "documents",
+                  merges: tuple[tuple[str, str], ...] = FROZEN_MERGES
+                  ) -> str:
+    """Frozen-merges encode template: per-document token budget under
+    the pinned tokenizer. Output: doc_id, n_tokens, n_enc, n_bpe —
+    the corpus_bpe_encode contract, with the merge table a literal
+    instead of a trained relation (no bpe_* training CTEs at all)."""
+    unnest = "unnest" if dialect == "duckdb" else "explode"
+    split = ("regexp_split_to_array(text, ' +')" if dialect == "duckdb"
+             else "split(text, ' +')")
+    spaced = (r"regexp_replace(substr(tok, 1, %d), '(.)', '\1 ', 'g')"
+              % BPE_MAX_TOKEN_CHARS if dialect == "duckdb" else
+              r"regexp_replace(substr(tok, 1, %d), '(.)', '$1 ')"
+              % BPE_MAX_TOKEN_CHARS)
+    matches = ("regexp_matches(tok, '^[a-z0-9]+$')"
+               if dialect == "duckdb" else "tok RLIKE '^[a-z0-9]+$'")
+    nsym = ("len(string_split(s2, ' '))" if dialect == "duckdb"
+            else "size(split(s2, ' '))")
+    chain = _merge_chain_expr(list(merges))
+    return f"""
+WITH doc_toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, {unnest}({split}) AS tok FROM {docs_rel}
+  ) _e WHERE tok <> ''
+),
+encv AS (
+  SELECT tok, trim({spaced}) || ' {BPE_EOW}' AS s
+  FROM (SELECT DISTINCT tok FROM doc_toks WHERE {matches}) _u
+),
+enc_final AS (
+  SELECT tok, {nsym} AS n_sym
+  FROM (SELECT tok, {chain} AS s2 FROM encv) _a
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(e.tok) AS BIGINT) AS n_enc,
+       CAST(COALESCE(SUM(e.n_sym), 0) AS BIGINT) AS n_bpe
+FROM doc_toks d LEFT JOIN enc_final e ON e.tok = d.tok
+GROUP BY d.doc_id"""
+
+
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str,
+                     merges: tuple[tuple[str, str], ...] = FROZEN_MERGES
+                     ) -> DataFrame:
+    """Spark path: encode-only under FROZEN_MERGES — the distinct-token
+    encode map with the merge chain folded into one whole-stage-codegen
+    projection, broadcast into the per-doc aggregation. No training
+    stage, no collects anywhere in the plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_toks = (docs.select(
+        "doc_id", F.explode(F.split("text", " +")).alias("tok"))
+        .where(F.col("tok") != ""))
+    spaced = F.regexp_replace(
+        F.substring("tok", 1, BPE_MAX_TOKEN_CHARS), "(.)", "$1 ")
+    enc = (doc_toks.where(F.col("tok").rlike("^[a-z0-9]+$"))
+           .select("tok").distinct()
+           .select("tok", F.concat(F.trim(spaced),
+                                   F.lit(f" {BPE_EOW}")).alias("s")))
+    expr = _merge_chain_expr(list(merges))
     enc = enc.selectExpr("tok", f"size(split({expr}, ' ')) AS n_sym")
     return (doc_toks.join(F.broadcast(enc), "tok", "left")
             .groupBy("doc_id")

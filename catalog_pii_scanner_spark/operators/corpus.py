@@ -1521,3 +1521,83 @@ SELECT d.doc_id,
 FROM {docs_rel} d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {bench_mod} <> 0
 """
+
+
+# --- text normalization (the first pass of every ingest pipeline) ------------
+#
+# Raw crawl/scan text arrives with tabs, carriage returns, stray control
+# bytes, run-on whitespace, and padding — every corpus pipeline's first
+# transform is a deterministic normalization pass (CCNet's text cleaner,
+# Dolma's normalizers). The driver's synthetic corpus is already clean,
+# so — the eval-corpus precedent (operators/evaluate.py synthesizes its
+# texts in-query) — the template first derives a deterministically MESSY
+# raw variant from the clean text (tab/CR injections around common
+# tokens, a bell control byte on an md5 doc gate, pad spaces), then
+# normalizes it and reports what changed. The mess constructor and the
+# normalizer are both pure ASCII replace()/chr() chains plus ONE
+# space-collapse regex, so the only dialect split is DuckDB's 'g' flag.
+#
+# 100 TB shape: a single zero-shuffle projection — no joins, no aggs,
+# no UDFs; every expression is whole-stage-codegen, and each layer is a
+# named CTE so the engine computes raw/t1/norm once per row instead of
+# re-expanding the chain per output column.
+
+def normalize_text_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """Output: doc_id, n_raw, n_norm, n_tabs, n_crs, n_bells,
+    n_ws_collapsed, n_trimmed (all BIGINT), norm_fp (md5 VARCHAR)."""
+    str_t = "VARCHAR" if dialect == "duckdb" else "STRING"
+    collapse = ("regexp_replace(t1, ' +', ' ', 'g')"
+                if dialect == "duckdb"
+                else "regexp_replace(t1, ' +', ' ')")
+    # tab after ' the', CR before 'data', double-space pads, and a
+    # leading bell byte on half the docs (md5 first-hex gate)
+    raw = ("'  ' || replace(replace(text, ' the ', '  the' || chr(9) "
+           "|| ' '), ' data ', ' ' || chr(13) || 'data  ') || ' '")
+    bell = (f"CASE WHEN substr(md5(CAST(doc_id AS {str_t})), 1, 1) "
+            f"IN ('0','1','2','3','4','5','6','7') "
+            f"THEN chr(7) || raw ELSE raw END")
+    return f"""
+WITH mess0 AS (
+  SELECT doc_id, {raw} AS raw
+  FROM {docs_rel} WHERE text IS NOT NULL
+),
+mess AS (
+  SELECT doc_id, {bell} AS raw FROM mess0
+),
+step1 AS (
+  SELECT doc_id, raw,
+         replace(replace(replace(raw, chr(9), ' '), chr(13), ' '),
+                 chr(7), '') AS t1
+  FROM mess
+),
+step2 AS (
+  SELECT doc_id, raw, t1, {collapse} AS t2 FROM step1
+),
+normed AS (
+  SELECT doc_id, raw, t1, t2, trim(t2) AS norm FROM step2
+)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_raw,
+       CAST(length(norm) AS BIGINT) AS n_norm,
+       CAST(length(raw) - length(replace(raw, chr(9), '')) AS BIGINT)
+         AS n_tabs,
+       CAST(length(raw) - length(replace(raw, chr(13), '')) AS BIGINT)
+         AS n_crs,
+       CAST(length(raw) - length(replace(raw, chr(7), '')) AS BIGINT)
+         AS n_bells,
+       CAST(length(t1) - length(t2) AS BIGINT) AS n_ws_collapsed,
+       CAST(length(t2) - length(norm) AS BIGINT) AS n_trimmed,
+       md5(norm) AS norm_fp
+FROM normed
+"""
+
+
+def corpus_normalize_text(spark, sf_dir: str) -> DataFrame:
+    """Dual-dialect template execution of the normalization pass."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_documents")
+    return spark.sql(normalize_text_sql("spark", "cpss_documents"))
+
+
+def normalize_text_oracle_sql() -> str:
+    return normalize_text_sql("duckdb")

@@ -32,9 +32,11 @@ def candidate_features(cands: DataFrame) -> DataFrame:
     text = F.col("match_text")
     # ONE digit-count definition for has_digits AND digits_ratio (the
     # DuckDB twin's nd discipline) — a drifting second copy would let
-    # the two columns disagree on the same row
+    # the two columns disagree on the same row. The regexp_replace is
+    # HOISTED into a prior projection so the tie-exact fragment's
+    # textual re-expansion (3x numerator) references a column, not the
+    # regex (round-10 ADVICE — the corpus.py/textstats.py discipline).
     nd_sql = "length(regexp_replace(match_text, '[^0-9]', ''))"
-    n_digits = F.expr(nd_sql)
 
     def one_hots():
         for t in ALL_PII_TYPES:
@@ -44,21 +46,24 @@ def candidate_features(cands: DataFrame) -> DataFrame:
 
     # one select, one analysis pass (28 chained withColumns re-analyzed
     # the growing projection 28 times — pure driver overhead)
-    return cands.select(
+    return cands.select("*", F.expr(nd_sql).alias("_nd")).select(
         *FEATURE_KEYS,
         F.length(text).alias("len"),
         text.contains("@").alias("has_at"),
         text.contains(".").alias("has_dot"),
-        (n_digits > 0).alias("has_digits"),
+        (F.col("_nd") > 0).alias("has_digits"),
         F.expr(ratio_round_halfup(
-            "spark", nd_sql,
+            "spark", "_nd",
             "greatest(length(match_text), 1)")).alias("digits_ratio"),
         F.round("rule_confidence", 6).alias("rule_conf"),
         *one_hots())
 
 
 def candidate_features_oracle_sql(cands_rel: str = "scored") -> str:
-    """DuckDB rendering over a scored-candidates relation."""
+    """DuckDB rendering over a scored-candidates relation. The digit
+    count is hoisted into the fbase projection so the tie-exact
+    fragment references the ``_nd`` column instead of textually
+    expanding the regexp_replace three times (round-10 ADVICE)."""
     nd = "length(regexp_replace(match_text, '[^0-9]', '', 'g'))"
     per_type = ", ".join(
         f"(pii_type = '{t}' AND validated) AS val_{t}, "
@@ -69,11 +74,11 @@ SELECT column_ref, value, pii_type, match_text,
        length(match_text) AS len,
        contains(match_text, '@') AS has_at,
        contains(match_text, '.') AS has_dot,
-       {nd} > 0 AS has_digits,
-       {ratio_round_halfup("duckdb", nd,
+       _nd > 0 AS has_digits,
+       {ratio_round_halfup("duckdb", "_nd",
                             "greatest(length(match_text), 1)")}
          AS digits_ratio,
        round(rule_confidence, 6) AS rule_conf,
        {per_type}
-FROM {cands_rel}
+FROM (SELECT *, {nd} AS _nd FROM {cands_rel}) fbase
 """

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..oracles import ratio_round_halfup
+from ..oracles import ratio_round_halfup_guarded
 
 from ..plans.cache import checkpoint_release
 
@@ -113,7 +113,7 @@ def findings_rollup(values_df: DataFrame,
         .select(
             "column_ref", "pii_type", "n_candidates", "n_values_hit",
             "confidence",
-            F.expr(ratio_round_halfup(
+            F.expr(ratio_round_halfup_guarded(
                 "spark", "n_values_hit", "n_values")).alias("hit_rate"),
         )
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..oracles import ratio_round_halfup
+from ..oracles import ratio_round_halfup_guarded
 
 from .rules import RULES, Rule, extract_candidates
 
@@ -319,7 +319,7 @@ def ner_context_signals_oracle_sql(ctx_rel: str = "ctx",
     spans = " UNION ALL ".join(parts)
     out_keep = ", ".join(f"c.{k} AS {k}" for k in keep)
     final = f"""SELECT {out_keep}, c.ent_type AS pii_type,
-       {ratio_round_halfup("duckdb", "c.n", "t.total")} AS signal
+       {ratio_round_halfup_guarded("duckdb", "c.n", "t.total")} AS signal
 FROM counts c
 JOIN totals t ON {" AND ".join(f"c.{k} = t.{k}" for k in keep)}"""
     tail = (f",\n{wrap_cte} AS (\n{final}\n)" if wrap_cte is not None
@@ -368,5 +368,5 @@ def ner_context_signals(contexts: DataFrame,
         if a != k:
             out = out.withColumnRenamed(a, k)
     return out.select(*keep_cols, "pii_type",
-                      F.expr(ratio_round_halfup("spark", "n", "total"))
+                      F.expr(ratio_round_halfup_guarded("spark", "n", "total"))
                       .alias("signal"))

@@ -131,10 +131,21 @@ def cosine_topk_matmul(spark, sf_dir: str, k: int = 5,
     64x row inflation is the declarative path's honest scale cost.
     Output: query_id, neighbor_id, rank, cosine.
     """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _brute_matmul_topk(
+        spark, emb.where(F.col("vec_id") % query_mod == 0), emb, k)
+
+
+def _brute_matmul_topk(spark, query_df, cand_df, k: int) -> DataFrame:
+    """The broadcast-queries + per-partition BLAS top-k serving body
+    shared by cosine_topk_matmul (candidates = full corpus) and
+    ann_filtered_topk (candidates = the predicate-filtered corpus —
+    the filter arrives already applied to ``cand_df``, so it sits at
+    the parquet scan, before any vector math). Both frames need
+    (vec_id, embedding)."""
     import numpy as np
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qrows = (emb.where(F.col("vec_id") % query_mod == 0)
+    qrows = (query_df
              .select("vec_id", "embedding")
              .limit(MAX_QUERY_VECTORS + 1).collect())
     if len(qrows) > MAX_QUERY_VECTORS:
@@ -183,13 +194,82 @@ def cosine_topk_matmul(spark, sf_dir: str, k: int = 5,
                 "neighbor_id": np.concatenate(out_n),
                 "cosine": np.concatenate(out_c)})
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(
+    cand = cand_df.select("vec_id", "embedding").mapInPandas(
         part_topk, schema="query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+# --- metadata-filtered ANN (predicate + top-k in one search) ------------------
+#
+# The serving shape real vector stores are asked for every day: "top-k
+# most similar WHERE <metadata predicate>" (FAISS IDSelector, the
+# filtered-search track of every ANN benchmark since big-ann-2023).
+# PRE-filtering is the only semantics that guarantees k true results —
+# post-filtering a top-k' can exhaust the shortlist when the predicate
+# is selective — and in Spark the predicate lands IN the parquet scan
+# (PushedFilters: In(label, ...)), so the vector math only ever sees
+# the allowed candidates: cost tracks predicate selectivity, not corpus
+# size. Queries stay unfiltered (the caller's query set is arbitrary).
+
+#: The pinned demo predicate: label IN FILTERED_LABELS (~30% of the
+#: corpus). Any pushable predicate slots in the same way.
+FILTERED_LABELS = (0, 2, 5)
+
+
+def ann_filtered_topk_sql(dialect: str, rel: str = "embeddings",
+                          k: int = 5, query_mod: int = 50,
+                          labels: tuple[int, ...] = FILTERED_LABELS
+                          ) -> str:
+    """Declarative twin / oracle: cosine_topk_sql with the candidate
+    side semi-joined to the predicate. Output: query_id, neighbor_id,
+    rank, cosine (rounded 1e-6)."""
+    lab = ", ".join(str(x) for x in labels)
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+allowed AS (
+  SELECT vec_id FROM {rel} WHERE label IN ({lab})
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.val * c.val) AS dot
+  FROM vecs q
+  JOIN vecs c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+  JOIN allowed a ON a.vec_id = c.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+  GROUP BY q.vec_id, c.vec_id
+),
+cos AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.norm * nc.norm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cos
+) WHERE rank <= {k}
+"""
+
+
+def ann_filtered_topk(spark, sf_dir: str, k: int = 5,
+                      query_mod: int = 50,
+                      labels: tuple[int, ...] = FILTERED_LABELS
+                      ) -> DataFrame:
+    """Serving path: the label predicate applied at the candidate
+    parquet scan, then the shared broadcast-queries BLAS top-k body.
+    Same contract as the declarative twin (1e-6 round, ties by
+    neighbor_id), which therefore serves as its oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _brute_matmul_topk(
+        spark, emb.where(F.col("vec_id") % query_mod == 0),
+        emb.where(F.col("label").isin(list(labels))), k)
 
 
 def _planes_cte(n_planes: int = NUM_PLANES) -> str:

@@ -101,29 +101,34 @@ cand_ok AS (
 
 def scored_candidates_cte(melted_sql: str,
                           class_col: str | None = None,
-                          rules: tuple[Rule, ...] = RULES) -> str:
+                          rules: tuple[Rule, ...] = RULES,
+                          prefix: str = "") -> str:
     """CTE chain: melted -> distinct vals -> candidates -> checksum filter
-    -> rules-only ensemble score. Ends defining relations ``vals`` and
-    ``scored``."""
+    -> rules-only ensemble score. Ends defining relations ``{prefix}vals``
+    and ``{prefix}scored``. ``prefix`` namespaces the chain so two
+    instances can coexist in one statement (the incremental scan's
+    fresh/carried branches); the default renders byte-identical to the
+    historical unprefixed text."""
     vcols = "column_ref, value" + (f", {class_col}" if class_col else "")
+    p = prefix
     return f"""
-vals AS (
+{p}vals AS (
   SELECT DISTINCT {vcols} FROM {melted_sql} m
   WHERE value IS NOT NULL
 ),
-cand0 AS ({_cand_union_sql('vals', rules, class_col=class_col)}),
-cand AS (
+{p}cand0 AS ({_cand_union_sql(f'{p}vals', rules, class_col=class_col)}),
+{p}cand AS (
   SELECT *,
     CASE WHEN validator = 'luhn' THEN {luhn_sql('match_text', 'duckdb')}
          WHEN validator = 'verhoeff12' THEN {verhoeff12_sql('match_text', 'duckdb')}
          ELSE NULL END AS checksum_ok
-  FROM cand0
+  FROM {p}cand0
 ),
-scored AS (
+{p}scored AS (
   SELECT column_ref, value, pii_type, match_text, rule_confidence,
          COALESCE(checksum_ok, FALSE) AS validated,
          {candidate_score_sql('duckdb')} AS prob
-  FROM cand
+  FROM {p}cand
   WHERE checksum_ok IS NULL OR checksum_ok
 )"""
 
@@ -141,8 +146,8 @@ SELECT s.column_ref AS column_ref, s.pii_type AS pii_type,
        COUNT(*) AS n_candidates,
        COUNT(DISTINCT s.value) AS n_values_hit,
        round(MAX(s.prob), 6) AS confidence,
-       {ratio_round_halfup("duckdb", "COUNT(DISTINCT s.value)",
-                           "t.n_values")} AS hit_rate
+       {ratio_round_halfup_guarded("duckdb", "COUNT(DISTINCT s.value)",
+                                   "t.n_values")} AS hit_rate
 FROM scored s JOIN totals t ON s.column_ref = t.column_ref
 GROUP BY s.column_ref, s.pii_type, t.n_values
 """
@@ -208,3 +213,40 @@ def ratio_round_halfup(dialect: str, num: str, den: str,
                          f"2 * ({den})")
     return (f"CAST(CAST({q0} * {rem} + {half} AS DOUBLE)"
             f" / CAST({p} AS DOUBLE) AS DOUBLE)")
+
+
+def halfup_den_bound(scale: int = 6, num_scale: int = 0) -> int:
+    """The largest denominator ratio_round_halfup's intermediates are
+    provably BIGINT-safe for: its half term is bounded by
+    den * (2 * 10^(scale - num_scale) + 1)."""
+    return (2 ** 63 - 1) // (2 * 10 ** (scale - num_scale) + 1)
+
+
+def ratio_round_halfup_guarded(dialect: str, num: str, den: str,
+                               scale: int = 6, num_scale: int = 0,
+                               guard: str | None = None) -> str:
+    """ratio_round_halfup with its overflow precondition ENFORCED at
+    runtime — for call sites whose denominator is an UNBOUNDED
+    data-dependent aggregate (cohort sizes, out-degree totals,
+    per-column value counts), where the documented den bound
+    (halfup_den_bound: ~4.6e12 at scale 6) cannot be guaranteed
+    statically. Beyond the bound, Spark (non-ANSI) would silently wrap
+    the BIGINT multiplication while DuckDB raises — a silent
+    cross-engine divergence (round-10 ADVICE); the guard replaces that
+    cliff with an explicit SAME-BRANCH-ON-BOTH-ENGINES fallback to the
+    plain double round. The fallback reintroduces the half-tie
+    rounding ambiguity ONLY where a tie needs den to divide
+    2 * num * 10^scale with den > 4.6e12 — vanishingly unlikely for
+    data-dependent counts, and the best available once exact integer
+    arithmetic no longer fits.
+
+    ``guard`` overrides the default ``den <= bound`` test — required
+    when den is itself a PRODUCT that could overflow inside the guard
+    expression (basket lift guards the factors instead); the guard
+    expression must be overflow-safe to EVALUATE, since CASE only
+    protects the branches, not the condition."""
+    bound = halfup_den_bound(scale, num_scale)
+    exact = ratio_round_halfup(dialect, num, den, scale, num_scale)
+    plain = f"round(CAST({num} AS DOUBLE) / ({den}), {scale})"
+    g = guard if guard is not None else f"({den}) <= {bound}"
+    return f"(CASE WHEN {g} THEN {exact} ELSE {plain} END)"

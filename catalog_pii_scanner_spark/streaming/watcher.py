@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.rules import candidate_score, extract_candidates
-from ..oracles import ratio_round_halfup
+from ..oracles import ratio_round_halfup, ratio_round_halfup_guarded
 
 EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
                  "event_type string, value double, props string")
@@ -894,7 +894,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
                     F.col("day_offset").cast("bigint").alias("day_offset"),
                     F.col("n_active").cast("bigint").alias("n_active"),
-                    F.expr(ratio_round_halfup(
+                    F.expr(ratio_round_halfup_guarded(
                         "spark", "n_active", "n_cohort"))
                     .alias("retention")))
 
@@ -913,7 +913,7 @@ sizes AS (SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY cohort)
 SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort,
        CAST(a.day_offset AS BIGINT) AS day_offset,
        CAST(COUNT(*) AS BIGINT) AS n_active,
-       {ratio_round_halfup("duckdb", "COUNT(*)", "s.n_cohort")} AS retention
+       {ratio_round_halfup_guarded("duckdb", "COUNT(*)", "s.n_cohort")} AS retention
 FROM activity a JOIN sizes s ON s.cohort = a.cohort
 GROUP BY a.cohort, a.day_offset, s.n_cohort
 """

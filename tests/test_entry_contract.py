@@ -102,6 +102,33 @@ MUST_FRONT_BY_ROUND: dict[int, set[str]] = {
         "stream_dedup_keep_list", "stream_dsir_select", "stream_events_recent_score",
         "tpch_local_supplier_volume",
     },
+    # Round 12 fronts the 43 entries whose latest driver row is r9 —
+    # the r9 artifact's 45 rows minus the two retired instruments
+    # (sketch_hll_registers / sketch_hll_rho_parts left queries() in
+    # round 11 with sketch_hll_state and multimodal_audio_fp_bits,
+    # per the PERF.md retirement playbook). The round-11 window held
+    # the full 46-entry r8 cohort + the 4 new never-gated entries, so
+    # none of these could also be fronted. 43 + up-to-7 r11 reds fit
+    # the 50-slot window.
+    12: {
+        "ann_cosine_topk", "ann_lsh_matmul", "ann_lsh_topk",
+        "athena_sample_capped", "churned_customers", "corpus_char_entropy",
+        "corpus_curate", "corpus_decontaminate", "corpus_pack_sequences",
+        "corpus_repetition", "corpus_sample_stratified", "corpus_split",
+        "corpus_temperature_sample", "corpus_tfidf_keywords",
+        "corpus_vocab_topk", "dedup_embed_cosine", "doc_fingerprints",
+        "doc_lang_id", "doc_length_quantiles", "doc_quality",
+        "doc_token_counts", "events_funnel", "events_hourly",
+        "events_hourly_gapfill", "events_props_stats", "events_retention",
+        "events_sessions_salted", "events_value_outliers", "glue_columns",
+        "hms_columns", "llm_budget_plan", "monthly_revenue_running",
+        "multimodal_audio_energy", "multimodal_frame_sample",
+        "multimodal_real_pgm_features", "multimodal_real_wav_features",
+        "orders_priority_pivot", "pii_ensemble_predictions",
+        "sketch_kmv_distinct", "stream_doc_pii_density",
+        "top_customers_by_revenue", "tpch_pricing_summary",
+        "unity_columns",
+    },
 }
 
 #: Appended to rotation assertion failures so a red suite is read
@@ -243,18 +270,22 @@ INTEGER_AUDIT_COLUMNS = {
     "sketch_hll_distinct": ("est_distinct", "err_bp", "z_hi", "z_lo"),
     "sketch_hll_union": ("est_distinct", "z_hi", "z_lo"),
     "stream_hll_distinct": ("est_distinct", "z_hi", "z_lo"),
-    "sketch_hll_registers": ("register", "mrho"),
-    "sketch_hll_rho_parts": ("nz", "fd", "n_values"),
-    "sketch_hll_state": ("v_zero", "z_hi", "z_lo", "filled"),
+    # (the four retired instrument queries' audit columns — registers/
+    # rho_parts/state/fp_bits — are gated by their builder tests in
+    # test_sketches_dq_layout.py now that they left queries())
     "sketch_kmv_distinct": ("n_k", "h_k", "est_distinct", "err_bp"),
     "stream_kmv_distinct": ("n_k", "h_k", "est_distinct"),
     "sketch_cms_heavy_hitters": ("over_bp", "cms_est", "exact_count"),
     "multimodal_audio_fingerprint": ("fingerprint", "n_windows"),
-    "multimodal_audio_fp_bits": ("window_no", "bit"),
     "dq_referential_suite": ("orphan_bp",),
     "dq_k_anonymity": ("risk_bp",),
     "layout_compaction_plan": ("bin_id", "fill_bp"),
     "layout_partition_skew": ("rec_salt",),
+    # round-11 new surface: the incremental scan's count columns
+    "pii_incremental_scan": ("n_candidates", "n_values_hit"),
+    "corpus_bpe_apply": ("n_tokens", "n_enc", "n_bpe"),
+    "corpus_normalize_text": ("n_raw", "n_norm", "n_tabs", "n_crs",
+                              "n_bells", "n_ws_collapsed", "n_trimmed"),
 }
 
 
@@ -360,4 +391,38 @@ def test_no_hugeint_in_any_oracle_output():
         for c, t in zip(rel.columns, rel.types):
             if str(t) not in FETCH_STABLE_TYPES:
                 offenders.append((qname, c, str(t)))
+    assert not offenders, offenders
+
+
+#: Design bound for integer OUTPUT magnitudes: every emitted integer
+#: stays exactly representable through a float64 fetch path with 2^5
+#: headroom (the 48-bit md5 hash domain KMV/fingerprints already pin;
+#: the r7-r9 red rows all carried values above 2^31 in a WIDE type).
+#: BIGINT itself is int64-stable, so this is a design-rule tripwire —
+#: an output column whose values approach 2^48 is one the next scale
+#: factor could push into territory where a widening mistake (a
+#: reintroduced HUGEINT/DECIMAL, a double cast) silently loses
+#: exactness.
+MAX_INT_OUTPUT = 1 << 48
+
+
+def test_integer_output_magnitudes_within_design_bound():
+    """Runs EVERY registered oracle at sf0.001 and asserts no
+    BIGINT/INTEGER output column carries |value| above 2^48 — the
+    value-range half of the fetch-stability contract (the type half is
+    test_no_hugeint_in_any_oracle_output). Parametrized over
+    oracle_sql() itself so a future query cannot opt out."""
+    con = _duck_sf0001()
+    offenders = []
+    for qname, sql in E.oracle_sql().items():
+        rel = con.sql(sql)
+        ints = [c for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("BIGINT", "INTEGER")]
+        if not ints:
+            continue
+        sel = ", ".join(f'MAX(ABS("{c}"))' for c in ints)
+        for c, v in zip(ints, con.sql(
+                f"SELECT {sel} FROM ({sql}) _q").fetchone()):
+            if v is not None and v > MAX_INT_OUTPUT:
+                offenders.append((qname, c, v))
     assert not offenders, offenders

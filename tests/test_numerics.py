@@ -60,3 +60,50 @@ def test_ratio_round_halfup_rounds_half_up():
     v = duck.sql("SELECT " + ratio_round_halfup(
         "duckdb", "CAST(1 AS DECIMAL(38,6))", "640")).fetchall()[0][0]
     assert v == 0.001563
+
+
+def test_guarded_fragment_branches(spark):
+    """ratio_round_halfup_guarded: equal to the exact fragment under
+    the bound, plain double round beyond it, and the SAME branch on
+    both engines (round-11: the runtime guard replacing the documented
+    overflow cliff at unbounded-denominator call sites)."""
+    from catalog_pii_scanner_spark.oracles import (
+        halfup_den_bound, ratio_round_halfup_guarded)
+    duck = duckdb.connect()
+    bound = halfup_den_bound()
+    # under the bound: identical to the exact fragment (tie case)
+    for eng, run in (("duckdb", lambda q: duck.sql(q).fetchall()[0][0]),
+                     ("spark",
+                      lambda q: spark.sql(q).collect()[0][0])):
+        v = run("SELECT " + ratio_round_halfup_guarded(
+            eng, "CAST(1 AS BIGINT)", "640"))
+        assert v == 0.001563, (eng, v)
+        # beyond the bound: evaluates WITHOUT overflow on both engines
+        # (DuckDB would raise, Spark would silently wrap, if the exact
+        # branch were taken) and returns the plain double round
+        big = bound * 10 + 7
+        v = run("SELECT " + ratio_round_halfup_guarded(
+            eng, f"CAST({big // 2} AS BIGINT)", f"CAST({big} AS BIGINT)"))
+        assert v == 0.5, (eng, v)
+
+
+def test_basket_lift_guard_is_factor_safe(spark):
+    """The lift guard bound: n <= _LIFT_GUARD_N implies every fragment
+    intermediate fits BIGINT even at the worst corner (pair = a = b =
+    n), and the worst corner VALUE is correct on both engines."""
+    from catalog_pii_scanner_spark.oracles import halfup_den_bound
+    from catalog_pii_scanner_spark.operators.analytics import (
+        _LIFT_GUARD_N)
+    n = _LIFT_GUARD_N
+    assert n * n <= halfup_den_bound()
+    assert (n + 1) * (n + 1) > halfup_den_bound()
+    duck = duckdb.connect()
+    from catalog_pii_scanner_spark.oracles import (
+        ratio_round_halfup_guarded)
+    for eng, run in (("duckdb", lambda q: duck.sql(q).fetchall()[0][0]),
+                     ("spark",
+                      lambda q: spark.sql(q).collect()[0][0])):
+        q = ("SELECT " + ratio_round_halfup_guarded(
+            eng, f"CAST({n} AS BIGINT) * {n}",
+            f"CAST({n} AS BIGINT) * {n}", guard=f"{n} <= {n}"))
+        assert run(q) == 1.0, eng

@@ -234,14 +234,22 @@ def test_hll_spark_output_schema_has_no_double(spark):
 
 def test_hll_lc_table_matches_regeneration():
     """The pinned linear-counting literals are round(m * ln(m / V))
-    for V = 1..63. Regenerate with Python math and require each pinned
-    entry within 0.51 of the computed value — the table is pinned
-    (not computed at import) precisely so a platform libm's 1-ulp ln()
-    drift can never flip a rounding boundary between builds, and this
-    test keeps the pins honest."""
+    for V = 1..63. Regenerate with Python math and require EXACT
+    round() equality — the table is pinned (not computed at import)
+    precisely so a platform libm's 1-ulp ln() drift can never flip a
+    rounding boundary between builds, and this test keeps the pins
+    honest. Round-10 ADVICE: the old 0.51 absolute tolerance would
+    have accepted an off-by-one pin whenever the computed value sat
+    within 0.01 of a half boundary — weaker than the contract the
+    table docstring states — so the check is now (a) exact round
+    equality and (b) no computed value within 1e-6 of a half-integer
+    (so the 1-ulp drift can never flip THIS regeneration check
+    either)."""
     for v, pinned in enumerate(HLL_LC_EST, start=1):
         computed = HLL_M * math.log(HLL_M / v)
-        assert abs(pinned - computed) <= 0.51, (v, pinned, computed)
+        assert round(computed) == pinned, (v, pinned, computed)
+        frac = abs(computed - math.floor(computed) - 0.5)
+        assert frac > 1e-6, (v, computed, "on a rounding boundary")
     # strictly decreasing in V (more empty registers = fewer distinct)
     assert list(HLL_LC_EST) == sorted(HLL_LC_EST, reverse=True)
 

@@ -72,8 +72,8 @@ def main() -> int:
         ("events_hourly_gapfill", "one-row bounds spine + keyed join"),
         ("corpus_split", "hash-range projection, zero shuffles"),
         ("corpus_char_entropy", "char explode + two keyed aggs"),
-        ("sketch_hll_registers", "HLL stage diag: pruned scans + "
-                                 "<=64-group partial-max"),
+        ("pii_incremental_scan", "fingerprint diff -> broadcast "
+                                 "action prune -> scan changed cols only"),
         ("sketch_kmv_distinct", "KMV: pruned scans + partial DISTINCT "
                                 "+ TakeOrdered k"),
         ("tpch_pricing_summary", "pushed date filter, one-shuffle agg"),
@@ -155,8 +155,12 @@ def main() -> int:
          "per-order pairing, materialized (o,p), bounded quadratic"),
         ("events_transition_matrix",
          "one user-keyed lead window + pair agg"),
-        ("multimodal_audio_fp_bits",
-         "fp stage diag: window rows -> asset-keyed lag, no census"),
+        ("corpus_bpe_apply",
+         "frozen merges folded into one projection, broadcast encode map"),
+        ("corpus_normalize_text",
+         "zero-shuffle codegen normalization projection"),
+        ("ann_filtered_topk",
+         "label pushed to candidate scan + broadcast-queries BLAS topk"),
         ("stream_kmv_distinct",
          "per-batch min-k spool + one distinct-union TakeOrdered"),
     ]
