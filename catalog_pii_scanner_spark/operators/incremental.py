@@ -7,32 +7,37 @@ content fingerprint decides whether the stored finding is still valid).
 Semantics (dual-dialect, deterministic):
 
 - the PRIOR run's snapshot is the melted catalog minus the "arrived
-  since" rows — a deterministic md5 gate marks ~1/8 of the rows of
+  since" rows — a deterministic md5 gate marks ~1/8 of the values of
   ~1/4 of the columns as new (``NEW_ROW_GATE``), standing in for the
   data that landed between runs; in production the prior side is the
   findings store (sinks/findings_store.py MERGE keyed on column_ref)
   plus the stored per-column fingerprints, not a re-derivation;
-- each side collapses to a per-column FINGERPRINT ``(n, h)``:
-  row count + ``bit_xor`` of a 48-bit md5-derived row hash (the KMV
-  hash domain, sketches.py:527) — order-free, overflow-free,
-  mergeable, one metadata-scale row per column;
-- the fingerprint diff classifies every column:
-  ``new`` (no prior row), ``rescanned`` (count or xor moved),
-  ``carried`` (identical) — and ONLY the non-carried columns flow
-  into the regex scan; carried columns forward the prior run's
-  findings untouched;
+- fingerprints are computed over the DISTINCT NON-NULL VALUE SET of
+  each column — deliberately, not over raw rows: the scanner dedups
+  values before extraction (reference P3, sampler.py:104-117), so a
+  new row whose value the column already contained CANNOT change any
+  finding and must not trigger a rescan. Each side collapses to
+  ``(n, h)``: distinct-value count + ``bit_xor`` of a 48-bit
+  md5-derived value hash (the KMV hash domain, sketches.py:527) —
+  order-free, overflow-free, mergeable, one metadata-scale row per
+  column;
+- the fingerprint diff classifies every column: ``new`` (no prior
+  value), ``rescanned`` (count or xor moved), ``carried`` (identical)
+  — and ONLY the non-carried columns' values flow into the regex
+  scan; carried columns forward the prior run's findings untouched;
 - output = findings_rollup columns + ``scan_action``.
 
-Scale shape (the 100 TB story): the fingerprint pass is one
-map-side-combinable aggregation per snapshot (the same (column_ref)
-clustering the scan itself needs), the action relation is one row per
-COLUMN (metadata-scale, broadcast), and the expensive stage — distinct
-+ regex extraction + checksum validation — runs only over the changed
-columns' values: a 24h delta on a 100 TB catalog typically touches a
-few percent of columns, so the rescan cost tracks the delta, not the
-catalog. The carried branch is a findings-store read in production;
-it is derived from the prior snapshot here so the DuckDB oracle can
-replay the whole contract from the same parquet inputs.
+Scale shape (the 100 TB story): ONE distinct shuffle (the same one
+the plain scan pays), a metadata-scale conditional-aggregate
+fingerprint pass over it, the action relation broadcast, and the
+expensive stage — regex extraction + checksum validation — runs only
+over the changed columns' values: a 24h delta on a 100 TB catalog
+typically touches a few percent of columns, so the rescan cost tracks
+the delta, not the catalog. Per-column totals for hit_rate fall out
+of the fingerprints (no second counting pass). The carried branch is
+a findings-store read in production; it is derived from the prior
+snapshot here so the DuckDB oracle can replay the whole contract from
+the same parquet inputs.
 """
 
 from __future__ import annotations
@@ -42,119 +47,132 @@ from pyspark.sql import functions as F
 
 from .. import oracles
 from ..oracles import ratio_round_halfup_guarded
-from .findings import findings_rollup
+from ..plans.cache import checkpoint_release
+from .rules import candidate_score, extract_candidates
 from .sketches import _kmv_h_expr
 
-#: Deterministic "arrived since the last run" row gate, one SQL text
+#: Deterministic "arrived since the last run" value gate, one SQL text
 #: for both engines (md5/substr/||/COALESCE are dialect-shared): ~1/4
-#: of columns receive new data, and inside them ~1/8 of the rows are
-#: new. The QUERY never relies on this shape — change detection is the
-#: fingerprint diff — the gate only synthesizes the two snapshots from
-#: one parquet input.
+#: of columns receive new values, and inside them ~1/8 of the distinct
+#: values are new. The QUERY never relies on this shape — change
+#: detection is the fingerprint diff — the gate only synthesizes the
+#: two snapshots from one parquet input. The gate is a pure function
+#: of (column_ref, value), so "prior snapshot" is well-defined on the
+#: distinct-value basis the fingerprints use.
 NEW_ROW_GATE = ("(substr(md5(column_ref), 1, 1) IN ('0', '1', '2', '3') "
                 "AND substr(md5(column_ref || ':' || COALESCE(value, '')), "
                 "1, 1) IN ('0', '1'))")
 
 
 def _fp_rows_exprs() -> tuple[str, str]:
-    """(h16 SQL, h48-over-h16 SQL): the md5 digest is materialized once
-    per row and the 48-bit integer is digit arithmetic over it — the
-    KMV discipline, shared text in both dialects."""
+    """(h16 SQL, h48-over-h16 SQL) for the DUCKDB side: the md5 digest
+    is named once in a CTE and the 48-bit integer is digit arithmetic
+    over it — the KMV discipline."""
     return "md5(COALESCE(value, ''))", _kmv_h_expr("h16")
+
+
+#: The SAME 48-bit value (first 12 md5 hex digits) as ONE Spark
+#: expression. The digit-arithmetic form is correct on Spark too but
+#: catastrophically slow on an unmaterialized input: Catalyst's
+#: projection collapse re-inlines the named h16 into each of the 12
+#: digit terms, re-evaluating md5 — and the whole melt expression
+#: chain under it — 12x per row (measured 20.7 s -> 5.0 s for the
+#: sf0.1 fingerprint job). ``conv`` has no DuckDB equivalent, so this
+#: is a genuine dialect split; value equality with the digit form is
+#: pinned in tests/test_r11_ops.py.
+_SPARK_H48 = ("cast(conv(substr(md5(coalesce(value, '')), 1, 12), "
+              "16, 10) as bigint)")
 
 
 def incremental_findings(values_df: DataFrame) -> DataFrame:
     """Spark path over a melted (column_ref, value[, vclass]) relation.
 
-    Plan: one projection flags rows, ONE conditional-aggregate
-    fingerprint pass (both snapshots), the metadata-scale action
-    relation checkpointed and broadcast, then ONE findings_rollup over
-    the per-column row selection (see the branch-fusion note below).
+    Plan: ONE distinct shuffle (persisted — it feeds the fingerprint
+    pass and the pruned scan, the findings_rollup discipline), one
+    conditional-aggregate fingerprint pass producing the checkpointed
+    metadata-scale action relation WITH the per-column totals, then
+    extraction over the broadcast-pruned value set only.
     """
-    h16_sql, h48_sql = _fp_rows_exprs()
-    flagged = values_df.withColumn("is_new", F.expr(NEW_ROW_GATE))
-    fp_rows = (flagged
-               .select("column_ref", "is_new",
-                       F.expr(h16_sql).alias("h16"))
-               .select("column_ref", "is_new",
-                       F.expr(h48_sql).alias("h")))
-    # BOTH snapshots' fingerprints in ONE conditional aggregation pass
+    vcols = ["column_ref", "value"] + (
+        ["vclass"] if "vclass" in values_df.columns else [])
+    class_col = "vclass" if "vclass" in values_df.columns else None
+    vals = (values_df.select(*vcols)
+            .where(F.col("value").isNotNull()).distinct()
+            .withColumn("is_new", F.expr(NEW_ROW_GATE))
+            .persist())
+    # both snapshots' fingerprints in ONE conditional aggregation pass
     # (the oracle states them as two CTEs over the same rows — same
-    # values, but Spark would execute two full melt+md5 scans); the
-    # prior side is the NOT-is_new filter folded into the aggregates.
-    # A column with zero prior rows has o_n = 0 <=> the oracle's
-    # "no old_fp row" case.
-    fps = fp_rows.groupBy("column_ref").agg(
-        F.count("*").alias("n"),
-        F.expr("bit_xor(h)").alias("h"),
-        F.count(F.when(~F.col("is_new"), 1)).alias("o_n"),
-        F.expr("bit_xor(CASE WHEN NOT is_new THEN h END)").alias("o_h"))
-    # the action relation is ONE ROW PER COLUMN — materialize it
-    # eagerly so its four consumers (two prunes, two broadcasts) do
-    # not each replay the fingerprint scan.
-    acts = (fps.select("column_ref",
-                       F.when(F.col("o_n") == 0, F.lit("new"))
-                       .when((F.col("n") != F.col("o_n"))
-                             | (F.col("h") != F.col("o_h")),
-                             F.lit("rescanned"))
-                       .otherwise(F.lit("carried")).alias("scan_action"))
-            .localCheckpoint(eager=True))
-    # The fresh and carried branches are DISJOINT in column_ref, so
-    # one findings_rollup over the per-column row selection is
-    # row-identical to running the two branches separately (the oracle
-    # keeps the two prefixed branches because its CTE form states the
-    # contract more plainly; equality is what the driver gate checks):
-    # rescan/new columns keep ALL current rows, carried columns keep
-    # only the prior-snapshot rows. ONE broadcast filter join, ONE
-    # distinct shuffle, ONE regex extraction pipeline — the double
-    # plan/codegen cost of two scan branches measured 2x on the
-    # micro sweep.
-    keep = (flagged.join(F.broadcast(acts), "column_ref")
+    # values); the prior side is the NOT-is_new filter folded into the
+    # aggregates. A column with zero prior values has o_n = 0 <=> the
+    # oracle's "no old_fp row" case. n / o_n double as the hit_rate
+    # denominators (n_values per column per snapshot) — no second
+    # counting pass.
+    fps = (vals.select("column_ref", "is_new",
+                       F.expr(_SPARK_H48).alias("h"))
+           .groupBy("column_ref")
+           .agg(F.count("*").alias("n"),
+                F.expr("bit_xor(h)").alias("h"),
+                F.count(F.when(~F.col("is_new"), 1)).alias("o_n"),
+                F.expr("bit_xor(CASE WHEN NOT is_new THEN h END)")
+                .alias("o_h")))
+    # ONE ROW PER COLUMN — checkpoint eagerly so the filter and the
+    # two broadcast joins below do not each replay the fingerprint
+    # pass.
+    acts = (fps.select(
+        "column_ref",
+        F.when(F.col("o_n") == 0, F.lit("new"))
+        .when((F.col("n") != F.col("o_n"))
+              | (F.col("h") != F.col("o_h")), F.lit("rescanned"))
+        .otherwise(F.lit("carried")).alias("scan_action"),
+        F.when(F.col("o_n") == 0, F.col("n"))
+        .when((F.col("n") != F.col("o_n"))
+              | (F.col("h") != F.col("o_h")), F.col("n"))
+        .otherwise(F.col("o_n")).alias("n_values"))
+        .localCheckpoint(eager=True))
+    # rescan/new columns scan ALL current values, carried columns keep
+    # only the prior-snapshot values (identical by fingerprint, and a
+    # findings-store read in production — derived here for the oracle)
+    keep = (vals.join(F.broadcast(acts), "column_ref")
             .where((F.col("scan_action") != "carried")
                    | (~F.col("is_new"))))
-    found = findings_rollup(keep.drop("is_new", "scan_action"))
-    cols = ("column_ref", "pii_type", "n_candidates", "n_values_hit",
-            "confidence", "hit_rate", "scan_action")
-    return found.join(F.broadcast(acts), "column_ref").select(*cols)
-
-
-def _findings_select(prefix: str) -> str:
-    """The findings aggregation over a prefixed scored/totals pair —
-    textually the scan_findings_oracle tail (oracles.py:140-147) with
-    namespaced relations."""
-    p = prefix
-    return f"""SELECT s.column_ref AS column_ref, s.pii_type AS pii_type,
-       COUNT(*) AS n_candidates,
-       COUNT(DISTINCT s.value) AS n_values_hit,
-       round(MAX(s.prob), 6) AS confidence,
-       {ratio_round_halfup_guarded("duckdb", "COUNT(DISTINCT s.value)",
-                                   "t.n_values")} AS hit_rate
-FROM {p}scored s JOIN {p}totals t ON s.column_ref = t.column_ref
-GROUP BY s.column_ref, s.pii_type, t.n_values"""
+    cands = extract_candidates(
+        keep.select(*vcols), class_col=class_col) \
+        .withColumn("prob", candidate_score())
+    per_type = cands.groupBy("column_ref", "pii_type").agg(
+        F.count("*").alias("n_candidates"),
+        F.countDistinct("value").alias("n_values_hit"),
+        F.round(F.max("prob"), 6).alias("confidence"))
+    out = (per_type.join(F.broadcast(acts), "column_ref")
+           .select("column_ref", "pii_type", "n_candidates",
+                   "n_values_hit", "confidence",
+                   F.expr(ratio_round_halfup_guarded(
+                       "spark", "n_values_hit", "n_values"))
+                   .alias("hit_rate"),
+                   "scan_action"))
+    return checkpoint_release(out, vals)
 
 
 def incremental_findings_oracle_sql(tables: tuple[str, ...]) -> str:
-    """DuckDB oracle: same gate, same fingerprints, same branch prune,
-    findings branches via the prefixed scored-candidates chain."""
+    """DuckDB oracle: same distinct basis, same gate, same
+    fingerprints, same prune; extraction via the shared
+    scored-candidates chain over the pruned value set."""
     melted = oracles.tables_melted_sql(tables)
     h16_sql, h48_sql = _fp_rows_exprs()
-    fresh_src = ("(SELECT column_ref, value, vclass FROM flagged WHERE "
-                 "column_ref IN (SELECT column_ref FROM acts "
-                 "WHERE scan_action <> 'carried'))")
-    carry_src = ("(SELECT column_ref, value, vclass FROM flagged WHERE "
-                 "NOT is_new AND column_ref IN (SELECT column_ref "
-                 "FROM acts WHERE scan_action = 'carried'))")
-    f_cte = oracles.scored_candidates_cte(fresh_src, class_col="vclass",
-                                          prefix="f_")
-    c_cte = oracles.scored_candidates_cte(carry_src, class_col="vclass",
-                                          prefix="c_")
+    keep_src = ("(SELECT column_ref, value, vclass FROM fv JOIN acts "
+                "USING (column_ref) WHERE scan_action <> 'carried' "
+                "OR NOT is_new)")
+    scan_cte = oracles.scored_candidates_cte(keep_src,
+                                             class_col="vclass")
     return f"""
-WITH flagged AS (
-  SELECT m.column_ref, m.value, m.vclass, {NEW_ROW_GATE} AS is_new
-  FROM {melted} m
+WITH dvals AS (
+  SELECT DISTINCT column_ref, value, vclass FROM {melted} m
+  WHERE value IS NOT NULL
+),
+fv AS (
+  SELECT column_ref, value, vclass, {NEW_ROW_GATE} AS is_new FROM dvals
 ),
 fph AS (
-  SELECT column_ref, is_new, {h16_sql} AS h16 FROM flagged
+  SELECT column_ref, is_new, {h16_sql} AS h16 FROM fv
 ),
 fp_rows AS (
   SELECT column_ref, is_new, {h48_sql} AS h FROM fph
@@ -171,23 +189,20 @@ acts AS (
   SELECT c.column_ref,
          CASE WHEN o.column_ref IS NULL THEN 'new'
               WHEN c.n <> o.n OR c.h <> o.h THEN 'rescanned'
-              ELSE 'carried' END AS scan_action
+              ELSE 'carried' END AS scan_action,
+         CASE WHEN o.column_ref IS NULL THEN c.n
+              WHEN c.n <> o.n OR c.h <> o.h THEN c.n
+              ELSE o.n END AS n_values
   FROM cur_fp c LEFT JOIN old_fp o ON o.column_ref = c.column_ref
 ),
-{f_cte.lstrip()},
-f_totals AS (
-  SELECT column_ref, COUNT(*) AS n_values FROM f_vals GROUP BY column_ref
-),
-{c_cte.lstrip()},
-c_totals AS (
-  SELECT column_ref, COUNT(*) AS n_values FROM c_vals GROUP BY column_ref
-),
-found AS (
-  {_findings_select('f_')}
-  UNION ALL
-  {_findings_select('c_')}
-)
-SELECT f.column_ref, f.pii_type, f.n_candidates, f.n_values_hit,
-       f.confidence, f.hit_rate, a.scan_action
-FROM found f JOIN acts a ON a.column_ref = f.column_ref
+{scan_cte.lstrip()}
+SELECT s.column_ref AS column_ref, s.pii_type AS pii_type,
+       COUNT(*) AS n_candidates,
+       COUNT(DISTINCT s.value) AS n_values_hit,
+       round(MAX(s.prob), 6) AS confidence,
+       {ratio_round_halfup_guarded("duckdb", "COUNT(DISTINCT s.value)",
+                                   "a.n_values")} AS hit_rate,
+       a.scan_action
+FROM scored s JOIN acts a ON a.column_ref = s.column_ref
+GROUP BY s.column_ref, s.pii_type, a.n_values, a.scan_action
 """

@@ -217,3 +217,26 @@ def test_filtered_ann_serving_equals_declarative(spark, sf_dir):
     serve = S.ann_filtered_topk(spark, sf_dir).toPandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(serve, decl, check_dtype=False)
+
+
+def test_incremental_spark_hash_equals_duckdb_digit_form(spark, sf_dir):
+    """_SPARK_H48 (one conv() expression, the Spark fast path) must
+    equal the DuckDB digit-arithmetic form value-for-value — the
+    fingerprint contract is 'first 12 md5 hex digits as BIGINT' in
+    both engines even though the rendering is a genuine dialect
+    split (see the _SPARK_H48 note)."""
+    from pyspark.sql import functions as F
+
+    from catalog_pii_scanner_spark.operators.incremental import (
+        _SPARK_H48, _fp_rows_exprs)
+    vals = [(f"v{i}x{i * i}",) for i in range(500)] + [("",), ("0",)]
+    df = spark.createDataFrame(vals, "value string")
+    got = {r.value: r.h for r in
+           df.select("value", F.expr(_SPARK_H48).alias("h")).collect()}
+    h16, h48 = _fp_rows_exprs()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"value": [v[0] for v in vals]}))
+    want = dict(con.sql(
+        f"SELECT value, {h48} AS h FROM "
+        f"(SELECT value, {h16} AS h16 FROM t) _m").fetchall())
+    assert got == want
