@@ -343,7 +343,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 46 + 4 = 50 exactly. The 43 entries whose latest row is r9 (45
 #: minus the 2 retired instruments) hit the age bound when the r11
 #: artifact lands; MUST_FRONT_BY_ROUND[12] declares them (43 +
-#: up-to-7 r11 reds fit the window).
+#: up-to-7 r11 reds fit the window). Two MORE queries are implemented
+#: + tested this round with registration deferred to that window
+#: (rule 1 forbids parking a never-gated entry and this window is
+#: exactly full — the round-9 stream_kmv_distinct precedent):
+#: corpus_collocations (operators/corpus.py) and
+#: events_user_state_history (operators/analytics.py); with them the
+#: round-12 window is 43 + 2 = 45 of 50.
 #: The FULL 141-query set is verified every session by
 #: tools/selfcheck.py, tools/edge_sweep.py, and the scaling sweeps in
 #: PERF.md.

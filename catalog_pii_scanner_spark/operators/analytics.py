@@ -466,3 +466,77 @@ def events_transition_matrix(spark: SparkSession,
 
 def event_transitions_oracle_sql() -> str:
     return event_transitions_sql("duckdb")
+
+
+# --- SCD-2 state history (gaps-and-islands over the event stream) ------------
+#
+# The classic warehouse reconstruction: from an append-only event log,
+# rebuild each user's slowly-changing-dimension (type-2) history —
+# one row per RUN of consecutive equal states with its validity
+# interval. Consecutive-run collapse is the textbook gaps-and-islands
+# pattern: flag run starts with lag(), number runs with a running SUM,
+# aggregate per run, then lead() the next run's start as valid_to.
+#
+# Determinism: the per-user order is the (ts, event_id) total order
+# every sequence operator here uses, so runs are unique. Shuffle
+# shape: ONE user-keyed exchange feeds all three windows and the
+# per-run aggregate (same partition key throughout); no self-joins.
+#
+# NOTE: implemented and tested in round 11; queries()/oracle_sql()
+# registration is deferred to the round-12 window (the round-11
+# FRONT_50 is exactly full and a never-gated entry may not be parked —
+# tests/test_entry_contract.py rule 1).
+
+def user_state_history_sql(dialect: str, ev_rel: str = "events") -> str:
+    """Output: user_id, run_id (1-based BIGINT), state, valid_from,
+    valid_to (NULL for the current run), n_events (BIGINT),
+    is_current. The dialect parameter is nominal — every construct here
+    (lag/lead/SUM OVER with an explicit ROWS frame, CASE, MIN) renders
+    identically in Spark SQL and DuckDB."""
+    return f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM {ev_rel}
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+),
+runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM seq
+),
+per_run AS (
+  SELECT user_id, run_id, MIN(event_type) AS state,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         IS NULL AS is_current
+FROM per_run
+"""
+
+
+def events_user_state_history(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Dual-dialect template execution over the events table
+    (read_table, so TIMESTAMP(NANOS) sources surface as the same
+    microsecond timestamps DuckDB reads)."""
+    from ..sources.melt import read_table
+    read_table(spark, sf_dir, "events") \
+        .createOrReplaceTempView("cpss_scd_events")
+    return spark.sql(user_state_history_sql("spark", "cpss_scd_events"))
+
+
+def user_state_history_oracle_sql() -> str:
+    return user_state_history_sql("duckdb")

@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..oracles import ratio_round_halfup
+from ..oracles import (ratio_round_halfup,
+                        ratio_round_halfup_guarded)
 
 from .dedup import MAX_SHINGLE_TOKENS
 
@@ -1601,3 +1602,96 @@ def corpus_normalize_text(spark, sf_dir: str) -> DataFrame:
 
 def normalize_text_oracle_sql() -> str:
     return normalize_text_sql("duckdb")
+
+
+# --- collocation mining (PMI-by-lift over corpus bigrams) --------------------
+#
+# Church & Hanks 1990: word pairs that co-occur far more than chance —
+# the phrase/stopword-mining pass tokenizer and quality pipelines run
+# over a new corpus. PMI = ln(lift) with
+# lift = n_ab * N / (n_a1 * n_b2) over the bigram table (n_a1 =
+# bigrams starting with a, n_b2 = bigrams ending with b, N = total
+# bigrams): ln is monotone, so the EXACT-integer lift carries the full
+# ranking information and the score stays in the tie-exact domain —
+# no transcendentals anywhere (the basket-lift discipline; the factor
+# guard below is the same derivation as analytics._LIFT_GUARD_N).
+#
+# 100 TB shape: one doc-keyed window builds bigrams (shared with
+# bigram_logprob), pair- and marginal-keyed counts partial-aggregate
+# map-side (all vocabulary-bounded, not corpus-bounded), the one-row N
+# broadcast; the min-count HAVING keeps the pair relation sparse
+# before the marginal joins.
+#
+# NOTE: implemented and tested in round 11; queries()/oracle_sql()
+# registration is deferred to the round-12 window (the round-11
+# FRONT_50 is exactly full and a never-gated entry may not be parked —
+# tests/test_entry_contract.py rule 1).
+
+#: A pair must occur this often to be reported (sparsity + the classic
+#: PMI low-count instability filter).
+COLLOC_MIN_COUNT = 5
+
+
+def collocations_docs(docs: DataFrame,
+                      min_count: int = COLLOC_MIN_COUNT) -> DataFrame:
+    from .analytics import _LIFT_GUARD_N
+    toks = (docs.select(
+                "doc_id",
+                F.posexplode(F.split(F.lower(F.col("text")), " +"))
+                .alias("pos", "token"))
+            .where(F.col("token") != ""))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (toks.withColumn("t1", F.lead("token", 1).over(w))
+           .where(F.col("t1").isNotNull())
+           .select(F.col("token").alias("w1"), F.col("t1").alias("w2")))
+    pairs = (big.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+             .where(F.col("n_ab") >= min_count))
+    m1 = big.groupBy("w1").agg(F.count("*").alias("n_a1"))
+    m2 = big.groupBy("w2").agg(F.count("*").alias("n_b2"))
+    n = big.groupBy().agg(F.count("*").alias("n_bigrams"))
+    lift = ratio_round_halfup_guarded(
+        "spark", "n_ab * n_bigrams", "n_a1 * n_b2",
+        guard=f"n_bigrams <= {_LIFT_GUARD_N}")
+    return (pairs.join(m1, "w1").join(m2, "w2")
+            .join(F.broadcast(n))
+            .select("w1", "w2", "n_ab", "n_a1", "n_b2", "n_bigrams",
+                    F.expr(lift).alias("lift")))
+
+
+def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return collocations_docs(_docs(spark, sf_dir))
+
+
+def collocations_oracle_sql(docs_rel: str = "documents",
+                            min_count: int = COLLOC_MIN_COUNT) -> str:
+    from .analytics import _LIFT_GUARD_N
+    lift = ratio_round_halfup_guarded(
+        "duckdb", "p.n_ab * n.n_bigrams", "a.n_a1 * b.n_b2",
+        guard=f"n.n_bigrams <= {_LIFT_GUARD_N}")
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS toks
+        FROM {docs_rel}) _t
+),
+toks AS (SELECT doc_id, pos, token FROM toks0 WHERE token <> ''),
+big0 AS (
+  SELECT doc_id, token AS w1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+big AS (SELECT w1, w2 FROM big0 WHERE w2 IS NOT NULL),
+pairs AS (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY w1, w2
+  HAVING COUNT(*) >= {min_count}
+),
+m1 AS (SELECT w1, COUNT(*) AS n_a1 FROM big GROUP BY w1),
+m2 AS (SELECT w2, COUNT(*) AS n_b2 FROM big GROUP BY w2),
+n AS (SELECT COUNT(*) AS n_bigrams FROM big)
+SELECT p.w1, p.w2, p.n_ab, a.n_a1, b.n_b2, n.n_bigrams,
+       {lift} AS lift
+FROM pairs p
+JOIN m1 a ON a.w1 = p.w1
+JOIN m2 b ON b.w2 = p.w2
+CROSS JOIN n
+"""

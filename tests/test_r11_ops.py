@@ -240,3 +240,60 @@ def test_incremental_spark_hash_equals_duckdb_digit_form(spark, sf_dir):
         f"SELECT value, {h48} AS h FROM "
         f"(SELECT value, {h16} AS h16 FROM t) _m").fetchall())
     assert got == want
+
+
+# --- deferred round-12 surface (implemented now, registration next window) ----
+
+def test_collocations_match_oracle_and_python(spark, sf_dir):
+    import math
+
+    con = _duck(sf_dir)
+    want = con.sql(corpus.collocations_oracle_sql()).df() \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+    got = corpus.corpus_collocations(spark, sf_dir).toPandas() \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=False)
+    # independent lift check on one row (exact integer half-up)
+    r = want.iloc[0]
+    from fractions import Fraction
+    f = Fraction(int(r.n_ab) * int(r.n_bigrams),
+                 int(r.n_a1) * int(r.n_b2)) * 10**6
+    assert r.lift == float((2 * f.numerator + f.denominator)
+                           // (2 * f.denominator)) / 1e6
+    # min-count filter held
+    assert (want.n_ab >= corpus.COLLOC_MIN_COUNT).all()
+
+
+def test_user_state_history_semantics(spark, sf_dir):
+    con = _duck(sf_dir)
+    want = con.sql(
+        "SELECT * FROM (" +
+        __import__("catalog_pii_scanner_spark.operators.analytics",
+                   fromlist=["a"]).user_state_history_oracle_sql()
+        + ") _q").df().sort_values(["user_id", "run_id"]) \
+        .reset_index(drop=True)
+    from catalog_pii_scanner_spark.operators.analytics import (
+        events_user_state_history)
+    got = events_user_state_history(spark, sf_dir).toPandas() \
+        .sort_values(["user_id", "run_id"]).reset_index(drop=True)
+    for c in ("valid_from", "valid_to"):
+        got[c] = pd.to_datetime(got[c]).astype("datetime64[us]")
+        want[c] = pd.to_datetime(want[c]).astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # SCD-2 invariants: exactly one current run per user; intervals
+    # chain (valid_to == next valid_from); runs never repeat the
+    # previous state (true collapse)
+    for uid, g in want.groupby("user_id"):
+        g = g.sort_values("run_id")
+        assert int(g.is_current.sum()) == 1
+        assert g.is_current.iloc[-1]
+        nxt = g.valid_from.shift(-1)
+        assert (g.valid_to.iloc[:-1] == nxt.iloc[:-1]).all()
+        states = list(g.state)
+        assert all(a != b for a, b in zip(states, states[1:]))
+    # event conservation: run lengths sum to the filtered event count
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    n_ok = len(ev[ev.user_id.notna() & ev.ts.notna()
+                  & ev.event_type.notna()])
+    assert int(want.n_events.sum()) == n_ok
