@@ -91,6 +91,49 @@ def cmd_scan(args) -> int:
         if not table_cols:
             print("[]")
             return 0
+    fps_cur = None
+    if args.incremental:
+        # content-based incremental rescan (the fingerprint half of the
+        # reference's promised --since, operators/incremental.py): one
+        # cheap distinct+hash pass fingerprints every candidate column;
+        # columns whose stored fingerprint is unchanged are pruned at
+        # PLAN CONSTRUCTION (like --since, they never enter the melt the
+        # extraction pipeline reads), and the sidecar refreshes only
+        # AFTER the scan's findings land.
+        from .operators.incremental import column_fingerprints
+        from .sinks.findings_store import changed_column_refs
+        from .sources.melt import column_ref
+        store = args.merge_store or args.store
+        if not store:
+            raise SystemExit("--incremental needs --store or "
+                             "--merge-store (the fingerprint sidecar)")
+        vals_all = reduce(DataFrame.unionByName,
+                          [melt_table(spark, args.sf_dir, t, columns=cols)
+                           for t, cols in table_cols.items()])
+        fps_cur = column_fingerprints(vals_all) \
+            .localCheckpoint(eager=True)
+        changed = changed_column_refs(spark, store, fps_cur)
+        if changed is not None:
+            pruned = {
+                t: [(c, ty) for c, ty in cols
+                    if column_ref(t, c) in changed]
+                for t, cols in table_cols.items()}
+            n_skip = sum(len(cols) for cols in table_cols.values()) \
+                - sum(len(cols) for cols in pruned.values())
+            table_cols = {t: cols for t, cols in pruned.items() if cols}
+            print(json.dumps({"incremental": True,
+                              "skipped_columns": n_skip,
+                              "tables_remaining": len(table_cols)}),
+                  file=sys.stderr)
+        else:
+            print(json.dumps({"incremental": True, "first_run": True}),
+                  file=sys.stderr)
+        if not table_cols:
+            # nothing changed: refresh the sidecar timestamp and exit
+            from .sinks.findings_store import write_column_fingerprints
+            write_column_fingerprints(fps_cur, store)
+            print("[]")
+            return 0
     vals = reduce(DataFrame.unionByName,
                   [melt_table(spark, args.sf_dir, t, columns=cols)
                    for t, cols in table_cols.items()])
@@ -118,6 +161,11 @@ def cmd_scan(args) -> int:
         from .sinks.writeback import apply_writeback_sql
         stats = apply_writeback_sql(spark, findings)
         print(json.dumps({"writeback_sql": stats}), file=sys.stderr)
+    if fps_cur is not None:
+        # findings landed -> NOW the columns count as freshly scanned
+        from .sinks.findings_store import write_column_fingerprints
+        write_column_fingerprints(fps_cur,
+                                  args.merge_store or args.store)
     return 0
 
 
@@ -377,6 +425,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="incremental scan: skip columns with a finding "
                         "newer than this window ('24h', '7d', or hours); "
                         "lookback source is --merge-store or --store")
+    s.add_argument("--incremental", action="store_true",
+                   help="content-based incremental scan: fingerprint "
+                        "every column's distinct value set, rescan only "
+                        "columns whose fingerprint moved since the last "
+                        "run (sidecar lives in --merge-store/--store)")
     s.add_argument("--apply", action="store_true",
                    help="tag write-back via the fake catalog client")
     s.add_argument("--apply-sql", action="store_true",

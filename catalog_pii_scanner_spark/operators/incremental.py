@@ -206,3 +206,18 @@ SELECT s.column_ref AS column_ref, s.pii_type AS pii_type,
 FROM scored s JOIN acts a ON a.column_ref = s.column_ref
 GROUP BY s.column_ref, s.pii_type, a.n_values, a.scan_action
 """
+
+
+def column_fingerprints(values_df: DataFrame) -> DataFrame:
+    """Per-column content fingerprint of a melted relation on the
+    distinct non-null value basis: (column_ref, n_values, fp_hash).
+    The store-facing half of the incremental contract — the CLI's
+    ``--incremental`` mode persists these in the findings store
+    sidecar (sinks/findings_store.py) and diffs them on the next run
+    to decide which columns rescan."""
+    return (values_df.select("column_ref", "value")
+            .where(F.col("value").isNotNull()).distinct()
+            .select("column_ref", F.expr(_SPARK_H48).alias("h"))
+            .groupBy("column_ref")
+            .agg(F.count("*").alias("n_values"),
+                 F.expr("bit_xor(h)").alias("fp_hash")))

@@ -227,3 +227,60 @@ def export_csv(findings: DataFrame, path: str) -> None:
      .withColumn("scanned_at", F.date_format(
          "scanned_at", "yyyy-MM-dd'T'HH:mm:ssXXX"))
      .write.mode("overwrite").option("header", True).csv(path))
+
+
+# --- column-fingerprint sidecar (the --incremental contract) ------------------
+#
+# The content half of the reference's promised --since semantics
+# (operators/incremental.py has the full design): one row per column
+# with the distinct-value-set fingerprint from the last completed
+# scan. Metadata-scale (catalog-width), so a plain overwrite is the
+# honest layout — there is nothing to merge incrementally at one row
+# per column, and a partial write must never survive (the scan that
+# failed before refreshing it should leave the OLD fingerprints, which
+# conservatively forces a rescan of whatever changed since).
+
+FP_SUBDIR = "_fingerprints"
+
+
+def write_column_fingerprints(fps: DataFrame, store_path: str) -> None:
+    """Persist (column_ref, n_values, fp_hash) + scanned_at into the
+    store's fingerprint sidecar. Callers write AFTER the scan's
+    findings land, so a failed scan cannot mark columns fresh."""
+    import os
+    (fps.select("column_ref", "n_values", "fp_hash")
+        .withColumn("scanned_at", F.current_timestamp())
+        .write.mode("overwrite")
+        .parquet(os.path.join(store_path, FP_SUBDIR)))
+
+
+def read_column_fingerprints(spark: SparkSession,
+                             store_path: str) -> DataFrame | None:
+    """The stored sidecar, or None when it does not exist yet (first
+    run -> full scan). Only the path-not-found analysis error degrades;
+    a corrupt sidecar propagates (the recently_scanned_refs rule)."""
+    import os
+    try:
+        return spark.read.parquet(os.path.join(store_path, FP_SUBDIR))
+    except AnalysisException:
+        return None
+
+
+def changed_column_refs(spark: SparkSession, store_path: str,
+                        current_fps: DataFrame) -> frozenset[str] | None:
+    """column_refs whose stored fingerprint is missing or differs from
+    ``current_fps`` — the rescan set. None = no sidecar yet (callers
+    full-scan). Driver-side set: both relations are one row per column
+    (the same metadata scale as recently_scanned_refs)."""
+    stored = read_column_fingerprints(spark, store_path)
+    if stored is None:
+        return None
+    old = (stored.select("column_ref",
+                         F.col("n_values").alias("o_n"),
+                         F.col("fp_hash").alias("o_h")))
+    rows = (current_fps.join(old, "column_ref", "left")
+            .where(F.col("o_n").isNull()
+                   | (F.col("n_values") != F.col("o_n"))
+                   | (F.col("fp_hash") != F.col("o_h")))
+            .select("column_ref").collect())
+    return frozenset(r.column_ref for r in rows)

@@ -214,3 +214,75 @@ def test_jdbc_roundtrip_and_merge(spark, findings, tmp_path_factory):
     assert merged.count() == 2
     assert merged.groupBy("column_ref", "model_version").count() \
         .where(F.col("count") > 1).count() == 0
+
+
+def test_column_fingerprint_sidecar_roundtrip(spark, tmp_path_factory):
+    from catalog_pii_scanner_spark.operators.incremental import (
+        column_fingerprints)
+    from catalog_pii_scanner_spark.sinks.findings_store import (
+        changed_column_refs, read_column_fingerprints,
+        write_column_fingerprints)
+    store = str(tmp_path_factory.mktemp("fps") / "findings")
+    vals = spark.createDataFrame(
+        [("spark://t/a", f"v{i}") for i in range(20)]
+        + [("spark://t/b", f"w{i}") for i in range(10)]
+        + [("spark://t/b", None)],   # NULLs excluded from the basis
+        "column_ref string, value string")
+    fps = column_fingerprints(vals)
+    # no sidecar yet -> None (full scan)
+    assert changed_column_refs(spark, store, fps) is None
+    write_column_fingerprints(fps, store)
+    stored = read_column_fingerprints(spark, store)
+    assert {r.column_ref: r.n_values for r in stored.collect()} \
+        == {"spark://t/a": 20, "spark://t/b": 10}
+    # identical content -> nothing changed
+    assert changed_column_refs(spark, store, fps) == frozenset()
+    # duplicate rows do NOT change the distinct-basis fingerprint
+    dup = vals.unionByName(vals.limit(5))
+    assert changed_column_refs(
+        spark, store, column_fingerprints(dup)) == frozenset()
+    # a genuinely new value in one column -> only that column rescans
+    vals2 = vals.unionByName(spark.createDataFrame(
+        [("spark://t/a", "BRAND-NEW")], "column_ref string, value string"))
+    assert changed_column_refs(
+        spark, store, column_fingerprints(vals2)) \
+        == {"spark://t/a"}
+    # a column the store never saw -> rescans
+    vals3 = vals.unionByName(spark.createDataFrame(
+        [("spark://t/c", "x")], "column_ref string, value string"))
+    assert changed_column_refs(
+        spark, store, column_fingerprints(vals3)) \
+        == {"spark://t/c"}
+
+
+def test_cli_scan_incremental_prunes_unchanged_columns(
+        spark, tmp_path_factory, capsys, monkeypatch):
+    """End-to-end content-based incremental flow: the first
+    --incremental scan fingerprints everything and scans in full; an
+    immediate rerun on unchanged data prunes EVERY column (the --since
+    path can only prune columns that produced findings; the
+    fingerprint path proves absence-of-change for the finding-less
+    ones too) and refreshes the sidecar."""
+    import os
+
+    import catalog_pii_scanner_spark.cli as cli
+    from catalog_pii_scanner_spark.sinks.findings_store import FP_SUBDIR
+    store = str(tmp_path_factory.mktemp("inc3") / "findings")
+    monkeypatch.setattr(cli, "_spark", lambda app: spark)
+    args = ["scan", "--sf-dir", "/root/testdata/sf0.001",
+            "--tables", "orders", "--merge-store", store,
+            "--incremental"]
+    assert cli.main(args) == 0
+    captured = capsys.readouterr()
+    first = json.loads(captured.out)
+    assert [f["column_ref"] for f in first] \
+        == ["spark://orders/o_orderdate"]
+    assert '"first_run": true' in captured.err
+    assert os.path.isdir(os.path.join(store, FP_SUBDIR))
+    # unchanged data -> all 6 orders columns pruned, sidecar refreshed
+    before = os.stat(os.path.join(store, FP_SUBDIR)).st_mtime
+    assert cli.main(args) == 0
+    captured = capsys.readouterr()
+    assert json.loads(captured.out) == []
+    assert '"skipped_columns": 6' in captured.err
+    assert os.stat(os.path.join(store, FP_SUBDIR)).st_mtime >= before
