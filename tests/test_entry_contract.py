@@ -403,6 +403,15 @@ def test_no_hugeint_in_any_oracle_output():
 #: factor could push into territory where a widening mistake (a
 #: reintroduced HUGEINT/DECIMAL, a double cast) silently loses
 #: exactness.
+#:
+#: Bound hierarchy: this 2^48 tripwire is asserted at sf0.001;
+#: tools/selfcheck.py carries the same check as a per-run ADVISORY for
+#: data-dependent exceedances (the round-11 full-fuzz sweep shows
+#: stream_events_recent_score's value-magnitude-dependent score at
+#: ~3.5e14 on adversarial inputs — still hash-matching, because
+#: BIGINT is exact on both engines). The HARD ceiling any output may
+#: ever reach is 2^53 (float64-exactness through every fetch path);
+#: between the two bounds a warning, beyond 2^53 a bug.
 MAX_INT_OUTPUT = 1 << 48
 
 
