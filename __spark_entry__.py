@@ -311,73 +311,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return findings_rollup(_demo_values(spark, SF0001))
 
 
-#: DRIVER-ROUND-11 rotation (the driver gate checks the FIRST 50
+#: DRIVER-ROUND-12 rotation (the driver gate checks the FIRST 50
 #: queries() entries; rounds here and below are DRIVER rounds — the
 #: committed CORRECTNESS_r*.json artifacts — never internal build
 #: iterations).
 #:
-#: Round 10 was the first fully-green 50/50 window (zero red rows
-#: anywhere in the catalog), so this window is pure rotation + new
-#: surface:
-#:   (a) the 46-entry declared cohort (MUST_FRONT_BY_ROUND[11],
-#:       verbatim: every entry whose latest driver row is r8 — age 3
-#:       the moment the r10 artifact landed);
-#:   (b) 4 slots freed by RETIRING the four instrument queries from
-#:       queries() per the PERF.md playbook (sketch_hll_registers /
-#:       sketch_hll_rho_parts / sketch_hll_state /
-#:       multimodal_audio_fp_bits — stage diagnostics built to
-#:       localize the r8-r10 HLL/audio driver divergence, which r10
-#:       closed: root cause was HUGEINT in the oracle fetch path, now
-#:       banned catalog-wide by test_no_hugeint_in_any_oracle_output).
-#:       Their SQL builders + pytest oracle gates remain
-#:       (tests/test_sketches_dq_layout.py); only the registration is
-#:       gone; with the four new queries below the catalog stays at 141.
-#:       The freed slots carry this round's
-#:       NEW product surface (never-gated, rule 1):
-#:       pii_incremental_scan (the reference's promised --since
-#:       incremental rescan over the findings MERGE),
-#:       corpus_bpe_apply (frozen-merges tokenizer apply — the
-#:       serve-side twin of corpus_bpe_merges), corpus_normalize_text
-#:       (deterministic unicode/whitespace normalization pass), and
-#:       ann_filtered_topk (metadata-predicate-filtered ANN).
-#: 46 + 4 = 50 exactly. The 43 entries whose latest row is r9 (45
-#: minus the 2 retired instruments) hit the age bound when the r11
-#: artifact lands; MUST_FRONT_BY_ROUND[12] declares them (43 +
-#: up-to-7 r11 reds fit the window). Two MORE queries are implemented
-#: + tested this round with registration deferred to that window
-#: (rule 1 forbids parking a never-gated entry and this window is
-#: exactly full — the round-9 stream_kmv_distinct precedent):
-#: corpus_collocations (operators/corpus.py) and
-#: events_user_state_history (operators/analytics.py); with them the
-#: round-12 window is 43 + 2 = 45 of 50.
-#: The FULL 141-query set is verified every session by
+#: Round 11 was the second consecutive fully-green 50/50 window, so
+#: this window is again pure rotation + new surface:
+#:   (a) the 43-entry declared cohort (MUST_FRONT_BY_ROUND[12],
+#:       verbatim: every entry whose latest driver row is r9 — age 3
+#:       the moment the r11 artifact landed);
+#:   (b) the 2 round-11 deferred registrations, NEW this window
+#:       (never-gated, rule 1): corpus_collocations (exact-integer PMI
+#:       lift collocation mining, operators/corpus.py) and
+#:       events_user_state_history (SCD-2 gaps-and-islands history,
+#:       operators/analytics.py) — both implemented + pytest-gated in
+#:       round 11 with registration deferred to this window per the
+#:       stream_kmv_distinct precedent;
+#:   (c) 5 fill slots spent EARLY-REFRESHING r10-latest entries: the
+#:       r10 artifact holds 48 still-registered rows that ALL hit the
+#:       age-3 bound when the r12 artifact lands, which would leave
+#:       round 13 zero slack — fronting 5 now caps the round-13
+#:       cohort at 43. Fill picks: eval_trained_metrics (historically
+#:       the noisiest entry), stream_quality_classifier (an r11
+#:       driver-bench fence-crosser — a fresh gate row helps the
+#:       box-variance adjudication), multimodal_audio_fingerprint
+#:       (the 48-bit packing surface), sketch_hll_distinct and
+#:       stream_kmv_distinct (the sketch estimators hardened in
+#:       r10/r11).
+#: 43 + 2 + 5 = 50 exactly. The remaining 43 r10-latest entries hit
+#: the age bound when the r12 artifact lands; MUST_FRONT_BY_ROUND[13]
+#: declares them (43 + up-to-7 r12 reds fit the window).
+#: The FULL 143-query set is verified every session by
 #: tools/selfcheck.py, tools/edge_sweep.py, and the scaling sweeps in
 #: PERF.md.
 FRONT_50 = [
-    # (a) the 46-entry declared cohort (MUST_FRONT_BY_ROUND[11])
-    "ann_ivfpq_trained_topk", "ann_pq_trained_matmul", "catalog_columns",
-    "corpus_bpe_encode", "corpus_bpe_merges", "corpus_chunk_overlap",
-    "corpus_dsir_select", "corpus_line_dedup",
-    "corpus_minhash_decontaminate", "corpus_quality_classifier",
-    "corpus_substring_dedup", "corpus_winnow_pairs",
-    "dedup_clusters", "dedup_exact", "dedup_keep_list",
-    "dedup_lsh_near_pairs", "dedup_minhash_signatures",
-    "dedup_ngram_jaccard", "dedup_simhash", "dq_k_anonymity",
-    "dq_referential_suite", "embed_hard_negatives", "embed_knn_eval",
-    "embed_spectrum_stats", "eval_greedy_metrics",
-    "events_transition_matrix", "layout_compaction_plan",
-    "layout_partition_skew", "multimodal_phash_keep_list",
-    "orders_basket_pairs", "pii_candidates_scored",
-    "pii_full_pipeline", "pii_metadata_hints", "pii_ner_merge_max",
-    "pii_overlap_suppressed", "pii_repeated_spans",
-    "pii_scan_catalog_tables", "pii_scan_enabled_types",
-    "profile_columns", "sketch_cms_heavy_hitters",
-    "stream_cms_counters", "stream_dedup_events",
-    "stream_dedup_keep_list", "stream_dsir_select",
-    "stream_events_recent_score", "tpch_local_supplier_volume",
-    # (b) the 4 NEW (never-gated) entries in the freed slots — rule (1)
-    "pii_incremental_scan", "corpus_bpe_apply",
-    "corpus_normalize_text", "ann_filtered_topk",
+    # (a) the 43-entry declared cohort (MUST_FRONT_BY_ROUND[12])
+    "ann_cosine_topk", "ann_lsh_matmul", "ann_lsh_topk",
+    "athena_sample_capped", "churned_customers", "corpus_char_entropy",
+    "corpus_curate", "corpus_decontaminate", "corpus_pack_sequences",
+    "corpus_repetition", "corpus_sample_stratified", "corpus_split",
+    "corpus_temperature_sample", "corpus_tfidf_keywords",
+    "corpus_vocab_topk", "dedup_embed_cosine", "doc_fingerprints",
+    "doc_lang_id", "doc_length_quantiles", "doc_quality",
+    "doc_token_counts", "events_funnel", "events_hourly",
+    "events_hourly_gapfill", "events_props_stats", "events_retention",
+    "events_sessions_salted", "events_value_outliers", "glue_columns",
+    "hms_columns", "llm_budget_plan", "monthly_revenue_running",
+    "multimodal_audio_energy", "multimodal_frame_sample",
+    "multimodal_real_pgm_features", "multimodal_real_wav_features",
+    "orders_priority_pivot", "pii_ensemble_predictions",
+    "sketch_kmv_distinct", "stream_doc_pii_density",
+    "top_customers_by_revenue", "tpch_pricing_summary",
+    "unity_columns",
+    # (b) the 2 round-11 deferred registrations — never-gated, rule (1)
+    "corpus_collocations", "events_user_state_history",
+    # (c) the 5 early-refresh fills (r10-latest entries)
+    "eval_trained_metrics", "stream_quality_classifier",
+    "multimodal_audio_fingerprint", "sketch_hll_distinct",
+    "stream_kmv_distinct",
 ]
 
 
@@ -808,6 +800,19 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the candidate parquet scan (PRE-filter semantics), then the
         # shared broadcast-queries BLAS top-k body.
         "ann_filtered_topk": simsearch.ann_filtered_topk,
+        # ------------------------------------------------------------------
+        # round 12: the two round-11 deferred registrations.
+        #
+        # PMI collocation mining (Church & Hanks 1990) as EXACT-integer
+        # lift over the corpus bigram table — ln is monotone so the
+        # lift carries the full PMI ranking with zero transcendentals;
+        # vocabulary-bounded map-side aggregates, guarded tie-exact
+        # ratio with the basket-lift factor guard.
+        "corpus_collocations": corpus.corpus_collocations,
+        # SCD-2 user-state history (gaps-and-islands): lag-flag +
+        # running-sum run numbering + per-run aggregate + lead validity
+        # intervals — ONE user-keyed exchange feeds all three windows.
+        "events_user_state_history": analytics.events_user_state_history,
     }
 
 
@@ -1041,4 +1046,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle (the cosine_topk_matmul precedent: identical contract
         # after the shared 1e-6 rounding)
         "ann_filtered_topk": simsearch.ann_filtered_topk_sql("duckdb"),
+        # ------------------------------------------------------------------
+        # round 12 registrations (implemented + pytest-gated in r11)
+        "corpus_collocations": corpus.collocations_oracle_sql(),
+        "events_user_state_history":
+            analytics.user_state_history_oracle_sql(),
     }

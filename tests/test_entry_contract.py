@@ -129,6 +129,34 @@ MUST_FRONT_BY_ROUND: dict[int, set[str]] = {
         "top_customers_by_revenue", "tpch_pricing_summary",
         "unity_columns",
     },
+    # Round 13 fronts the 43 entries whose latest driver row is r10 —
+    # the r10 artifact's 50 rows minus the two instruments retired in
+    # round 11 (sketch_hll_state, multimodal_audio_fp_bits) minus the
+    # 5 that round 12's fill slots early-refreshed
+    # (eval_trained_metrics, stream_quality_classifier,
+    # multimodal_audio_fingerprint, sketch_hll_distinct,
+    # stream_kmv_distinct). 43 + up-to-7 r12 reds fit the window.
+    13: {
+        "ann_cosine_matmul", "ann_ivf_matmul", "ann_ivf_topk",
+        "ann_ivfpq_matmul", "ann_ivfpq_topk", "ann_pq_matmul",
+        "ann_pq_topk", "ann_pq_trained_topk", "bloom_semijoin_filter",
+        "corpus_anonymize", "corpus_bigram_logprob", "corpus_bm25_topk",
+        "corpus_cdc_dedup", "corpus_curate_pii",
+        "corpus_unigram_logprob", "dedup_containment",
+        "doc_pii_density", "dq_anomaly_days", "dq_constraint_suite",
+        "embed_cluster_mix", "embed_jl_topk", "embed_kmeans_lloyd",
+        "embed_semdedup_keep_list", "events_asof_join",
+        "events_neighbor_window", "events_sessions",
+        "layout_zorder_stats", "multimodal_features",
+        "multimodal_phash_dedup", "multimodal_resize",
+        "pii_candidate_features", "pii_candidates_rollup",
+        "pii_ensemble_gated", "pii_ner_context_signals",
+        "pii_redaction_contexts", "pii_scan_demo_crm",
+        "sample_columns_topn", "sketch_histogram_quantiles",
+        "sketch_hll_union", "stream_events_hourly",
+        "stream_events_sessions", "stream_hll_distinct",
+        "stream_phash_keep_list",
+    },
 }
 
 #: Appended to rotation assertion failures so a red suite is read
@@ -286,6 +314,9 @@ INTEGER_AUDIT_COLUMNS = {
     "corpus_bpe_apply": ("n_tokens", "n_enc", "n_bpe"),
     "corpus_normalize_text": ("n_raw", "n_norm", "n_tabs", "n_crs",
                               "n_bells", "n_ws_collapsed", "n_trimmed"),
+    # round-12 registrations (the r11 deferred pair)
+    "corpus_collocations": ("n_ab", "n_a1", "n_b2", "n_bigrams"),
+    "events_user_state_history": ("run_id", "n_events"),
 }
 
 
