@@ -36,9 +36,9 @@ def cmd_scan(args) -> int:
     from .sinks.findings_store import to_findings_records, write_findings
     from .sinks.writeback import FakeCatalogClient, apply_writeback
     from .sources.melt import TESTDATA_SCHEMAS, melt_table
-    from .sources.targets import glob_to_rlike, match_names, parse_target
+    from .sources.targets import match_names, parse_target
     from functools import reduce
-    from pyspark.sql import DataFrame, functions as F
+    from pyspark.sql import DataFrame
 
     spark = _spark("scan")
     cfg = load_config(args.config or None)
@@ -49,7 +49,14 @@ def cmd_scan(args) -> int:
         # reference P1: glob URI gates enumeration before any scan job.
         # Component semantics follow the column_ref shape
         # spark://table/column: the first pattern prunes tables
-        # driver-side, the second filters columns in-plan.
+        # driver-side, the second prunes columns — BOTH at plan
+        # construction (same fnmatch semantics via match_names), so a
+        # pruned column never enters the melt projection, the --since
+        # lookback, OR the --incremental fingerprint basis. The
+        # round-11 ADVICE hole this closes: filtering columns only
+        # after fingerprinting persisted glob-excluded columns as
+        # "freshly scanned" without ever scanning them, so later
+        # --incremental runs pruned their PII forever.
         scheme, tbl_pat, col_pat = parse_target(args.target)
         if scheme not in KNOWN_SCHEMES:
             raise SystemExit(
@@ -60,6 +67,15 @@ def cmd_scan(args) -> int:
         print("[]")
         return 0
     table_cols: dict[str, list] = {t: TESTDATA_SCHEMAS[t] for t in tables}
+    if col_pat != "*":
+        pruned_cols = {
+            t: [(c, ty) for c, ty in cols
+                if match_names((c,), col_pat)]
+            for t, cols in table_cols.items()}
+        table_cols = {t: cols for t, cols in pruned_cols.items() if cols}
+        if not table_cols:
+            print("[]")
+            return 0
     if args.since:
         # incremental scan (reference README.md:200 promises --since; its
         # CLI never implemented it): columns with a fresh-enough finding
@@ -92,6 +108,7 @@ def cmd_scan(args) -> int:
             print("[]")
             return 0
     fps_cur = None
+    vals = None
     if args.incremental:
         # content-based incremental rescan (the fingerprint half of the
         # reference's promised --since, operators/incremental.py): one
@@ -126,6 +143,11 @@ def cmd_scan(args) -> int:
                               "tables_remaining": len(table_cols)}),
                   file=sys.stderr)
         else:
+            # first --incremental run: nothing was pruned, so the scan
+            # covers exactly the columns vals_all already melts —
+            # reuse it instead of constructing the identical union a
+            # second time (round-11 ADVICE: the melt was built twice)
+            vals = vals_all
             print(json.dumps({"incremental": True, "first_run": True}),
                   file=sys.stderr)
         if not table_cols:
@@ -134,12 +156,18 @@ def cmd_scan(args) -> int:
             write_column_fingerprints(fps_cur, store)
             print("[]")
             return 0
-    vals = reduce(DataFrame.unionByName,
-                  [melt_table(spark, args.sf_dir, t, columns=cols)
-                   for t, cols in table_cols.items()])
-    if col_pat != "*":
-        vals = vals.where(F.col("column_ref").rlike(
-            glob_to_rlike(f"spark://*/{col_pat}")))
+    if vals is None:
+        # plan-construction pruning on purpose, NOT a column_ref filter
+        # over vals_all: rebuilding the melt from the pruned table_cols
+        # means the parquet scan reads ONLY the changed columns' pages
+        # — at catalog scale the rescan I/O tracks the day's delta, not
+        # the catalog. (Persisting/checkpointing the fingerprint pass's
+        # distinct relation to share it with the scan was measured and
+        # REJECTED in round 11: cache-fill cost ~18 s vs ~6 s of
+        # re-derivation saved — operators/incremental.py.)
+        vals = reduce(DataFrame.unionByName,
+                      [melt_table(spark, args.sf_dir, t, columns=cols)
+                       for t, cols in table_cols.items()])
     per_type = findings_rollup(
         vals, rules=rules_for_types(cfg.rules.enabled_types))
     findings = to_findings_records(per_type)

@@ -384,10 +384,14 @@ SELECT pr.part_a, pr.part_b,
        -- a * b and the fragment's 2*den*1e6 intermediates all fit
        -- BIGINT — the guard tests the FACTOR because testing the
        -- product could itself overflow); beyond it the plain double
-       -- round is the same explicit branch on both engines
+       -- round is the same explicit branch on both engines, with the
+       -- fallback's own products evaluated factor-cast-to-DOUBLE so
+       -- the fallback itself cannot overflow (round-11 ADVICE)
        {ratio_round_halfup_guarded(
            dialect, "pr.pair_orders * n.n", "pa.cnt * pb.cnt",
-           guard=f"n.n <= {_LIFT_GUARD_N}")} AS lift
+           guard=f"n.n <= {_LIFT_GUARD_N}",
+           fallback_num="(CAST(pr.pair_orders AS DOUBLE) * n.n)",
+           fallback_den="(CAST(pa.cnt AS DOUBLE) * pb.cnt)")} AS lift
 FROM pairs pr
 JOIN part_n pa ON pa.p = pr.part_a
 JOIN part_n pb ON pb.p = pr.part_b

@@ -1651,7 +1651,9 @@ def collocations_docs(docs: DataFrame,
     n = big.groupBy().agg(F.count("*").alias("n_bigrams"))
     lift = ratio_round_halfup_guarded(
         "spark", "n_ab * n_bigrams", "n_a1 * n_b2",
-        guard=f"n_bigrams <= {_LIFT_GUARD_N}")
+        guard=f"n_bigrams <= {_LIFT_GUARD_N}",
+        fallback_num="(CAST(n_ab AS DOUBLE) * n_bigrams)",
+        fallback_den="(CAST(n_a1 AS DOUBLE) * n_b2)")
     return (pairs.join(m1, "w1").join(m2, "w2")
             .join(F.broadcast(n))
             .select("w1", "w2", "n_ab", "n_a1", "n_b2", "n_bigrams",
@@ -1667,7 +1669,9 @@ def collocations_oracle_sql(docs_rel: str = "documents",
     from .analytics import _LIFT_GUARD_N
     lift = ratio_round_halfup_guarded(
         "duckdb", "p.n_ab * n.n_bigrams", "a.n_a1 * b.n_b2",
-        guard=f"n.n_bigrams <= {_LIFT_GUARD_N}")
+        guard=f"n.n_bigrams <= {_LIFT_GUARD_N}",
+        fallback_num="(CAST(p.n_ab AS DOUBLE) * n.n_bigrams)",
+        fallback_den="(CAST(a.n_a1 AS DOUBLE) * b.n_b2)")
     return f"""
 WITH toks0 AS (
   SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token

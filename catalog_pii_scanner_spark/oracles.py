@@ -224,7 +224,9 @@ def halfup_den_bound(scale: int = 6, num_scale: int = 0) -> int:
 
 def ratio_round_halfup_guarded(dialect: str, num: str, den: str,
                                scale: int = 6, num_scale: int = 0,
-                               guard: str | None = None) -> str:
+                               guard: str | None = None,
+                               fallback_num: str | None = None,
+                               fallback_den: str | None = None) -> str:
     """ratio_round_halfup with its overflow precondition ENFORCED at
     runtime — for call sites whose denominator is an UNBOUNDED
     data-dependent aggregate (cohort sizes, out-degree totals,
@@ -244,9 +246,25 @@ def ratio_round_halfup_guarded(dialect: str, num: str, den: str,
     when den is itself a PRODUCT that could overflow inside the guard
     expression (basket lift guards the factors instead); the guard
     expression must be overflow-safe to EVALUATE, since CASE only
-    protects the branches, not the condition."""
+    protects the branches, not the condition.
+
+    ``fallback_num`` / ``fallback_den`` override the expressions the
+    PLAIN branch evaluates — required whenever num or den is a PRODUCT
+    of data-dependent counts (basket lift, collocations): the fallback
+    is taken precisely when counts are huge, where evaluating the
+    BIGINT product before the DOUBLE cast would itself overflow —
+    Spark (non-ANSI) silently wraps while DuckDB raises, the exact
+    cross-engine cliff this guard exists to remove (round-11 ADVICE).
+    Product call sites pass the factors cast to DOUBLE before
+    multiplying (e.g. ``CAST(a AS DOUBLE) * b``), which is
+    overflow-free at any count magnitude; the <= 2^-53 relative error
+    of the double product is irrelevant on the fallback branch, which
+    is already IEEE arithmetic."""
     bound = halfup_den_bound(scale, num_scale)
     exact = ratio_round_halfup(dialect, num, den, scale, num_scale)
-    plain = f"round(CAST({num} AS DOUBLE) / ({den}), {scale})"
+    fn = fallback_num if fallback_num is not None \
+        else f"CAST({num} AS DOUBLE)"
+    fd = fallback_den if fallback_den is not None else f"({den})"
+    plain = f"round({fn} / {fd}, {scale})"
     g = guard if guard is not None else f"({den}) <= {bound}"
     return f"(CASE WHEN {g} THEN {exact} ELSE {plain} END)"

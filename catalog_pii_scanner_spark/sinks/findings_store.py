@@ -234,22 +234,39 @@ def export_csv(findings: DataFrame, path: str) -> None:
 # The content half of the reference's promised --since semantics
 # (operators/incremental.py has the full design): one row per column
 # with the distinct-value-set fingerprint from the last completed
-# scan. Metadata-scale (catalog-width), so a plain overwrite is the
-# honest layout — there is nothing to merge incrementally at one row
-# per column, and a partial write must never survive (the scan that
-# failed before refreshing it should leave the OLD fingerprints, which
-# conservatively forces a rescan of whatever changed since).
+# scan. Metadata-scale (catalog-width), and MERGE-upsert semantics
+# (round-11 ADVICE): a SCOPED run (--tables subset, a column-glob
+# target) must not drop the stored fingerprints of out-of-scope
+# columns — a whole-directory overwrite made alternating scoped
+# --incremental runs thrash each other into full rescans. Stored rows
+# whose column_ref the incoming batch does not carry are kept; a
+# partial write must still never survive, so the merged relation is
+# materialized (eager localCheckpoint breaks the read-from-the-
+# overwrite-target dependency) before the atomic overwrite.
 
 FP_SUBDIR = "_fingerprints"
 
 
 def write_column_fingerprints(fps: DataFrame, store_path: str) -> None:
-    """Persist (column_ref, n_values, fp_hash) + scanned_at into the
-    store's fingerprint sidecar. Callers write AFTER the scan's
-    findings land, so a failed scan cannot mark columns fresh."""
+    """MERGE-upsert (column_ref, n_values, fp_hash) + scanned_at into
+    the store's fingerprint sidecar: incoming rows replace stored rows
+    with the same column_ref; stored rows outside the incoming scope
+    survive. Callers write AFTER the scan's findings land, so a failed
+    scan cannot mark columns fresh."""
     import os
-    (fps.select("column_ref", "n_values", "fp_hash")
-        .withColumn("scanned_at", F.current_timestamp())
+    spark = fps.sparkSession
+    incoming = (fps.select("column_ref", "n_values", "fp_hash")
+                .withColumn("scanned_at", F.current_timestamp()))
+    stored = read_column_fingerprints(spark, store_path)
+    if stored is not None:
+        merged = incoming.unionByName(
+            stored.join(incoming.select("column_ref"),
+                        "column_ref", "left_anti"))
+    else:
+        merged = incoming
+    # one row per column (metadata scale): materialize before the
+    # overwrite so the write never reads the directory it replaces
+    (merged.localCheckpoint(eager=True)
         .write.mode("overwrite")
         .parquet(os.path.join(store_path, FP_SUBDIR)))
 

@@ -107,3 +107,60 @@ def test_basket_lift_guard_is_factor_safe(spark):
             eng, f"CAST({n} AS BIGINT) * {n}",
             f"CAST({n} AS BIGINT) * {n}", guard=f"{n} <= {n}"))
         assert run(q) == 1.0, eng
+
+
+def test_product_fallback_branch_is_overflow_safe_and_identical(spark):
+    """Round-12 (verdict item 6 + round-11 ADVICE medium): FORCE the
+    guarded fragment's FALLBACK branch at product call sites with
+    factor magnitudes where the products exceed BIGINT — the exact
+    regime the fallback exists for. Without fallback_num/fallback_den
+    the plain branch computes the BIGINT product BEFORE the DOUBLE
+    cast: DuckDB raises (out-of-range), Spark silently wraps — the
+    cliff the guard claims to remove. With them, both engines evaluate
+    the identical factor-cast-to-DOUBLE arithmetic; values must match
+    EXACTLY (same IEEE ops in the same order).
+
+    The counts mirror the basket-lift worst shape at a ~5e9-order
+    universe: pair * n and a * b are ~1.5e19 > 2^63 - 1."""
+    from catalog_pii_scanner_spark.oracles import (
+        ratio_round_halfup_guarded)
+    duck = duckdb.connect()
+    pair, n, a, b = 2_999_999_999, 5_000_000_001, 3_000_000_007, \
+        4_999_999_999
+    assert pair * n > 2 ** 63 - 1 and a * b > 2 ** 63 - 1
+    cte = (f"WITH rel AS (SELECT CAST({pair} AS BIGINT) AS pair_n, "
+           f"CAST({n} AS BIGINT) AS n_tot, CAST({a} AS BIGINT) AS a_n, "
+           f"CAST({b} AS BIGINT) AS b_n) ")
+    vals = {}
+    for eng, run in (("duckdb", lambda q: duck.sql(q).fetchall()[0][0]),
+                     ("spark",
+                      lambda q: spark.sql(q).collect()[0][0])):
+        frag = ratio_round_halfup_guarded(
+            eng, "pair_n * n_tot", "a_n * b_n",
+            guard=f"n_tot <= 2147483",  # fails -> fallback branch
+            fallback_num="(CAST(pair_n AS DOUBLE) * n_tot)",
+            fallback_den="(CAST(a_n AS DOUBLE) * b_n)")
+        vals[eng] = run(cte + "SELECT " + frag + " FROM rel")
+    assert vals["spark"] == vals["duckdb"], vals
+    # the expected value, computed independently
+    import math
+    want = round((float(pair) * n) / (float(a) * b), 6)
+    assert math.isclose(vals["spark"], want, rel_tol=0, abs_tol=0), vals
+
+
+def test_call_site_fallbacks_are_registered():
+    """The two product call sites (basket lift, collocations) must pass
+    overflow-safe fallback expressions — pin the generated SQL so a
+    refactor cannot silently drop them back to the raw-product
+    fallback."""
+    from catalog_pii_scanner_spark.operators.analytics import (
+        basket_pairs_segments)
+    from catalog_pii_scanner_spark.operators.corpus import (
+        collocations_oracle_sql)
+    for dialect in ("spark", "duckdb"):
+        _, metric = basket_pairs_segments(dialect)
+        assert "CAST(pr.pair_orders AS DOUBLE) * n.n" in metric, dialect
+        assert "CAST(pa.cnt AS DOUBLE) * pb.cnt" in metric, dialect
+    sql = collocations_oracle_sql()
+    assert "CAST(p.n_ab AS DOUBLE) * n.n_bigrams" in sql
+    assert "CAST(a.n_a1 AS DOUBLE) * b.n_b2" in sql

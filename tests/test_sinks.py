@@ -286,3 +286,67 @@ def test_cli_scan_incremental_prunes_unchanged_columns(
     assert json.loads(captured.out) == []
     assert '"skipped_columns": 6' in captured.err
     assert os.stat(os.path.join(store, FP_SUBDIR)).st_mtime >= before
+
+
+def test_cli_incremental_column_glob_fingerprints_only_in_scope(
+        spark, tmp_path_factory, capsys, monkeypatch):
+    """Round-11 ADVICE (high): a --target COLUMN glob must gate the
+    fingerprint basis, not just the scanned values — otherwise columns
+    the glob excluded are persisted as freshly scanned without ever
+    being scanned, and later --incremental runs prune their PII
+    forever. After a scoped first run, the sidecar must hold ONLY the
+    in-scope column, and a following full run must rescan (not carry)
+    every out-of-scope column."""
+    import catalog_pii_scanner_spark.cli as cli
+    from catalog_pii_scanner_spark.sinks.findings_store import (
+        read_column_fingerprints)
+    store = str(tmp_path_factory.mktemp("inc4") / "findings")
+    monkeypatch.setattr(cli, "_spark", lambda app: spark)
+    # scoped run: one column of orders
+    assert cli.main(["scan", "--sf-dir", "/root/testdata/sf0.001",
+                     "--target", "spark://orders/o_orderdate",
+                     "--merge-store", store, "--incremental"]) == 0
+    capsys.readouterr()
+    fps = read_column_fingerprints(spark, store)
+    assert {r.column_ref for r in fps.collect()} \
+        == {"spark://orders/o_orderdate"}
+    # full run over orders: the 5 out-of-scope columns have NO stored
+    # fingerprint, so they must enter the scan (only 1 column pruned)
+    assert cli.main(["scan", "--sf-dir", "/root/testdata/sf0.001",
+                     "--tables", "orders", "--merge-store", store,
+                     "--incremental"]) == 0
+    captured = capsys.readouterr()
+    assert '"skipped_columns": 1' in captured.err
+    fps = read_column_fingerprints(spark, store)
+    assert fps.count() == 6  # now the whole table is fingerprinted
+
+
+def test_cli_incremental_scoped_run_keeps_out_of_scope_fingerprints(
+        spark, tmp_path_factory, capsys, monkeypatch):
+    """Round-11 ADVICE (sidecar merge-upsert): a scoped --incremental
+    run must not drop stored fingerprints for out-of-scope columns —
+    alternating scoped runs would otherwise thrash each other into
+    full rescans."""
+    import catalog_pii_scanner_spark.cli as cli
+    from catalog_pii_scanner_spark.sinks.findings_store import (
+        read_column_fingerprints)
+    store = str(tmp_path_factory.mktemp("inc5") / "findings")
+    monkeypatch.setattr(cli, "_spark", lambda app: spark)
+    full = ["scan", "--sf-dir", "/root/testdata/sf0.001",
+            "--tables", "orders", "--merge-store", store,
+            "--incremental"]
+    assert cli.main(full) == 0
+    capsys.readouterr()
+    assert read_column_fingerprints(spark, store).count() == 6
+    # scoped run on ONE column: unchanged -> pruned, and the sidecar
+    # must still hold all 6 fingerprints afterwards
+    assert cli.main(["scan", "--sf-dir", "/root/testdata/sf0.001",
+                     "--target", "spark://orders/o_orderdate",
+                     "--merge-store", store, "--incremental"]) == 0
+    captured = capsys.readouterr()
+    assert '"skipped_columns": 1' in captured.err
+    assert read_column_fingerprints(spark, store).count() == 6
+    # full rerun: every column still pruned (no thrash-induced rescan)
+    assert cli.main(full) == 0
+    captured = capsys.readouterr()
+    assert '"skipped_columns": 6' in captured.err
