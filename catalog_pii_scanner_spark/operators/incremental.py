@@ -96,10 +96,21 @@ def incremental_findings(values_df: DataFrame) -> DataFrame:
     vcols = ["column_ref", "value"] + (
         ["vclass"] if "vclass" in values_df.columns else [])
     class_col = "vclass" if "vclass" in values_df.columns else None
+    # Eager localCheckpoint, NOT persist (round-11 verdict item: cold
+    # 46 s vs 10 s warm on the driver map, the suite-worst spread):
+    # with persist, every downstream consumer (fingerprints, the
+    # pruned-scan join, the final rollup join) re-ANALYZES the full
+    # 9-table melt+distinct expression tree — the giant-tree
+    # analysis/codegen cost this module's conv() note already measures
+    # — because InMemoryTableScan keeps the whole lineage in the plan.
+    # The checkpoint truncates lineage so each consumer plans against
+    # the materialized relation (the _ner_merge discipline,
+    # __spark_entry__._ner_merge). Blocks free on driver GC when the
+    # caller drops the result (plans/cache.py).
     vals = (values_df.select(*vcols)
             .where(F.col("value").isNotNull()).distinct()
             .withColumn("is_new", F.expr(NEW_ROW_GATE))
-            .persist())
+            .localCheckpoint(eager=True))
     # both snapshots' fingerprints in ONE conditional aggregation pass
     # (the oracle states them as two CTEs over the same rows — same
     # values); the prior side is the NOT-is_new filter folded into the
@@ -149,7 +160,10 @@ def incremental_findings(values_df: DataFrame) -> DataFrame:
                        "spark", "n_values_hit", "n_values"))
                    .alias("hit_rate"),
                    "scan_action"))
-    return checkpoint_release(out, vals)
+    # nothing persisted to release — vals is checkpointed (GC-freed);
+    # the eager materialization keeps the contract: callers get a
+    # small, lineage-free result
+    return checkpoint_release(out)
 
 
 def incremental_findings_oracle_sql(tables: tuple[str, ...]) -> str:
