@@ -60,7 +60,9 @@ from catalog_pii_scanner_spark.operators.sketches import (
     sketch_hll_union, sketch_hll_union_oracle_sql,
     sketch_kmv_distinct, sketch_kmv_distinct_oracle_sql)
 from catalog_pii_scanner_spark.operators.incremental import (
-    incremental_findings, incremental_findings_oracle_sql)
+    findings_merge_upsert, findings_merge_upsert_oracle_sql,
+    incremental_findings, incremental_findings_oracle_sql,
+    writeback_diff_plan, writeback_diff_plan_oracle_sql)
 
 
 def sketches_hll_sketch_only_oracle() -> str:
@@ -328,21 +330,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #:       operators/analytics.py) — both implemented + pytest-gated in
 #:       round 11 with registration deferred to this window per the
 #:       stream_kmv_distinct precedent;
-#:   (c) 5 fill slots spent EARLY-REFRESHING r10-latest entries: the
+#:   (c) 2 MORE new registrations (never-gated, rule 1): the last
+#:       pytest-only relational surfaces made oracle-checkable —
+#:       findings_merge_upsert (the K1/J3 bucketed MERGE's result
+#:       relation) and writeback_diff_plan (the K2-K4 idempotent
+#:       diff-before-write action plan), both replaying the store
+#:       lifecycle deterministically from the incremental module's
+#:       prior/current snapshot synthesis;
+#:   (d) 3 fill slots spent EARLY-REFRESHING r10-latest entries: the
 #:       r10 artifact holds 48 still-registered rows that ALL hit the
-#:       age-3 bound when the r12 artifact lands, which would leave
-#:       round 13 zero slack — fronting 5 now caps the round-13
-#:       cohort at 43. Fill picks: eval_trained_metrics (historically
-#:       the noisiest entry), stream_quality_classifier (an r11
-#:       driver-bench fence-crosser — a fresh gate row helps the
-#:       box-variance adjudication), multimodal_audio_fingerprint
-#:       (the 48-bit packing surface), sketch_hll_distinct and
-#:       stream_kmv_distinct (the sketch estimators hardened in
-#:       r10/r11).
-#: 43 + 2 + 5 = 50 exactly. The remaining 43 r10-latest entries hit
-#: the age bound when the r12 artifact lands; MUST_FRONT_BY_ROUND[13]
-#: declares them (43 + up-to-7 r12 reds fit the window).
-#: The FULL 143-query set is verified every session by
+#:       age-3 bound when the r12 artifact lands — fronting 3 now
+#:       trims the round-13 cohort to 45. Fill picks:
+#:       eval_trained_metrics (historically the noisiest entry),
+#:       stream_quality_classifier (an r11 driver-bench fence-crosser
+#:       — a fresh gate row helps the box-variance adjudication), and
+#:       multimodal_audio_fingerprint (the 48-bit packing surface).
+#: 43 + 2 + 2 + 3 = 50 exactly. The remaining 45 r10-latest entries
+#: hit the age bound when the r12 artifact lands;
+#: MUST_FRONT_BY_ROUND[13] declares them (45 + up-to-5 r12 reds fit
+#: the window).
+#: The FULL 145-query set is verified every session by
 #: tools/selfcheck.py, tools/edge_sweep.py, and the scaling sweeps in
 #: PERF.md.
 FRONT_50 = [
@@ -366,10 +373,11 @@ FRONT_50 = [
     "unity_columns",
     # (b) the 2 round-11 deferred registrations — never-gated, rule (1)
     "corpus_collocations", "events_user_state_history",
-    # (c) the 5 early-refresh fills (r10-latest entries)
+    # (c) the 2 new store-relation twins — never-gated, rule (1)
+    "findings_merge_upsert", "writeback_diff_plan",
+    # (d) the 3 early-refresh fills (r10-latest entries)
     "eval_trained_metrics", "stream_quality_classifier",
-    "multimodal_audio_fingerprint", "sketch_hll_distinct",
-    "stream_kmv_distinct",
+    "multimodal_audio_fingerprint",
 ]
 
 
@@ -813,6 +821,18 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # running-sum run numbering + per-run aggregate + lead validity
         # intervals — ONE user-keyed exchange feeds all three windows.
         "events_user_state_history": analytics.events_user_state_history,
+        # the K1/J3 bucketed MERGE (sinks/findings_store.py
+        # merge_findings; reference db.py:157-241) as its deterministic
+        # result relation: prior store UNION incoming rescan -> one row
+        # per column_ref with merge_action provenance.
+        "findings_merge_upsert": lambda s, sf:
+            findings_merge_upsert(_tables_values(s, sf)),
+        # the K2-K4 idempotent diff-before-write (sinks/writeback.py;
+        # reference glue.py:210-229) as the desired-vs-current action
+        # plan the apply loop consumes (insert/update/skip + the exact
+        # comment wire format).
+        "writeback_diff_plan": lambda s, sf:
+            writeback_diff_plan(_tables_values(s, sf)),
     }
 
 
@@ -1051,4 +1071,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_collocations": corpus.collocations_oracle_sql(),
         "events_user_state_history":
             analytics.user_state_history_oracle_sql(),
+        # round 12: the store-relation twins
+        "findings_merge_upsert":
+            findings_merge_upsert_oracle_sql(SCAN_TABLES),
+        "writeback_diff_plan":
+            writeback_diff_plan_oracle_sql(SCAN_TABLES),
     }

@@ -129,14 +129,15 @@ MUST_FRONT_BY_ROUND: dict[int, set[str]] = {
         "top_customers_by_revenue", "tpch_pricing_summary",
         "unity_columns",
     },
-    # Round 13 fronts the 43 entries whose latest driver row is r10 —
+    # Round 13 fronts the 45 entries whose latest driver row is r10 —
     # the r10 artifact's 50 rows minus the two instruments retired in
     # round 11 (sketch_hll_state, multimodal_audio_fp_bits) minus the
-    # 5 that round 12's fill slots early-refreshed
+    # 3 that round 12's fill slots early-refreshed
     # (eval_trained_metrics, stream_quality_classifier,
-    # multimodal_audio_fingerprint, sketch_hll_distinct,
-    # stream_kmv_distinct). 43 + up-to-7 r12 reds fit the window.
+    # multimodal_audio_fingerprint). 45 + up-to-5 r12 reds fit the
+    # window.
     13: {
+        "sketch_hll_distinct", "stream_kmv_distinct",
         "ann_cosine_matmul", "ann_ivf_matmul", "ann_ivf_topk",
         "ann_ivfpq_matmul", "ann_ivfpq_topk", "ann_pq_matmul",
         "ann_pq_topk", "ann_pq_trained_topk", "bloom_semijoin_filter",
@@ -317,6 +318,9 @@ INTEGER_AUDIT_COLUMNS = {
     # round-12 registrations (the r11 deferred pair)
     "corpus_collocations": ("n_ab", "n_a1", "n_b2", "n_bigrams"),
     "events_user_state_history": ("run_id", "n_events"),
+    # round-12 store-relation twins
+    "findings_merge_upsert": ("n_types",),
+    "writeback_diff_plan": ("n_spans",),
 }
 
 

@@ -1,0 +1,155 @@
+"""Round-12 store-relation twins: findings_merge_upsert (the K1/J3
+MERGE result relation) and writeback_diff_plan (the K2-K4
+diff-before-write action plan).
+
+Template parity (Spark == DuckDB, the driver's exact compare) is
+covered by tools/selfcheck.py + tools/edge_sweep.py; these are the
+SEMANTIC gates — the action vocabulary, the idempotency property, and
+the equivalence with the REAL merge_findings sink.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catalog_pii_scanner_spark.operators.incremental import (
+    NEW_ROW_GATE, findings_merge_upsert, writeback_diff_plan)
+
+
+def _crafted_values(spark):
+    """A synthetic melted relation exercising every action class.
+
+    The prior/current split is NEW_ROW_GATE (a pure md5 function of
+    (column_ref, value)), so the craft SEARCHES value candidates for
+    each gate outcome instead of assuming one: per target column we
+    need PII values on both sides of the gate plus non-PII filler on
+    the prior side. Columns whose md5(column_ref) first hex digit is
+    not 0-3 never gate values new — search column names too."""
+    # find two column names the gate CAN mark new, one it cannot
+    cands = [f"spark://t/c{i}" for i in range(200)]
+    probe = spark.createDataFrame(
+        [(c, "x") for c in cands], "column_ref string, value string")
+    gateable = [
+        r.column_ref for r in probe.select(
+            "column_ref",
+            F.expr("substr(md5(column_ref), 1, 1) IN "
+                   "('0','1','2','3')").alias("g"))
+        .where("g").collect()]
+    assert len(gateable) >= 2
+    col_ins, col_upd = gateable[:2]
+    col_kept = next(c for c in cands if c not in gateable)
+
+    def split_values(column_ref, values):
+        """-> (new_values, old_values) under the gate for this column."""
+        df = spark.createDataFrame([(column_ref, v) for v in values],
+                                   "column_ref string, value string")
+        rows = df.select("value",
+                         F.expr(NEW_ROW_GATE).alias("is_new")).collect()
+        new = [r.value for r in rows if r.is_new]
+        old = [r.value for r in rows if not r.is_new]
+        return new, old
+
+    emails = [f"user{i}@example.com" for i in range(300)]
+    phones = [f"call 555-867-{i:04d}" for i in range(300)]
+    filler = [f"plain text {i}" for i in range(300)]
+    rows = []
+    # col_ins ('insert'/'inserted'): PII only in NEW values; prior side
+    # holds non-PII filler, so the column exists before but untagged
+    new_e, _ = split_values(col_ins, emails)
+    _, old_f = split_values(col_ins, filler)
+    assert new_e and old_f
+    rows += [(col_ins, v) for v in new_e[:3] + old_f[:3]]
+    # col_upd ('update'/'updated'): prior has EMAIL findings, a NEW
+    # phone value adds a second type
+    new_p, _ = split_values(col_upd, phones)
+    _, old_e = split_values(col_upd, emails)
+    assert new_p and old_e
+    rows += [(col_upd, v) for v in new_p[:2] + old_e[:3]]
+    # col_kept ('skip'/'kept'): ungateable column, stable PII values
+    _, old_e2 = split_values(col_kept, emails)
+    assert old_e2
+    rows += [(col_kept, v) for v in old_e2[:3]]
+    return (spark.createDataFrame(rows, "column_ref string, value string"),
+            col_ins, col_upd, col_kept)
+
+
+def test_writeback_plan_action_vocabulary(spark):
+    vals, col_ins, col_upd, col_kept = _crafted_values(spark)
+    plan = {r.column_ref: r for r in writeback_diff_plan(vals).collect()}
+    assert plan[col_ins].action == "insert"
+    assert plan[col_ins].prior_pii_types is None
+    assert plan[col_ins].pii_types == "EMAIL"
+    assert plan[col_upd].action == "update"
+    assert plan[col_upd].prior_pii_types == "EMAIL"
+    assert "PHONE_NUMBER" in plan[col_upd].pii_types
+    assert plan[col_kept].action == "skip"
+    assert plan[col_kept].prior_pii_types == plan[col_kept].pii_types
+    # the comment pins the sink's exact wire format
+    for r in plan.values():
+        assert r.comment == ("PII:" + r.pii_types)[:255]
+
+
+def test_writeback_plan_idempotent_on_applied_state(spark):
+    """The oracle property: when nothing arrived since the last apply
+    (no value passes the gate), every action is 'skip'."""
+    vals, *_ = _crafted_values(spark)
+    unchanged = vals.where(~F.expr(NEW_ROW_GATE))
+    plan = writeback_diff_plan(unchanged).collect()
+    assert plan and all(r.action == "skip" for r in plan)
+    assert all(r.prior_pii_types == r.pii_types for r in plan)
+
+
+def test_merge_upsert_action_vocabulary(spark):
+    vals, col_ins, col_upd, col_kept = _crafted_values(spark)
+    out = {r.column_ref: r for r in findings_merge_upsert(vals).collect()}
+    assert out[col_ins].merge_action == "inserted"
+    assert out[col_upd].merge_action == "updated"
+    assert out[col_kept].merge_action == "kept"
+    # updated rows carry the CURRENT snapshot's types
+    assert "PHONE_NUMBER" in out[col_upd].types_csv
+    assert out[col_upd].n_types == 2
+
+
+def test_merge_upsert_one_row_per_key_and_kept_on_unchanged(spark):
+    """MERGE invariants: exactly one row per column_ref, and with no
+    arrivals every surviving row is the prior store's ('kept')."""
+    vals, *_ = _crafted_values(spark)
+    out = findings_merge_upsert(vals)
+    assert out.count() == out.select("column_ref").distinct().count()
+    unchanged = vals.where(~F.expr(NEW_ROW_GATE))
+    rows = findings_merge_upsert(unchanged).collect()
+    assert rows and all(r.merge_action == "kept" for r in rows)
+
+
+def test_merge_relation_matches_real_sink(spark, tmp_path_factory):
+    """The relation IS merge_findings' semantics: seed the real MERGE
+    store with the PRIOR snapshot's findings, merge the incremental
+    rescan's findings on top, and the store's (column_ref -> types)
+    map must equal the relation's — with 'kept' rows surviving
+    untouched and 'inserted'/'updated' rows carrying the rescan."""
+    from catalog_pii_scanner_spark.operators.findings import (
+        findings_rollup)
+    from catalog_pii_scanner_spark.operators.incremental import (
+        _changed_pred, _distinct_basis, _snapshot_fingerprints)
+    from catalog_pii_scanner_spark.sinks.findings_store import (
+        merge_findings, read_merged_findings, to_findings_records)
+
+    vals_df, *_ = _crafted_values(spark)
+    store = str(tmp_path_factory.mktemp("merge12") / "findings")
+    # prior snapshot -> the store's initial state
+    prior = vals_df.where(~F.expr(NEW_ROW_GATE))
+    merge_findings(spark, to_findings_records(findings_rollup(prior)),
+                   store)
+    # the incremental rescan: changed columns only, current values
+    basis, _, _ = _distinct_basis(vals_df)
+    changed = (_snapshot_fingerprints(basis).where(_changed_pred())
+               .select("column_ref"))
+    rescan = vals_df.join(F.broadcast(changed), "column_ref")
+    merge_findings(spark, to_findings_records(findings_rollup(rescan)),
+                   store)
+    got = {r.column_ref: ",".join(r.types)
+           for r in read_merged_findings(spark, store).collect()}
+    want = {r.column_ref: r.types_csv
+            for r in findings_merge_upsert(vals_df).collect()}
+    assert got == want

@@ -163,6 +163,16 @@ def main() -> int:
          "label pushed to candidate scan + broadcast-queries BLAS topk"),
         ("stream_kmv_distinct",
          "per-batch min-k spool + one distinct-union TakeOrdered"),
+        ("corpus_collocations",
+         "vocabulary-bounded pair/marginal aggs + broadcast total, "
+         "exact-integer PMI lift"),
+        ("events_user_state_history",
+         "ONE user-keyed exchange feeding all three SCD-2 windows"),
+        ("findings_merge_upsert",
+         "shared checkpointed basis, one extraction, dual-snapshot "
+         "conditional aggs, store-scale full join"),
+        ("writeback_diff_plan",
+         "one extraction, two per-column aggs, store-scale left join"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]
