@@ -1644,11 +1644,21 @@ def collocations_docs(docs: DataFrame,
     big = (toks.withColumn("t1", F.lead("token", 1).over(w))
            .where(F.col("t1").isNotNull())
            .select(F.col("token").alias("w1"), F.col("t1").alias("w2")))
-    pairs = (big.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
-             .where(F.col("n_ab") >= min_count))
-    m1 = big.groupBy("w1").agg(F.count("*").alias("n_a1"))
-    m2 = big.groupBy("w2").agg(F.count("*").alias("n_b2"))
-    n = big.groupBy().agg(F.count("*").alias("n_bigrams"))
+    # ONE corpus-scale shuffle: the (w1, w2) pair counts. Marginals and
+    # the grand total are SUMS over this (vocabulary-pair-bounded)
+    # relation — deriving them here instead of three more passes over
+    # the bigram stream cut the plan from 11 exchanges / 4 explode+
+    # window re-derivations to 1 corpus shuffle + 3 metadata-scale
+    # aggs (round-12 plan audit; values identical by construction:
+    # sum of pair counts per word IS the marginal count). The
+    # checkpoint stops Spark re-deriving the explode lineage per
+    # consumer.
+    pc = (big.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+          .localCheckpoint(eager=True))
+    pairs = pc.where(F.col("n_ab") >= min_count)
+    m1 = pc.groupBy("w1").agg(F.sum("n_ab").alias("n_a1"))
+    m2 = pc.groupBy("w2").agg(F.sum("n_ab").alias("n_b2"))
+    n = pc.groupBy().agg(F.sum("n_ab").alias("n_bigrams"))
     lift = ratio_round_halfup_guarded(
         "spark", "n_ab * n_bigrams", "n_a1 * n_b2",
         guard=f"n_bigrams <= {_LIFT_GUARD_N}",
