@@ -1346,13 +1346,25 @@ def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Recent-activity score: top-RECENT_K events per user by (ts,
 #: event_id), newest weighted 2^(RECENT_K-1) down to 2^0 — the exact
 #: integer numerator of a truncated alpha=1/2 EWMA (dyadic weights, so
-#: no float pow anywhere; the r6-verdict integer-micro-unit
+#: no float pow anywhere; the r6-verdict integer-quantized
 #: discipline applied to stateful streaming).
 RECENT_K = 20
-#: Micro-unit clamp: |floor(value * 1e6 + 0.5)| is capped here so the
-#: worst-case weighted sum (CLAMP * 2^19 * 20 ~ 5.5e18) stays inside
-#: BIGINT. Mirrored in the oracle.
-RECENT_CLAMP = 1 << 39
+#: Integer quantization of the event value: milli-units (round 12 —
+#: the score is a ranking signal; milli precision is plenty). The
+#: round-11 full-fuzz sweep drove the old micro-unit score to ~3.5e14,
+#: ABOVE the 2^48 output-magnitude design tripwire
+#: (tests/test_entry_contract.py MAX_INT_OUTPUT), and the old clamp
+#: (2^39 micro-units) even allowed a structural worst case of
+#: 2^39 * (2^20 - 1) ~ 2^59 — past the 2^53 float64-exactness hard
+#: ceiling. Both bounds are now closed BY CONSTRUCTION, not by data
+#: luck.
+RECENT_SCALE = 1_000
+#: Value clamp in milli-units (values beyond +-2.68e5 saturate): the
+#: worst-case weighted sum is CLAMP * (2^RECENT_K - 1) =
+#: 2^28 * (2^20 - 1) < 2^48 — the design tripwire is unreachable for
+#: ANY input, so the bound hierarchy needs no per-query exception.
+#: Mirrored in the oracle.
+RECENT_CLAMP = 1 << 28
 
 
 def stream_events_recent_score(spark: SparkSession,
@@ -1377,8 +1389,8 @@ def stream_events_recent_score(spark: SparkSession,
 
     Output: user_id, n_events, recent_score — recent_score =
     SUM over the i-th newest retained event of
-    clamp(floor(value * 1e6 + 0.5)) * 2^(RECENT_K - i), an exact
-    BIGINT in both engines (shares the batch oracle
+    clamp(floor(value * RECENT_SCALE + 0.5)) * 2^(RECENT_K - i), an
+    exact sub-2^48 BIGINT in both engines (shares the batch oracle
     events_recent_score_oracle_sql)."""
     import os
     import shutil
@@ -1388,7 +1400,7 @@ def stream_events_recent_score(spark: SparkSession,
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
-    k, clamp = RECENT_K, RECENT_CLAMP
+    k, clamp, scale = RECENT_K, RECENT_CLAMP, RECENT_SCALE
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
@@ -1408,7 +1420,7 @@ def stream_events_recent_score(spark: SparkSession,
             # truncation (the ns-epoch fuzz case)
             tsv = pdf["ts"].astype("int64")
             for t, e, v in zip(tsv, pdf["event_id"], pdf["value"]):
-                x = int(math.floor(float(v) * 1_000_000 + 0.5))
+                x = int(math.floor(float(v) * scale + 0.5))
                 x = max(-clamp, min(clamp, x))
                 top.append((int(t), int(e), x))
         # total order (ts, event_id) DESC; keep the global top-k
@@ -1477,11 +1489,11 @@ def events_recent_score_oracle_sql(events_rel: str = "events",
                                    k: int = RECENT_K,
                                    clamp: int = RECENT_CLAMP) -> str:
     """Batch oracle for the stateful drain: rank each user's events by
-    (ts, event_id) DESC and sum the clamped micro-unit values weighted
+    (ts, event_id) DESC and sum the clamped milli-unit values weighted
     by the recency power of two — identical integer arithmetic, no
     float pow (the weights are a generated literal CASE map, portable
     to both engines)."""
-    x = "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
+    x = f"CAST(floor(value * {RECENT_SCALE} + 0.5) AS BIGINT)"
     cx = (f"greatest(CAST(-{clamp} AS BIGINT), "
           f"least(CAST({clamp} AS BIGINT), {x}))")
     weight = ("CASE rk " + " ".join(

@@ -441,13 +441,29 @@ def test_no_hugeint_in_any_oracle_output():
 #:
 #: Bound hierarchy: this 2^48 tripwire is asserted at sf0.001;
 #: tools/selfcheck.py carries the same check as a per-run ADVISORY for
-#: data-dependent exceedances (the round-11 full-fuzz sweep shows
-#: stream_events_recent_score's value-magnitude-dependent score at
-#: ~3.5e14 on adversarial inputs — still hash-matching, because
-#: BIGINT is exact on both engines). The HARD ceiling any output may
-#: ever reach is 2^53 (float64-exactness through every fetch path);
-#: between the two bounds a warning, beyond 2^53 a bug.
+#: data-dependent exceedances. As of round 12 NO registered query has
+#: a known data-dependent crossing: the one the round-11 full-fuzz
+#: sweep surfaced (stream_events_recent_score at ~3.5e14 micro-units)
+#: was closed by rescaling the score's integer domain to milli-units
+#: with a 2^28 clamp, making its STRUCTURAL worst case
+#: 2^28 * (2^20 - 1) < 2^48 for any input
+#: (streaming/watcher.py RECENT_SCALE/RECENT_CLAMP;
+#: test_recent_score_structural_bound below pins the derivation). The
+#: HARD ceiling any output may ever reach is 2^53 (float64-exactness
+#: through every fetch path); between the two bounds a warning, beyond
+#: 2^53 a bug.
 MAX_INT_OUTPUT = 1 << 48
+
+
+def test_recent_score_structural_bound():
+    """The recent-score's worst-case |value| is clamp * (2^k - 1) —
+    every event saturated at the clamp, all k weight slots filled.
+    That product must sit UNDER the 2^48 design tripwire so the bound
+    hierarchy holds with no per-query exceptions (round-11 verdict
+    item 5)."""
+    from catalog_pii_scanner_spark.streaming.watcher import (
+        RECENT_CLAMP, RECENT_K)
+    assert RECENT_CLAMP * ((1 << RECENT_K) - 1) < MAX_INT_OUTPUT
 
 
 def test_integer_output_magnitudes_within_design_bound():
