@@ -428,10 +428,22 @@ def writeback_diff_plan(values_df: DataFrame) -> DataFrame:
     Idempotency is an oracle PROPERTY: when prior == current (apply
     then re-scan unchanged data) every row is 'skip' — pinned in
     tests. Fingerprints are irrelevant here: the diff is on tag
-    CONTENT, exactly like the sink (writeback.py apply_writeback)."""
-    vals, vcols, class_col = _distinct_basis(values_df)
-    cands = (extract_candidates(vals.select(*vcols), class_col=class_col)
-             .withColumn("is_new", F.expr(NEW_ROW_GATE)))
+    CONTENT, exactly like the sink (writeback.py apply_writeback).
+
+    Unlike the fingerprinting queries this one has a SINGLE consumer
+    of the value basis (the extraction), so materializing the full
+    distinct value set would be pure waste — the checkpoint sits on
+    the (small, post-extraction) candidate set instead, which the two
+    per-column aggregates both consume (A/B at sf0.1: cold 17.5 ->
+    13.2 s, warm level; one full-value-set disk write removed)."""
+    vcols = ["column_ref", "value"] + (
+        ["vclass"] if "vclass" in values_df.columns else [])
+    class_col = "vclass" if "vclass" in values_df.columns else None
+    vals = (values_df.select(*vcols)
+            .where(F.col("value").isNotNull()).distinct())
+    cands = (extract_candidates(vals, class_col=class_col)
+             .withColumn("is_new", F.expr(NEW_ROW_GATE))
+             .localCheckpoint(eager=True))
     cur_t = cands.groupBy("column_ref").agg(
         F.concat_ws(",", F.array_sort(F.collect_set("pii_type")))
         .alias("pii_types"),
