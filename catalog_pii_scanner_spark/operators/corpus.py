@@ -92,6 +92,90 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_docs(_docs(spark, sf_dir))
 
 
+#: Novelty-audit gram size: shorter than the 13-gram decontamination
+#: window (novelty RATES need non-trivial overlap mass to be
+#: informative; 8-grams are the common memorization-probe window).
+NOVELTY_K = 8
+
+
+def ngram_novelty_docs(docs: DataFrame, k: int = NOVELTY_K,
+                       bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
+    """Per-BENCHMARK-doc novelty audit — the inverse direction of
+    :func:`decontaminate_docs` (which flags training docs): for each
+    eval doc, how many of its distinct k-grams already appear anywhere
+    in the training corpus (the GPT-2/3 contamination methodology
+    turned into a per-doc memorization rate; a bench doc whose grams
+    are all 'seen' is fully leaked, novelty 1.0 means untouched).
+
+    Output per bench doc: n_grams, n_seen (BIGINT), novelty =
+    tie-exact (n_grams - n_seen) / n_grams.
+
+    Plan: one doc-keyed gram explode + ONE md5-keyed distinct over the
+    training grams (corpus-scale, the decontaminate shuffle); the
+    bench gram relation is eval-suite-sized at any corpus scale, so it
+    BROADCASTS into the seen-join — the training side never reshuffles
+    for the join. Docs with zero grams (empty/NULL text) have no
+    novelty rate and are absent, in both engines.
+
+    NOTE: implemented and tested in round 12; queries()/oracle_sql()
+    registration is deferred to the round-13 window (the round-12
+    FRONT_50 is exactly full and a never-gated entry may not be
+    parked — tests/test_entry_contract.py rule 1)."""
+    grams = doc_kgrams(docs, k).distinct()
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    bench = grams.where(is_bench)
+    train = grams.where(~is_bench).select("gram").distinct()
+    per_doc = bench.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"))
+    seen = (train.join(F.broadcast(bench), "gram")
+            .groupBy("doc_id").agg(F.count("*").alias("n_seen")))
+    # coalesce n_seen BEFORE the ratio projection: the guarded
+    # fragment references the column by name, and a NULL (no gram
+    # seen) must read as 0 there, exactly as in the oracle
+    joined = (per_doc.join(seen, "doc_id", "left")
+              .select("doc_id",
+                      F.col("n_grams").cast("bigint").alias("n_grams"),
+                      F.coalesce(F.col("n_seen"), F.lit(0))
+                      .cast("bigint").alias("n_seen")))
+    return joined.select(
+        "doc_id", "n_grams", "n_seen",
+        F.expr(ratio_round_halfup_guarded(
+            "spark", "n_grams - n_seen", "n_grams")).alias("novelty"))
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty_docs(_docs(spark, sf_dir))
+
+
+def ngram_novelty_oracle_sql(docs_rel: str = "documents",
+                             k: int = NOVELTY_K,
+                             bench_mod: int = DECON_BENCH_MOD) -> str:
+    novelty = ratio_round_halfup_guarded(
+        "duckdb", "p.n_grams - COALESCE(s.n_seen, 0)", "p.n_grams")
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_kgram_sql_duckdb(k)}) AS gram
+    FROM {docs_rel}) _e
+),
+bench AS (SELECT doc_id, gram FROM grams WHERE doc_id % {bench_mod} = 0),
+train AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {bench_mod} <> 0),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM bench GROUP BY doc_id
+),
+seen AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+  FROM train t JOIN bench b ON b.gram = t.gram GROUP BY b.doc_id
+)
+SELECT p.doc_id,
+       p.n_grams,
+       CAST(COALESCE(s.n_seen, 0) AS BIGINT) AS n_seen,
+       {novelty} AS novelty
+FROM per_doc p LEFT JOIN seen s ON s.doc_id = p.doc_id
+"""
+
+
 def decontaminate_oracle_sql(docs_rel: str = "documents",
                              k: int = DECON_K,
                              bench_mod: int = DECON_BENCH_MOD) -> str:

@@ -272,6 +272,83 @@ def ann_filtered_topk(spark, sf_dir: str, k: int = 5,
         emb.where(F.col("label").isin(list(labels))), k)
 
 
+#: Semantic-decontamination split + flag threshold: bench membership
+#: mirrors the corpus decontamination convention (vec_id % 37 == 0 —
+#: corpus.DECON_BENCH_MOD applied to the embedding table). The flag
+#: threshold is calibrated to the SYNTHETIC near-isotropic embeddings
+#: (nearest cross-split cosines span ~0.31-0.50 at sf0.001-0.1, so
+#: 0.35 puts rows on BOTH sides of the flag at every gate SF — the
+#: threshold branch is genuinely driver-exercised); a production
+#: deployment with trained text embeddings sets this ~0.9 (the
+#: SemDeDup regime), a parameter, not a plan change.
+SEMDECON_BENCH_MOD = 37
+SEMDECON_THRESHOLD = 0.35
+
+
+def embed_semantic_decon_sql(dialect: str, rel: str = "embeddings",
+                             bench_mod: int = SEMDECON_BENCH_MOD,
+                             threshold: float = SEMDECON_THRESHOLD
+                             ) -> str:
+    """Declarative twin (and oracle) for the semantic decontamination
+    audit: for each BENCH vector, its nearest TRAIN vector by cosine.
+    Output: query_id, neighbor_id, cosine, contaminated."""
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.val * c.val) AS dot
+  FROM vecs q JOIN vecs c ON q.pos = c.pos
+  WHERE q.vec_id % {bench_mod} = 0 AND c.vec_id % {bench_mod} <> 0
+  GROUP BY q.vec_id, c.vec_id
+),
+cos AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.norm * nc.norm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       cosine >= {threshold} AS contaminated
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cos
+) WHERE rank = 1
+"""
+
+
+def embed_semantic_decon(spark, sf_dir: str,
+                         bench_mod: int = SEMDECON_BENCH_MOD,
+                         threshold: float = SEMDECON_THRESHOLD
+                         ) -> DataFrame:
+    """Embedding-space decontamination of an eval split against the
+    training corpus — the semantic sibling of
+    corpus.minhash_decontaminate (lexical overlap misses paraphrased
+    leakage; SemDeDup-style cosine proximity catches it): each BENCH
+    vector's nearest TRAIN vector, flagged at cosine >= threshold.
+
+    SERVING shape: the bench set is an eval suite (small at any corpus
+    scale), so it broadcasts through the shared one-pass BLAS body
+    (_brute_matmul_topk — the train side streams through one
+    mapInPandas matmul per batch; the shuffle carries per-partition
+    top-1 rows only). Same contract as the declarative twin
+    (1e-6 round, ties by neighbor_id), which is therefore its oracle.
+
+    NOTE: implemented and tested in round 12; queries()/oracle_sql()
+    registration is deferred to the round-13 window (the round-12
+    FRONT_50 is exactly full and a never-gated entry may not be
+    parked — tests/test_entry_contract.py rule 1)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top1 = _brute_matmul_topk(
+        spark, emb.where(F.col("vec_id") % bench_mod == 0),
+        emb.where(F.col("vec_id") % bench_mod != 0), k=1)
+    return top1.select(
+        "query_id", "neighbor_id", "cosine",
+        (F.col("cosine") >= threshold).alias("contaminated"))
+
+
 def _planes_cte(n_planes: int = NUM_PLANES) -> str:
     """n_planes x DIMS deterministic +/-1 hyperplanes: sign from the
     parity of a md5 hex digit of 'plane:pos' — identical in both engines."""

@@ -153,3 +153,82 @@ def test_merge_relation_matches_real_sink(spark, tmp_path_factory):
     want = {r.column_ref: r.types_csv
             for r in findings_merge_upsert(vals_df).collect()}
     assert got == want
+
+
+# --- round-13 deferred registrations (implemented + gated this round) --------
+
+def _duck(sf_dir):
+    import duckdb
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def _duck_rows(con, sql):
+    return sorted(tuple(str(x) for x in r) for r in con.sql(sql).fetchall())
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_ngram_novelty_matches_oracle(spark, sf_dir):
+    from catalog_pii_scanner_spark.operators.corpus import (
+        corpus_ngram_novelty, ngram_novelty_oracle_sql)
+    got = _rows(corpus_ngram_novelty(spark, sf_dir))
+    want = _duck_rows(_duck(sf_dir), ngram_novelty_oracle_sql())
+    assert got and got == want
+
+
+def test_ngram_novelty_semantics(spark):
+    """A fully-leaked bench doc scores novelty 0, an untouched one 1,
+    a half-leaked one lands exactly between — hand-built corpus with
+    doc_ids on both sides of the bench mod."""
+    from catalog_pii_scanner_spark.operators.corpus import (
+        ngram_novelty_docs)
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota"
+    fresh = "one two three four five six seven eight nine"
+    half = leak.split()[:8] + fresh.split()[:8]
+    docs = spark.createDataFrame(
+        [(37, leak),                      # bench, fully in train
+         (74, " ".join(half)),           # bench, first 8-gram leaked
+         (111, fresh),                   # bench, nowhere in train
+         (1, leak + " extra tail here")],  # train doc containing leak
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           ngram_novelty_docs(docs, k=8).collect()}
+    assert out[37].n_seen == out[37].n_grams and out[37].novelty == 0.0
+    assert out[111].n_seen == 0 and out[111].novelty == 1.0
+    assert 0.0 < out[74].novelty < 1.0
+    # train docs never appear
+    assert 1 not in out
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_semantic_decon_matches_oracle(spark, sf_dir):
+    from catalog_pii_scanner_spark.operators.simsearch import (
+        embed_semantic_decon, embed_semantic_decon_sql)
+    got = _rows(embed_semantic_decon(spark, sf_dir))
+    want = _duck_rows(_duck(sf_dir), embed_semantic_decon_sql("duckdb"))
+    assert got and got == want
+
+
+def test_semantic_decon_split_and_flag(spark):
+    """Bench and train sides are disjoint under the mod split, flags
+    fire exactly at the threshold, and both flag values occur at the
+    gate SF (the threshold branch is genuinely exercised)."""
+    from catalog_pii_scanner_spark.operators.simsearch import (
+        SEMDECON_BENCH_MOD, SEMDECON_THRESHOLD, embed_semantic_decon)
+    out = embed_semantic_decon(spark, "/root/testdata/sf0.01").collect()
+    assert out
+    for r in out:
+        assert r.query_id % SEMDECON_BENCH_MOD == 0
+        assert r.neighbor_id % SEMDECON_BENCH_MOD != 0
+        assert r.contaminated == (r.cosine >= SEMDECON_THRESHOLD)
+    flags = {r.contaminated for r in out}
+    assert flags == {True, False}
