@@ -544,3 +544,134 @@ def events_user_state_history(spark: SparkSession,
 
 def user_state_history_oracle_sql() -> str:
     return user_state_history_sql("duckdb")
+
+
+# --- RFM customer segmentation (round 12; deferred registration) -------------
+#
+# Classic recency/frequency/monetary quartile segmentation (Hughes
+# 1994; the standard CRM product query) with SCALE-CORRECT quartile
+# scores: a naive ntile() is one un-partitioned window — a single-task
+# global sort of the per-customer relation (billions of rows at
+# 100 TB). Scores here come from the proven two-level exact-rank
+# discipline (sketch_histogram_quantiles): the equi-width bucket
+# function is monotone in the metric, so global rank = prefix count of
+# preceding buckets + rank WITHIN the bucket — per-bucket windows over
+# <= RFM_BUCKETS partitions, never a global sort. The quartile index
+# is then exact integer arithmetic on the rank: qi = 1 + (rank-1)*4
+# intdiv n (ntile semantics for n divisible by 4; remainder spreads to
+# the EARLY quartiles exactly like ntile, asserted in tests).
+#
+# NOTE: implemented and tested in round 12; queries()/oracle_sql()
+# registration is deferred to the round-13 window (the round-12
+# FRONT_50 is exactly full and a never-gated entry may not be parked —
+# tests/test_entry_contract.py rule 1).
+
+RFM_BUCKETS = 1024
+
+
+def _rfm_rank_block(tag: str, metric: str) -> str:
+    """CTE chain ranking ``cust.{metric}`` ascending (ties by
+    c_custkey) via the two-level exact rank; ends defining
+    ``{tag}_rank(c_custkey, rank, n)``. Fully dialect-portable."""
+    nb = RFM_BUCKETS
+    width = f"(b.mx - b.mn) / CAST({nb} AS DOUBLE)"
+    return f"""
+{tag}_bounds AS (
+  SELECT MIN(CAST({metric} AS DOUBLE)) AS mn,
+         MAX(CAST({metric} AS DOUBLE)) AS mx,
+         COUNT(*) AS n
+  FROM cust
+),
+{tag}_bvals AS (
+  SELECT c.c_custkey, CAST(c.{metric} AS DOUBLE) AS v,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE least({nb - 1},
+                         CAST(floor((CAST(c.{metric} AS DOUBLE) - b.mn)
+                                    / ({width})) AS INT))
+         END AS bucket
+  FROM cust c CROSS JOIN {tag}_bounds b
+),
+{tag}_cum AS (
+  SELECT bucket,
+         SUM(cnt) OVER (ORDER BY bucket) - cnt AS cprev
+  FROM (SELECT bucket, COUNT(*) AS cnt FROM {tag}_bvals
+        GROUP BY bucket) _h
+),
+{tag}_rank AS (
+  SELECT v.c_custkey,
+         c.cprev + row_number() OVER (PARTITION BY v.bucket
+                                      ORDER BY v.v, v.c_custkey)
+           AS rank,
+         b.n
+  FROM {tag}_bvals v
+  JOIN {tag}_cum c ON c.bucket = v.bucket
+  CROSS JOIN {tag}_bounds b
+)"""
+
+
+def rfm_segments_sql(dialect: str, orders_rel: str = "orders") -> str:
+    """Output per customer: c_custkey, recency_days, frequency,
+    monetary_cents (all BIGINT), r_score/f_score/m_score (BIGINT,
+    1-4), segment (VARCHAR). recency_days counts from the corpus max
+    order date (the 'as of' anchor, derived, so the query is
+    deterministic on any snapshot); r_score INVERTS its quartile
+    (most recent = 4). Monetary is exact integer cents
+    (floor(x*100+0.5) per order, summed as BIGINT)."""
+    from ..oracles import exact_int_div
+    if dialect == "duckdb":
+        days = "date_diff('day', c.last_order, a.maxd)"
+    else:
+        days = "datediff(a.maxd, c.last_order)"
+    qi = {t: exact_int_div(dialect, f"({t}_rank.rank - 1) * 4",
+                           f"{t}_rank.n")
+          for t in ("rec", "frq", "mon")}
+    return f"""
+WITH cust0 AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM {orders_rel}
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(last_order) AS maxd FROM cust0),
+cust AS (
+  SELECT c.c_custkey, CAST({days} AS BIGINT) AS recency_days,
+         c.frequency, c.monetary_cents, c.last_order
+  FROM cust0 c CROSS JOIN anchor a
+),
+{_rfm_rank_block('rec', 'recency_days')},
+{_rfm_rank_block('frq', 'frequency')},
+{_rfm_rank_block('mon', 'monetary_cents')}
+SELECT c.c_custkey, c.recency_days, c.frequency, c.monetary_cents,
+       CAST(4 - {qi['rec']} AS BIGINT) AS r_score,
+       CAST(1 + {qi['frq']} AS BIGINT) AS f_score,
+       CAST(1 + {qi['mon']} AS BIGINT) AS m_score,
+       CASE
+         WHEN 4 - {qi['rec']} >= 4 AND 1 + {qi['frq']} >= 4
+           THEN 'champion'
+         WHEN 4 - {qi['rec']} >= 3 AND 1 + {qi['frq']} >= 3
+           THEN 'loyal'
+         WHEN 1 + {qi['mon']} >= 4 THEN 'big_spender'
+         WHEN 4 - {qi['rec']} <= 1 AND 1 + {qi['frq']} >= 3
+           THEN 'at_risk'
+         WHEN 4 - {qi['rec']} <= 1 THEN 'hibernating'
+         ELSE 'regular'
+       END AS segment
+FROM cust c
+JOIN rec_rank ON rec_rank.c_custkey = c.c_custkey
+JOIN frq_rank ON frq_rank.c_custkey = c.c_custkey
+JOIN mon_rank ON mon_rank.c_custkey = c.c_custkey
+"""
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("cpss_rfm_orders")
+    return spark.sql(rfm_segments_sql("spark", "cpss_rfm_orders"))
+
+
+def rfm_segments_oracle_sql() -> str:
+    return rfm_segments_sql("duckdb")
