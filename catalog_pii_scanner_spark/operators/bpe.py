@@ -418,3 +418,70 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str,
                  F.count("n_sym").cast("bigint").alias("n_enc"),
                  F.coalesce(F.sum("n_sym"), F.lit(0)).cast("bigint")
                  .alias("n_bpe")))
+
+
+# --- tokenizer fertility per language (round 12; deferred) -------------------
+
+def tokenizer_fertility_sql(dialect: str,
+                            docs_rel: str = "documents") -> str:
+    """Per-language tokenizer-evaluation stats under the FROZEN
+    tokenizer — the standard fertility audit (tokens per word, chars
+    per token) multilingual pipelines run before committing to a
+    tokenizer (Rust et al. 2021 "How Good is Your Tokenizer?"):
+    languages whose fertility is high are under-served by the merge
+    table. Composes the two existing dual-dialect templates — the
+    marker-vote language id (textstats.lang_id_sql) and the
+    frozen-merges token budget (bpe_apply_sql) — as nested CTEs, so
+    the semantics cannot drift from the registered queries they mirror.
+
+    Output per pred_lang: n_docs, n_chars, n_ws_tokens, n_bpe_tokens
+    (all BIGINT), bpe_per_ws_token and chars_per_bpe_token (tie-exact
+    guarded ratios; NULL when the denominator bucket is empty — e.g. a
+    language whose docs carry no lowercase-alnum tokens).
+
+    Scale shape: both inputs are one explode + one doc/tok-keyed
+    aggregate (their registered plans); the join and the language
+    rollup run on doc-count-scale relations. Zero UDFs.
+
+    NOTE: implemented and tested in round 12; queries()/oracle_sql()
+    registration is deferred (round-13 window already holds 3 deferred
+    + 45 cohort; this is round-14 inventory unless a slot frees)."""
+    from ..oracles import ratio_round_halfup_guarded
+    from .textstats import lang_id_sql
+    bpw = ratio_round_halfup_guarded(
+        dialect, "SUM(b.n_bpe)", "SUM(b.n_tokens)")
+    cpb = ratio_round_halfup_guarded(
+        dialect, "SUM(c.n_chars)", "SUM(b.n_bpe)")
+    return f"""
+WITH lang AS ({lang_id_sql(dialect, docs_rel)}),
+budg AS ({bpe_apply_sql(dialect, docs_rel)}),
+chars AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+  FROM {docs_rel} WHERE text IS NOT NULL
+)
+SELECT l.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(c.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(b.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN SUM(b.n_tokens) > 0 THEN {bpw} END
+         AS bpe_per_ws_token,
+       CASE WHEN SUM(b.n_bpe) > 0 THEN {cpb} END
+         AS chars_per_bpe_token
+FROM budg b
+JOIN lang l ON l.doc_id = b.doc_id
+JOIN chars c ON c.doc_id = b.doc_id
+GROUP BY l.pred_lang
+"""
+
+
+def corpus_tokenizer_fertility(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cpss_fert_documents")
+    return spark.sql(tokenizer_fertility_sql("spark",
+                                             "cpss_fert_documents"))
+
+
+def tokenizer_fertility_oracle_sql() -> str:
+    return tokenizer_fertility_sql("duckdb")

@@ -263,6 +263,46 @@ def test_rfm_segment_vocabulary(spark):
     assert len(segs) >= 4  # the labeling CASE is genuinely exercised
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_tokenizer_fertility_matches_oracle(spark, sf_dir):
+    import duckdb
+    from catalog_pii_scanner_spark.operators.bpe import (
+        corpus_tokenizer_fertility, tokenizer_fertility_oracle_sql)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{sf_dir}/documents.parquet')")
+    got = _rows(corpus_tokenizer_fertility(spark, sf_dir))
+    want = _duck_rows(con, tokenizer_fertility_oracle_sql())
+    assert got and got == want
+
+
+def test_tokenizer_fertility_conservation(spark):
+    """The per-language sums must reconcile with the registered
+    per-doc budget query (corpus_bpe_apply) joined to the registered
+    language id — the composition cannot drift from its parts."""
+    from pyspark.sql import functions as SF
+    from catalog_pii_scanner_spark.operators.bpe import (
+        corpus_bpe_apply, corpus_tokenizer_fertility)
+    from catalog_pii_scanner_spark.operators.textstats import lang_id
+    sf_dir = "/root/testdata/sf0.01"
+    fert = {r.pred_lang: r for r in
+            corpus_tokenizer_fertility(spark, sf_dir).collect()}
+    budg = corpus_bpe_apply(spark, sf_dir)
+    langs = lang_id(spark, sf_dir)
+    ref = {r.pred_lang: r for r in
+           (budg.join(langs, "doc_id")
+            .groupBy("pred_lang")
+            .agg(SF.count("*").alias("n_docs"),
+                 SF.sum("n_tokens").alias("ws"),
+                 SF.sum("n_bpe").alias("bpe"))).collect()}
+    assert set(fert) == set(ref)
+    for lang, r in ref.items():
+        assert fert[lang].n_docs == r.n_docs
+        assert fert[lang].n_ws_tokens == r.ws
+        assert fert[lang].n_bpe_tokens == r.bpe
+
+
 def test_semantic_decon_split_and_flag(spark):
     """Bench and train sides are disjoint under the mod split, flags
     fire exactly at the threshold, and both flag values occur at the
