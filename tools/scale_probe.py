@@ -85,12 +85,13 @@ def build(spark) -> None:
         reduce(DataFrame.unionByName, copies).write \
             .mode("overwrite").parquet(f"{X10}/{t}.parquet")
     # the `10 * id + c` scheme keeps copies 1..9 out of the `% 50 == 0`
-    # ANN query set and collision-free ONLY for K <= 10 — guard it
-    if K > 10:
-        raise ValueError("embeddings re-key scheme supports K <= 10")
+    # ANN query set and collision-free ONLY for <= 10 copies — at
+    # K > 10 the embeddings table caps at 10 copies (disclosed: a
+    # K=30 corpus grows embeddings 10x, everything else 30x; the
+    # big-K probes target the scan/dedup/events families)
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     copies = [emb]
-    for c in range(1, K):
+    for c in range(1, min(K, 10)):
         copies.append(emb.withColumn(
             "vec_id", F.col("vec_id") * 10 + F.lit(c)))
     reduce(DataFrame.unionByName, copies).write \
