@@ -50,7 +50,11 @@ def cmd_scan(args) -> int:
         # Component semantics follow the column_ref shape
         # spark://table/column: the first pattern prunes tables
         # driver-side, the second prunes columns — BOTH at plan
-        # construction (same fnmatch semantics via match_names), so a
+        # construction with the same fnmatch semantics via match_names
+        # (reference-faithful: its targets ARE fnmatch patterns,
+        # glue.py:152-159 / unity.py:110-115 — the previous in-plan
+        # rlike filter supported only * and ?, a deviation this
+        # unification deliberately removes), so a
         # pruned column never enters the melt projection, the --since
         # lookback, OR the --incremental fingerprint basis. The
         # round-11 ADVICE hole this closes: filtering columns only

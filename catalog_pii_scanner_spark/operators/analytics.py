@@ -557,9 +557,12 @@ def user_state_history_oracle_sql() -> str:
 # function is monotone in the metric, so global rank = prefix count of
 # preceding buckets + rank WITHIN the bucket — per-bucket windows over
 # <= RFM_BUCKETS partitions, never a global sort. The quartile index
-# is then exact integer arithmetic on the rank: qi = 1 + (rank-1)*4
-# intdiv n (ntile semantics for n divisible by 4; remainder spreads to
-# the EARLY quartiles exactly like ntile, asserted in tests).
+# is then EXACT ntile(4) arithmetic on the rank (base = n div 4,
+# rem = n % 4; the first rem buckets take base+1 rows): the naive
+# 1 + (rank-1)*4 intdiv n shortcut deviates from ntile whenever
+# n % 4 == 2 (round-12 review finding, verified at n = 6: rank 4 gets
+# 3 vs ntile's 2), so the full piecewise form is used and pinned
+# against a real ntile(4) on corpora with n % 4 != 0 in tests.
 #
 # NOTE: implemented and tested in round 12; queries()/oracle_sql()
 # registration is deferred to the round-13 window (the round-12
@@ -567,6 +570,22 @@ def user_state_history_oracle_sql() -> str:
 # tests/test_entry_contract.py rule 1).
 
 RFM_BUCKETS = 1024
+
+
+def _ntile4_expr(dialect: str, rank: str, n: str) -> str:
+    """EXACT 1-based ntile(4) index from a 1-based dense global rank:
+    base = n div 4, rem = n % 4; the first rem tiles hold base+1 rows
+    (the SQL-standard remainder-spreads-early rule). CASE short-circuit
+    guards the base = 0 division (n < 4 puts every rank in the early
+    branch, matching ntile's one-row tiles)."""
+    from ..oracles import exact_int_div
+    base = exact_int_div(dialect, f"({n})", "4")
+    rem = f"(({n}) % 4)"
+    cut = f"({rem} * ({base} + 1))"
+    early = exact_int_div(dialect, f"(({rank}) - 1)", f"({base} + 1)")
+    late = f"({rem} + {exact_int_div(dialect, f'(({rank}) - 1 - {cut})', base)})"
+    return (f"(1 + CASE WHEN ({rank}) <= {cut} THEN {early} "
+            f"ELSE {late} END)")
 
 
 def _rfm_rank_block(tag: str, metric: str) -> str:
@@ -617,13 +636,11 @@ def rfm_segments_sql(dialect: str, orders_rel: str = "orders") -> str:
     deterministic on any snapshot); r_score INVERTS its quartile
     (most recent = 4). Monetary is exact integer cents
     (floor(x*100+0.5) per order, summed as BIGINT)."""
-    from ..oracles import exact_int_div
     if dialect == "duckdb":
         days = "date_diff('day', c.last_order, a.maxd)"
     else:
         days = "datediff(a.maxd, c.last_order)"
-    qi = {t: exact_int_div(dialect, f"({t}_rank.rank - 1) * 4",
-                           f"{t}_rank.n")
+    nt = {t: _ntile4_expr(dialect, f"{t}_rank.rank", f"{t}_rank.n")
           for t in ("rec", "frq", "mon")}
     return f"""
 WITH cust0 AS (
@@ -646,18 +663,18 @@ cust AS (
 {_rfm_rank_block('frq', 'frequency')},
 {_rfm_rank_block('mon', 'monetary_cents')}
 SELECT c.c_custkey, c.recency_days, c.frequency, c.monetary_cents,
-       CAST(4 - {qi['rec']} AS BIGINT) AS r_score,
-       CAST(1 + {qi['frq']} AS BIGINT) AS f_score,
-       CAST(1 + {qi['mon']} AS BIGINT) AS m_score,
+       CAST(5 - {nt['rec']} AS BIGINT) AS r_score,
+       CAST({nt['frq']} AS BIGINT) AS f_score,
+       CAST({nt['mon']} AS BIGINT) AS m_score,
        CASE
-         WHEN 4 - {qi['rec']} >= 4 AND 1 + {qi['frq']} >= 4
+         WHEN 5 - {nt['rec']} >= 4 AND {nt['frq']} >= 4
            THEN 'champion'
-         WHEN 4 - {qi['rec']} >= 3 AND 1 + {qi['frq']} >= 3
+         WHEN 5 - {nt['rec']} >= 3 AND {nt['frq']} >= 3
            THEN 'loyal'
-         WHEN 1 + {qi['mon']} >= 4 THEN 'big_spender'
-         WHEN 4 - {qi['rec']} <= 1 AND 1 + {qi['frq']} >= 3
+         WHEN {nt['mon']} >= 4 THEN 'big_spender'
+         WHEN 5 - {nt['rec']} <= 1 AND {nt['frq']} >= 3
            THEN 'at_risk'
-         WHEN 4 - {qi['rec']} <= 1 THEN 'hibernating'
+         WHEN 5 - {nt['rec']} <= 1 THEN 'hibernating'
          ELSE 'regular'
        END AS segment
 FROM cust c

@@ -409,10 +409,12 @@ FROM inc_f i FULL JOIN pri_f p ON p.column_ref = i.column_ref
 """
 
 
-#: desired_tags' comment vocabulary (sinks/writeback.py: COMMENT_PREFIX
-#: + MAX_COMMENT truncation) — mirrored here so the relation pins the
-#: sink's exact wire format.
-_WB_PREFIX, _WB_MAX = "PII:", 255
+#: desired_tags' comment vocabulary — imported from the sink itself
+#: (cycle-free: sinks/writeback.py imports only pyspark) so the
+#: relation genuinely pins the sink's CURRENT wire format instead of a
+#: copy that could go stale (round-12 review finding).
+from ..sinks.writeback import COMMENT_PREFIX as _WB_PREFIX  # noqa: E402
+from ..sinks.writeback import MAX_COMMENT as _WB_MAX  # noqa: E402
 
 
 def writeback_diff_plan(values_df: DataFrame) -> DataFrame:

@@ -232,24 +232,54 @@ def test_rfm_segments_matches_oracle(spark, sf_dir):
     assert got and got == want
 
 
+def _assert_rfm_is_ntile(spark, sf_dir):
+    from pyspark.sql import Window
+    from catalog_pii_scanner_spark.operators.analytics import (
+        orders_rfm_segments)
+    out = orders_rfm_segments(spark, sf_dir)
+    w = Window.orderBy("monetary_cents", "c_custkey")
+    chk = (out.select("c_custkey", "monetary_cents", "m_score")
+           .withColumn("nt", F.ntile(4).over(w)))
+    assert chk.where(F.col("nt") != F.col("m_score")).count() == 0
+    return out
+
+
 def test_rfm_quartiles_are_exact_ntile(spark):
     """The two-level-rank quartile index must agree with a directly
     computed ntile(4) under the same (metric, custkey) total order —
     including the remainder-spreads-early property — on the real
     per-customer relation."""
-    from pyspark.sql import Window
-    from catalog_pii_scanner_spark.operators.analytics import (
-        orders_rfm_segments)
-    out = orders_rfm_segments(spark, "/root/testdata/sf0.01")
-    w = Window.orderBy("monetary_cents", "c_custkey")
-    chk = (out.select("c_custkey", "monetary_cents", "m_score")
-           .withColumn("nt", F.ntile(4).over(w)))
-    bad = chk.where(F.col("nt") != F.col("m_score")).count()
-    assert bad == 0
-    # all four quartiles populated, scores in range
+    out = _assert_rfm_is_ntile(spark, "/root/testdata/sf0.01")
     scores = {r.m_score for r in out.select("m_score").distinct()
               .collect()}
     assert scores == {1, 2, 3, 4}
+
+
+def test_rfm_quartiles_are_exact_ntile_remainder_corpora(
+        spark, tmp_path):
+    """The round-12 review caught the naive 1+(rank-1)*4 intdiv n
+    shortcut deviating from ntile exactly when n % 4 == 2 (rank 4 of
+    n=6: shortcut 3, ntile 2). Pin TRUE ntile equality on customer
+    counts hitting every remainder class, including the n < 4
+    degenerate tiles."""
+    import datetime
+    for n_cust in (2, 3, 5, 6, 7, 10):
+        rows = []
+        for c in range(1, n_cust + 1):
+            for o in range(c):  # customer c has c orders
+                rows.append((c * 1000 + o, c, "O",
+                             float(10 * c + o),
+                             datetime.date(1995, 1, 1)
+                             + datetime.timedelta(days=c + o),
+                             "p"))
+        d = str(tmp_path / f"rfm{n_cust}")
+        (spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, "
+                  "o_orderstatus string, o_totalprice double, "
+                  "o_orderdate date, o_orderpriority string")
+         .write.mode("overwrite").parquet(f"{d}/orders.parquet"))
+        out = _assert_rfm_is_ntile(spark, d)
+        assert out.count() == n_cust
 
 
 def test_rfm_segment_vocabulary(spark):

@@ -57,6 +57,14 @@ QUERIES = ["pii_scan_catalog_tables", "dedup_keep_list",
            "events_sessions", "events_sessions_salted"]
 
 
+def _reads_embeddings(name: str) -> bool:
+    """Queries whose input is the embeddings table — at K > 10 that
+    table caps at 10 copies (the `% 50` query-set scheme), so probing
+    them at bigger K would record a silently-understated slope."""
+    return (name.startswith(("ann_", "embed_"))
+            or name == "dedup_embed_cosine")
+
+
 def build(spark) -> None:
     from functools import reduce
 
@@ -109,6 +117,15 @@ def main() -> int:
     argv = [a for a in sys.argv[1:]]
     rebuild = "--rebuild" in argv
     names = [a for a in argv if not a.startswith("--")] or QUERIES
+    if K > 10:
+        bad = [n for n in names if _reads_embeddings(n)]
+        if bad:
+            raise SystemExit(
+                f"K={K} > 10 but the embeddings table only supports 10 "
+                f"copies — probing {bad} at this K would record a "
+                f"silently-understated slope; probe those at K <= 10")
+        print(f"# NOTE: K={K} — embeddings table capped at 10 copies "
+              f"(non-embedding tables grow {K}x)")
 
     import __spark_entry__ as E
     from catalog_pii_scanner_spark.session import get_spark
