@@ -47,7 +47,8 @@ from catalog_pii_scanner_spark.sources.demo_catalog import (
     DEMO_TEXT_COLUMNS, demo_pii_df)
 from catalog_pii_scanner_spark.sources.melt import melt_df, melt_table
 from catalog_pii_scanner_spark.sources.unity import (
-    stub_information_schema, unity_catalog_columns, unity_columns_oracle_sql)
+    stub_information_schema, stub_rest_client, unity_catalog_columns,
+    unity_columns_oracle_sql, unity_rest_columns)
 from catalog_pii_scanner_spark.sources.sampler import (
     athena_sample_column, athena_sample_oracle_sql, sample_columns,
     sample_columns_oracle_sql)
@@ -313,71 +314,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return findings_rollup(_demo_values(spark, SF0001))
 
 
-#: DRIVER-ROUND-12 rotation (the driver gate checks the FIRST 50
+#: DRIVER-ROUND-13 rotation (the driver gate checks the FIRST 50
 #: queries() entries; rounds here and below are DRIVER rounds — the
 #: committed CORRECTNESS_r*.json artifacts — never internal build
 #: iterations).
 #:
-#: Round 11 was the second consecutive fully-green 50/50 window, so
+#: Round 12 was the third consecutive fully-green 50/50 window, so
 #: this window is again pure rotation + new surface:
-#:   (a) the 43-entry declared cohort (MUST_FRONT_BY_ROUND[12],
-#:       verbatim: every entry whose latest driver row is r9 — age 3
-#:       the moment the r11 artifact landed);
-#:   (b) the 2 round-11 deferred registrations, NEW this window
-#:       (never-gated, rule 1): corpus_collocations (exact-integer PMI
-#:       lift collocation mining, operators/corpus.py) and
-#:       events_user_state_history (SCD-2 gaps-and-islands history,
-#:       operators/analytics.py) — both implemented + pytest-gated in
-#:       round 11 with registration deferred to this window per the
-#:       stream_kmv_distinct precedent;
-#:   (c) 2 MORE new registrations (never-gated, rule 1): the last
-#:       pytest-only relational surfaces made oracle-checkable —
-#:       findings_merge_upsert (the K1/J3 bucketed MERGE's result
-#:       relation) and writeback_diff_plan (the K2-K4 idempotent
-#:       diff-before-write action plan), both replaying the store
-#:       lifecycle deterministically from the incremental module's
-#:       prior/current snapshot synthesis;
-#:   (d) 3 fill slots spent EARLY-REFRESHING r10-latest entries: the
-#:       r10 artifact holds 48 still-registered rows that ALL hit the
-#:       age-3 bound when the r12 artifact lands — fronting 3 now
-#:       trims the round-13 cohort to 45. Fill picks:
-#:       eval_trained_metrics (historically the noisiest entry),
-#:       stream_quality_classifier (an r11 driver-bench fence-crosser
-#:       — a fresh gate row helps the box-variance adjudication), and
-#:       multimodal_audio_fingerprint (the 48-bit packing surface).
-#: 43 + 2 + 2 + 3 = 50 exactly. The remaining 45 r10-latest entries
-#: hit the age bound when the r12 artifact lands;
-#: MUST_FRONT_BY_ROUND[13] declares them (45 + up-to-5 r12 reds fit
-#: the window).
-#: The FULL 145-query set is verified every session by
+#:   (a) the 45-entry declared cohort (MUST_FRONT_BY_ROUND[13],
+#:       verbatim: every entry whose latest driver row is r10 — age 3
+#:       the moment the r12 artifact landed — i.e. the r10 window's
+#:       50 rows minus the two round-11 instrument retirements minus
+#:       the 3 that round 12's fill slots early-refreshed);
+#:   (b) the 4 round-12 deferred registrations, NEW this window
+#:       (never-gated, rule 1): corpus_ngram_novelty (per-bench-doc
+#:       memorization audit, operators/corpus.py),
+#:       embed_semantic_decon (SemDeDup-style cosine decontamination,
+#:       operators/simsearch.py), orders_rfm_segments (two-level
+#:       exact-rank RFM quartiles, operators/analytics.py), and
+#:       corpus_tokenizer_fertility (per-language fertility audit,
+#:       operators/bpe.py) — all implemented + pytest-gated in round
+#:       12 with registration deferred per the collocations precedent;
+#:   (c) 1 MORE new registration (never-gated, rule 1) spending the
+#:       last free slot: unity_rest_columns — the S3 Unity REST
+#:       paginated walk, the final pytest-only enumeration surface
+#:       made oracle-checkable (its oracle is the info_schema path's
+#:       relation: REST/info_schema equality IS the contract).
+#: 45 + 4 + 1 = 50 exactly. The full 50-entry r11-latest cohort hits
+#: the age bound when the r13 artifact lands; MUST_FRONT_BY_ROUND[14]
+#: declares it (a zero-slack window, the round-11 precedent — r13
+#: follows three consecutive fully-green rounds, and every entry in
+#: this window carries a prior green row or five local gates).
+#: The FULL 150-query set is verified every session by
 #: tools/selfcheck.py, tools/edge_sweep.py, and the scaling sweeps in
 #: PERF.md.
 FRONT_50 = [
-    # (a) the 43-entry declared cohort (MUST_FRONT_BY_ROUND[12])
-    "ann_cosine_topk", "ann_lsh_matmul", "ann_lsh_topk",
-    "athena_sample_capped", "churned_customers", "corpus_char_entropy",
-    "corpus_curate", "corpus_decontaminate", "corpus_pack_sequences",
-    "corpus_repetition", "corpus_sample_stratified", "corpus_split",
-    "corpus_temperature_sample", "corpus_tfidf_keywords",
-    "corpus_vocab_topk", "dedup_embed_cosine", "doc_fingerprints",
-    "doc_lang_id", "doc_length_quantiles", "doc_quality",
-    "doc_token_counts", "events_funnel", "events_hourly",
-    "events_hourly_gapfill", "events_props_stats", "events_retention",
-    "events_sessions_salted", "events_value_outliers", "glue_columns",
-    "hms_columns", "llm_budget_plan", "monthly_revenue_running",
-    "multimodal_audio_energy", "multimodal_frame_sample",
-    "multimodal_real_pgm_features", "multimodal_real_wav_features",
-    "orders_priority_pivot", "pii_ensemble_predictions",
-    "sketch_kmv_distinct", "stream_doc_pii_density",
-    "top_customers_by_revenue", "tpch_pricing_summary",
-    "unity_columns",
-    # (b) the 2 round-11 deferred registrations — never-gated, rule (1)
-    "corpus_collocations", "events_user_state_history",
-    # (c) the 2 new store-relation twins — never-gated, rule (1)
-    "findings_merge_upsert", "writeback_diff_plan",
-    # (d) the 3 early-refresh fills (r10-latest entries)
-    "eval_trained_metrics", "stream_quality_classifier",
-    "multimodal_audio_fingerprint",
+    # (a) the 45-entry declared cohort (MUST_FRONT_BY_ROUND[13])
+    "sketch_hll_distinct", "stream_kmv_distinct",
+    "ann_cosine_matmul", "ann_ivf_matmul", "ann_ivf_topk",
+    "ann_ivfpq_matmul", "ann_ivfpq_topk", "ann_pq_matmul",
+    "ann_pq_topk", "ann_pq_trained_topk", "bloom_semijoin_filter",
+    "corpus_anonymize", "corpus_bigram_logprob", "corpus_bm25_topk",
+    "corpus_cdc_dedup", "corpus_curate_pii",
+    "corpus_unigram_logprob", "dedup_containment",
+    "doc_pii_density", "dq_anomaly_days", "dq_constraint_suite",
+    "embed_cluster_mix", "embed_jl_topk", "embed_kmeans_lloyd",
+    "embed_semdedup_keep_list", "events_asof_join",
+    "events_neighbor_window", "events_sessions",
+    "layout_zorder_stats", "multimodal_features",
+    "multimodal_phash_dedup", "multimodal_resize",
+    "pii_candidate_features", "pii_candidates_rollup",
+    "pii_ensemble_gated", "pii_ner_context_signals",
+    "pii_redaction_contexts", "pii_scan_demo_crm",
+    "sample_columns_topn", "sketch_histogram_quantiles",
+    "sketch_hll_union", "stream_events_hourly",
+    "stream_events_sessions", "stream_hll_distinct",
+    "stream_phash_keep_list",
+    # (b) the 4 round-12 deferred registrations — never-gated, rule (1)
+    "corpus_ngram_novelty", "embed_semantic_decon",
+    "orders_rfm_segments", "corpus_tokenizer_fertility",
+    # (c) the S3 REST enumeration registration — never-gated, rule (1)
+    "unity_rest_columns",
 ]
 
 
@@ -833,6 +830,34 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comment wire format).
         "writeback_diff_plan": lambda s, sf:
             writeback_diff_plan(_tables_values(s, sf)),
+        # ------------------------------------------------------------------
+        # round 13: the four round-12 deferred registrations.
+        #
+        # per-BENCH-doc memorization audit (inverse of decontaminate):
+        # one gram explode + ONE md5-keyed train-gram distinct; the
+        # eval-suite-sized bench gram relation BROADCASTS into the
+        # seen-join, so the corpus-scale side never reshuffles.
+        "corpus_ngram_novelty": corpus.corpus_ngram_novelty,
+        # SemDeDup-style semantic decontamination: each bench vector's
+        # nearest TRAIN vector by cosine via the shared one-pass
+        # broadcast-queries BLAS body; declarative twin is the oracle.
+        "embed_semantic_decon": simsearch.embed_semantic_decon,
+        # RFM customer quartiles via the two-level exact rank (bucket
+        # histogram + within-bucket row_number) — proven row-for-row
+        # equal to ntile(4) in tests, WITHOUT the single-task global
+        # ntile window ntile() would cost at scale.
+        "orders_rfm_segments": analytics.orders_rfm_segments,
+        # per-language tokenizer fertility audit under the FROZEN BPE
+        # merge table: composes the registered lang_id + bpe_apply
+        # dual-dialect templates as CTEs, so semantics cannot drift.
+        "corpus_tokenizer_fertility": bpe.corpus_tokenizer_fertility,
+        # S3 Unity REST enumeration (paginated catalogs->schemas->
+        # tables->get_table walk over the hermetic stub pager); its
+        # oracle is the SAME relation the info_schema path renders —
+        # REST/info_schema equality IS the S3 contract.
+        "unity_rest_columns": lambda s, sf:
+            unity_rest_columns(s, stub_rest_client(),
+                               table_patterns=UNITY_PATTERNS),
     }
 
 
@@ -1076,4 +1101,14 @@ def oracle_sql() -> dict[str, str]:
             findings_merge_upsert_oracle_sql(SCAN_TABLES),
         "writeback_diff_plan":
             writeback_diff_plan_oracle_sql(SCAN_TABLES),
+        # ------------------------------------------------------------------
+        # round 13 registrations (implemented + pytest-gated in r12)
+        "corpus_ngram_novelty": corpus.ngram_novelty_oracle_sql(),
+        "embed_semantic_decon": simsearch.embed_semantic_decon_sql("duckdb"),
+        "orders_rfm_segments": analytics.rfm_segments_oracle_sql(),
+        "corpus_tokenizer_fertility": bpe.tokenizer_fertility_oracle_sql(),
+        # the REST path must land on the identical relation as the
+        # info_schema path — one shared oracle IS that equality gate
+        "unity_rest_columns": unity_columns_oracle_sql(
+            table_patterns=UNITY_PATTERNS),
     }

@@ -158,6 +158,42 @@ MUST_FRONT_BY_ROUND: dict[int, set[str]] = {
         "stream_events_sessions", "stream_hll_distinct",
         "stream_phash_keep_list",
     },
+    # Round 14 fronts the full 50-entry r11-latest cohort — the r11
+    # artifact's 50 rows, all of which hit age 3 the moment the r13
+    # artifact lands (round 13's window was exactly consumed by the
+    # 45-entry declared cohort + its 5 new registrations, so none of
+    # these could be early-refreshed). A zero-slack window, like
+    # round 11's: 50 cohort + 0 slots. Any r13 red would be an entry
+    # INSIDE round 13's window (hence r13-latest, not in this cohort)
+    # and rule (2) would force it in — the resolution then is retiring
+    # or early-registering nothing in round 14 and, if still over 50,
+    # an explicit adjudicated exception in this file. Precedent says
+    # the risk is low: rounds 10-12 were all 50/50 green.
+    14: {
+        "ann_filtered_topk", "ann_ivfpq_trained_topk",
+        "ann_pq_trained_matmul", "catalog_columns", "corpus_bpe_apply",
+        "corpus_bpe_encode", "corpus_bpe_merges", "corpus_chunk_overlap",
+        "corpus_dsir_select", "corpus_line_dedup",
+        "corpus_minhash_decontaminate", "corpus_normalize_text",
+        "corpus_quality_classifier", "corpus_substring_dedup",
+        "corpus_winnow_pairs", "dedup_clusters", "dedup_exact",
+        "dedup_keep_list", "dedup_lsh_near_pairs",
+        "dedup_minhash_signatures", "dedup_ngram_jaccard",
+        "dedup_simhash", "dq_k_anonymity", "dq_referential_suite",
+        "embed_hard_negatives", "embed_knn_eval", "embed_spectrum_stats",
+        "eval_greedy_metrics", "events_transition_matrix",
+        "layout_compaction_plan", "layout_partition_skew",
+        "multimodal_phash_keep_list", "orders_basket_pairs",
+        "pii_candidates_scored", "pii_full_pipeline",
+        "pii_incremental_scan", "pii_metadata_hints",
+        "pii_ner_merge_max", "pii_overlap_suppressed",
+        "pii_repeated_spans", "pii_scan_catalog_tables",
+        "pii_scan_enabled_types", "profile_columns",
+        "sketch_cms_heavy_hitters", "stream_cms_counters",
+        "stream_dedup_events", "stream_dedup_keep_list",
+        "stream_dsir_select", "stream_events_recent_score",
+        "tpch_local_supplier_volume",
+    },
 }
 
 #: Appended to rotation assertion failures so a red suite is read
@@ -321,6 +357,14 @@ INTEGER_AUDIT_COLUMNS = {
     # round-12 store-relation twins
     "findings_merge_upsert": ("n_types",),
     "writeback_diff_plan": ("n_spans",),
+    # round-13 registrations (the r12 deferred four; semantic_decon's
+    # outputs are ids + a rounded DOUBLE cosine — no count columns)
+    "corpus_ngram_novelty": ("n_grams", "n_seen"),
+    "orders_rfm_segments": ("recency_days", "frequency",
+                            "monetary_cents", "r_score", "f_score",
+                            "m_score"),
+    "corpus_tokenizer_fertility": ("n_docs", "n_chars", "n_ws_tokens",
+                                   "n_bpe_tokens"),
 }
 
 
