@@ -384,7 +384,8 @@ def eval_metrics_trained(spark: SparkSession, labeled: DataFrame,
                          model=None,
                          calibration: dict[str, tuple[float, float]]
                          | None = None,
-                         precomputed_lc: DataFrame | None = None
+                         precomputed_lc: DataFrame | None = None,
+                         precomputed_enriched: DataFrame | None = None
                          ) -> DataFrame:
     """Phase-3 closure: evaluate the TRAINED ensemble on a labeled corpus
     (reference ``cps eval``, cli.py:351-385): candidates -> full ensemble
@@ -407,7 +408,8 @@ def eval_metrics_trained(spark: SparkSession, labeled: DataFrame,
         F.col("text").alias("value"),
         "pii_type", "match_text", "rule_confidence", "validated")
     fused = full_scan_predictions(cands, model=model,
-                                  calibration=calibration)
+                                  calibration=calibration,
+                                  precomputed_enriched=precomputed_enriched)
     preds = (
         fused.join(
             lc.select(F.col("text_id").cast("string").alias("column_ref"),
@@ -587,6 +589,7 @@ def eval_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive the byte-identical relation)."""
     from ..pii_types import ALL_PII_TYPES as _TYPES
     from ..sources.datasets import generate_synthetic
+    from .pipeline import _enriched_candidates
     from .training import (fit_calibrator_ensemble, labeled_candidates,
                            train_embed)
     key = (spark.sparkContext.applicationId, 500, 1234)
@@ -598,15 +601,31 @@ def eval_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "rule_confidence", "validated", "pstart", "pend")
               .distinct().localCheckpoint(eager=True))
         model = train_embed(spark, corpus)
+        # the context/NER/embed signal plumbing is a pure function of
+        # (lc, model, provider) and BOTH the calibrator fit and the
+        # trained eval derive the byte-identical relation from it — so
+        # it is fitted state too: evaluate it once, checkpoint, and
+        # hand it to both consumers (pre-r13 each analyzed + evaluated
+        # the giant context/NER/embed tree independently — the whole
+        # tree twice per cold JVM, the suite-worst cold-start in
+        # BENCH_DETAIL r12: 58.3 s cold vs 4.58 s warm).
+        cands = lc.select(
+            F.col("text_id").cast("string").alias("column_ref"),
+            F.col("text").alias("value"),
+            "pii_type", "match_text", "rule_confidence", "validated")
+        enriched = _enriched_candidates(cands, model, "regex") \
+            .localCheckpoint(eager=True)
         cal = fit_calibrator_ensemble(corpus, model=model,
-                                      precomputed_lc=lc)
+                                      precomputed_lc=lc,
+                                      precomputed_enriched=enriched)
         _TRAINED_MEMO.clear()     # one live session at a time
         _TRAINED_MEMO[key] = (
-            corpus, lc, model, {t: cal.get(t) for t in _TYPES})
-    corpus, lc, model, calibration = _TRAINED_MEMO[key]
+            corpus, lc, model, {t: cal.get(t) for t in _TYPES}, enriched)
+    corpus, lc, model, calibration, enriched = _TRAINED_MEMO[key]
     return eval_metrics_trained(spark, corpus, model=model,
                                 calibration=calibration,
-                                precomputed_lc=lc)
+                                precomputed_lc=lc,
+                                precomputed_enriched=enriched)
 
 
 def eval_trained_oracle_sql() -> str:

@@ -85,11 +85,17 @@ HAVING COUNT(*) > 0
 
 
 def findings_rollup(values_df: DataFrame,
-                    rules: tuple[Rule, ...] = RULES) -> DataFrame:
+                    rules: tuple[Rule, ...] = RULES,
+                    pre_deduped: bool = False) -> DataFrame:
     """Full scan: values -> per-(column, type) findings.
 
     Columns: ``column_ref, pii_type, n_candidates, n_values_hit,
     confidence, hit_rate``.
+
+    ``pre_deduped=True`` asserts ``values_df`` is ALREADY the distinct
+    non-null value basis, materialized (the entry-level shared-basis
+    memo): the P3 dedup and the per-branch persist are skipped —
+    both consumers plan against the caller's checkpointed relation.
     """
     # vals feeds two consumers (totals + extraction); persist so the
     # melt + 6.6M-row distinct shuffle materializes once, not per branch
@@ -97,7 +103,9 @@ def findings_rollup(values_df: DataFrame,
     # returning: the (tiny, per-column x type) result is materialized via
     # eager localCheckpoint, so a long-lived session never accumulates the
     # big cached vals relations across queries.
-    vals = values_df.where(F.col("value").isNotNull()).distinct().persist()
+    vals = (values_df if pre_deduped else
+            values_df.where(F.col("value").isNotNull())
+            .distinct().persist())
     class_col = "vclass" if "vclass" in values_df.columns else None
     totals = vals.groupBy("column_ref").agg(
         F.count("*").alias("n_values"))
@@ -117,4 +125,6 @@ def findings_rollup(values_df: DataFrame,
                 "spark", "n_values_hit", "n_values")).alias("hit_rate"),
         )
     )
-    return checkpoint_release(out, vals)
+    # a shared (pre_deduped) basis belongs to the caller's memo — never
+    # unpersist it from here
+    return checkpoint_release(out, *(() if pre_deduped else (vals,)))

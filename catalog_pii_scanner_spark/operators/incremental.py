@@ -112,6 +112,18 @@ def _distinct_basis(values_df: DataFrame
     return vals, vcols, class_col
 
 
+def distinct_basis(values_df: DataFrame
+                   ) -> tuple[DataFrame, list[str], str | None]:
+    """Public hook for callers that SHARE the checkpointed basis across
+    queries (the entry-level memo: pii_scan_catalog_tables,
+    sample_columns_topn, and the three fingerprint/store queries all
+    derive the identical relation from the same melted catalog, so a
+    suite re-derived it five times — ~16 % of the r12 bench). The
+    returned triple is exactly what the ``basis=`` parameters below
+    accept."""
+    return _distinct_basis(values_df)
+
+
 def _snapshot_fingerprints(vals: DataFrame) -> DataFrame:
     """Both snapshots' fingerprints in ONE conditional aggregation pass
     (the oracle states them as two CTEs over the same rows — same
@@ -140,7 +152,8 @@ def _changed_pred():
             | (F.col("h") != F.col("o_h")))
 
 
-def incremental_findings(values_df: DataFrame) -> DataFrame:
+def incremental_findings(values_df: DataFrame | None = None,
+                         basis=None) -> DataFrame:
     """Spark path over a melted (column_ref, value[, vclass]) relation.
 
     Plan: ONE distinct shuffle (checkpointed — it feeds the
@@ -148,8 +161,12 @@ def incremental_findings(values_df: DataFrame) -> DataFrame:
     discipline), one conditional-aggregate fingerprint pass producing
     the checkpointed metadata-scale per-column relation WITH the
     totals, then extraction over the broadcast-pruned value set only.
+    ``basis`` (a :func:`distinct_basis` triple) lets the caller hand
+    over an already-materialized shared basis instead of
+    ``values_df``; the derived relation is identical by construction.
     """
-    vals, vcols, class_col = _distinct_basis(values_df)
+    vals, vcols, class_col = (basis if basis is not None
+                              else _distinct_basis(values_df))
     fps = _snapshot_fingerprints(vals)
     # the action relation is a trivial projection over the checkpointed
     # fingerprints — no second checkpoint needed
@@ -264,7 +281,8 @@ GROUP BY s.column_ref, s.pii_type, a.n_values, a.scan_action
 # parquet input on both engines.
 
 
-def findings_merge_upsert(values_df: DataFrame) -> DataFrame:
+def findings_merge_upsert(values_df: DataFrame | None = None,
+                          basis=None) -> DataFrame:
     """MERGE-result relation: one row per column_ref after upserting
     the incremental rescan's findings into the prior store.
 
@@ -282,8 +300,10 @@ def findings_merge_upsert(values_df: DataFrame) -> DataFrame:
     candidate set is a filter, not a second scan), per-column store
     shaping, and a full outer join of two findings-store-scale
     relations. 100 TB: everything after extraction is metadata-scale.
+    ``basis`` as in :func:`incremental_findings`.
     """
-    vals, vcols, class_col = _distinct_basis(values_df)
+    vals, vcols, class_col = (basis if basis is not None
+                              else _distinct_basis(values_df))
     fps = _snapshot_fingerprints(vals)
     cands = (extract_candidates(vals.select(*vcols), class_col=class_col)
              .withColumn("prob", candidate_score())
@@ -417,7 +437,8 @@ from ..sinks.writeback import COMMENT_PREFIX as _WB_PREFIX  # noqa: E402
 from ..sinks.writeback import MAX_COMMENT as _WB_MAX  # noqa: E402
 
 
-def writeback_diff_plan(values_df: DataFrame) -> DataFrame:
+def writeback_diff_plan(values_df: DataFrame | None = None,
+                        basis=None) -> DataFrame:
     """The K2-K4 diff-before-write as a relation: desired tags from the
     CURRENT scan anti-diffed against the catalog state the PRIOR run's
     apply left behind. One row per column the current scan tags:
@@ -437,12 +458,20 @@ def writeback_diff_plan(values_df: DataFrame) -> DataFrame:
     distinct value set would be pure waste — the checkpoint sits on
     the (small, post-extraction) candidate set instead, which the two
     per-column aggregates both consume (A/B at sf0.1: cold 17.5 ->
-    13.2 s, warm level; one full-value-set disk write removed)."""
-    vcols = ["column_ref", "value"] + (
-        ["vclass"] if "vclass" in values_df.columns else [])
-    class_col = "vclass" if "vclass" in values_df.columns else None
-    vals = (values_df.select(*vcols)
-            .where(F.col("value").isNotNull()).distinct())
+    13.2 s, warm level; one full-value-set disk write removed).
+    ``basis`` as in :func:`incremental_findings` — when a shared basis
+    already exists (entry-level memo) the single-consumer argument
+    above no longer applies and the melt+distinct is skipped outright
+    (is_new is dropped: the extraction output re-derives it)."""
+    if basis is not None:
+        bvals, vcols, class_col = basis
+        vals = bvals.select(*vcols)
+    else:
+        vcols = ["column_ref", "value"] + (
+            ["vclass"] if "vclass" in values_df.columns else [])
+        class_col = "vclass" if "vclass" in values_df.columns else None
+        vals = (values_df.select(*vcols)
+                .where(F.col("value").isNotNull()).distinct())
     cands = (extract_candidates(vals, class_col=class_col)
              .withColumn("is_new", F.expr(NEW_ROW_GATE))
              .localCheckpoint(eager=True))
@@ -454,12 +483,16 @@ def writeback_diff_plan(values_df: DataFrame) -> DataFrame:
              .groupBy("column_ref")
              .agg(F.concat_ws(",", F.array_sort(F.collect_set("pii_type")))
                   .alias("prior_pii_types")))
-    parts = F.split(F.regexp_replace("column_ref", "^[a-z]+://", ""), "/")
+    # the SAME decomposition the real sink applies (r12 ADVICE: the
+    # plan split refs 2-segment while desired_tags assumed 3 — now one
+    # shared helper handles both arities for every consumer)
+    from ..sinks.writeback import ref_parts
+    _schema, _table, _column = ref_parts()
     return (cur_t.join(pri_t, "column_ref", "left")
             .select(
                 "column_ref",
-                parts.getItem(0).alias("table_name"),
-                parts.getItem(1).alias("column_name"),
+                _table.alias("table_name"),
+                _column.alias("column_name"),
                 F.when(F.col("prior_pii_types").isNull(),
                        F.lit("insert"))
                 .when(F.col("prior_pii_types") != F.col("pii_types"),

@@ -38,12 +38,19 @@ def full_scan_predictions(
     calibration: dict[str, tuple[float, float]] | None = None,
     llm_cost_cap_usd: float | None = None,
     llm_cache_ttl_minutes: int | None = None,
+    precomputed_enriched: DataFrame | None = None,
 ) -> DataFrame:
     """Scored candidates (CAND_COLS + rule_confidence + validated) ->
     fused predictions with the REAL signal path bound. ``model`` defaults
     to the deterministic md5hex model (hermetic offline mode — the
     reference's CPS_OFFLINE analog); pass a trained EmbedModel for the
     live path.
+
+    ``precomputed_enriched`` lets a caller that already evaluated the
+    signal plumbing (``enriched_candidates`` over the SAME cands/model/
+    provider — identical by construction) hand it over, so compositions
+    that fit AND predict (the trained eval) analyze the context/NER/
+    embed tree once instead of twice; semantics are unchanged.
 
     With ``ner_provider='fake_llm'`` the declared LLM runtime knobs are
     ENFORCED, not just validated: ``llm_cost_cap_usd`` budget-gates the
@@ -52,9 +59,10 @@ def full_scan_predictions(
     signal — the fusion's missing-signal path), and
     ``llm_cache_ttl_minutes`` reaches the worker-singleton provider
     construction."""
-    enriched = _enriched_candidates(cands, model, ner_provider,
-                                    llm_cost_cap_usd,
-                                    llm_cache_ttl_minutes)
+    enriched = (precomputed_enriched if precomputed_enriched is not None
+                else _enriched_candidates(cands, model, ner_provider,
+                                          llm_cost_cap_usd,
+                                          llm_cache_ttl_minutes))
     return fuse_predictions(
         enriched,
         weights=weights,
@@ -119,13 +127,16 @@ def full_scan_raw_scores(
     model: EmbedModel | None = None,
     weights: EnsembleWeights = REFERENCE_WEIGHTS,
     ner_provider: str = "regex",
+    precomputed_enriched: DataFrame | None = None,
 ) -> DataFrame:
     """Pre-calibration per-type raw fused scores with the REAL signal
     path bound (reference ``Ensemble.raw_scores``, ensemble.py:138-167) —
     the input to the calibrator fit. Output: CAND_COLS + rule_confidence
-    + validated + score_type + raw (11 rows per candidate)."""
+    + validated + score_type + raw (11 rows per candidate).
+    ``precomputed_enriched`` as in :func:`full_scan_predictions`."""
     from .ensemble import raw_type_scores
-    enriched = _enriched_candidates(cands, model, ner_provider)
+    enriched = (precomputed_enriched if precomputed_enriched is not None
+                else _enriched_candidates(cands, model, ner_provider))
     return raw_type_scores(
         enriched, weights=weights,
         ner_signal=F.col("ner_sig"),

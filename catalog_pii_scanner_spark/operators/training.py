@@ -143,7 +143,8 @@ def calibration_pairs(labeled: DataFrame) -> DataFrame:
 def fit_calibrator_ensemble(labeled: DataFrame, model=None,
                             weights=None,
                             ner_provider: str = "regex",
-                            precomputed_lc: DataFrame | None = None
+                            precomputed_lc: DataFrame | None = None,
+                            precomputed_enriched: DataFrame | None = None
                             ) -> Calibrator:
     """The reference's calibration fit, faithfully (eval.py:80-103 +
     ensemble.py:170-189): per PII type t, a 1-D Platt scaler over the
@@ -174,7 +175,9 @@ def fit_calibrator_ensemble(labeled: DataFrame, model=None,
         "pii_type", "match_text", "rule_confidence", "validated")
     kw = {} if weights is None else {"weights": weights}
     raw = full_scan_raw_scores(cands, model=model,
-                               ner_provider=ner_provider, **kw)
+                               ner_provider=ner_provider,
+                               precomputed_enriched=precomputed_enriched,
+                               **kw)
     pos = lc.select(
         F.col("text_id").cast("string").alias("column_ref"),
         F.col("text").alias("value"), "pii_type", "match_text",

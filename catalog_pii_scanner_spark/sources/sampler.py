@@ -33,7 +33,8 @@ SALT_BUCKETS = 64
 
 
 def sample_columns(values_df: DataFrame, n: int = DEFAULT_SAMPLE_N,
-                   deterministic: bool = True, seed: int = 42) -> DataFrame:
+                   deterministic: bool = True, seed: int = 42,
+                   pre_deduped: bool = False) -> DataFrame:
     """(column_ref, value) -> at most n distinct non-null values per column.
 
     Two-phase top-k: a single window per column_ref puts EVERY distinct
@@ -50,8 +51,15 @@ def sample_columns(values_df: DataFrame, n: int = DEFAULT_SAMPLE_N,
     build/sort (~10k-element sets on the lineitem price columns) costs
     more than the saved shuffle, and map-side partial collect_set barely
     reduces high-cardinality columns. The window form stays.
+
+    ``pre_deduped=True`` asserts ``values_df`` is already the distinct
+    non-null (column_ref, value) relation (the entry-level shared-basis
+    memo projects the checkpointed catalog basis — distinctness of the
+    projection holds because vclass is a per-column literal at the melt
+    boundary, functionally dependent on column_ref).
     """
-    vals = values_df.where(F.col("value").isNotNull()).distinct()
+    vals = (values_df if pre_deduped else
+            values_df.where(F.col("value").isNotNull()).distinct())
     order = F.col("value") if deterministic else F.rand(seed)
     salt = F.pmod(F.xxhash64("value"), F.lit(SALT_BUCKETS))
     w1 = Window.partitionBy("column_ref", "_salt").orderBy(order)
