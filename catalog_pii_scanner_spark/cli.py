@@ -29,6 +29,16 @@ def _spark(app: str):
     return get_spark(f"cpss-{app}")
 
 
+def _full_scope(args) -> bool:
+    """True when the scan's fingerprint basis covers the FULL catalog
+    schema — no table subset, no column glob, no --since pruning (the
+    --incremental fingerprint pass itself runs before its own pruning,
+    so it always covers the in-scope columns). Only such a run may
+    compact sidecar refs for dropped/renamed columns
+    (write_column_fingerprints evict_missing)."""
+    return not (args.tables or args.target or args.since)
+
+
 def cmd_scan(args) -> int:
     from .config import load_config
     from .operators.findings import findings_rollup
@@ -157,7 +167,8 @@ def cmd_scan(args) -> int:
         if not table_cols:
             # nothing changed: refresh the sidecar timestamp and exit
             from .sinks.findings_store import write_column_fingerprints
-            write_column_fingerprints(fps_cur, store)
+            write_column_fingerprints(fps_cur, store,
+                                      evict_missing=_full_scope(args))
             print("[]")
             return 0
     if vals is None:
@@ -194,10 +205,12 @@ def cmd_scan(args) -> int:
         stats = apply_writeback_sql(spark, findings)
         print(json.dumps({"writeback_sql": stats}), file=sys.stderr)
     if fps_cur is not None:
-        # findings landed -> NOW the columns count as freshly scanned
+        # findings landed -> NOW the columns count as freshly scanned;
+        # a full-scope run also compacts refs for dropped columns
         from .sinks.findings_store import write_column_fingerprints
         write_column_fingerprints(fps_cur,
-                                  args.merge_store or args.store)
+                                  args.merge_store or args.store,
+                                  evict_missing=_full_scope(args))
     return 0
 
 

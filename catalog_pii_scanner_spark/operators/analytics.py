@@ -573,7 +573,10 @@ RFM_BUCKETS = 1024
 
 
 def _ntile4_expr(dialect: str, rank: str, n: str) -> str:
-    """EXACT 1-based ntile(4) index from a 1-based dense global rank:
+    """EXACT 1-based ntile(4) index from a UNIQUE gapless 1..n
+    row_number-style rank (ties already broken — a true dense_rank
+    with ties would misassign tiles; the two-level rank the RFM blocks
+    build is row_number-shaped by construction, r12 ADVICE wording):
     base = n div 4, rem = n % 4; the first rem tiles hold base+1 rows
     (the SQL-standard remainder-spreads-early rule). CASE short-circuit
     guards the base = 0 division (n < 4 puts every rank in the early

@@ -247,18 +247,30 @@ def export_csv(findings: DataFrame, path: str) -> None:
 FP_SUBDIR = "_fingerprints"
 
 
-def write_column_fingerprints(fps: DataFrame, store_path: str) -> None:
+def write_column_fingerprints(fps: DataFrame, store_path: str,
+                              evict_missing: bool = False) -> None:
     """MERGE-upsert (column_ref, n_values, fp_hash) + scanned_at into
     the store's fingerprint sidecar: incoming rows replace stored rows
     with the same column_ref; stored rows outside the incoming scope
     survive. Callers write AFTER the scan's findings land, so a failed
-    scan cannot mark columns fresh."""
+    scan cannot mark columns fresh.
+
+    Retention (r12 ADVICE): the keep-out-of-scope rule means refs for
+    columns DROPPED from the catalog (or renamed) survive forever by
+    default — and a recreated column with the same ref and matching
+    content would be pruned by its stale row. ``evict_missing=True``
+    is the compaction path: the caller asserts ``fps`` covers the FULL
+    current scope (an unfiltered run — no table/column globs, no
+    --since pruning), so stored refs absent from it are genuinely gone
+    from the catalog and are dropped. Scoped runs MUST keep the
+    default, or they thrash each other's fingerprints back into full
+    rescans (the round-11 ADVICE bug the merge fixed)."""
     import os
     spark = fps.sparkSession
     incoming = (fps.select("column_ref", "n_values", "fp_hash")
                 .withColumn("scanned_at", F.current_timestamp()))
     stored = read_column_fingerprints(spark, store_path)
-    if stored is not None:
+    if stored is not None and not evict_missing:
         merged = incoming.unionByName(
             stored.join(incoming.select("column_ref"),
                         "column_ref", "left_anti"))

@@ -47,14 +47,38 @@ class FakeCatalogClient:
             self.comments[key] = comment
 
 
+def ref_parts(ref_col: str = "column_ref") -> tuple[F.Column, F.Column,
+                                                    F.Column]:
+    """(schema, table, column) Columns from a ``column_ref`` URI — THE
+    shared decomposition for every write-back consumer (this sink's
+    apply loops AND operators/incremental.writeback_diff_plan).
+
+    Refs carry either 3 path segments (catalog enumerations:
+    ``cat://schema/table/column``) or 2 (the engine's melt boundary:
+    ``spark://table/column`` — sources/catalog.column_ref with the
+    default schema elided). Pre-r13 this sink assumed 3 segments, so a
+    2-segment ref parsed as schema=<table>, table=<column>,
+    column=NULL — the apply loop would tag the wrong object (r12
+    ADVICE, the latent-bug half). 2-segment refs now parse with a NULL
+    schema and the segments land in table/column where they belong."""
+    parts = F.split(F.regexp_replace(ref_col, "^[a-z]+://", ""), "/")
+    three = F.size(parts) >= 3
+    return (
+        F.when(three, parts.getItem(0)).alias("schema"),
+        F.when(three, parts.getItem(1)).otherwise(parts.getItem(0))
+        .alias("table"),
+        F.when(three, parts.getItem(2)).otherwise(parts.getItem(1))
+        .alias("column"),
+    )
+
+
 def desired_tags(findings: DataFrame) -> DataFrame:
-    """findings (column_ref='cat://schema/table/column', types[]) ->
-    per-column desired properties/comment."""
-    parts = F.split(F.regexp_replace("column_ref", "^[a-z]+://", ""), "/")
+    """findings (column_ref='cat://schema/table/column' or the melt's
+    2-segment 'spark://table/column', types[]) -> per-column desired
+    properties/comment."""
+    schema, table, column = ref_parts()
     return findings.select(
-        parts.getItem(0).alias("schema"),
-        parts.getItem(1).alias("table"),
-        parts.getItem(2).alias("column"),
+        schema, table, column,
         F.concat_ws(",", F.col("types")).alias("pii_types"),
     ).withColumn(
         "comment",
@@ -107,8 +131,12 @@ def apply_writeback_sql(spark: SparkSession,
     ``schema.table``. Idempotent like :func:`apply_writeback`."""
     applied = skipped = 0
     for row in desired_tags(findings).toLocalIterator():
+        # 2-segment melt refs parse with a NULL schema: the table is
+        # addressed bare (session current database), never "None.<t>"
+        table_ident = (f"{row['schema']}.{row['table']}"
+                       if row["schema"] is not None else row["table"])
         changed = update_column_tags_sql(
-            spark, f"{row['schema']}.{row['table']}", row["column"],
+            spark, table_ident, row["column"],
             pii=True, pii_types=row["pii_types"].split(","),
             append_comment=row["comment"])
         applied += int(changed)

@@ -122,6 +122,66 @@ def test_cli_scan_since_prunes_scanned_columns(spark, tmp_path_factory,
     assert '"skipped_columns": 1' in captured.err
 
 
+def test_ref_decomposition_unified_across_sink_and_plan(spark):
+    """r12 ADVICE: desired_tags parsed 3-segment refs while the engine's
+    melt refs are 2-segment (spark://table/column) — a 2-segment ref
+    landed as schema=<table>, table=<column>, column=NULL, so the apply
+    loop would tag the wrong object. One shared ref_parts helper now
+    handles both arities, and the diff plan's table_name/column_name
+    must equal the sink's parse on the SAME refs."""
+    from catalog_pii_scanner_spark.sinks.writeback import (desired_tags,
+                                                           ref_parts)
+    refs = spark.createDataFrame(
+        [("spark://orders/o_comment", ["EMAIL"]),
+         ("parquet://testdata/users/email_addr", ["EMAIL"])],
+        "column_ref string, types array<string>")
+    tags = {r.column_ref: r for r in refs.select(
+        "column_ref", *ref_parts()).collect()}
+    two, three = (tags["spark://orders/o_comment"],
+                  tags["parquet://testdata/users/email_addr"])
+    assert (two.schema, two.table, two.column) == \
+        (None, "orders", "o_comment")
+    assert (three.schema, three.table, three.column) == \
+        ("testdata", "users", "email_addr")
+    # the sink's desired_tags applies the same decomposition
+    dt = {(r.schema, r.table, r.column)
+          for r in desired_tags(refs).collect()}
+    assert dt == {(None, "orders", "o_comment"),
+                  ("testdata", "users", "email_addr")}
+    # and the diff plan's table_name/column_name match the sink's parse
+    from catalog_pii_scanner_spark.operators.incremental import \
+        writeback_diff_plan
+    vals = spark.createDataFrame(
+        [("spark://orders/o_comment", "reach me at a@b.io")],
+        "column_ref string, value string")
+    plan = writeback_diff_plan(vals).collect()
+    assert [(r.table_name, r.column_name) for r in plan] == \
+        [("orders", "o_comment")]
+
+
+def test_apply_writeback_sql_two_segment_ref(spark):
+    """A 2-segment melt ref addresses the bare table in the session
+    catalog (current database) — never the broken 'None.<t>' ident."""
+    from catalog_pii_scanner_spark.sinks.writeback import \
+        apply_writeback_sql
+    spark.sql("CREATE TABLE IF NOT EXISTS cpss_wb2seg (notes STRING) "
+              "USING parquet")
+    try:
+        findings = to_findings_records(spark.createDataFrame(
+            [("spark://cpss_wb2seg/notes", "EMAIL", 1, 1, 0.9, 0.5)],
+            SCHEMA))
+        assert apply_writeback_sql(spark, findings) == \
+            {"applied": 1, "skipped": 0}
+        # idempotent re-run, same bare-table addressing
+        assert apply_writeback_sql(spark, findings) == \
+            {"applied": 0, "skipped": 1}
+        props = {r.key: r.value for r in spark.sql(
+            "SHOW TBLPROPERTIES cpss_wb2seg").collect()}
+        assert props["cps.pii.col.notes"] == "true"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cpss_wb2seg")
+
+
 def test_writeback_idempotent(findings):
     client = FakeCatalogClient()
     first = apply_writeback(findings, client)
@@ -253,6 +313,21 @@ def test_column_fingerprint_sidecar_roundtrip(spark, tmp_path_factory):
     assert changed_column_refs(
         spark, store, column_fingerprints(vals3)) \
         == {"spark://t/c"}
+    # SCOPED merge keeps out-of-scope refs (r11 ADVICE fix)...
+    only_b = vals.where("column_ref = 'spark://t/b'")
+    write_column_fingerprints(column_fingerprints(only_b), store)
+    assert {r.column_ref for r in
+            read_column_fingerprints(spark, store).collect()} \
+        == {"spark://t/a", "spark://t/b"}
+    # ...but a FULL-scope compaction evicts refs the catalog no longer
+    # carries (r12 ADVICE: the default retention keeps dropped/renamed
+    # columns' rows forever, and a recreated same-ref column with
+    # matching content would be pruned by its stale row)
+    write_column_fingerprints(column_fingerprints(only_b), store,
+                              evict_missing=True)
+    assert {r.column_ref for r in
+            read_column_fingerprints(spark, store).collect()} \
+        == {"spark://t/b"}
 
 
 def test_cli_scan_incremental_prunes_unchanged_columns(

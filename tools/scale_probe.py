@@ -56,13 +56,46 @@ QUERIES = ["pii_scan_catalog_tables", "dedup_keep_list",
            "ann_cosine_matmul", "ann_lsh_matmul", "ann_ivf_matmul",
            "events_sessions", "events_sessions_salted"]
 
-
-def _reads_embeddings(name: str) -> bool:
-    """Queries whose input is the embeddings table — at K > 10 that
-    table caps at 10 copies (the `% 50` query-set scheme), so probing
-    them at bigger K would record a silently-understated slope."""
-    return (name.startswith(("ann_", "embed_"))
-            or name == "dedup_embed_cosine")
+#: query -> declared input tables. The K > 10 embeddings guard is
+#: DERIVED from this map, fail-closed (r12 ADVICE: the old
+#: ann_*/embed_* name-prefix heuristic would silently bypass a future
+#: embeddings-reading query named outside those prefixes — now an
+#: UNDECLARED query cannot be probed at K > 10 at all until its
+#: inputs are declared here).
+QUERY_INPUTS: dict[str, tuple[str, ...]] = {
+    "pii_scan_catalog_tables": ("region", "nation", "customer",
+                                "supplier", "part", "orders",
+                                "lineitem", "events", "documents"),
+    "pii_incremental_scan": ("region", "nation", "customer", "supplier",
+                             "part", "orders", "lineitem", "events",
+                             "documents"),
+    "findings_merge_upsert": ("region", "nation", "customer", "supplier",
+                              "part", "orders", "lineitem", "events",
+                              "documents"),
+    "writeback_diff_plan": ("region", "nation", "customer", "supplier",
+                            "part", "orders", "lineitem", "events",
+                            "documents"),
+    "sample_columns_topn": ("region", "nation", "customer", "supplier",
+                            "part", "orders", "lineitem", "events",
+                            "documents"),
+    "dedup_keep_list": ("documents",),
+    "dedup_ngram_jaccard": ("documents",),
+    "dedup_containment": ("documents",),
+    "dedup_embed_cosine": ("embeddings",),
+    "ann_cosine_matmul": ("embeddings",),
+    "ann_lsh_matmul": ("embeddings",),
+    "ann_ivf_matmul": ("embeddings",),
+    "ann_ivfpq_trained_topk": ("embeddings",),
+    "embed_semantic_decon": ("embeddings",),
+    "events_sessions": ("events",),
+    "events_sessions_salted": ("events",),
+    "stream_events_recent_score": ("events",),
+    "orders_basket_pairs": ("orders", "lineitem"),
+    "corpus_collocations": ("documents",),
+    "corpus_ngram_novelty": ("documents",),
+    "corpus_tokenizer_fertility": ("documents",),
+    "orders_rfm_segments": ("orders",),
+}
 
 
 def build(spark) -> None:
@@ -118,7 +151,14 @@ def main() -> int:
     rebuild = "--rebuild" in argv
     names = [a for a in argv if not a.startswith("--")] or QUERIES
     if K > 10:
-        bad = [n for n in names if _reads_embeddings(n)]
+        undeclared = [n for n in names if n not in QUERY_INPUTS]
+        if undeclared:
+            raise SystemExit(
+                f"K={K} > 10 but {undeclared} have no QUERY_INPUTS "
+                f"declaration — declare their input tables before "
+                f"probing past the embeddings-copy cap (fail-closed: "
+                f"r12 ADVICE)")
+        bad = [n for n in names if "embeddings" in QUERY_INPUTS[n]]
         if bad:
             raise SystemExit(
                 f"K={K} > 10 but the embeddings table only supports 10 "
