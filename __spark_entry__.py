@@ -140,6 +140,44 @@ def _tables_basis(spark: SparkSession, sf_dir: str):
     return _BASIS_MEMO[key]
 
 
+#: Same discipline for the LSH dedup chain: pairs -> clusters ->
+#: keep_list are THREE registered queries over one derivation
+#: (signatures + banded self-join + Jaccard verify, then label
+#: propagation); pre-r13 keep_list re-derived clusters which re-derived
+#: pairs, so the suite ran the expensive pair derivation three times
+#: (1.7 + 2.2 + 3.4 s at sf0.1). The memo holds the two checkpointed
+#: stages (pure functions of sf_dir at the registered default
+#: threshold/cap); each query's contract relation is unchanged and the
+#: oracles still state the full chain per query.
+_DEDUP_CHAIN_MEMO: dict = {}
+
+
+def _dedup_chain(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DEDUP_CHAIN_MEMO:
+        _DEDUP_CHAIN_MEMO.clear()
+        pairs = dedup.lsh_near_dup_pairs(spark, sf_dir)  # eager ckpt
+        clusters = dedup.connected_components(pairs) \
+            .localCheckpoint(eager=True)
+        _DEDUP_CHAIN_MEMO[key] = (pairs, clusters)
+    return _DEDUP_CHAIN_MEMO[key]
+
+
+#: And for the image family: the decode+aHash pass (asset_id, b0..b3)
+#: feeds both multimodal_phash_dedup and multimodal_phash_keep_list.
+_PHASH_MEMO: dict = {}
+
+
+def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PHASH_MEMO:
+        _PHASH_MEMO.clear()
+        _PHASH_MEMO[key] = multimodal.ahash_bands(
+            multimodal.synthetic_pgm_neardup_assets(spark, sf_dir)) \
+            .localCheckpoint(eager=True)
+    return _PHASH_MEMO[key]
+
+
 def _demo_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_values(_demo_values(spark, sf_dir))
 
@@ -426,7 +464,8 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image near-dup dedup: REAL PGM decode -> aHash -> banded
         # Hamming blocking (bucket-capped); oracle re-derives the hash
         # bits arithmetically from the SQL-built near-dup corpus
-        "multimodal_phash_dedup": multimodal.phash_dedup_query,
+        "multimodal_phash_dedup": lambda s, sf:
+            multimodal.phash_dedup_query(s, sf, hashes=_phash_hashes(s, sf)),
         # BM25 ranked retrieval top-k (eval-set mining / decon audits);
         # salted two-phase per-query top-k, decimal-exact term sums
         "corpus_bm25_topk": corpus.bm25_topk,
@@ -594,8 +633,8 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _tables_values(s, sf)),
         # P5 enabled_types gate
         "pii_scan_enabled_types": _scan_enabled_types,
-        "dedup_lsh_near_pairs": dedup.lsh_near_dup_pairs,
-        "dedup_clusters": dedup.dedup_clusters,
+        "dedup_lsh_near_pairs": lambda s, sf: _dedup_chain(s, sf)[0],
+        "dedup_clusters": lambda s, sf: _dedup_chain(s, sf)[1],
         # S5 melt boundary + scan over ALL 9 catalog tables (shared
         # checkpointed distinct basis; is_new is the fingerprint
         # queries' gate column, not part of the P3 value basis)
@@ -618,13 +657,16 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pii_docs scan as a zero-state foreachBatch drain
         "stream_doc_pii_density": stream_doc_pii_density,
         # corpus keep/drop verdict: cluster representative per doc
-        "dedup_keep_list": dedup.dedup_keep_list,
+        "dedup_keep_list": lambda s, sf:
+            dedup.dedup_keep_list(s, sf, clusters=_dedup_chain(s, sf)[1]),
         # the same verdict via a streaming drain (batch-identical)
         "stream_dedup_keep_list": stream_dedup_keep_list,
         # ------------------------------------------------------------------
         # image-dedup product verdict: phash pairs -> connected
         # components -> canonical keep/drop per corpus doc
-        "multimodal_phash_keep_list": multimodal.phash_keep_list_query,
+        "multimodal_phash_keep_list": lambda s, sf:
+            multimodal.phash_keep_list_query(
+                s, sf, hashes=_phash_hashes(s, sf)),
         # RAG/training chunk prep: overlapping token windows, zero
         # shuffles, straggler-capped
         "corpus_chunk_overlap": corpus.chunk_overlap,

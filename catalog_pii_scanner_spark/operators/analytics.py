@@ -631,20 +631,17 @@ def _rfm_rank_block(tag: str, metric: str) -> str:
 )"""
 
 
-def rfm_segments_sql(dialect: str, orders_rel: str = "orders") -> str:
-    """Output per customer: c_custkey, recency_days, frequency,
-    monetary_cents (all BIGINT), r_score/f_score/m_score (BIGINT,
-    1-4), segment (VARCHAR). recency_days counts from the corpus max
-    order date (the 'as of' anchor, derived, so the query is
-    deterministic on any snapshot); r_score INVERTS its quartile
-    (most recent = 4). Monetary is exact integer cents
-    (floor(x*100+0.5) per order, summed as BIGINT)."""
+def rfm_cust_sql(dialect: str, orders_rel: str = "orders") -> str:
+    """The per-customer RFM base relation (c_custkey, recency_days,
+    frequency, monetary_cents, last_order) — factored out so the Spark
+    execution path can MATERIALIZE it once: Spark inlines SQL CTEs, so
+    the full inline template recomputed this orders-scale aggregation
+    inside every rank block (87 exchanges in the sf0.01 plan audit).
+    The oracle keeps the inline form (DuckDB materializes CTEs)."""
     if dialect == "duckdb":
         days = "date_diff('day', c.last_order, a.maxd)"
     else:
         days = "datediff(a.maxd, c.last_order)"
-    nt = {t: _ntile4_expr(dialect, f"{t}_rank.rank", f"{t}_rank.n")
-          for t in ("rec", "frq", "mon")}
     return f"""
 WITH cust0 AS (
   SELECT o_custkey AS c_custkey,
@@ -656,12 +653,40 @@ WITH cust0 AS (
   WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
   GROUP BY o_custkey
 ),
-anchor AS (SELECT MAX(last_order) AS maxd FROM cust0),
-cust AS (
-  SELECT c.c_custkey, CAST({days} AS BIGINT) AS recency_days,
-         c.frequency, c.monetary_cents, c.last_order
-  FROM cust0 c CROSS JOIN anchor a
-),
+anchor AS (SELECT MAX(last_order) AS maxd FROM cust0)
+SELECT c.c_custkey, CAST({days} AS BIGINT) AS recency_days,
+       c.frequency, c.monetary_cents, c.last_order
+FROM cust0 c CROSS JOIN anchor a
+"""
+
+
+def rfm_segments_sql(dialect: str, orders_rel: str = "orders",
+                     cust_rel: str | None = None) -> str:
+    """Output per customer: c_custkey, recency_days, frequency,
+    monetary_cents (all BIGINT), r_score/f_score/m_score (BIGINT,
+    1-4), segment (VARCHAR). recency_days counts from the corpus max
+    order date (the 'as of' anchor, derived, so the query is
+    deterministic on any snapshot); r_score INVERTS its quartile
+    (most recent = 4). Monetary is exact integer cents
+    (floor(x*100+0.5) per order, summed as BIGINT).
+
+    ``cust_rel``: name of a PRE-MATERIALIZED :func:`rfm_cust_sql`
+    relation — the Spark execution path checkpoints it once so the
+    rank blocks plan against a leaf (value-identical; the inline form
+    re-ran the orders aggregation per CTE reference)."""
+    if cust_rel is not None:
+        cust_cte = f"cust AS (SELECT * FROM {cust_rel})"
+    else:
+        inner = rfm_cust_sql(dialect, orders_rel).strip()
+        # splice the factored derivation back in as inline CTEs: the
+        # oracle form stays one self-contained statement
+        inner_body = inner[len("WITH "):]  # cust0 ... SELECT ...
+        ctes, tail = inner_body.rsplit("\nSELECT", 1)
+        cust_cte = f"{ctes},\ncust AS (SELECT{tail})"
+    nt = {t: _ntile4_expr(dialect, f"{t}_rank.rank", f"{t}_rank.n")
+          for t in ("rec", "frq", "mon")}
+    return f"""
+WITH {cust_cte},
 {_rfm_rank_block('rec', 'recency_days')},
 {_rfm_rank_block('frq', 'frequency')},
 {_rfm_rank_block('mon', 'monetary_cents')}
@@ -690,7 +715,16 @@ JOIN mon_rank ON mon_rank.c_custkey = c.c_custkey
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/orders.parquet") \
         .createOrReplaceTempView("cpss_rfm_orders")
-    return spark.sql(rfm_segments_sql("spark", "cpss_rfm_orders"))
+    # materialize the customer base once (Spark inlines CTEs, so the
+    # inline template re-ran the orders aggregation inside every rank
+    # block — 87 exchanges in the sf0.01 plan audit, 34 after; the
+    # remaining exchanges are projections/windows over the checkpointed
+    # customer-scale leaf, never the orders scan)
+    spark.sql(rfm_cust_sql("spark", "cpss_rfm_orders")) \
+        .localCheckpoint(eager=True) \
+        .createOrReplaceTempView("cpss_rfm_cust")
+    return spark.sql(rfm_segments_sql("spark", "cpss_rfm_orders",
+                                      cust_rel="cpss_rfm_cust"))
 
 
 def rfm_segments_oracle_sql() -> str:

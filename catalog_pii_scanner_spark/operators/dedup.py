@@ -838,18 +838,24 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
 
 
 def dedup_clusters(spark, sf_dir: str, threshold: float = 0.5,
-                   max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+                   max_bucket: int = MAX_BAND_BUCKET,
+                   pairs: DataFrame | None = None) -> DataFrame:
     """Duplicate-cluster resolution for the training-data pipeline: LSH
     near-dup pairs -> connected components -> one canonical doc per
     cluster (MIN doc_id). A corpus keep-list is then
     ``all docs - (clustered docs - representatives)``. Output:
-    (doc_id, cluster_rep) for every doc in a near-dup cluster."""
-    pairs = lsh_near_dup_pairs(spark, sf_dir, threshold, max_bucket)
+    (doc_id, cluster_rep) for every doc in a near-dup cluster.
+    ``pairs`` lets a caller hand over an already-materialized near-dup
+    pair relation (the entry-level chain memo: pairs -> clusters ->
+    keep_list are three registered queries over one derivation)."""
+    if pairs is None:
+        pairs = lsh_near_dup_pairs(spark, sf_dir, threshold, max_bucket)
     return connected_components(pairs)
 
 
 def dedup_keep_list(spark, sf_dir: str, threshold: float = 0.5,
-                    max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+                    max_bucket: int = MAX_BAND_BUCKET,
+                    clusters: DataFrame | None = None) -> DataFrame:
     """The dedup family's actual product: one row per corpus document
     with the keep/drop verdict. A doc is dropped iff it sits in a
     near-dup cluster and is not that cluster's canonical representative
@@ -857,8 +863,10 @@ def dedup_keep_list(spark, sf_dir: str, threshold: float = 0.5,
 
     Output: doc_id, cluster_rep, keep. Shuffle shape: the cluster
     relation is bounded by near-dup membership (small vs the corpus), so
-    the verdict join broadcasts it under AQE."""
-    clusters = dedup_clusters(spark, sf_dir, threshold, max_bucket)
+    the verdict join broadcasts it under AQE. ``clusters`` as in
+    :func:`dedup_clusters` (the entry-level chain memo)."""
+    if clusters is None:
+        clusters = dedup_clusters(spark, sf_dir, threshold, max_bucket)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id")
     out = docs.join(clusters, "doc_id", "left")

@@ -847,11 +847,16 @@ def phash_band_rows(hashes: DataFrame) -> DataFrame:
 
 def phash_dedup_query(spark: SparkSession, sf_dir: str,
                       ham_max: int = PHASH_HAM_MAX,
-                      max_bucket: int = PHASH_MAX_BUCKET) -> DataFrame:
+                      max_bucket: int = PHASH_MAX_BUCKET,
+                      hashes: DataFrame | None = None) -> DataFrame:
     """Banded aHash near-dup pairs over the SQL-built PGM corpus.
-    Output: doc_a, doc_b, hamming (doc_a < doc_b)."""
-    hashes = ahash_bands(
-        synthetic_pgm_neardup_assets(spark, sf_dir)).localCheckpoint()
+    Output: doc_a, doc_b, hamming (doc_a < doc_b). ``hashes`` lets a
+    caller hand over the already-checkpointed (asset_id, b0..b3)
+    relation — the decode+aHash pass this query shares with
+    phash_keep_list_query (entry-level memo)."""
+    if hashes is None:
+        hashes = ahash_bands(
+            synthetic_pgm_neardup_assets(spark, sf_dir)).localCheckpoint()
     bands = phash_band_rows(hashes)
     bands_ok = (bands.groupBy("band", "val")
                 .agg(F.count("*").alias("_bn"))
@@ -1016,7 +1021,8 @@ def _phash_resolve(spark: SparkSession, bands: DataFrame,
 
 def phash_keep_list_query(spark: SparkSession, sf_dir: str,
                           ham_max: int = PHASH_HAM_MAX,
-                          max_bucket: int = PHASH_MAX_BUCKET
+                          max_bucket: int = PHASH_MAX_BUCKET,
+                          hashes: DataFrame | None = None
                           ) -> DataFrame:
     """The image-dedup product verdict (the dedup_keep_list shape for
     the multimodal corpus): one decode pass -> aHash band rows ->
@@ -1031,9 +1037,11 @@ def phash_keep_list_query(spark: SparkSession, sf_dir: str,
     + bucket-capped upstream; label propagation is one keyed shuffle
     per round with per-round checkpoints; the verdict join broadcasts
     the (near-dup-bounded) cluster relation under AQE — identical
-    discipline to dedup.dedup_keep_list."""
-    bands = phash_band_rows(ahash_bands(
-        synthetic_pgm_neardup_assets(spark, sf_dir)))
+    discipline to dedup.dedup_keep_list. ``hashes`` as in
+    :func:`phash_dedup_query` (the shared decode+aHash pass)."""
+    if hashes is None:
+        hashes = ahash_bands(synthetic_pgm_neardup_assets(spark, sf_dir))
+    bands = phash_band_rows(hashes)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _phash_resolve(spark, bands, docs, ham_max, max_bucket)
 

@@ -173,6 +173,20 @@ def main() -> int:
          "conditional aggs, store-scale full join"),
         ("writeback_diff_plan",
          "one extraction, two per-column aggs, store-scale left join"),
+        ("corpus_ngram_novelty",
+         "one gram shuffle; eval-suite bench grams broadcast into the "
+         "seen-join — the train side never reshuffles for the join"),
+        ("embed_semantic_decon",
+         "bench queries broadcast through the one-pass BLAS body; "
+         "train side streams, shuffle carries per-partition top-1 only"),
+        ("orders_rfm_segments",
+         "two-level exact rank (bucket histogram + within-bucket "
+         "row_number) x3 metrics — no single-task global ntile window"),
+        ("corpus_tokenizer_fertility",
+         "lang_id + bpe_apply CTEs joined doc-keyed, language rollup"),
+        ("unity_rest_columns",
+         "driver-side paginated REST walk -> createDataFrame "
+         "(catalog metadata scale; no data-plane jobs)"),
     ]
     lines = ["# PLANS — physical plan audit (auto-generated)", "",
              f"sf_dir: {sf_dir}", ""]

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import time
 
@@ -67,8 +68,12 @@ def main() -> int:
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; probe corpora
+        # (tools/scale_probe.py, edge_sweep fuzz variants written by
+        # Spark) are part-file DIRECTORIES — glob those for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
