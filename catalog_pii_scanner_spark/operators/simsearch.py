@@ -2005,45 +2005,89 @@ PQT_CODES = 32                 # trained codewords per subspace
 PQT_ITERS = 2                  # unrolled Lloyd iterations
 
 
-def ann_pq_trained_topk_sql(dialect: str, rel: str = "embeddings",
-                            k: int = 5, query_mod: int = 50,
-                            rerank: int = PQ_RERANK,
-                            corpus_mod: int = PQ_TWIN_CORPUS_MOD,
-                            codes: int = PQT_CODES,
-                            iters: int = PQT_ITERS) -> str:
-    """Output: query_id, neighbor_id, rank, cosine (exact, rounded
-    1e-6). ``iters=0`` degrades to the prefix quantizer at ``codes``
-    codewords — the recall baseline the trained codebook must beat
-    (tests/test_ann_recall.py)."""
+def _pq_train_steps(iters: int, cand_rel: str = "scand",
+                    enc: str = "enc", asg: str = "asg") -> tuple[list, str]:
+    """The unrolled per-subspace Lloyd iterations (cb0 -> cb{iters});
+    shared by the PQ and IVFADC trained templates."""
     steps = []
     prev = "cb0"
     for i in range(1, iters + 1):
         steps.append(f"""
-enc{i} AS (
+{enc}{i} AS (
   SELECT s.vec_id, s.m, c.code,
          SUM((s.val - c.cval) * (s.val - c.cval)) AS d2
-  FROM scand s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
+  FROM {cand_rel} s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
   GROUP BY s.vec_id, s.m, c.code
 ),
-asg{i} AS (
+{asg}{i} AS (
   SELECT vec_id, m, code FROM (
     SELECT vec_id, m, code,
            row_number() OVER (PARTITION BY vec_id, m
                               ORDER BY round(d2, 6), code) AS rn
-    FROM enc{i}
+    FROM {enc}{i}
   ) WHERE rn = 1
 ),
 cb{i} AS (
   SELECT a.code, s.m, s.pos,
          SUM(CAST(floor(s.val * 1000000 + 0.5) AS BIGINT))
            / (COUNT(*) * 1000000.0) AS cval
-  FROM asg{i} a
-  JOIN scand s ON s.vec_id = a.vec_id AND s.m = a.m
+  FROM {asg}{i} a
+  JOIN {cand_rel} s ON s.vec_id = a.vec_id AND s.m = a.m
   GROUP BY a.code, s.m, s.pos
 )""")
         prev = f"cb{i}"
+    return steps, prev
+
+
+def ann_pq_trained_cb_sql(dialect: str, rel: str = "embeddings",
+                          corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                          codes: int = PQT_CODES,
+                          iters: int = PQT_ITERS) -> str:
+    """JUST the trained codebook relation (code, m, pos, cval) — the
+    Spark execution path materializes this once (eager localCheckpoint
+    behind a temp view) because Spark INLINES SQL CTEs: the serving
+    body references the codebook three times (encode, norms, LUT), so
+    the self-contained template re-ran the whole training chain per
+    reference (64 exchanges in the sf0.01 plan audit). The oracle
+    keeps the self-contained inline template — DuckDB materializes
+    CTEs, so staging only makes the engines' work symmetric."""
+    steps, prev = _pq_train_steps(iters)
     train = ",".join(steps)
     train = f",{train}" if train else ""
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+sub AS (
+  SELECT vec_id, pos, val, CAST(floor((pos - 1) / {PQ_SUB}) AS INT) AS m
+  FROM vecs
+),
+scand AS (SELECT * FROM sub WHERE vec_id % {corpus_mod} = 0),
+cb0 AS (
+  SELECT vec_id AS code, m, pos, val AS cval FROM sub
+  WHERE vec_id < {codes}
+){train}
+SELECT * FROM {prev}
+"""
+
+
+def ann_pq_trained_topk_sql(dialect: str, rel: str = "embeddings",
+                            k: int = 5, query_mod: int = 50,
+                            rerank: int = PQ_RERANK,
+                            corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                            codes: int = PQT_CODES,
+                            iters: int = PQT_ITERS,
+                            cb_rel: str | None = None) -> str:
+    """Output: query_id, neighbor_id, rank, cosine (exact, rounded
+    1e-6). ``iters=0`` degrades to the prefix quantizer at ``codes``
+    codewords — the recall baseline the trained codebook must beat
+    (tests/test_ann_recall.py). ``cb_rel`` swaps the inline training
+    chain for a PRE-MATERIALIZED :func:`ann_pq_trained_cb_sql`
+    relation (the Spark execution path; see that docstring)."""
+    if cb_rel is not None:
+        train, prev = f",\ncbm AS (SELECT * FROM {cb_rel})", "cbm"
+    else:
+        steps, prev = _pq_train_steps(iters)
+        train = ",".join(steps)
+        train = f",{train}" if train else ""
     return f"""
 WITH {_exploded_cte(dialect, rel)},
 sub AS (
@@ -2150,41 +2194,39 @@ def ann_pq_trained_topk(spark, sf_dir: str, k: int = 5,
                         corpus_mod: int = PQ_TWIN_CORPUS_MOD,
                         codes: int = PQT_CODES,
                         iters: int = PQT_ITERS) -> DataFrame:
-    """Dual-dialect template execution of the trained-codebook PQ."""
+    """Dual-dialect template execution of the trained-codebook PQ.
+    The codebook trains ONCE into a checkpointed view (see
+    ann_pq_trained_cb_sql — Spark inlines CTEs, so the inline form
+    re-ran the training chain per downstream reference)."""
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .createOrReplaceTempView("cpss_embeddings")
+    spark.sql(ann_pq_trained_cb_sql(
+        "spark", "cpss_embeddings", corpus_mod, codes, iters)) \
+        .localCheckpoint(eager=True) \
+        .createOrReplaceTempView("cpss_pqt_cb")
     return spark.sql(ann_pq_trained_topk_sql(
         "spark", "cpss_embeddings", k, query_mod, rerank, corpus_mod,
-        codes, iters))
+        codes, iters, cb_rel="cpss_pqt_cb"))
 
 
-def ann_ivfpq_trained_topk_sql(dialect: str, rel: str = "embeddings",
-                               k: int = 5, query_mod: int = 50,
-                               rerank: int = PQ_RERANK,
+def ann_ivfpq_trained_cent_sql(dialect: str, rel: str = "embeddings",
                                corpus_mod: int = PQ_TWIN_CORPUS_MOD,
-                               codes: int = PQT_CODES,
-                               iters: int = PQT_ITERS,
                                n_cells: int = NUM_CENTROIDS,
-                               nprobe: int = NPROBE,
                                km_iters: int = LLOYD_ITERS) -> str:
-    """The FULLY-trained IVFADC stack (FAISS IndexIVFPQ::train): the
-    coarse quantizer is Lloyd-trained under cosine over full vectors
-    (the kmeans_lloyd_sql discipline — rounded assignment, integer
-    micro-unit means) AND the PQ codebooks are Lloyd-trained per
-    subspace under L2 (the ann_pq_trained_topk discipline), both
-    unrolled INSIDE the dual-dialect template so DuckDB trains
-    identically. Training runs on the corpus_mod sample (FAISS trains
-    on a sample too); search assigns candidates + queries to the
-    trained cells, probes ``nprobe`` cells per query, ADC-scores via
-    lookup tables, and exactly re-ranks the shortlist.
+    """JUST the trained coarse-centroid relation (cid, pos, cval) —
+    the Spark-path materialization seam for the IVFADC template (the
+    ann_pq_trained_cb_sql rationale: Spark inlines CTEs, so the inline
+    chain re-ran coarse training per downstream reference)."""
+    coarse = _ivfpq_coarse_steps(km_iters, n_cells)
+    return f"""
+WITH {_exploded_cte(dialect, rel)},
+scand AS (SELECT * FROM vecs WHERE vec_id % {corpus_mod} = 0),
+{','.join(coarse).lstrip()}
+SELECT * FROM cent{km_iters}
+"""
 
-    ``km_iters=0`` + ``iters=0`` degrades to the prefix-quantizer
-    ann_ivfpq shape at ``codes`` codewords — the recall baseline
-    (tests/test_ann_recall.py).
 
-    Output: query_id, neighbor_id, rank, cosine (exact, rounded 1e-6).
-    """
-    # --- coarse quantizer training (cosine k-means over full vectors)
+def _ivfpq_coarse_steps(km_iters: int, n_cells: int) -> list[str]:
     coarse = [f"""
 cent0 AS (
   SELECT vec_id AS cid, pos, val AS cval FROM vecs
@@ -2224,39 +2266,67 @@ cnorm{i + 1} AS (
   SELECT cid, sqrt(SUM(cval * cval)) AS cnorm
   FROM cent{i + 1} GROUP BY cid HAVING SUM(cval * cval) > 0
 )""")
+    return coarse
+
+
+def ann_ivfpq_trained_topk_sql(dialect: str, rel: str = "embeddings",
+                               k: int = 5, query_mod: int = 50,
+                               rerank: int = PQ_RERANK,
+                               corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                               codes: int = PQT_CODES,
+                               iters: int = PQT_ITERS,
+                               n_cells: int = NUM_CENTROIDS,
+                               nprobe: int = NPROBE,
+                               km_iters: int = LLOYD_ITERS,
+                               trained_rels: tuple[str, str] | None = None
+                               ) -> str:
+    """The FULLY-trained IVFADC stack (FAISS IndexIVFPQ::train): the
+    coarse quantizer is Lloyd-trained under cosine over full vectors
+    (the kmeans_lloyd_sql discipline — rounded assignment, integer
+    micro-unit means) AND the PQ codebooks are Lloyd-trained per
+    subspace under L2 (the ann_pq_trained_topk discipline), both
+    unrolled INSIDE the dual-dialect template so DuckDB trains
+    identically. Training runs on the corpus_mod sample (FAISS trains
+    on a sample too); search assigns candidates + queries to the
+    trained cells, probes ``nprobe`` cells per query, ADC-scores via
+    lookup tables, and exactly re-ranks the shortlist.
+
+    ``km_iters=0`` + ``iters=0`` degrades to the prefix-quantizer
+    ann_ivfpq shape at ``codes`` codewords — the recall baseline
+    (tests/test_ann_recall.py).
+
+    Output: query_id, neighbor_id, rank, cosine (exact, rounded 1e-6).
+
+    ``trained_rels=(cent_rel, cb_rel)`` swaps BOTH inline training
+    chains for pre-materialized artifacts (the Spark execution path —
+    ann_pq_trained_cb_sql / ann_ivfpq_trained_cent_sql rationale);
+    cnorm re-derives from the materialized centroids in place (a
+     16-row aggregation).
+    """
     km_last = km_iters
-    # --- PQ codebook training (L2 k-means per subspace)
-    pq = [f"""
+    if trained_rels is not None:
+        cent_rel, cb_rel = trained_rels
+        coarse = [f"""
+cent{km_last} AS (SELECT * FROM {cent_rel}),
+cnorm{km_last} AS (
+  SELECT cid, sqrt(SUM(cval * cval)) AS cnorm
+  FROM cent{km_last} GROUP BY cid HAVING SUM(cval * cval) > 0
+)"""]
+        pq = [f"""
+cbm AS (SELECT * FROM {cb_rel})"""]
+        prev = "cbm"
+    else:
+        # --- coarse quantizer training (cosine k-means, full vectors)
+        coarse = _ivfpq_coarse_steps(km_iters, n_cells)
+        # --- PQ codebook training (L2 k-means per subspace)
+        pq = [f"""
 cb0 AS (
   SELECT vec_id AS code, m, pos, val AS cval FROM sub
   WHERE vec_id < {codes}
 )"""]
-    prev = "cb0"
-    for i in range(1, iters + 1):
-        pq.append(f"""
-penc{i} AS (
-  SELECT s.vec_id, s.m, c.code,
-         SUM((s.val - c.cval) * (s.val - c.cval)) AS d2
-  FROM subc s JOIN {prev} c ON c.m = s.m AND c.pos = s.pos
-  GROUP BY s.vec_id, s.m, c.code
-),
-pasg{i} AS (
-  SELECT vec_id, m, code FROM (
-    SELECT vec_id, m, code,
-           row_number() OVER (PARTITION BY vec_id, m
-                              ORDER BY round(d2, 6), code) AS rn
-    FROM penc{i}
-  ) WHERE rn = 1
-),
-cb{i} AS (
-  SELECT a.code, s.m, s.pos,
-         SUM(CAST(floor(s.val * 1000000 + 0.5) AS BIGINT))
-           / (COUNT(*) * 1000000.0) AS cval
-  FROM pasg{i} a
-  JOIN subc s ON s.vec_id = a.vec_id AND s.m = a.m
-  GROUP BY a.code, s.m, s.pos
-)""")
-        prev = f"cb{i}"
+        steps, prev = _pq_train_steps(iters, cand_rel="subc",
+                                      enc="penc", asg="pasg")
+        pq += steps
     return f"""
 WITH {_exploded_cte(dialect, rel)},
 scand AS (SELECT * FROM vecs WHERE vec_id % {corpus_mod} = 0),
@@ -2394,12 +2464,24 @@ def ann_ivfpq_trained_topk(spark, sf_dir: str, k: int = 5,
                            n_cells: int = NUM_CENTROIDS,
                            nprobe: int = NPROBE,
                            km_iters: int = LLOYD_ITERS) -> DataFrame:
-    """Dual-dialect template execution of the fully-trained IVFADC."""
+    """Dual-dialect template execution of the fully-trained IVFADC.
+    Both training chains materialize ONCE into checkpointed views
+    (Spark inlines CTEs — the inline form re-ran coarse training and
+    codebook training per downstream reference)."""
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .createOrReplaceTempView("cpss_embeddings")
+    spark.sql(ann_ivfpq_trained_cent_sql(
+        "spark", "cpss_embeddings", corpus_mod, n_cells, km_iters)) \
+        .localCheckpoint(eager=True) \
+        .createOrReplaceTempView("cpss_ivfpqt_cent")
+    spark.sql(ann_pq_trained_cb_sql(
+        "spark", "cpss_embeddings", corpus_mod, codes, iters)) \
+        .localCheckpoint(eager=True) \
+        .createOrReplaceTempView("cpss_ivfpqt_cb")
     return spark.sql(ann_ivfpq_trained_topk_sql(
         "spark", "cpss_embeddings", k, query_mod, rerank, corpus_mod,
-        codes, iters, n_cells, nprobe, km_iters))
+        codes, iters, n_cells, nprobe, km_iters,
+        trained_rels=("cpss_ivfpqt_cent", "cpss_ivfpqt_cb")))
 
 
 # --- trained-codebook PQ SERVING twin (r6-verdict item #2) ------------------
