@@ -156,11 +156,29 @@ def _dedup_chain(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DEDUP_CHAIN_MEMO:
         _DEDUP_CHAIN_MEMO.clear()
-        pairs = dedup.lsh_near_dup_pairs(spark, sf_dir)  # eager ckpt
+        pairs = dedup.lsh_near_dup_pairs(
+            spark, sf_dir,
+            shingles=_doc_shingles(spark, sf_dir))  # eager ckpt
         clusters = dedup.connected_components(pairs) \
             .localCheckpoint(eager=True)
         _DEDUP_CHAIN_MEMO[key] = (pairs, clusters)
     return _DEDUP_CHAIN_MEMO[key]
+
+
+#: And for the text-dedup family: the DISTINCT (doc_id, shingle)
+#: relation (explode + per-doc window + distinct, ~1.6 s warm at
+#: sf0.1) feeds four registered queries (minhash signatures, the LSH
+#: chain build, ngram-jaccard, containment) — each built its own copy.
+_SHINGLES_MEMO: dict = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLES_MEMO:
+        _SHINGLES_MEMO.clear()
+        _SHINGLES_MEMO[key] = dedup.doc_shingles_df(spark, sf_dir) \
+            .localCheckpoint(eager=True)
+    return _SHINGLES_MEMO[key]
 
 
 #: And for the image family: the decode+aHash pass (asset_id, b0..b3)
@@ -566,7 +584,9 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{sf}/documents.parquet")),
         # asymmetric containment: quote/subset pairs the symmetric
         # Jaccard join structurally misses
-        "dedup_containment": dedup.containment_pairs,
+        "dedup_containment": lambda s, sf:
+            dedup.containment_pairs(s, sf,
+                                    shingles=_doc_shingles(s, sf)),
         "dedup_embed_cosine": simsearch.embed_cosine_pairs,
         # ------------------------------------------------------------------
         # position-exact extraction over a corpus with REPEATED PII
@@ -605,7 +625,9 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-language length percentiles (exact; approx is the scale path)
         "doc_length_quantiles": textstats.length_quantiles,
         "dedup_exact": dedup.exact_dedup,
-        "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_minhash_signatures": lambda s, sf:
+            dedup.minhash_signatures(s, sf,
+                                     shingles=_doc_shingles(s, sf)),
         "dedup_simhash": dedup.simhash,
         "corpus_vocab_topk": corpus.vocab_topk,
         "corpus_tfidf_keywords": corpus.tfidf_keywords,
@@ -625,7 +647,9 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X1-X10 candidate detail (the scored-candidate CTE)
         "pii_candidates_scored": _candidates_detail,
         # prefix-filtered exact jaccard join
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_ngram_jaccard": lambda s, sf:
+            dedup.ngram_jaccard_pairs(s, sf,
+                                      shingles=_doc_shingles(s, sf)),
         # stateful streaming dedup drain
         "stream_dedup_events": stream_dedup_events,
         # column profiling stats over the melted catalog

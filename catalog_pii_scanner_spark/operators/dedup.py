@@ -180,8 +180,11 @@ def _signatures_from_shingles(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*mins)
 
 
-def minhash_signatures(spark, sf_dir: str) -> DataFrame:
-    return _signatures_from_shingles(doc_shingles_df(spark, sf_dir))
+def minhash_signatures(spark, sf_dir: str,
+                       shingles: DataFrame | None = None) -> DataFrame:
+    if shingles is None:
+        shingles = doc_shingles_df(spark, sf_dir)
+    return _signatures_from_shingles(shingles)
 
 
 def lsh_near_dup_pairs_sql(dialect: str, docs_rel: str = "documents",
@@ -262,7 +265,8 @@ def lsh_excluded_buckets(spark, sf_dir: str,
 
 
 def lsh_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.5,
-                       max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+                       max_bucket: int = MAX_BAND_BUCKET,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """DataFrame-step implementation; semantics identical to
     lsh_near_dup_pairs_sql (the oracle), including the band-bucket cap.
 
@@ -280,12 +284,17 @@ def lsh_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.5,
     no extra shuffle exchange beyond its aggregation. The persisted
     shingle relation is released before returning (result is an eager
     localCheckpoint)."""
-    shingles = doc_shingles_df(spark, sf_dir).persist()
+    own = shingles is None
+    if own:
+        # persisted while the result materializes, released below
+        shingles = doc_shingles_df(spark, sf_dir).persist()
     sigs = _signatures_from_shingles(shingles)
     bands = band_keys(sigs).persist()
     pairs = capped_band_pairs(bands, max_bucket)
     out = _jaccard_verify(pairs, shingles, threshold)
-    return checkpoint_release(out, shingles, bands)
+    # a handed-over (entry-memo) shingle relation belongs to the caller
+    return checkpoint_release(out, *((shingles, bands) if own
+                                     else (bands,)))
 
 
 def band_keys(sigs: DataFrame) -> DataFrame:
@@ -421,7 +430,8 @@ def _jaccard_verify(pairs: DataFrame, shingles: DataFrame,
 
 
 def ngram_jaccard_pairs(spark, sf_dir: str,
-                        threshold: float = JACCARD_T) -> DataFrame:
+                        threshold: float = JACCARD_T,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """DataFrame-step implementation. The shingle relation is persisted
     while the result materializes (eager localCheckpoint), then released;
     the prefix self-join keys on RARE shingles first, so bucket fan-out
@@ -441,7 +451,9 @@ def ngram_jaccard_pairs(spark, sf_dir: str,
     explode+window lineage per consumer — cold first-run 15.3 s -> 10.7 s
     at sf0.1; warm unchanged. Checkpoint blocks free on driver GC
     (plans/cache.py rationale; asserted by tests/test_scale_guards.py)."""
-    shingles = doc_shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    if shingles is None:
+        shingles = doc_shingles_df(spark, sf_dir) \
+            .localCheckpoint(eager=True)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -553,7 +565,8 @@ WHERE i.n_common / CAST(LEAST(za.n, zb.n) AS DOUBLE) >= {threshold}
 
 
 def containment_pairs(spark, sf_dir: str, threshold: float = CONTAIN_T,
-                      df_cap: int = MAX_GRAM_DF) -> DataFrame:
+                      df_cap: int = MAX_GRAM_DF,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """DataFrame-step implementation (same lineage discipline as
     ``ngram_jaccard_pairs``: eager-checkpointed shingle/prefix relations,
     reduced-then-joined freq/sizes, no forced broadcasts — AQE promotes
@@ -561,7 +574,9 @@ def containment_pairs(spark, sf_dir: str, threshold: float = CONTAIN_T,
     bucket BEFORE the self-join, so the plan has no unbounded fan-out at
     100 TB; dropped-gram observability via
     ``containment_excluded_grams``."""
-    shingles = doc_shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    if shingles is None:
+        shingles = doc_shingles_df(spark, sf_dir) \
+            .localCheckpoint(eager=True)
     freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
     kept = (shingles.join(freq.where(F.col("df") <= df_cap), "shingle")
             .select("doc_id", "shingle", "df")
