@@ -152,6 +152,15 @@ def _changed_pred():
             | (F.col("h") != F.col("o_h")))
 
 
+def _require_exactly_one(fn: str, values_df, basis) -> None:
+    """The values_df/basis parameters are alternatives, not layers:
+    neither given would crash opaquely inside _distinct_basis, and both
+    given would silently discard values_df (r13 review finding)."""
+    if (values_df is None) == (basis is None):
+        raise ValueError(
+            f"{fn}() takes exactly one of values_df or basis")
+
+
 def incremental_findings(values_df: DataFrame | None = None,
                          basis=None) -> DataFrame:
     """Spark path over a melted (column_ref, value[, vclass]) relation.
@@ -165,6 +174,7 @@ def incremental_findings(values_df: DataFrame | None = None,
     over an already-materialized shared basis instead of
     ``values_df``; the derived relation is identical by construction.
     """
+    _require_exactly_one("incremental_findings", values_df, basis)
     vals, vcols, class_col = (basis if basis is not None
                               else _distinct_basis(values_df))
     fps = _snapshot_fingerprints(vals)
@@ -302,6 +312,7 @@ def findings_merge_upsert(values_df: DataFrame | None = None,
     relations. 100 TB: everything after extraction is metadata-scale.
     ``basis`` as in :func:`incremental_findings`.
     """
+    _require_exactly_one("findings_merge_upsert", values_df, basis)
     vals, vcols, class_col = (basis if basis is not None
                               else _distinct_basis(values_df))
     fps = _snapshot_fingerprints(vals)
@@ -463,6 +474,7 @@ def writeback_diff_plan(values_df: DataFrame | None = None,
     already exists (entry-level memo) the single-consumer argument
     above no longer applies and the melt+distinct is skipped outright
     (is_new is dropped: the extraction output re-derives it)."""
+    _require_exactly_one("writeback_diff_plan", values_df, basis)
     if basis is not None:
         bvals, vcols, class_col = basis
         vals = bvals.select(*vcols)
@@ -523,19 +535,29 @@ pri_t AS (
          string_agg(DISTINCT pii_type, ',' ORDER BY pii_type)
            AS prior_pii_types
   FROM sc WHERE NOT is_new GROUP BY column_ref
+),
+refd AS (
+  -- mirror sinks/writeback.ref_parts' arity-aware decomposition
+  -- (3-segment cat://schema/table/column vs the melt boundary's
+  -- 2-segment spark://table/column) so the dual dialects cannot
+  -- drift if a 3-segment enumeration ever feeds the plan
+  SELECT c.*, p.prior_pii_types,
+         str_split(regexp_replace(c.column_ref, '^[a-z]+://', ''),
+                   '/') AS parts
+  FROM cur_t c LEFT JOIN pri_t p ON p.column_ref = c.column_ref
 )
-SELECT c.column_ref AS column_ref,
-       str_split(regexp_replace(c.column_ref, '^[a-z]+://', ''),
-                 '/')[1] AS table_name,
-       str_split(regexp_replace(c.column_ref, '^[a-z]+://', ''),
-                 '/')[2] AS column_name,
-       CASE WHEN p.prior_pii_types IS NULL THEN 'insert'
-            WHEN p.prior_pii_types <> c.pii_types THEN 'update'
+SELECT column_ref,
+       CASE WHEN len(parts) >= 3 THEN parts[2] ELSE parts[1] END
+         AS table_name,
+       CASE WHEN len(parts) >= 3 THEN parts[3] ELSE parts[2] END
+         AS column_name,
+       CASE WHEN prior_pii_types IS NULL THEN 'insert'
+            WHEN prior_pii_types <> pii_types THEN 'update'
             ELSE 'skip' END AS action,
-       c.pii_types AS pii_types, p.prior_pii_types AS prior_pii_types,
-       substr('{_WB_PREFIX}' || c.pii_types, 1, {_WB_MAX}) AS comment,
-       c.n_spans AS n_spans
-FROM cur_t c LEFT JOIN pri_t p ON p.column_ref = c.column_ref
+       pii_types, prior_pii_types,
+       substr('{_WB_PREFIX}' || pii_types, 1, {_WB_MAX}) AS comment,
+       n_spans
+FROM refd
 """
 
 

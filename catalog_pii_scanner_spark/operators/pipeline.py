@@ -59,6 +59,17 @@ def full_scan_predictions(
     signal — the fusion's missing-signal path), and
     ``llm_cache_ttl_minutes`` reaches the worker-singleton provider
     construction."""
+    if precomputed_enriched is not None and (
+            ner_provider != "regex" or llm_cost_cap_usd is not None
+            or llm_cache_ttl_minutes is not None):
+        # the enrichment branch is the ONLY consumer of these knobs —
+        # a precomputed relation was built under its caller's knobs, so
+        # accepting both would silently drop the budget gate / TTL /
+        # provider the caller asked for here.
+        raise ValueError(
+            "precomputed_enriched already fixes the signal path; pass "
+            "ner_provider/llm_cost_cap_usd/llm_cache_ttl_minutes to the "
+            "enrichment that builds it, not alongside it")
     enriched = (precomputed_enriched if precomputed_enriched is not None
                 else _enriched_candidates(cands, model, ner_provider,
                                           llm_cost_cap_usd,
@@ -135,6 +146,11 @@ def full_scan_raw_scores(
     + validated + score_type + raw (11 rows per candidate).
     ``precomputed_enriched`` as in :func:`full_scan_predictions`."""
     from .ensemble import raw_type_scores
+    if precomputed_enriched is not None and ner_provider != "regex":
+        raise ValueError(
+            "precomputed_enriched already fixes the signal path; pass "
+            "ner_provider to the enrichment that builds it, not "
+            "alongside it")
     enriched = (precomputed_enriched if precomputed_enriched is not None
                 else _enriched_candidates(cands, model, ner_provider))
     return raw_type_scores(

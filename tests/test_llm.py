@@ -186,3 +186,29 @@ def test_full_pipeline_llm_ttl_reaches_provider(spark):
     assert _get_provider("fake_llm", {"cache_ttl_minutes": 7}) is p1
     p2 = _get_provider("fake_llm")
     assert p2 is not p1
+
+
+def test_precomputed_enriched_rejects_signal_knobs(spark):
+    """r13 review: the enrichment branch is the only consumer of the
+    LLM knobs, so passing precomputed_enriched together with a
+    non-default provider / budget cap / TTL would silently drop the
+    knobs the caller asked for — the contract now fails loudly."""
+    from catalog_pii_scanner_spark.operators.pipeline import (
+        _enriched_candidates, full_scan_predictions, full_scan_raw_scores)
+    cands = spark.createDataFrame(
+        [("c1", "mail a@b.io", "EMAIL", "a@b.io", 0.9, True)],
+        "column_ref string, value string, pii_type string, "
+        "match_text string, rule_confidence double, validated boolean")
+    enriched = _enriched_candidates(cands, None, "regex")
+    for kw in ({"ner_provider": "fake_llm"},
+               {"llm_cost_cap_usd": 1.0},
+               {"llm_cache_ttl_minutes": 5}):
+        with pytest.raises(ValueError, match="precomputed_enriched"):
+            full_scan_predictions(cands, precomputed_enriched=enriched,
+                                  **kw)
+    with pytest.raises(ValueError, match="precomputed_enriched"):
+        full_scan_raw_scores(cands, ner_provider="fake_llm",
+                             precomputed_enriched=enriched)
+    # the sanctioned combination (default regex path) still works
+    assert full_scan_predictions(
+        cands, precomputed_enriched=enriched).count() == 1

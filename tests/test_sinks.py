@@ -425,3 +425,47 @@ def test_cli_incremental_scoped_run_keeps_out_of_scope_fingerprints(
     assert cli.main(full) == 0
     captured = capsys.readouterr()
     assert '"skipped_columns": 6' in captured.err
+
+
+def test_diff_plan_oracle_mirrors_ref_parts():
+    """r13 review: the Spark plan parses refs arity-aware via
+    ref_parts, so the DuckDB oracle's decomposition must be arity-aware
+    too or the dual dialects drift on 3-segment enumeration refs. Pin
+    the oracle's CASE against both arities."""
+    import duckdb
+    from catalog_pii_scanner_spark.operators.incremental import \
+        writeback_diff_plan_oracle_sql
+    sql = writeback_diff_plan_oracle_sql(("orders",))
+    # lift the decomposition expressions straight out of the template
+    assert "len(parts) >= 3" in sql
+    rows = duckdb.sql("""
+        SELECT CASE WHEN len(parts) >= 3 THEN parts[2] ELSE parts[1] END
+                 AS table_name,
+               CASE WHEN len(parts) >= 3 THEN parts[3] ELSE parts[2] END
+                 AS column_name
+        FROM (SELECT str_split(regexp_replace(ref, '^[a-z]+://', ''),
+                               '/') AS parts
+              FROM (VALUES ('spark://orders/o_comment'),
+                           ('parquet://testdata/users/email_addr'))
+                   t(ref))
+        ORDER BY table_name""").fetchall()
+    assert rows == [("orders", "o_comment"), ("users", "email_addr")]
+
+
+def test_basis_values_df_exactly_one(spark):
+    """r13 review: neither param crashed opaquely inside
+    _distinct_basis; both silently discarded values_df."""
+    from catalog_pii_scanner_spark.operators.incremental import (
+        distinct_basis, findings_merge_upsert, incremental_findings,
+        writeback_diff_plan)
+    vals = spark.createDataFrame(
+        [("spark://orders/o_comment", "reach me at a@b.io")],
+        "column_ref string, value string")
+    basis = distinct_basis(vals)
+    for fn in (incremental_findings, findings_merge_upsert,
+               writeback_diff_plan):
+        with pytest.raises(ValueError, match="exactly one"):
+            fn()
+        with pytest.raises(ValueError, match="exactly one"):
+            fn(vals, basis=basis)
+        assert fn(basis=basis).count() >= 1

@@ -189,6 +189,14 @@ def main() -> int:
     for name, label, d in runs:
         best, n_rows = None, None
         for _ in range(N_RUNS):  # warm best-of: planning noise in run 1
+            # Evict the entry-level shared-relation memos BEFORE each
+            # timed run: clearCache() drops only SQL-cached relations,
+            # not localCheckpoint blocks or the memo dicts, so run 2
+            # of a memoized query (catalog basis, shingles, LSH chain,
+            # demo melt) would otherwise skip exactly the derivation
+            # whose scaling this probe measures and silently
+            # understate the slope.
+            E.clear_session_memos()
             t0 = time.time()
             n_rows = q[name](spark, d).count()
             dt = time.time() - t0
