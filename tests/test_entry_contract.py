@@ -530,3 +530,27 @@ def test_integer_output_magnitudes_within_design_bound():
             if v is not None and v > MAX_INT_OUTPUT:
                 offenders.append((qname, c, v))
     assert not offenders, offenders
+
+
+def test_clear_session_memos_forces_rebuild(spark):
+    """r13 review: scale_probe's slope measurements are only honest if
+    eviction actually drops the memoized relations — pin that
+    clear_session_memos() forces a rebuild (new objects) while repeat
+    access without it returns the memoized ones."""
+    sf = "/root/testdata/sf0.001"
+    shingles_a = E._doc_shingles(spark, sf)
+    assert E._doc_shingles(spark, sf) is shingles_a
+    basis_a = E._tables_basis(spark, sf)
+    assert E._tables_basis(spark, sf) is basis_a
+    E.clear_session_memos()
+    for memo in E._SESSION_MEMOS:
+        assert not memo
+    assert E._doc_shingles(spark, sf) is not shingles_a
+    # per-stage chain slots fill lazily: pairs access must not build
+    # the clusters slot (the label-propagation stage)
+    E.clear_session_memos()
+    E._dedup_pairs(spark, sf)
+    assert all(k[2] == "pairs" for k in E._DEDUP_CHAIN_MEMO)
+    E._dedup_clusters(spark, sf)
+    assert {k[2] for k in E._DEDUP_CHAIN_MEMO} == {"pairs", "clusters"}
+    E.clear_session_memos()
