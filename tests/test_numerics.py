@@ -164,3 +164,47 @@ def test_call_site_fallbacks_are_registered():
     sql = collocations_oracle_sql()
     assert "CAST(p.n_ab AS DOUBLE) * n.n_bigrams" in sql
     assert "CAST(a.n_a1 AS DOUBLE) * b.n_b2" in sql
+
+
+def test_guarded_ratio_random_sweep_cross_engine(spark):
+    """Seeded random sweep over (num, den) magnitude regimes for
+    ratio_round_halfup_guarded under its DEFAULT guard: small counts,
+    cluster-scale exact-branch rows just under halfup_den_bound, and
+    fallback-branch rows beyond it. Asserts (a) both engines return
+    bit-identical doubles row-for-row — if the guard misrouted a
+    beyond-bound row onto the exact branch, DuckDB would raise on the
+    overflowing intermediate, failing loudly — and (b) on the exact
+    branch the value equals an INDEPENDENT Python integer half-up
+    rendering of the same ratio."""
+    import random
+
+    from catalog_pii_scanner_spark.oracles import (halfup_den_bound,
+                                                   ratio_round_halfup_guarded)
+    rng = random.Random(20260817)
+    bound = halfup_den_bound()          # ~4.6e12 at scale 6
+    rows = []
+    for _ in range(60):                 # small counts, exact branch
+        d = rng.randint(1, 10 ** 6)
+        rows.append((rng.randint(0, d), d))
+    for _ in range(40):                 # near the bound, exact branch
+        d = rng.randint(10 ** 10, bound)
+        rows.append((rng.randint(0, d), d))
+    for _ in range(40):                 # beyond the bound, fallback
+        d = rng.randint(bound + 1, 10 ** 13)
+        rows.append((rng.randint(0, d), d))
+    frag = {e: ratio_round_halfup_guarded(e, "num", "den")
+            for e in ("spark", "duckdb")}
+    vals = ", ".join(f"({i}, CAST({n} AS BIGINT), CAST({d} AS BIGINT))"
+                     for i, (n, d) in enumerate(rows))
+    got = {}
+    got["spark"] = [r[0] for r in spark.sql(
+        f"SELECT {frag['spark']} FROM VALUES {vals} AS t(i, num, den) "
+        "ORDER BY i").collect()]
+    got["duckdb"] = [r[0] for r in duckdb.sql(
+        f"SELECT {frag['duckdb']} FROM (VALUES {vals}) t(i, num, den) "
+        "ORDER BY i").fetchall()]
+    assert got["spark"] == got["duckdb"]        # bit-exact, all 140 rows
+    for (n, d), v in zip(rows, got["spark"]):
+        if d <= bound:                          # independent half-up
+            assert v == ((2 * n * 10 ** 6 + d) // (2 * d)) / 10 ** 6, \
+                (n, d, v)
