@@ -545,6 +545,8 @@ def test_clear_session_memos_forces_rebuild(spark):
     E.clear_session_memos()
     for memo in E._SESSION_MEMOS:
         assert not memo
+    from catalog_pii_scanner_spark.operators import evaluate
+    assert not evaluate._TRAINED_MEMO    # the trained memo too
     assert E._doc_shingles(spark, sf) is not shingles_a
     # per-stage chain slots fill lazily: pairs access must not build
     # the clusters slot (the label-propagation stage)
