@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from catalog_pii_scanner_spark import oracles
+from catalog_pii_scanner_spark.plans.cache import fan_out
 from catalog_pii_scanner_spark.operators import (analytics, bpe, corpus,
                                                  dedup, dsir, llm,
                                                  metadata_rules, multimodal,
@@ -211,17 +212,24 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: the single-split docs scan would otherwise run the whole
+    # Arrow decode+aHash pass as ONE task (the stream drain repartitions
+    # its microbatches for exactly this reason — PERF.md r7)
     return _session_memo(
         _PHASH_MEMO, spark, sf_dir,
-        lambda: multimodal.ahash_bands(
-            multimodal.synthetic_pgm_neardup_assets(spark, sf_dir))
+        lambda: multimodal.ahash_bands(fan_out(
+            multimodal.synthetic_pgm_neardup_assets(spark, sf_dir)))
         .localCheckpoint(eager=True))
 
 
 def _demo_values_ck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out before the checkpoint: every demo-family consumer's Arrow
+    # extraction stage inherits the checkpoint's partitioning, so a
+    # 1-split melt would serialize ~10 queries' Python stages
     return _session_memo(
         _DEMO_VALS_MEMO, spark, sf_dir,
-        lambda: _demo_values(spark, sf_dir).localCheckpoint(eager=True))
+        lambda: fan_out(_demo_values(spark, sf_dir))
+        .localCheckpoint(eager=True))
 
 
 def _demo_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..pii_types import ALL_PII_TYPES
+from ..plans.cache import fan_out
 from ..sources.demo_catalog import FIRST_NAMES, LAST_NAMES, _case_pool
 from .rules import extract_candidates_pdf
 
@@ -181,7 +182,9 @@ def repeated_span_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_id, so at 100 TB this is a single co-partitioned exchange.
     """
     from .redaction import suppress_and_redact
-    texts = repeated_texts(spark, sf_dir)
+    # fan_out: the corpus derives from a single-split scan, which would
+    # run the Arrow extraction as one task (guide (4.1)
+    texts = fan_out(repeated_texts(spark, sf_dir))
     spans = extract_candidates_pdf(texts, value_col="text",
                                    keep_cols=("text_id",))
     red = suppress_and_redact(texts, spans.select(

@@ -24,3 +24,30 @@ def checkpoint_release(result: DataFrame, *intermediates: DataFrame
     for df in intermediates:
         df.unpersist()
     return out
+
+
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow-parallelism relation up to the
+    session's shuffle parallelism before a CPU-bound stage (Python/Arrow
+    extraction, media decode, BLAS matmul, wide explodes).
+
+    Why: a small single-file parquet scan arrives as ONE split — one
+    task — which serializes every downstream narrow stage onto a single
+    core until the first exchange (optimization guide (2.5 input skew,
+    (4.1 the Python boundary). On a production layout the scan already
+    carries >= the session parallelism and this returns the input
+    unchanged, so the (tiny) extra exchange is paid exactly when it buys
+    parallel compute. The target defaults to
+    ``spark.sql.shuffle.partitions`` — the session's scale knob
+    ($SPARK_GRAFT_CPUS locally) — never a constant.
+
+    Correctness: round-robin repartition changes only row placement
+    (deterministic under retry via sortBeforeRepartition); every
+    consumer downstream of a fan_out is row-order-free (per-row
+    projections, exact/rounded aggregates, joins), the property the
+    7-vs-32 shuffle-partition invariance gate pins suite-wide."""
+    target = parts or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
