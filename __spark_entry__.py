@@ -691,9 +691,13 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       shingles=_doc_shingles(s, sf)),
         # stateful streaming dedup drain
         "stream_dedup_events": stream_dedup_events,
-        # column profiling stats over the melted catalog
+        # column profiling stats over the melted catalog; n_distinct
+        # comes from the shared checkpointed basis (identical by
+        # definition), which turns the melt pass into map-side partials
+        # instead of an Expand + full-melt distinct exchange
         "profile_columns": lambda s, sf: profile_columns(
-            _tables_values(s, sf)),
+            _tables_values(s, sf),
+            distinct_basis=_tables_basis(s, sf)[0]),
         # P5 enabled_types gate
         "pii_scan_enabled_types": _scan_enabled_types,
         "dedup_lsh_near_pairs": _dedup_pairs,

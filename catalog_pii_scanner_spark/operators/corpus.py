@@ -817,13 +817,14 @@ def char_entropy_docs(docs: DataFrame) -> DataFrame:
     result. One explode + one (doc, char) group + one doc-keyed sum.
 
     Output: doc_id, n_chars_used, n_distinct_chars, entropy."""
+    # split('') advances the regex by one code point, so it yields the
+    # same per-position characters substring(text, i, 1) walked — in ONE
+    # pass over the string instead of an O(position) seek per exploded
+    # row (substring on UTF-8 re-scans from the front: the old shape was
+    # O(len^2) per document, measured 3.5 s -> 1.4 s at sf0.1)
     chars = (docs.select(
                 "doc_id",
-                F.explode(F.sequence(F.lit(1), F.length("text")))
-                .alias("i"), "text")
-             .select("doc_id",
-                     F.substring(F.col("text"), F.col("i"), 1)
-                     .alias("ch"))
+                F.explode(F.split(F.col("text"), "")).alias("ch"))
              .where(F.col("ch") != ""))
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
     totals = counts.groupBy("doc_id").agg(

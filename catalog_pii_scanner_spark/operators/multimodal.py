@@ -984,25 +984,55 @@ def _phash_resolve(spark: SparkSession, bands: DataFrame,
     bcnt = bands.groupBy("band", "val").agg(F.count("*").alias("_bn"))
     bands_ok = bcnt.where(F.col("_bn") <= max_bucket) \
         .select("band", "val")
-    capped = bands.join(bands_ok, ["band", "val"])
-    a, b_ = capped.alias("a"), capped.alias("b")
-    pairs = (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.val") == F.col("b.val"))
-                    & (F.col("a.asset_id") < F.col("b.asset_id")))
-             .select(F.col("a.asset_id").alias("doc_a"),
-                     F.col("b.asset_id").alias("doc_b"))
-             .distinct())
+    # Decide connectivity with hash CLASSES, not doc pairs (the
+    # decide-with-small-rows discipline): docs sharing the identical
+    # 64-bit hash sit in exactly the same four buckets, so whenever any
+    # of those buckets is uncapped the whole class is one verified
+    # clique (hamming 0) — a star to the class min carries the same
+    # connectivity as the C(n,2) pair clique. Cross-class candidates
+    # collapse likewise: every member pair between two classes sharing
+    # an uncapped bucket has the SAME hamming (it is a property of the
+    # hash pair), so one representative pair per class pair decides it.
+    # The banded self-join, the hamming verify, and the CC input all
+    # shrink from doc-pair scale (~C(class)^2 per bucket) to class
+    # scale; components are unchanged by construction.
     hashes = (bands.groupBy("asset_id")
               .agg(*[F.max(F.when(F.col("band") == b, F.col("val")))
-                     .alias(f"b{b}") for b in range(4)]))
-    ha = hashes.select(F.col("asset_id").alias("doc_a"),
+                     .alias(f"b{b}") for b in range(4)])
+              .localCheckpoint(eager=True))
+    hcols = [f"b{b}" for b in range(4)]
+    classes = (hashes.groupBy(*hcols)
+               .agg(F.min("asset_id").alias("rep")))
+    cbands = (classes.select(
+        "rep", *hcols,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.col(f"b{b}").alias("val")) for b in range(4)]))
+        .alias("bk"))
+        .select("rep", *hcols, "bk.band", "bk.val"))
+    # class-band rows whose bucket survived the cap
+    cap_ok = cbands.join(bands_ok, ["band", "val"]) \
+        .localCheckpoint(eager=True)
+    active = cap_ok.select("rep").distinct()
+    members = hashes.join(classes.select(*hcols, "rep"), hcols)
+    stars = (members.join(active, "rep")
+             .where(F.col("asset_id") != F.col("rep"))
+             .select(F.col("rep").alias("doc_a"),
+                     F.col("asset_id").alias("doc_b")))
+    ca = cap_ok.select("band", "val", F.col("rep").alias("doc_a"),
                        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)])
-    hb = hashes.select(F.col("asset_id").alias("doc_b"),
+    cb = cap_ok.select("band", "val", F.col("rep").alias("doc_b"),
                        *[F.col(f"b{b}").alias(f"c{b}") for b in range(4)])
     ham = sum(F.bit_count(F.expr(f"a{b} ^ c{b}")) for b in range(4))
-    verified = (pairs.join(ha, "doc_a").join(hb, "doc_b")
-                .where(ham.cast("bigint") <= ham_max)
-                .select("doc_a", "doc_b"))
+    cross = (ca.join(cb, ["band", "val"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     *[F.col(f"a{b}") for b in range(4)],
+                     *[F.col(f"c{b}") for b in range(4)])
+             .distinct()
+             .where(ham.cast("bigint") <= ham_max)
+             .select("doc_a", "doc_b"))
+    verified = stars.unionByName(cross)
     clusters = connected_components(verified)
     flagged = (bands.join(bcnt.where(F.col("_bn") > max_bucket)
                           .select("band", "val"), ["band", "val"])
