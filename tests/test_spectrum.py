@@ -93,6 +93,30 @@ def test_spark_matches_oracle_inline(spark):
         assert g[4] == pytest.approx(w[4], abs=1.1e-6)
 
 
+def test_partial_gram_matches_template_gram(spark):
+    """The r13 integer-matmul partial-Gram path (_gram_partials +
+    _gram_merged_sql) must reproduce the template's exact gram relation
+    cell-for-cell — including the DECIMAL gc integers — on a ragged,
+    zero-vector, duplicate-heavy corpus."""
+    from catalog_pii_scanner_spark.operators.pca import (_gram_merged_sql,
+                                                         _gram_partials)
+    rng = np.random.RandomState(13)
+    vecs = [(i, [float(x) for x in rng.randn(DIMS) * 0.4])
+            for i in range(25)]
+    vecs.append((25, [0.0] * DIMS))          # zero-norm vector
+    vecs.append((26, vecs[0][1]))            # exact duplicate
+    sdf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sdf.createOrReplaceTempView("cpss_spec_pg")
+    want = {(r.i, r.j): (str(r.gc), r.gval, r.n) for r in
+            spark.sql(pca_gram_sql("spark", "cpss_spec_pg")).collect()}
+    _gram_partials(sdf).createOrReplaceTempView("cpss_spec_pg_parts")
+    got = {(r.i, r.j): (str(r.gc), r.gval, r.n) for r in
+           spark.sql(_gram_merged_sql("cpss_spec_pg_parts",
+                                      "cpss_spec_pg")).collect()}
+    assert got == want
+    assert len(got) == DIMS * DIMS
+
+
 def test_zero_corpus_is_empty():
     con = duckdb.connect()
     con.sql("CREATE VIEW embeddings AS SELECT CAST(1 AS BIGINT) AS "
