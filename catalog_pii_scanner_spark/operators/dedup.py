@@ -568,42 +568,39 @@ def containment_pairs(spark, sf_dir: str, threshold: float = CONTAIN_T,
                       df_cap: int = MAX_GRAM_DF,
                       shingles: DataFrame | None = None) -> DataFrame:
     """DataFrame-step implementation (same lineage discipline as
-    ``ngram_jaccard_pairs``: eager-checkpointed shingle/prefix relations,
+    ``ngram_jaccard_pairs``: eager-checkpointed shingle relation,
     reduced-then-joined freq/sizes, no forced broadcasts — AQE promotes
-    the runtime-small sides). The df-cap filter bounds every per-gram
-    bucket BEFORE the self-join, so the plan has no unbounded fan-out at
-    100 TB; dropped-gram observability via
-    ``containment_excluded_grams``."""
+    the runtime-small sides).
+
+    Execution shape (r13): unlike the Jaccard join, the containment
+    universe is df-capped, so the per-gram self-join volume is already
+    bounded at sum(df^2) <= df_cap * |kept| — linear in the corpus with
+    the cap constant, the LSH bucket-cap discipline. n_common therefore
+    comes from ONE capped self-join + pair count, and the template's
+    PPJoin prefix machinery (window rank + prefix x full join + distinct
+    + a cand x gram-set re-join) is dead weight on the Spark side:
+    measured 4.3 s -> 2.0 s warm at sf0.1 with identical output.
+    Equivalence (threshold > 0): a qualifying pair shares
+    >= ceil(t * min(na, nb)) >= 1 kept gram, so it co-occurs in the
+    self-join; the final WHERE is the template's own qualification
+    test, and n_common / sizes are computed from the same kept
+    relation. The oracle keeps the PPJoin template.
+
+    Dropped-gram observability via ``containment_excluded_grams``."""
     if shingles is None:
         shingles = doc_shingles_df(spark, sf_dir) \
             .localCheckpoint(eager=True)
     freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
     kept = (shingles.join(freq.where(F.col("df") <= df_cap), "shingle")
-            .select("doc_id", "shingle", "df")
+            .select("doc_id", "shingle")
             .localCheckpoint(eager=True))
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (kept.join(sizes, "doc_id")
-              .withColumn("rn", F.row_number().over(w)))
-    prefix = ranked.where(
-        F.col("rn") <= F.col("n")
-        - F.ceil(F.lit(threshold) * F.col("n")).cast("bigint") + 1
-    ).select("doc_id", "shingle", "n")
-    full_k = kept.join(sizes, "doc_id").select("doc_id", "shingle", "n")
-
-    p, f_ = prefix.alias("p"), full_k.alias("f")
-    cand = (
-        p.join(f_, (F.col("p.shingle") == F.col("f.shingle"))
-               & (F.col("p.doc_id") != F.col("f.doc_id"))
-               & (F.col("p.n") <= F.col("f.n")))
-        .select(F.least("p.doc_id", "f.doc_id").alias("doc_a"),
-                F.greatest("p.doc_id", "f.doc_id").alias("doc_b"))
-        .distinct()
-    )
     sa = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
+    inter = (sa.join(sb, "shingle")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_common")))
     za = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"),
