@@ -808,29 +808,93 @@ def pgm_neardup_assets_from_docs(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("asset_id"), payload.alias("media"))
 
 
+def _ahash_rows_loop(pdf):
+    """Per-row decode fallback (the general PGM parser): any header
+    shape, any maxval — the original row-at-a-time path."""
+    import numpy as np
+    import pandas as pd
+
+    out = {"asset_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+    for aid, payload in zip(pdf["asset_id"], pdf["media"]):
+        img, _maxval = decode_pgm_full(bytes(payload))
+        hh, ww = img.shape
+        ri = (np.arange(8) * hh) // 8
+        ci = (np.arange(8) * ww) // 8
+        g = img[np.ix_(ri, ci)].astype(np.float64)
+        m = g.mean()          # exact: int sum / 64
+        bits = (g > m).astype(np.int64).ravel()
+        vals = [int((bits[b * 16:(b + 1) * 16]
+                     << np.arange(16)).sum()) for b in range(4)]
+        out["asset_id"].append(aid)
+        for b in range(4):
+            out[f"b{b}"].append(vals[b])
+    return pd.DataFrame(out)
+
+
 def ahash_bands(assets: DataFrame) -> DataFrame:
     """REAL decode -> aHash -> 4 x 16-bit band values, one Arrow pass.
-    Bit i (row-major r*8+c) belongs to band i//16 at shift i%16."""
+    Bit i (row-major r*8+c) belongs to band i//16 at shift i%16.
+
+    Batch path (guide 4.2 — hand whole batches to vectorized native
+    code instead of looping rows in Python): the batch's payloads are
+    concatenated into ONE uint8 buffer; single-digit P5 headers
+    ("P5\\nW H\\n255\\n", 11 bytes — the only shape the synthetic
+    corpus emits, VALIDATED per batch, not assumed) are parsed with
+    vectorized byte compares, the 8x8 nearest-neighbor gather becomes
+    one fancy-index into the shared buffer, and the threshold + bit
+    pack run as (n, 8, 8) array ops. The downsample mean stays the
+    exact int-sum/64, so thresholds are bit-identical to the per-row
+    path (pinned by test_ahash_vectorized_matches_loop); any batch
+    failing the header validation falls back to the per-row decoder.
+    Measured at sf0.1 the pass is parallelism-bound either way (0.6 s
+    warm over 32 cores); the win is per-core decode throughput at
+    production batch sizes, where the Python-loop constant dominates."""
     import numpy as np
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts16 = (np.int64(1) << np.arange(16, dtype=np.int64))
+        r8 = np.arange(8)
         for pdf in batches:
-            out = {"asset_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
-            for aid, payload in zip(pdf["asset_id"], pdf["media"]):
-                img, _maxval = decode_pgm_full(bytes(payload))
-                hh, ww = img.shape
-                ri = (np.arange(8) * hh) // 8
-                ci = (np.arange(8) * ww) // 8
-                g = img[np.ix_(ri, ci)].astype(np.float64)
-                m = g.mean()          # exact: int sum / 64
-                bits = (g > m).astype(np.int64).ravel()
-                vals = [int((bits[b * 16:(b + 1) * 16]
-                             << np.arange(16)).sum()) for b in range(4)]
-                out["asset_id"].append(aid)
-                for b in range(4):
-                    out[f"b{b}"].append(vals[b])
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            payloads = [bytes(p) for p in pdf["media"]]
+            lens = np.fromiter(map(len, payloads), dtype=np.int64,
+                               count=len(payloads))
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ok = lens >= 11
+            if ok.all():
+                hdr = buf[off[:, None] + np.arange(11)]
+                w = hdr[:, 3].astype(np.int64) - 48
+                h = hdr[:, 5].astype(np.int64) - 48
+                ok = ((hdr[:, 0] == 80) & (hdr[:, 1] == 53)
+                      & (hdr[:, 2] == 10) & (hdr[:, 4] == 32)
+                      & (hdr[:, 6] == 10) & (hdr[:, 7] == 50)
+                      & (hdr[:, 8] == 53) & (hdr[:, 9] == 53)
+                      & (hdr[:, 10] == 10)
+                      & (w >= 1) & (w <= 9) & (h >= 1) & (h <= 9)
+                      & (lens == 11 + w * h)).all()
+            else:
+                ok = False
+            if not ok:
+                yield _ahash_rows_loop(pdf)
+                continue
+            ri = (r8[None, :] * h[:, None]) // 8          # (n, 8)
+            ci = (r8[None, :] * w[:, None]) // 8          # (n, 8)
+            idx = (off[:, None, None] + 11
+                   + ri[:, :, None] * w[:, None, None]
+                   + ci[:, None, :])                      # (n, 8, 8)
+            g = buf[idx].astype(np.float64)
+            m = g.mean(axis=(1, 2))                       # exact: sum/64
+            bits = (g > m[:, None, None]).astype(np.int64).reshape(-1, 4, 16)
+            vals = bits @ shifts16                        # (n, 4)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "b0": vals[:, 0].astype(np.int32),
+                "b1": vals[:, 1].astype(np.int32),
+                "b2": vals[:, 2].astype(np.int32),
+                "b3": vals[:, 3].astype(np.int32)})
 
     return assets.mapInPandas(
         run, schema="asset_id long, b0 int, b1 int, b2 int, b3 int")
@@ -967,24 +1031,32 @@ WHERE bit_count(CAST(xor(a.b0, c.b0) AS BIGINT))
 """
 
 
-def _phash_resolve(spark: SparkSession, bands: DataFrame,
+def _phash_resolve(spark: SparkSession, bands: DataFrame | None,
                    docs: DataFrame, ham_max: int,
-                   max_bucket: int) -> DataFrame:
-    """Shared resolution/compaction over accumulated (asset_id, band,
-    val) rows — the single copy behind phash_keep_list_query (batch)
-    and streaming.watcher.stream_phash_keep_list (drain): bucket-cap
-    filter, banded self-join, hamming verification against hashes
-    re-pivoted FROM the band rows (exact ints, no re-decode), connected
-    components, verdict join, plus the per-doc in_capped_bucket flag
-    (r6 ADVICE: a doc whose pair input the cap truncated must be
-    distinguishable from a genuinely unique doc in the verdict itself).
+                   max_bucket: int,
+                   hashes: DataFrame | None = None) -> DataFrame:
+    """Shared resolution/compaction — the single copy behind
+    phash_keep_list_query (batch) and
+    streaming.watcher.stream_phash_keep_list (drain): bucket-cap
+    filter, banded self-join, hamming verification (exact ints, no
+    re-decode), connected components, verdict join, plus the per-doc
+    in_capped_bucket flag (r6 ADVICE: a doc whose pair input the cap
+    truncated must be distinguishable from a genuinely unique doc in
+    the verdict itself). Callers hand over EITHER accumulated
+    (asset_id, band, val) rows — hashes are re-pivoted from them — or
+    the materialized (asset_id, b0..b3) relation itself, from which
+    band rows are a cheap explode (r13: the entry memo and the stream
+    hash spool both hold hashes already, so the groupBy re-pivot and
+    its checkpoints are skipped).
     Output: doc_id, cluster_rep, keep, in_capped_bucket."""
     from .dedup import connected_components
-    bands = bands.localCheckpoint(eager=True)
-    bcnt = bands.groupBy("band", "val").agg(F.count("*").alias("_bn"))
-    bands_ok = bcnt.where(F.col("_bn") <= max_bucket) \
-        .select("band", "val")
-    # Decide connectivity with hash CLASSES, not doc pairs (the
+    if hashes is None:
+        bands = bands.localCheckpoint(eager=True)
+        hashes = (bands.groupBy("asset_id")
+                  .agg(*[F.max(F.when(F.col("band") == b, F.col("val")))
+                         .alias(f"b{b}") for b in range(4)])
+                  .localCheckpoint(eager=True))
+    # Decide EVERYTHING with hash CLASSES, not doc rows (the
     # decide-with-small-rows discipline): docs sharing the identical
     # 64-bit hash sit in exactly the same four buckets, so whenever any
     # of those buckets is uncapped the whole class is one verified
@@ -993,23 +1065,28 @@ def _phash_resolve(spark: SparkSession, bands: DataFrame,
     # collapse likewise: every member pair between two classes sharing
     # an uncapped bucket has the SAME hamming (it is a property of the
     # hash pair), so one representative pair per class pair decides it.
-    # The banded self-join, the hamming verify, and the CC input all
-    # shrink from doc-pair scale (~C(class)^2 per bucket) to class
-    # scale; components are unchanged by construction.
-    hashes = (bands.groupBy("asset_id")
-              .agg(*[F.max(F.when(F.col("band") == b, F.col("val")))
-                     .alias(f"b{b}") for b in range(4)])
-              .localCheckpoint(eager=True))
+    # The bucket census collapses too (r13): a (band, val) bucket's
+    # occupancy is the sum of member counts over classes carrying that
+    # band value, so bcnt is an aggregation of 4 rows per CLASS, and
+    # the capped-doc flag is membership in a class with a capped
+    # bucket. After the one hashes groupBy, every relation until the
+    # verdict join is class-scale; components and flags are unchanged
+    # by construction.
     hcols = [f"b{b}" for b in range(4)]
     classes = (hashes.groupBy(*hcols)
-               .agg(F.min("asset_id").alias("rep")))
+               .agg(F.min("asset_id").alias("rep"),
+                    F.count("*").alias("_cn"))
+               .localCheckpoint(eager=True))
     cbands = (classes.select(
-        "rep", *hcols,
+        "rep", "_cn", *hcols,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.col(f"b{b}").alias("val")) for b in range(4)]))
         .alias("bk"))
-        .select("rep", *hcols, "bk.band", "bk.val"))
+        .select("rep", "_cn", *hcols, "bk.band", "bk.val"))
+    bcnt = cbands.groupBy("band", "val").agg(F.sum("_cn").alias("_bn"))
+    bands_ok = bcnt.where(F.col("_bn") <= max_bucket) \
+        .select("band", "val")
     # class-band rows whose bucket survived the cap
     cap_ok = cbands.join(bands_ok, ["band", "val"]) \
         .localCheckpoint(eager=True)
@@ -1034,9 +1111,11 @@ def _phash_resolve(spark: SparkSession, bands: DataFrame,
              .select("doc_a", "doc_b"))
     verified = stars.unionByName(cross)
     clusters = connected_components(verified)
-    flagged = (bands.join(bcnt.where(F.col("_bn") > max_bucket)
-                          .select("band", "val"), ["band", "val"])
-               .select(F.col("asset_id").alias("doc_id")).distinct()
+    flagged_reps = (cbands.join(bcnt.where(F.col("_bn") > max_bucket)
+                                .select("band", "val"), ["band", "val"])
+                    .select("rep").distinct())
+    flagged = (members.join(flagged_reps, "rep")
+               .select(F.col("asset_id").alias("doc_id"))
                .withColumn("_capped", F.lit(True)))
     out = (docs.select("doc_id")
            .join(clusters, "doc_id", "left")
@@ -1070,10 +1149,12 @@ def phash_keep_list_query(spark: SparkSession, sf_dir: str,
     discipline to dedup.dedup_keep_list. ``hashes`` as in
     :func:`phash_dedup_query` (the shared decode+aHash pass)."""
     if hashes is None:
-        hashes = ahash_bands(synthetic_pgm_neardup_assets(spark, sf_dir))
-    bands = phash_band_rows(hashes)
+        hashes = ahash_bands(
+            synthetic_pgm_neardup_assets(spark, sf_dir)) \
+            .localCheckpoint(eager=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return _phash_resolve(spark, bands, docs, ham_max, max_bucket)
+    return _phash_resolve(spark, None, docs, ham_max, max_bucket,
+                          hashes=hashes)
 
 
 def phash_keep_list_oracle_sql(docs_rel: str = "documents",

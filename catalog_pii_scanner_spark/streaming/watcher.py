@@ -804,19 +804,21 @@ def stream_phash_keep_list(spark: SparkSession, sf_dir: str,
     MinHash bands.
 
     Per microbatch (foreachBatch): payload synthesis + the REAL PGM
-    decode + aHash + band derivation — the decode-bound stage — runs on
-    JUST the new documents (the hash is doc-local, so per-slice
-    computation is exact) and appends (asset_id, band, val) rows to a
-    band-state spool: 4 small integer rows per image ever seen,
-    independent of image size, and NO raw pixels retained.
+    decode + aHash — the decode-bound stage — runs on JUST the new
+    documents (the hash is doc-local, so per-slice computation is
+    exact) and appends (asset_id, b0..b3) rows to a hash-state spool:
+    ONE small integer row per image ever seen (r13: was 4 band rows —
+    spooling the pivoted hash directly quarters the spool and lets the
+    resolver skip its re-pivot shuffle), independent of image size,
+    and NO raw pixels retained.
 
-    At drain end, resolution runs ONCE over the accumulated band state
-    via the SAME _phash_resolve the batch query uses (bucket-cap
-    filter, banded self-join, hamming verification against hashes
-    re-pivoted from the spool — no second decode pass — connected
-    components, verdict join, in_capped_bucket flag). Same hashes ->
-    same pairs -> same components, so the verdict is BATCH-IDENTICAL
-    by construction and the query shares phash_keep_list's oracle.
+    At drain end, resolution runs ONCE over the accumulated hash state
+    via the SAME _phash_resolve the batch query uses (band rows derived
+    by a cheap explode — no second decode pass — bucket-cap filter,
+    banded self-join, hamming verification, connected components,
+    verdict join, in_capped_bucket flag). Same hashes -> same pairs ->
+    same components, so the verdict is BATCH-IDENTICAL by construction
+    and the query shares phash_keep_list's oracle.
 
     Output: doc_id, cluster_rep, keep, in_capped_bucket."""
     import os
@@ -825,8 +827,7 @@ def stream_phash_keep_list(spark: SparkSession, sf_dir: str,
 
     from ..operators.multimodal import (PHASH_HAM_MAX, PHASH_MAX_BUCKET,
                                         _phash_resolve, ahash_bands,
-                                        pgm_neardup_assets_from_docs,
-                                        phash_band_rows)
+                                        pgm_neardup_assets_from_docs)
 
     if ham_max is None:
         ham_max = PHASH_HAM_MAX
@@ -846,10 +847,10 @@ def stream_phash_keep_list(spark: SparkSession, sf_dir: str,
         # stream_quality_classifier fix, PERF.md r7)
         n_parts = int(bdf.sparkSession.conf.get(
             "spark.sql.shuffle.partitions"))
-        bands = phash_band_rows(ahash_bands(
+        hashes = ahash_bands(
             pgm_neardup_assets_from_docs(
-                bdf.select("doc_id").repartition(n_parts))))
-        bands.write.mode("append").parquet(band_dir)
+                bdf.select("doc_id").repartition(n_parts)))
+        hashes.write.mode("append").parquet(band_dir)
 
     # scratch dirs must not survive a FAILED drain (rmtree in finally)
     try:
@@ -857,13 +858,14 @@ def stream_phash_keep_list(spark: SparkSession, sf_dir: str,
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        bands = spark.read.parquet(band_dir).localCheckpoint(eager=True)
+        hashes = spark.read.parquet(band_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(band_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
     docs = spark.read.parquet(path)
-    return _phash_resolve(spark, bands, docs, ham_max, max_bucket)
+    return _phash_resolve(spark, None, docs, ham_max, max_bucket,
+                          hashes=hashes)
 
 
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

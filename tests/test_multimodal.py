@@ -322,6 +322,33 @@ def test_phash_same_class_docs_hash_identically(spark):
     assert near >= len(cross) * 0.8, (near, len(cross))
 
 
+def test_ahash_vectorized_matches_loop(spark):
+    """The r13 vectorized batch path of ahash_bands must reproduce the
+    per-row decode exactly — including on payloads that FAIL the
+    fixed-header validation (multi-digit dims, maxval comments route the
+    whole batch through the fallback)."""
+    import pandas as pd
+    from catalog_pii_scanner_spark.operators.multimodal import (
+        _ahash_rows_loop, ahash_bands, synthetic_pgm_neardup_assets)
+    sf = "/root/testdata/sf0.001"
+    assets = synthetic_pgm_neardup_assets(spark, sf)
+    pdf = assets.toPandas()
+    want = _ahash_rows_loop(pdf)
+    got = (ahash_bands(assets).toPandas()
+           .sort_values("asset_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("asset_id").reset_index(drop=True),
+        check_dtype=False)
+    # a payload the fast path must refuse: 2-digit width header
+    big = b"P5\n12 3\n255\n" + bytes(range(36))
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [7], "media": [bytearray(big)]}))
+    got1 = ahash_bands(sdf).toPandas()
+    want1 = _ahash_rows_loop(
+        pd.DataFrame({"asset_id": [7], "media": [big]}))
+    assert got1.iloc[0].tolist() == want1.iloc[0].tolist()
+
+
 def test_phash_no_buckets_excluded_at_gate_scale(spark):
     from catalog_pii_scanner_spark.operators.multimodal import (
         phash_excluded_buckets)
