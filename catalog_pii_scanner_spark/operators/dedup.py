@@ -29,6 +29,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -802,6 +804,53 @@ def simhash_excluded_buckets(spark, sf_dir: str,
 
 # --- duplicate clusters (connected components over the near-dup graph) ------
 
+#: Symmetric-edge-relation size (rows) under which connected components
+#: resolve as ONE driver union-find instead of the distributed
+#: contraction: every contraction round costs several fixed-latency
+#: jobs (checkpoint + emptiness probe), which dominates wall-clock on
+#: the small, clique-heavy graphs the dedup caps produce (measured
+#: 2.8 s -> ~0.4 s on the 1.7k-edge semdedup graph at sf0.1). The
+#: collect is BOUNDED by this constant (~16 MB of int64 pairs at the
+#: default), production-scale graphs take the distributed path, and
+#: both paths compute the identical min-reachable fixpoint (pinned by
+#: test_connected_components_paths_agree).
+CC_DRIVER_MAX_EDGES = int(os.environ.get(
+    "CPSS_CC_DRIVER_MAX_EDGES", "1000000"))
+
+
+def _cc_driver(bidir: DataFrame, id_type: str) -> DataFrame:
+    """Driver union-find over a (bounded) symmetric edge relation.
+    Roots are kept at the smallest node INDEX; node ids arrive sorted
+    unique, so a root's own id is its component minimum."""
+    import numpy as np
+    spark = bidir.sparkSession
+    pdf = bidir.toPandas()
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    nodes, inv = np.unique(np.concatenate((src, dst)), return_inverse=True)
+    a, b = inv[:len(src)], inv[len(src):]
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]   # path halving
+            x = parent[x]
+        return x
+
+    for i in range(len(a)):
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    labels = nodes[[find(i) for i in range(len(nodes))]]
+    import pandas as pd
+    out = pd.DataFrame({"doc_id": nodes, "cluster_rep": labels})
+    return spark.createDataFrame(
+        out, schema=f"doc_id {id_type}, cluster_rep {id_type}")
+
+
 def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components by iterative graph CONTRACTION: label every
     node with the MIN of its closed neighborhood (one groupBy — labels
@@ -844,6 +893,11 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # small-graph fast path: see CC_DRIVER_MAX_EDGES (the count is a
+    # metadata read on the just-materialized checkpoint)
+    if bidir.count() <= CC_DRIVER_MAX_EDGES:
+        return _cc_driver(
+            bidir, edges.schema["doc_a"].dataType.simpleString())
     # Round 1, closed form: min over the closed neighborhood. The ONE
     # groupBy also yields the node universe (bidir is symmetric, so
     # every node appears as src) — no separate init distinct.

@@ -378,6 +378,29 @@ def test_connected_components_random_graph_equals_union_find(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_connected_components_paths_agree(spark, monkeypatch):
+    """The r13 bounded driver fast path and the distributed contraction
+    must compute the identical min-reachable fixpoint — forced onto
+    each path via the CC_DRIVER_MAX_EDGES gate."""
+    import random
+
+    from catalog_pii_scanner_spark.operators import dedup
+
+    rng = random.Random(23)
+    nodes = list(range(0, 700, 7))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(160)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", 10 ** 9)
+    fast = sorted((r.doc_id, r.cluster_rep)
+                  for r in dedup.connected_components(df).collect())
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", -1)
+    dist = sorted((r.doc_id, r.cluster_rep)
+                  for r in dedup.connected_components(df).collect())
+    assert fast == dist
+    assert fast
+
+
 def test_zero_norm_vectors_leave_the_cosine_universe(spark, tmp_path):
     """A degenerate all-zero embedding must neither crash ANSI division
     nor appear as a query or neighbor — in the declarative path AND the
