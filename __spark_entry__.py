@@ -145,11 +145,18 @@ _SHINGLES_MEMO: dict = {}
 _PHASH_MEMO: dict = {}
 _DEMO_VALS_MEMO: dict = {}
 _DEMO_CANDS_MEMO: dict = {}
+#: trained-ANN fitted artifacts (the eval_trained_metrics fitted-state
+#: discipline): the PQ codebook relation is shared by BOTH trained
+#: template queries, the coarse centroids by the IVFADC one; each is a
+#: bounded checkpointed relation (codes x DIMS / n_cells x DIMS rows)
+#: and the bench's run-1 "cold" row reports the honest fit cost
+_ANN_TRAIN_MEMO: dict = {}
 
 #: Every entry-level memo dict, so clear_session_memos can evict them
 #: all in one place.
 _SESSION_MEMOS = (_BASIS_MEMO, _DEDUP_CHAIN_MEMO, _SHINGLES_MEMO,
-                  _PHASH_MEMO, _DEMO_VALS_MEMO, _DEMO_CANDS_MEMO)
+                  _PHASH_MEMO, _DEMO_VALS_MEMO, _DEMO_CANDS_MEMO,
+                  _ANN_TRAIN_MEMO)
 
 
 def _session_memo(memo: dict, spark: SparkSession, sf_dir: str,
@@ -220,6 +227,20 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: multimodal.ahash_bands(fan_out(
             multimodal.synthetic_pgm_neardup_assets(spark, sf_dir)))
         .localCheckpoint(eager=True))
+
+
+def _pqt_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session_memo(
+        _ANN_TRAIN_MEMO, spark, sf_dir,
+        lambda: simsearch.trained_pq_cb_df(spark, sf_dir),
+        slot="pqt_cb")
+
+
+def _ivfpqt_cent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session_memo(
+        _ANN_TRAIN_MEMO, spark, sf_dir,
+        lambda: simsearch.trained_ivfpq_cent_df(spark, sf_dir),
+        slot="ivfpqt_cent")
 
 
 def _demo_values_ck(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,7 +538,8 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ProductQuantizer::train): training unrolled IN the
         # dual-dialect template, so DuckDB trains identically; recall
         # gate vs the prefix baseline in tests/test_ann_recall.py
-        "ann_pq_trained_topk": simsearch.ann_pq_trained_topk,
+        "ann_pq_trained_topk": lambda s, sf:
+            simsearch.ann_pq_trained_topk(s, sf, cb=_pqt_cb(s, sf)),
         # image near-dup dedup: REAL PGM decode -> aHash -> banded
         # Hamming blocking (bucket-capped); oracle re-derives the hash
         # bits arithmetically from the SQL-built near-dup corpus
@@ -740,7 +762,9 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the FULLY-trained IVFADC (Lloyd coarse + Lloyd PQ codebooks,
         # both unrolled in the dual-dialect template); recall gate in
         # tests/test_ann_recall.py (0.30 -> 0.44 vs untrained)
-        "ann_ivfpq_trained_topk": simsearch.ann_ivfpq_trained_topk,
+        "ann_ivfpq_trained_topk": lambda s, sf:
+            simsearch.ann_ivfpq_trained_topk(
+                s, sf, cent=_ivfpqt_cent(s, sf), cb=_pqt_cb(s, sf)),
         # ------------------------------------------------------------------
         # trained-codebook PQ SERVING twin: fit once (bounded training
         # job), broadcast the fitted codebooks, one-pass mapInPandas

@@ -2188,22 +2188,52 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def trained_pq_cb_df(spark, sf_dir: str,
+                     corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                     codes: int = PQT_CODES,
+                     iters: int = PQT_ITERS) -> DataFrame:
+    """The checkpointed fitted-codebook relation of
+    ann_pq_trained_cb_sql — the shared training artifact both trained
+    template queries consume (r13: exposed so the entry can memoize the
+    fit per (session, sf_dir) the way eval_trained_metrics memoizes its
+    fitted heads; the bench reports the first-call cost as ``cold``)."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("cpss_embeddings")
+    return spark.sql(ann_pq_trained_cb_sql(
+        "spark", "cpss_embeddings", corpus_mod, codes, iters)) \
+        .localCheckpoint(eager=True)
+
+
+def trained_ivfpq_cent_df(spark, sf_dir: str,
+                          corpus_mod: int = PQ_TWIN_CORPUS_MOD,
+                          n_cells: int = NUM_CENTROIDS,
+                          km_iters: int = LLOYD_ITERS) -> DataFrame:
+    """The checkpointed coarse-centroid relation of
+    ann_ivfpq_trained_cent_sql (see trained_pq_cb_df)."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("cpss_embeddings")
+    return spark.sql(ann_ivfpq_trained_cent_sql(
+        "spark", "cpss_embeddings", corpus_mod, n_cells, km_iters)) \
+        .localCheckpoint(eager=True)
+
+
 def ann_pq_trained_topk(spark, sf_dir: str, k: int = 5,
                         query_mod: int = 50,
                         rerank: int = PQ_RERANK,
                         corpus_mod: int = PQ_TWIN_CORPUS_MOD,
                         codes: int = PQT_CODES,
-                        iters: int = PQT_ITERS) -> DataFrame:
+                        iters: int = PQT_ITERS,
+                        cb: DataFrame | None = None) -> DataFrame:
     """Dual-dialect template execution of the trained-codebook PQ.
     The codebook trains ONCE into a checkpointed view (see
     ann_pq_trained_cb_sql — Spark inlines CTEs, so the inline form
-    re-ran the training chain per downstream reference)."""
+    re-ran the training chain per downstream reference). ``cb`` lets
+    the entry hand over the memoized fit (trained_pq_cb_df)."""
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .createOrReplaceTempView("cpss_embeddings")
-    spark.sql(ann_pq_trained_cb_sql(
-        "spark", "cpss_embeddings", corpus_mod, codes, iters)) \
-        .localCheckpoint(eager=True) \
-        .createOrReplaceTempView("cpss_pqt_cb")
+    if cb is None:
+        cb = trained_pq_cb_df(spark, sf_dir, corpus_mod, codes, iters)
+    cb.createOrReplaceTempView("cpss_pqt_cb")
     return spark.sql(ann_pq_trained_topk_sql(
         "spark", "cpss_embeddings", k, query_mod, rerank, corpus_mod,
         codes, iters, cb_rel="cpss_pqt_cb"))
@@ -2463,21 +2493,25 @@ def ann_ivfpq_trained_topk(spark, sf_dir: str, k: int = 5,
                            iters: int = PQT_ITERS,
                            n_cells: int = NUM_CENTROIDS,
                            nprobe: int = NPROBE,
-                           km_iters: int = LLOYD_ITERS) -> DataFrame:
+                           km_iters: int = LLOYD_ITERS,
+                           cent: DataFrame | None = None,
+                           cb: DataFrame | None = None) -> DataFrame:
     """Dual-dialect template execution of the fully-trained IVFADC.
     Both training chains materialize ONCE into checkpointed views
     (Spark inlines CTEs — the inline form re-ran coarse training and
-    codebook training per downstream reference)."""
+    codebook training per downstream reference). ``cent``/``cb`` let
+    the entry hand over the memoized fits (trained_ivfpq_cent_df /
+    trained_pq_cb_df — the cb artifact is the identical relation
+    ann_pq_trained_topk trains, so the two queries share one fit)."""
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .createOrReplaceTempView("cpss_embeddings")
-    spark.sql(ann_ivfpq_trained_cent_sql(
-        "spark", "cpss_embeddings", corpus_mod, n_cells, km_iters)) \
-        .localCheckpoint(eager=True) \
-        .createOrReplaceTempView("cpss_ivfpqt_cent")
-    spark.sql(ann_pq_trained_cb_sql(
-        "spark", "cpss_embeddings", corpus_mod, codes, iters)) \
-        .localCheckpoint(eager=True) \
-        .createOrReplaceTempView("cpss_ivfpqt_cb")
+    if cent is None:
+        cent = trained_ivfpq_cent_df(spark, sf_dir, corpus_mod,
+                                     n_cells, km_iters)
+    cent.createOrReplaceTempView("cpss_ivfpqt_cent")
+    if cb is None:
+        cb = trained_pq_cb_df(spark, sf_dir, corpus_mod, codes, iters)
+    cb.createOrReplaceTempView("cpss_ivfpqt_cb")
     return spark.sql(ann_ivfpq_trained_topk_sql(
         "spark", "cpss_embeddings", k, query_mod, rerank, corpus_mod,
         codes, iters, n_cells, nprobe, km_iters,
