@@ -3175,7 +3175,8 @@ def embed_hard_negatives(spark, sf_dir: str, k: int = 5,
 # --- kNN label eval (embedding-quality metric) -------------------------------
 
 def knn_eval_sql(dialect: str, rel: str = "embeddings",
-                 k: int = 5, query_mod: int = 10) -> str:
+                 k: int = 5, query_mod: int = 10,
+                 topk_rel: str | None = None) -> str:
     """k-NN label prediction accuracy — THE embedding-quality probe
     (public: the standard kNN evaluation protocol for representation
     learning, e.g. Wu et al. 2018 instance discrimination): for every
@@ -3186,9 +3187,19 @@ def knn_eval_sql(dialect: str, rel: str = "embeddings",
     1e-6, neighbor_id tiebreak) and the matmul serving story carry
     over unchanged.
 
+    ``topk_rel`` (Spark side only) swaps the exploded dots/cos/topk
+    derivation for an already-computed (query_id, neighbor_id) top-k
+    relation — the BLAS kernel's output — keeping the voting tail
+    byte-identical.
+
     Output per query: query_id, true_label, pred_label, n_votes,
     correct."""
-    return f"""
+    if topk_rel is not None:
+        head = f"""
+WITH lab AS (SELECT vec_id, label FROM {rel}),
+topk AS (SELECT query_id, neighbor_id FROM {topk_rel}),"""
+    else:
+        head = f"""
 WITH {_exploded_cte(dialect, rel)},
 lab AS (SELECT vec_id, label FROM {rel}),
 dots AS (
@@ -3213,7 +3224,8 @@ topk AS (
              AS rank
     FROM cos
   ) _r WHERE rank <= {k}
-),
+),"""
+    return head + f"""
 votes AS (
   SELECT t.query_id, lc.label, COUNT(*) AS n
   FROM topk t JOIN lab lc ON lc.vec_id = t.neighbor_id
@@ -3237,8 +3249,19 @@ FROM pred p JOIN lab lq ON lq.vec_id = p.query_id
 
 def embed_knn_eval(spark, sf_dir: str, k: int = 5,
                    query_mod: int = 10) -> DataFrame:
-    """Dual-dialect template execution over the embeddings table."""
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .createOrReplaceTempView("cpss_embeddings_knn")
+    """Spark execution (r13): the top-k derivation runs through the
+    _brute_matmul_topk BLAS kernel — identical semantics to the
+    template's exploded dots (round 1e-6, neighbor_id tiebreak,
+    self/zero-norm exclusion; the cosine_topk_matmul equality
+    discipline) — instead of inflating every (query, candidate) pair
+    64x through the pos join (25.6M product rows at sf0.1, measured
+    3.5 s -> ~1 s warm). The voting tail is the template's own SQL
+    text via ``topk_rel``; the oracle keeps the full template."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.createOrReplaceTempView("cpss_embeddings_knn")
+    topk = _brute_matmul_topk(
+        spark, emb.where(F.col("vec_id") % query_mod == 0), emb, k) \
+        .select("query_id", "neighbor_id")
+    topk.createOrReplaceTempView("cpss_knn_topk")
     return spark.sql(knn_eval_sql("spark", "cpss_embeddings_knn", k,
-                                  query_mod))
+                                  query_mod, topk_rel="cpss_knn_topk"))
