@@ -26,6 +26,8 @@ crutch: strings repeat and the oracle computes offsets arithmetically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -246,6 +248,51 @@ rred AS (
 
 # --- match + metrics (engine) -----------------------------------------------
 
+#: Overlap-graph size (rows) under which the greedy match runs as the
+#: reference's sequential loop on the driver (bounded collect) instead
+#: of the distributed commit rounds; env-tunable for production.
+GREEDY_DRIVER_MAX_OVERLAPS = int(os.environ.get(
+    "CPSS_GREEDY_DRIVER_MAX_OVERLAPS", "1000000"))
+
+
+def _greedy_driver(overlaps: DataFrame) -> DataFrame:
+    """Sequential greedy 1:1 match on a collected overlap graph — the
+    literal reference semantics (eval.py:20-50): within each
+    (text_id, pii_type), preds in (pstart, pend) order each claim the
+    first still-unused overlapping gold in (gstart, gend) order; gold
+    identity is its gstart (the distributed rounds key golds the same
+    way)."""
+    from collections import defaultdict
+
+    import pandas as pd
+    spark = overlaps.sparkSession
+    pdf = overlaps.toPandas()       # Arrow path; bounded by the gate
+    groups: dict = defaultdict(lambda: (set(), set()))
+    for tid, pt, ps, pe, gs, ge in zip(
+            pdf["text_id"], pdf["pii_type"], pdf["pstart"], pdf["pend"],
+            pdf["gstart"], pdf["gend"]):
+        ps_, gs_ = groups[(tid, pt)]
+        ps_.add((ps, pe))
+        gs_.add((gs, ge))
+    out: list = []
+    for (tid, pt), (ps_, gs_) in groups.items():
+        used: set = set()
+        golds = sorted(gs_)
+        for ps, pe in sorted(ps_):
+            for gs, ge in golds:
+                if gs in used:
+                    continue
+                if ps < ge and gs < pe:
+                    used.add(gs)
+                    out.append((tid, pt, ps, pe, gs, ge))
+                    break
+    cols = ["text_id", "pii_type", "pstart", "pend", "gstart", "gend"]
+    out_pdf = pd.DataFrame(out, columns=cols)
+    for c in cols:                  # empty frame: keep source dtypes
+        out_pdf[c] = out_pdf[c].astype(pdf[c].dtype, copy=False)
+    return spark.createDataFrame(out_pdf, schema=overlaps.schema)
+
+
 def greedy_match(preds: DataFrame, gold: DataFrame) -> DataFrame:
     """Exact sequential greedy 1:1 match (reference eval.py:20-50): preds
     in pstart order each claim the first still-unused overlapping gold of
@@ -274,6 +321,13 @@ def greedy_match(preds: DataFrame, gold: DataFrame) -> DataFrame:
     w_gold = Window.partitionBy("text_id", "pii_type", "gstart") \
         .orderBy("pstart")
     overlaps = j.localCheckpoint(eager=True)
+    # small-graph fast path (the connected_components discipline): the
+    # commit loop pays several fixed-latency jobs per round, which
+    # dominates on overlap graphs a fraction of the corpus size; a
+    # BOUNDED collect runs the reference's sequential greedy directly
+    # (the very semantics the loop replicates — same pin tests).
+    if overlaps.count() <= GREEDY_DRIVER_MAX_OVERLAPS:
+        return _greedy_driver(overlaps)
     matched: DataFrame | None = None
     pkey = ["text_id", "pii_type", "pstart"]
     gkey = ["text_id", "pii_type", "gstart"]

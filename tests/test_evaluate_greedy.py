@@ -79,14 +79,27 @@ def test_type_mismatch_never_matches(spark):
 
 def test_randomized_against_reference(spark):
     """Property-style sweep: random overlap graphs must agree with the
-    row-at-a-time reference transcription."""
+    row-at-a-time reference transcription — on BOTH the r13 bounded
+    driver fast path and the distributed commit rounds (forced via the
+    GREEDY_DRIVER_MAX_OVERLAPS gate)."""
     import random
+
+    from catalog_pii_scanner_spark.operators import evaluate
+
     rng = random.Random(7)
-    for _ in range(12):
-        preds = sorted({(s, s + rng.randint(2, 15))
-                        for s in rng.sample(range(0, 60), rng.randint(1, 6))})
-        golds = sorted({(s, s + rng.randint(2, 15))
-                        for s in rng.sample(range(0, 60), rng.randint(1, 6))})
-        got = _pairs(greedy_match(_preds(spark, preds),
-                                  _gold(spark, golds)))
-        assert got == reference_greedy(preds, golds), (preds, golds)
+    for limit in (10 ** 9, -1):   # driver path, then distributed path
+        evaluate.GREEDY_DRIVER_MAX_OVERLAPS = limit
+        try:
+            for _ in range(6):
+                preds = sorted({
+                    (s, s + rng.randint(2, 15))
+                    for s in rng.sample(range(0, 60), rng.randint(1, 6))})
+                golds = sorted({
+                    (s, s + rng.randint(2, 15))
+                    for s in rng.sample(range(0, 60), rng.randint(1, 6))})
+                got = _pairs(greedy_match(_preds(spark, preds),
+                                          _gold(spark, golds)))
+                assert got == reference_greedy(preds, golds), \
+                    (limit, preds, golds)
+        finally:
+            evaluate.GREEDY_DRIVER_MAX_OVERLAPS = 1_000_000
