@@ -749,7 +749,9 @@ def _query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_list": lambda s, sf:
             dedup.dedup_keep_list(s, sf, clusters=_dedup_clusters(s, sf)),
         # the same verdict via a streaming drain (batch-identical)
-        "stream_dedup_keep_list": stream_dedup_keep_list,
+        "stream_dedup_keep_list": lambda s, sf:
+            stream_dedup_keep_list(
+                s, sf, shingles=_doc_shingles(s, sf)),
         # ------------------------------------------------------------------
         # image-dedup product verdict: phash pairs -> connected
         # components -> canonical keep/drop per corpus doc

@@ -2891,6 +2891,51 @@ LEFT JOIN flagged f ON f.vec_id = u.vec_id
 """
 
 
+def _cells_assign_matmul(spark, emb: DataFrame,
+                         n_cells: int) -> DataFrame:
+    """BLAS twin of the _semdedup_cells_cte ``assign`` relation: one
+    broadcast of the (bounded, vec_id < n_cells) centroid matrix, one
+    mapInPandas matmul pass over the corpus, per-row argmax. Semantics
+    mirror the template exactly: cosine rounded 1e-6 BEFORE the
+    comparison, ties to the smallest cid (centroids sorted by id, and
+    np.argmax returns the first maximum), zero-norm vectors and
+    centroids leave the universe (the norms HAVING). No self-exclusion
+    — a centroid assigns to itself, as in the template."""
+    import numpy as np
+    crows = (emb.where(F.col("vec_id") < n_cells)
+             .select("vec_id", "embedding").collect())
+    c_ids = np.array([r.vec_id for r in crows], dtype=np.int64)
+    C = np.array([list(r.embedding) for r in crows],
+                 dtype=np.float64).reshape(len(crows), DIMS)
+    c_norm = np.linalg.norm(C, axis=1)
+    ok = c_norm > 0
+    c_ids, C, c_norm = c_ids[ok], C[ok], c_norm[ok]
+    order = np.argsort(c_ids)
+    c_ids, C, c_norm = c_ids[order], C[order], c_norm[order]
+    bc = spark.sparkContext.broadcast((c_ids, C, c_norm))
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        ci, cm, cn = bc.value
+        for pdf in batches:
+            if not len(pdf) or ci.size == 0:
+                continue
+            V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v_ids = pdf["vec_id"].to_numpy(np.int64)
+            v_norm = np.linalg.norm(V, axis=1)
+            okv = v_norm > 0
+            V, v_ids, v_norm = V[okv], v_ids[okv], v_norm[okv]
+            if not len(V):
+                continue
+            cos = np.round((V @ cm.T) / (v_norm[:, None] * cn[None, :]), 6)
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame({"vec_id": v_ids, "cid": ci[best]})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, cid long")
+
+
 def semdedup_keep_list(spark, sf_dir: str,
                        threshold: float = SEMDEDUP_T,
                        n_cells: int = SEMDEDUP_CELLS,
@@ -2906,9 +2951,11 @@ def semdedup_keep_list(spark, sf_dir: str,
     from .dedup import connected_components
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb.createOrReplaceTempView("cpss_embeddings")
-    assign = spark.sql(
-        f"WITH {_semdedup_cells_cte('spark', 'cpss_embeddings', n_cells).lstrip()} "
-        f"SELECT vec_id, cid FROM assign").localCheckpoint(eager=True)
+    # r13: the assignment runs through the BLAS twin instead of the
+    # template's 64x pos-join explode (identical semantics, see
+    # _cells_assign_matmul; the oracle keeps the template CTE)
+    assign = _cells_assign_matmul(spark, emb, n_cells) \
+        .localCheckpoint(eager=True)
     cell_n = assign.groupBy("cid").agg(F.count("*").alias("cn"))
     assign_ok = (assign.join(cell_n.where(F.col("cn") <= max_cell)
                              .select("cid"), "cid"))

@@ -664,7 +664,8 @@ def stream_doc_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_dedup_keep_list(spark: SparkSession, sf_dir: str,
-                           threshold: float = 0.5) -> DataFrame:
+                           threshold: float = 0.5,
+                           shingles: DataFrame | None = None) -> DataFrame:
     """Incremental near-dup dedup: the corpus keep/drop verdict computed
     through a Structured Streaming drain — the production shape for
     dedup over an unbounded document feed (streaming signature
@@ -722,11 +723,17 @@ def stream_dedup_keep_list(spark: SparkSession, sf_dir: str,
     # resolution / compaction over the accumulated state
     pairs = capped_band_pairs(bands, MAX_BAND_BUCKET)
     # verify needs shingles only for docs that appear in candidate pairs;
-    # the semi-join prunes the shingle re-derivation to that small set
+    # the semi-join prunes the shingle (re-)derivation to that small
+    # set. ``shingles`` lets the entry hand over the session's shared
+    # checkpointed DISTINCT (doc_id, shingle) relation (r13: the
+    # compaction is a batch job over the same corpus, so re-deriving
+    # the explode+window chain here only repeated work the dedup
+    # family's memo already materialized).
     cand_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
                 .union(pairs.select("doc_b")).distinct())
-    shingles = (doc_shingles_df(spark, sf_dir)
-                .join(cand_ids, "doc_id", "left_semi")
+    if shingles is None:
+        shingles = doc_shingles_df(spark, sf_dir)
+    shingles = (shingles.join(cand_ids, "doc_id", "left_semi")
                 .localCheckpoint(eager=True))
     verified = _jaccard_verify(pairs, shingles, threshold)
     clusters = connected_components(verified)
