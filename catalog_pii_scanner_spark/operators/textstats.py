@@ -311,6 +311,15 @@ WINNOW_MIN_SHARED = 3 #: report pairs sharing at least this many
 WINNOW_MAX_CHARS = 100_000
 
 
+#: The 4-hex-digit md5 fold (the quality-classifier arithmetic) over a
+#: column named ``m`` — shared by the SQL template below and the Spark
+#: row-gram builder so the two forms cannot drift apart textually.
+_HEXD = "instr('0123456789abcdef', substr(m, {p}, 1)) - 1"
+WINNOW_H_EXPR = (f"(({_HEXD.format(p=1)}) * 4096 + ({_HEXD.format(p=2)})"
+                 f" * 256 + ({_HEXD.format(p=3)}) * 16"
+                 f" + ({_HEXD.format(p=4)}))")
+
+
 def winnow_pairs_segments(dialect: str, docs_rel: str = "documents",
                           k: int = WINNOW_K, w: int = WINNOW_W,
                           df_cap: int = WINNOW_DF_CAP,
@@ -329,9 +338,7 @@ def winnow_pairs_segments(dialect: str, docs_rel: str = "documents",
                 f" 1, {WINNOW_MAX_CHARS})")
         gi = (f"FROM norm LATERAL VIEW explode(sequence(1, length(s)"
               f" - {k} + 1)) _u AS i WHERE length(s) >= {k}")
-    hexd = "instr('0123456789abcdef', substr(m, {p}, 1)) - 1"
-    h = (f"(({hexd.format(p=1)}) * 4096 + ({hexd.format(p=2)}) * 256"
-         f" + ({hexd.format(p=3)}) * 16 + ({hexd.format(p=4)}))")
+    h = WINNOW_H_EXPR
     # Two segments, composed (never re-parsed) by the callers: the
     # Spark runner materializes the selection segment once and splices
     # its own `sel` relation into the pairing segment (r7 ADVICE:
@@ -395,18 +402,73 @@ def winnow_pairs_sql(dialect: str, docs_rel: str = "documents",
     return f"WITH {sel},\n{pair}"
 
 
+def winnow_selected_chars(docs: DataFrame, k: int = WINNOW_K,
+                          w: int = WINNOW_W) -> DataFrame:
+    """The template's ``sel`` relation (DISTINCT doc_id, h) built from a
+    per-doc CHAR explode + (k-1) LEADs instead of
+    ``substr(s, i, k)`` per exploded position.
+
+    Why (optimization guide §1.2 per-task work + §2.5 input skew):
+    UTF8String ``substr`` seeks from the string start, so the
+    exploded-position form pays O(len²) character work per document —
+    5e9 char ops for one WINNOW_MAX_CHARS doc — and both that walk and
+    the per-gram md5 run in the SCAN stage, i.e. on however few splits
+    the input arrives as. Here the scan stage only splits the
+    normalized string into chars (O(len)); the gram assembly and md5
+    run AFTER the doc-keyed exchange the argmin window needs anyway,
+    on the session's full parallelism. Both windows share one
+    exchange + sort (same partition/order keys).
+
+    Value-identical to the template's ``sel``: split('') yields the
+    same per-position code points substr walked (empty-string elements
+    filtered with positions preserved), concat of k consecutive chars
+    IS substr(s, i, k) — positions past ng carry NULL leads, md5(NULL)
+    is NULL, and those rows are dropped before the argmin window
+    exactly like the template's sequence(1, ng) bound; the fold/argmin
+    arithmetic is the shared WINNOW_H_EXPR text."""
+    norm = (docs.where(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.expr(f"substr(regexp_replace(lower(text),"
+                           f" '[^a-z0-9]', ''), 1, {WINNOW_MAX_CHARS})")
+                    .alias("s"))
+            .where(F.length("s") >= k))
+    chars = (norm.select("doc_id",
+                         (F.length("s") - k + 1).alias("ng"),
+                         F.posexplode(F.split("s", "")).alias("pos", "c"))
+             .where(F.col("c") != "")
+             .select("doc_id", "ng", (F.col("pos") + 1).alias("i"), "c"))
+    win = Window.partitionBy("doc_id").orderBy("i")
+    gram = F.concat(F.col("c"),
+                    *[F.lead("c", j).over(win) for j in range(1, k)])
+    grams = (chars.select("doc_id", "ng", "i", F.md5(gram).alias("m"))
+             .where(F.col("i") <= F.col("ng")))
+    keyed = grams.selectExpr(
+        "doc_id", "i", "ng",
+        f"CAST({WINNOW_H_EXPR} AS BIGINT) * 1073741824"
+        f" + (1073741823 - i) AS wkey")
+    amin = Window.partitionBy("doc_id").orderBy("i") \
+        .rowsBetween(Window.currentRow, w - 1)
+    return (keyed.select("doc_id", "i", "ng",
+                         F.min("wkey").over(amin).alias("kmin"))
+            .where(F.col("i") <= F.col("ng") - w + 1)
+            .selectExpr("doc_id",
+                        "CAST(floor(kmin / 1073741824.0) AS BIGINT) AS h")
+            .distinct())
+
+
 def corpus_winnow_pairs(spark, sf_dir: str) -> DataFrame:
     """Dual-dialect template execution; the selected-fingerprint
     relation feeds four consumers (df census, both pair sides, doc_n),
     so it is materialized once — a CTE re-inline would re-run the gram
-    explode + argmin window per consumer (the PCA lesson). Built from
-    the template's two segments, not by re-parsing rendered SQL."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("cpss_docs_winnow")
-    sel_seg, pair_seg = winnow_pairs_segments("spark",
-                                              "cpss_docs_winnow")
-    sel = spark.sql(f"WITH {sel_seg}\nSELECT doc_id, h FROM sel")
+    explode + argmin window per consumer (the PCA lesson). The sel
+    relation comes from the row-gram builder (value-identical, see
+    :func:`winnow_selected_chars`); the oracle keeps the template's
+    exploded-positions derivation, so the gate checks the equivalence
+    end-to-end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = winnow_selected_chars(docs)
     sel.localCheckpoint(eager=True) \
         .createOrReplaceTempView("cpss_winnow_sel")
+    _, pair_seg = winnow_pairs_segments("spark", "cpss_docs_winnow")
     return spark.sql("WITH sel AS (SELECT * FROM cpss_winnow_sel),\n"
                      + pair_seg)
