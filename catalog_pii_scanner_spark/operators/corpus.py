@@ -927,18 +927,21 @@ def substring_dup_docs(docs: DataFrame, w: int = SUBSTR_W,
     windows and carry no signal).
     """
     from ..plans.cache import checkpoint_release
-    # wnd feeds dfreq AND the join-back; flagged feeds stats AND the
-    # runs branch (whose pre-window filter defeats ReusedExchange) —
-    # persist both so the posexplode + lead-window derivation runs once
-    # (the dedup.py shingle/band discipline)
-    wnd = (doc_kgrams_pos(docs.where(F.col("text").isNotNull()), w, cap)
-           .select("doc_id", "pos", F.md5("gram").alias("g"))
-           .persist())
-    dfreq = wnd.groupBy("g").agg(
-        F.count_distinct("doc_id").alias("ndocs"))
-    flagged = (wnd.join(dfreq, "g")
+    # is_dup = "gram occurs in >1 DISTINCT doc" = min(doc_id) !=
+    # max(doc_id) over the gram's partition: ONE gram-keyed
+    # exchange+sort flags every window row in place (optimization guide
+    # §2.4 — remove shuffles outright), where the previous
+    # groupBy(g).count_distinct + join-back shape shuffled the window
+    # relation twice more and needed it persisted for the two
+    # consumers. flagged still feeds stats AND the runs branch (whose
+    # pre-window filter defeats ReusedExchange), so it stays persisted.
+    wg = Window.partitionBy("g")
+    flagged = (doc_kgrams_pos(docs.where(F.col("text").isNotNull()),
+                              w, cap)
+               .select("doc_id", "pos", F.md5("gram").alias("g"))
                .select("doc_id", "pos",
-                       (F.col("ndocs") > 1).alias("is_dup"))
+                       (F.min("doc_id").over(wg)
+                        != F.max("doc_id").over(wg)).alias("is_dup"))
                .persist())
     stats = flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_windows"),
@@ -959,7 +962,7 @@ def substring_dup_docs(docs: DataFrame, w: int = SUBSTR_W,
                    .alias("dup_ratio"),
                    F.coalesce(F.col("max_run"), F.lit(0)).cast("bigint")
                    .alias("max_dup_run")))
-    return checkpoint_release(out, wnd, flagged)
+    return checkpoint_release(out, flagged)
 
 
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
