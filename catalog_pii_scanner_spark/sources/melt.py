@@ -131,11 +131,43 @@ DTYPE_CLASS = {"int": "num", "bigint": "num", "double": "num",
                "timestamp": "ts", "string": "text"}
 
 
+#: Parquet bytes per melt task. The melt's stringify work (date_format,
+#: DECIMAL renders) is CPU-bound and expands the input ~8-10x (stack()
+#: multiplies rows by the column count and decompresses), so ~0.5 MiB of
+#: parquet is a healthy ~5 MB / sub-second unit of work per task.
+MELT_SPLIT_BYTES = 512 * 1024
+
+
+def _scan_bytes(path: str) -> int:
+    import glob
+    import os
+    if os.path.isdir(path):
+        return sum(os.path.getsize(p)
+                   for p in glob.glob(os.path.join(path, "*.parquet")))
+    return os.path.getsize(path)
+
+
 def melt_table(spark: SparkSession, sf_dir: str, table: str,
                columns: list[tuple[str, str]] | None = None) -> DataFrame:
-    """Read one parquet table and melt to (column_ref, value, vclass)."""
+    """Read one parquet table and melt to (column_ref, value, vclass).
+
+    The testdata tables are single-row-group files — unsplittable, so
+    every scan arrives as ONE task and the whole stringify pass runs on
+    one core (optimization guide §2.5 input skew: "one huge
+    unsplittable file ... repartition immediately after the read").
+    The read is therefore fanned out to a SIZE-DERIVED target (capped
+    by the session's shuffle-partition knob, never a constant) before
+    the stack(), so the exchange carries the narrow pre-melt rows and
+    the melt itself runs at full parallelism. On a production layout
+    whose scans already carry enough splits the fan-out is a no-op."""
+    import math
+    from ..plans.cache import fan_out
     cols = columns or TESTDATA_SCHEMAS[table]
     df = read_table(spark, sf_dir, table)
+    target = min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                 max(1, math.ceil(_scan_bytes(f"{sf_dir}/{table}.parquet")
+                                  / MELT_SPLIT_BYTES)))
+    df = fan_out(df, parts=target)
     n = len(cols)
     pairs = ", ".join(
         f"'{column_ref(table, c)}', {stringify_sql(c, t, 'spark')}, "
