@@ -916,11 +916,15 @@ def substring_dup_docs(docs: DataFrame, w: int = SUBSTR_W,
     document, plus the longest consecutive duplicated run (in windows;
     add W-1 for tokens).
 
-    Scale shape: windows shuffle ONCE keyed on md5(gram) (16-byte keys,
-    not raw text) for the distinct-doc frequency, join back (AQE picks
-    the strategy), then one doc-keyed aggregation with a doc-local
-    window for the run merge. Everything is linear in corpus tokens; the
-    per-gram bucket is a count, never a materialized doc list.
+    Scale shape: window rows shuffle ONCE keyed on md5(gram) (16-byte
+    keys, not raw text); the cross-document flag is min(doc_id) !=
+    max(doc_id) computed in place over the gram partition by that same
+    exchange+sort (no groupBy + join-back pass). Trade-off: a hot gram
+    buffers every occurrence in one WindowExec group — a skew profile
+    the old groupBy+join did not have, bounded by per-gram occurrence
+    counts (boilerplate repetition), not by corpus size. Then one
+    doc-keyed aggregation with a doc-local window for the run merge.
+    Everything is linear in corpus tokens.
 
     Output: doc_id, n_windows, n_dup_windows, dup_ratio, max_dup_run —
     one row per doc with >= 1 window (docs shorter than W tokens have no

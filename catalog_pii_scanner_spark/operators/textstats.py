@@ -469,6 +469,12 @@ def corpus_winnow_pairs(spark, sf_dir: str) -> DataFrame:
     sel = winnow_selected_chars(docs)
     sel.localCheckpoint(eager=True) \
         .createOrReplaceTempView("cpss_winnow_sel")
-    _, pair_seg = winnow_pairs_segments("spark", "cpss_docs_winnow")
+    # Pair-only use: the selection segment (the sole consumer of
+    # docs_rel) is discarded here, so pass an impossible sentinel —
+    # if a future template change makes the pairing segment reference
+    # the docs relation it fails loudly instead of silently hitting a
+    # stale view registered by another operator.
+    _, pair_seg = winnow_pairs_segments(
+        "spark", "cpss_winnow_docs_rel_must_not_be_referenced")
     return spark.sql("WITH sel AS (SELECT * FROM cpss_winnow_sel),\n"
                      + pair_seg)

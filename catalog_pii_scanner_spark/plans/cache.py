@@ -14,7 +14,19 @@ free on driver GC once the caller drops the DataFrame reference.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def session_parallelism(spark: SparkSession) -> int:
+    """The session's scale knob: ``spark.sql.shuffle.partitions`` when it
+    is a plain number, else the cluster's default parallelism. Some AQE
+    configurations surface a non-numeric value ("auto") for the conf, and
+    a session built outside session.py may not set it at all — the
+    fallback keeps every fan-out consumer working on any session."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
 
 
 def checkpoint_release(result: DataFrame, *intermediates: DataFrame
@@ -46,8 +58,7 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     consumer downstream of a fan_out is row-order-free (per-row
     projections, exact/rounded aggregates, joins), the property the
     7-vs-32 shuffle-partition invariance gate pins suite-wide."""
-    target = parts or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    target = parts or session_parallelism(df.sparkSession)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -138,13 +138,21 @@ DTYPE_CLASS = {"int": "num", "bigint": "num", "double": "num",
 MELT_SPLIT_BYTES = 512 * 1024
 
 
-def _scan_bytes(path: str) -> int:
+def _scan_bytes(path: str) -> int | None:
+    """Total parquet bytes under ``path`` via the local filesystem, or
+    ``None`` when the path is not local (s3://, hdfs:// — anything the
+    driver's os.path cannot stat). Callers must treat ``None`` as
+    "size unknown" and fall back to the session-parallelism fan-out
+    target rather than failing the read Spark itself would handle."""
     import glob
     import os
-    if os.path.isdir(path):
-        return sum(os.path.getsize(p)
-                   for p in glob.glob(os.path.join(path, "*.parquet")))
-    return os.path.getsize(path)
+    try:
+        if os.path.isdir(path):
+            return sum(os.path.getsize(p)
+                       for p in glob.glob(os.path.join(path, "*.parquet")))
+        return os.path.getsize(path)
+    except OSError:
+        return None
 
 
 def melt_table(spark: SparkSession, sf_dir: str, table: str,
@@ -161,12 +169,16 @@ def melt_table(spark: SparkSession, sf_dir: str, table: str,
     the melt itself runs at full parallelism. On a production layout
     whose scans already carry enough splits the fan-out is a no-op."""
     import math
-    from ..plans.cache import fan_out
+    from ..plans.cache import fan_out, session_parallelism
     cols = columns or TESTDATA_SCHEMAS[table]
     df = read_table(spark, sf_dir, table)
-    target = min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                 max(1, math.ceil(_scan_bytes(f"{sf_dir}/{table}.parquet")
-                                  / MELT_SPLIT_BYTES)))
+    nbytes = _scan_bytes(f"{sf_dir}/{table}.parquet")
+    target = session_parallelism(spark)
+    if nbytes is not None:
+        # size-derived split count on a stat-able (local) path; on remote
+        # storage the size is unknown and the session-parallelism target
+        # applies (a splittable production layout makes fan_out a no-op).
+        target = min(target, max(1, math.ceil(nbytes / MELT_SPLIT_BYTES)))
     df = fan_out(df, parts=target)
     n = len(cols)
     pairs = ", ".join(

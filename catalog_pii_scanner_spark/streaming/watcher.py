@@ -782,8 +782,8 @@ def stream_quality_classifier(spark: SparkSession,
         # ratios / verdict join), so the slice is materialized ONCE
         # (shared-relation discipline) instead of re-planning the
         # streaming source per consumer
-        n_parts = int(bdf.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+        from ..plans.cache import session_parallelism
+        n_parts = session_parallelism(bdf.sparkSession)
         slice_ = bdf.repartition(n_parts).localCheckpoint(eager=True)
         slice_.createOrReplaceTempView(f"cpss_qc_batch_{batch_id}")
         (slice_.sparkSession.sql(
@@ -852,8 +852,8 @@ def stream_phash_keep_list(spark: SparkSession, sf_dir: str,
         # a parquet microbatch arrives as ONE partition; spread the
         # slice so the decode+hash Arrow stage runs on every core (the
         # stream_quality_classifier fix, PERF.md r7)
-        n_parts = int(bdf.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+        from ..plans.cache import session_parallelism
+        n_parts = session_parallelism(bdf.sparkSession)
         hashes = ahash_bands(
             pgm_neardup_assets_from_docs(
                 bdf.select("doc_id").repartition(n_parts)))
@@ -1319,8 +1319,8 @@ def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parquet microbatches arrive as ONE partition (see
         # stream_quality_classifier's measured note) — spread the
         # token explode before the counter aggregation
-        n_parts = int(bdf.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+        from ..plans.cache import session_parallelism
+        n_parts = session_parallelism(bdf.sparkSession)
         view = f"cpss_cms_batch_{batch_id}"
         bdf.repartition(n_parts).createOrReplaceTempView(view)
         (bdf.sparkSession.sql(cms_counter_rows_sql("spark", view))
@@ -1558,8 +1558,8 @@ def stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sink(bdf: DataFrame, batch_id: int) -> None:
         # a parquet microbatch arrives as ONE partition; spread the
         # slice so the explode+hash stage runs on every core
-        n_parts = int(bdf.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+        from ..plans.cache import session_parallelism
+        n_parts = session_parallelism(bdf.sparkSession)
         dsir_doc_buckets(bdf.repartition(n_parts)) \
             .write.mode("append").parquet(spool)
 

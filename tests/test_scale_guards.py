@@ -193,3 +193,48 @@ def test_results_invariant_under_parallelism(spark):
         spark.conf.set("spark.sql.shuffle.partitions", base_parts)
     for k in a:
         assert a[k] == b[k], f"{k}: differs across shuffle widths"
+
+
+def test_scan_bytes_remote_path_returns_none():
+    """A path the driver's os.path cannot stat (s3://, hdfs://) must not
+    raise — melt sizing falls back to the session-parallelism target."""
+    from catalog_pii_scanner_spark.sources.melt import _scan_bytes
+    assert _scan_bytes("s3://bucket/warehouse/lineitem.parquet") is None
+
+
+def test_melt_survives_unstatable_storage(spark, sf_dir, monkeypatch):
+    """melt_table must work when the storage layer is opaque to driver-side
+    os.path (remote object stores): the fan-out target degrades to the
+    session parallelism instead of raising before the read."""
+    import os as _os
+
+    from catalog_pii_scanner_spark.sources import melt as M
+
+    def _boom(path):
+        raise OSError(f"stat not supported: {path}")
+
+    monkeypatch.setattr(_os.path, "getsize", _boom)
+    assert M._scan_bytes(f"{sf_dir}/region.parquet") is None
+    df = M.melt_table(spark, sf_dir, "region")
+    # region: r_regionkey + r_name melted over every row
+    n_rows = spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    assert df.count() == 2 * n_rows
+
+
+def test_session_parallelism_non_numeric_conf_falls_back():
+    """Platforms where spark.sql.shuffle.partitions reads back non-numeric
+    (e.g. 'auto') must fall back to defaultParallelism, not ValueError."""
+    from catalog_pii_scanner_spark.plans.cache import session_parallelism
+
+    class _Conf:
+        def get(self, key):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Spark:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert session_parallelism(_Spark()) == 7
