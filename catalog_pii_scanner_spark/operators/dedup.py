@@ -413,6 +413,22 @@ def _jaccard_verify(pairs: DataFrame, shingles: DataFrame,
     the row reduction saves while AQE already broadcasts the pairs.)"""
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    out_expr = F.expr(ratio_round_halfup(
+        "spark", "n_common", "na + nb - n_common")).alias("jaccard")
+    if "na" in pairs.columns and "nb" in pairs.columns:
+        # the caller already attached both set sizes (the PPJoin prefix
+        # relation carries n): grouping by (pair, na, nb) — na/nb are
+        # functionally dependent on the pair — skips the two sizes
+        # scan+agg+broadcast subtrees the old shape duplicated per side
+        # (r14; the aliased size subtrees never shared in the plan)
+        inter = (
+            pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count("*").alias("n_common"))
+        )
+        return (inter.where(jac >= threshold)
+                .select("doc_a", "doc_b", out_expr))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
@@ -420,14 +436,10 @@ def _jaccard_verify(pairs: DataFrame, shingles: DataFrame,
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.join(za, "doc_a").join(zb, "doc_b")
         .where(jac >= threshold)
-        .select("doc_a", "doc_b",
-                F.expr(ratio_round_halfup(
-                    "spark", "n_common", "na + nb - n_common"))
-                .alias("jaccard"))
+        .select("doc_a", "doc_b", out_expr)
     )
 
 
@@ -456,12 +468,15 @@ def ngram_jaccard_pairs(spark, sf_dir: str,
     if shingles is None:
         shingles = doc_shingles_df(spark, sf_dir) \
             .localCheckpoint(eager=True)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    # the doc's set size n rides the SAME doc-keyed exchange+sort the
+    # rank needs (count over the unordered doc partition) — the separate
+    # sizes groupBy + join-back of the old shape re-scanned the shingle
+    # relation for a value this window pass already has (guide §2.4)
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
         shingles.join(freq, "shingle")
-        .join(sizes, "doc_id")
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
         .withColumn("rn", F.row_number().over(w))
     )
     # the self-join reads the prefix relation twice — materialize it so
@@ -477,13 +492,18 @@ def ngram_jaccard_pairs(spark, sf_dir: str,
     # self-join (409k -> 310k candidate pairs on the uniform-length
     # testdata; far more on corpora with varied document lengths)
     a, b_ = prefix.alias("a"), prefix.alias("b")
+    # na/nb ride along (functionally dependent on the pair, so the
+    # distinct cardinality is unchanged): the verify then needs NO
+    # sizes joins at all — the old plan re-derived the per-doc census
+    # twice more, one scan+agg+broadcast per side
     pairs = (
         a.join(b_, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                & (F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")))
                & (F.col("b.n") * F.lit(threshold) <= F.col("a.n")))
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
         .distinct()
     )
     # nothing persisted -> nothing to release; checkpoint blocks are
